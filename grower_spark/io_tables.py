@@ -1,0 +1,35 @@
+"""Testdata table loading (see /root/repo/TESTDATA.md).
+
+``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4
+refuses to read natively; with ``spark.sql.legacy.parquet.nanosAsLong=true``
+it surfaces as a bigint of epoch nanoseconds.  ``load_table`` normalizes that
+to both the raw nanos (``ts_ns``, exact — matches DuckDB ``epoch_ns(ts)``)
+and a microsecond-truncated timestamp (``ts``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}

@@ -1,0 +1,131 @@
+"""The compiled parse/project/cast pipeline (batch AND streaming).
+
+Reference data plane (/root/reference/pkg/handler/handler.go:20-39): raw line
+-> regex parse (template.go:22-37) -> per-target-column projection via the
+scheme alias map (config/config.go:26-29) -> type cast (caster.go) -> typed
+row; any parse/projection/cast failure drops the whole row with a warning
+(internal/services/filelog/impl.go:179-181).
+
+Spark-first design: the whole chain is ONE declarative ``select`` over the
+line column, so Catalyst fuses parse+project+cast into a single
+WholeStageCodegen stage; there is nothing to hand-schedule.
+
+Extraction strategy (scale note): a naive port does one ``regexp_extract``
+per column = N regex executions per line.  The default here is the
+single-pass form — ``regexp_replace(line, pattern + '.*$', '$1\\x01$2...')``
+then ``split`` — one regex execution + one split per line regardless of
+column count.  Match detection falls out for free: a non-matching line is
+returned unchanged by regexp_replace and therefore splits into != n_groups
+parts (input lines containing the \\x01 separator are routed to dead-letter;
+never present in well-formed logs).  ``extract_mode="per_column"`` keeps the
+naive form for comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from grower_spark.config import PipelineConfig
+from grower_spark.plans.caster import CastPlan, build_field_cast, scrub_hyphen
+from grower_spark.plans.template import GROUP_SEP, LogFormat
+
+_PARTS = "__parts"
+_MATCHED = "__matched"
+
+
+@dataclass
+class LogPipeline:
+    """Config-compiled pipeline: ``parse`` works on any DataFrame with a
+    string line column — batch (``spark.read.text``) or streaming
+    (``spark.readStream.text``) identically.
+    """
+
+    config: PipelineConfig
+    now: Optional[Column] = None  # deterministic override for empty-time fallback
+    extract_mode: str = "single_pass"  # or "per_column"
+    log_format: LogFormat = field(init=False)
+    casts: dict[str, CastPlan] = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.log_format = LogFormat.compile(self.config.nginx.log_format)
+        ng = self.config.nginx
+        self.casts = {}
+        for col_name, var in self.config.scheme.columns.items():
+            self.casts[col_name] = build_field_cast(
+                var,
+                local_time_format=ng.log_time_format,
+                custom_casts=ng.log_custom_casts,
+                custom_casts_enable=ng.log_custom_casts_enable,
+                now=self.now,
+            )
+
+    # -- raw field extraction -------------------------------------------------
+
+    def _with_fields(self, df: DataFrame, line: Column) -> tuple[DataFrame, dict[str, Column], Column]:
+        """Returns (df', var->raw-string-column, matched-predicate)."""
+        lf = self.log_format
+        if self.extract_mode == "per_column":
+            matched = line.rlike(lf.pattern)
+            fields = {
+                var: F.regexp_extract(line, lf.pattern, i + 1)
+                for i, var in enumerate(lf.var_names)
+            }
+            return df, fields, matched
+        replaced = F.regexp_replace(line, lf.full_line_pattern(), lf.replacement())
+        df = df.withColumn(_PARTS, F.split(replaced, GROUP_SEP, -1))
+        parts = F.col(_PARTS)
+        matched = (F.size(parts) == lf.n_groups) & (~line.contains(GROUP_SEP))
+        fields = {var: parts.getItem(i) for i, var in enumerate(lf.var_names)}
+        return df, fields, matched
+
+    # -- public API -----------------------------------------------------------
+
+    def parse_detailed(self, df: DataFrame, line_col: str = "value") -> DataFrame:
+        """Typed columns + ``_valid`` flag + original line (``_raw``).
+
+        Rows whose line doesn't match the format, references a missing
+        variable, or fails any cast have ``_valid = false`` (the reference
+        warns and drops such rows; handler.go:28-35).
+        """
+        line = F.col(line_col)
+        df, fields, matched = self._with_fields(df, line)
+        cols: list[Column] = []
+        valid = matched
+        for col_name, var in self.config.scheme.columns.items():
+            plan = self.casts[col_name]
+            if var not in self.log_format.var_names:
+                # Projection failure: scheme references a variable the format
+                # doesn't produce -> every row invalid (entry.go:17-23).
+                valid = F.lit(False)
+                cols.append(F.lit(None).cast(plan.spark_type).alias(col_name))
+                continue
+            raw = scrub_hyphen(fields[var])
+            cols.append(F.when(matched, plan.value(raw)).alias(col_name))
+            valid = valid & plan.valid(raw)
+        return df.select(line.alias("_raw"), valid.alias("_valid"), *cols)
+
+    def parse(self, df: DataFrame, line_col: str = "value") -> DataFrame:
+        """Valid, typed rows only (the reference's surviving pipeline output)."""
+        detailed = self.parse_detailed(df, line_col)
+        return detailed.where(F.col("_valid")).drop("_raw", "_valid")
+
+    def parse_with_deadletter(self, df: DataFrame, line_col: str = "value") -> tuple[DataFrame, DataFrame]:
+        """(typed valid rows, dead-letter raw lines).
+
+        The reference only warns+drops; the dead-letter side is a superset
+        that degrades to drop (SURVEY.md §1.3 item 4).
+        """
+        detailed = self.parse_detailed(df, line_col)
+        good = detailed.where(F.col("_valid")).drop("_raw", "_valid")
+        bad = detailed.where(~F.col("_valid")).select(F.col("_raw").alias("line"))
+        return good, bad
+
+    def output_schema(self) -> list[tuple[str, str]]:
+        return [
+            (name, self.casts[name].spark_type.simpleString())
+            for name in self.config.scheme.columns
+        ]
