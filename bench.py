@@ -1,0 +1,90 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Row-producing queries are materialized with the `noop` sink (full execution,
+no driver collect); small aggregates are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from grower_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    # (name, materialization) — "noop" for row streams, "collect" for tiny aggs
+    ("nginx_parse_rows", "noop"),
+    ("nginx_parse_agg", "collect"),
+    ("nginx_deadletter", "collect"),
+    ("syslog_extract", "noop"),
+    ("tpch_q1", "collect"),
+    ("tpch_q3", "collect"),
+    ("dedup_exact", "noop"),
+    ("text_stats", "noop"),
+    ("doc_fingerprint", "noop"),
+    ("ann_cosine_topk", "collect"),
+]
+
+
+def materialize(df, how: str) -> int:
+    if how == "collect":
+        return len(df.collect())
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+    from grower_spark.driver_queries import QUERIES
+
+    spark = get_spark("grower-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once on a trivial plan so per-query numbers
+    # measure the engine, not first-call JIT.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, how in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        materialize(fn(spark, sf_dir), how)
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    # Ingest-throughput sanity figure vs the reference's 10k lines/s bar
+    # (BASELINE.md): lines parsed+cast+validated per second, measured on a
+    # warm second run so it reflects steady-state, not JVM/codegen warm-up.
+    t0 = time.time()
+    n_lines = QUERIES["nginx_parse_rows"](spark, sf_dir).count()
+    lps = round(n_lines / max(time.time() - t0, 1e-9))
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "parse_lines_per_sec": lps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,20 @@ from grower_spark.plans.template import GROUP_SEP, LogFormat
 
 _PARTS = "__parts"
 _MATCHED = "__matched"
+_ND = "__nd"
+
+# Pushdown barrier: ``PushPredicateThroughNonJoin`` pushes a filter through a
+# Project whenever all *project fields* are deterministic (the condition's
+# own determinism is not checked for Project).  Without a barrier,
+# ``where(_valid)`` is pushed below the parts projection and every validity
+# conjunct re-inlines the full ``split(regexp_replace(line, ...))`` —
+# observed to blow the generated code past Janino's 64 KB method limit
+# (codegen falls back to interpreted) and to re-run the regex once per
+# conjunct.  The fix: the scrub-stage projection carries one
+# nondeterministic field (``__nd``) that ``_valid`` references, so the
+# filter stops right above it and reads the ``__f_*``/``__parts``
+# attributes — one regex execution per line.  (``CollapseProject`` already
+# refuses to inline the parts expression into many uses.)
 
 
 @dataclass
@@ -65,22 +79,56 @@ class LogPipeline:
 
     # -- raw field extraction -------------------------------------------------
 
-    def _with_fields(self, df: DataFrame, line: Column) -> tuple[DataFrame, dict[str, Column], Column]:
-        """Returns (df', var->raw-string-column, matched-predicate)."""
+    def _scrubbed_fields(self, df: DataFrame, line: Column) -> DataFrame:
+        """Stage 1+2: extract raw groups, scrub hyphens, materialize one
+        string attribute per *used* variable plus ``_matched``.
+
+        Keeping scrub results as attributes (each consumed several times by
+        the value/validity expressions downstream) means CollapseProject
+        will not re-inline them, so the regex executes once per line and the
+        generated code per stage stays far below Janino's 64 KB method cap
+        (observed blowup otherwise).
+        """
         lf = self.log_format
+        used_vars = [
+            v for v in dict.fromkeys(self.config.scheme.columns.values())
+            if v in lf.var_names
+        ]
         if self.extract_mode == "per_column":
             matched = line.rlike(lf.pattern)
             fields = {
-                var: F.regexp_extract(line, lf.pattern, i + 1)
-                for i, var in enumerate(lf.var_names)
+                var: F.regexp_extract(line, lf.pattern, lf.group_index(var))
+                for var in used_vars
             }
-            return df, fields, matched
-        replaced = F.regexp_replace(line, lf.full_line_pattern(), lf.replacement())
-        df = df.withColumn(_PARTS, F.split(replaced, GROUP_SEP, -1))
-        parts = F.col(_PARTS)
-        matched = (F.size(parts) == lf.n_groups) & (~line.contains(GROUP_SEP))
-        fields = {var: parts.getItem(i) for i, var in enumerate(lf.var_names)}
-        return df, fields, matched
+        else:
+            replaced = F.regexp_replace(line, lf.full_line_pattern(), lf.replacement())
+            stage1 = df.select(
+                line.alias("_raw"),
+                F.split(replaced, GROUP_SEP, -1).alias(_PARTS),
+            )
+            parts = F.col(_PARTS)
+            matched = (F.size(parts) == lf.n_groups) & (
+                ~F.col("_raw").contains(GROUP_SEP)
+            )
+            return stage1.select(
+                "_raw",
+                F.monotonically_increasing_id().alias(_ND),
+                matched.alias(_MATCHED),
+                # F.get (not getItem): non-matching lines split into fewer
+                # parts and ANSI mode makes out-of-bounds getItem an error;
+                # get returns NULL, and `matched` already forces the row
+                # invalid, so NULL never reaches the output.
+                *[
+                    scrub_hyphen(F.get(parts, lf.group_index(var) - 1)).alias(f"__f_{var}")
+                    for var in used_vars
+                ],
+            )
+        return df.select(
+            line.alias("_raw"),
+            F.monotonically_increasing_id().alias(_ND),
+            matched.alias(_MATCHED),
+            *[scrub_hyphen(fields[var]).alias(f"__f_{var}") for var in used_vars],
+        )
 
     # -- public API -----------------------------------------------------------
 
@@ -91,10 +139,11 @@ class LogPipeline:
         variable, or fails any cast have ``_valid = false`` (the reference
         warns and drops such rows; handler.go:28-35).
         """
-        line = F.col(line_col)
-        df, fields, matched = self._with_fields(df, line)
+        staged = self._scrubbed_fields(df, F.col(line_col))
+        matched = F.col(_MATCHED)
         cols: list[Column] = []
-        valid = matched
+        # referencing __nd anchors any filter on _valid above the scrub stage
+        valid = (F.col(_ND) >= -1) & matched
         for col_name, var in self.config.scheme.columns.items():
             plan = self.casts[col_name]
             if var not in self.log_format.var_names:
@@ -103,10 +152,10 @@ class LogPipeline:
                 valid = F.lit(False)
                 cols.append(F.lit(None).cast(plan.spark_type).alias(col_name))
                 continue
-            raw = scrub_hyphen(fields[var])
+            raw = F.col(f"__f_{var}")
             cols.append(F.when(matched, plan.value(raw)).alias(col_name))
             valid = valid & plan.valid(raw)
-        return df.select(line.alias("_raw"), valid.alias("_valid"), *cols)
+        return staged.select(F.col("_raw"), valid.alias("_valid"), *cols)
 
     def parse(self, df: DataFrame, line_col: str = "value") -> DataFrame:
         """Valid, typed rows only (the reference's surviving pipeline output)."""
