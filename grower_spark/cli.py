@@ -1,0 +1,145 @@
+"""CLI mirroring the reference's flag surface (cmd/filelog/main.go:23-150).
+
+Subcommands map to the reference's binaries:
+
+- ``filelog``  — cmd/filelog: watch a rotation directory, land typed rows
+- ``batch``    — one-shot parse of a file/directory (the scan inside S1)
+- ``rotate``   — driver-side rotation + retention helper (S2/S4)
+- ``ddl``      — print the ClickHouse CREATE TABLE for a config (K1)
+
+Flag names keep the reference's spelling (buffer-size, scrape-interval,
+parallelism, ...) so operators can carry their runbooks over.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="grower-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", required=True, help="pipeline YAML (reference schema)")
+        sp.add_argument("--parallelism", type=int, default=0,
+                        help="cores (reference: NumCPU default)")
+
+    fl = sub.add_parser("filelog", help="stream a log rotation directory")
+    common(fl)
+    fl.add_argument("--logs-dir", required=True)
+    fl.add_argument("--output", required=True, help="parquet output path")
+    fl.add_argument("--checkpoint", required=True)
+    fl.add_argument("--scrape-interval", type=int, default=60)
+    fl.add_argument("--buffer-size", type=int, default=5000,
+                    help="rows per micro-batch admission (reference default 5000)")
+    fl.add_argument("--dead-letter", default=None)
+    fl.add_argument("--live-addr-port", type=int, default=0,
+                    help="liveness HTTP port (0 = off)")
+    fl.add_argument("--available-now", action="store_true",
+                    help="drain existing files and exit (backfill mode)")
+
+    b = sub.add_parser("batch", help="one-shot parse of a log file/directory")
+    common(b)
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--dead-letter", default=None)
+
+    r = sub.add_parser("rotate", help="rotate the live log + retention sweep")
+    r.add_argument("--log-file", required=True)
+    r.add_argument("--backup-files", type=int, default=5)
+    r.add_argument("--backup-file-max-age", type=int, default=None,
+                   help="seconds; older backups deleted")
+    r.add_argument("--nginx-reopen", action="store_true")
+
+    d = sub.add_parser("ddl", help="print ClickHouse DDL for a config")
+    d.add_argument("--config", required=True)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "rotate":
+        import os
+
+        from grower_spark.sources.rotate import Rotator, clear_backup_files, nginx_reopen
+
+        rot = Rotator(args.log_file, reopen=nginx_reopen if args.nginx_reopen else lambda: None)
+        backup = rot.rotate()
+        print(f"rotated: {backup}" if backup else "nothing to rotate")
+        deleted = clear_backup_files(
+            args.log_file,
+            os.path.dirname(os.path.abspath(args.log_file)),
+            max_backups=args.backup_files,
+            max_age_seconds=args.backup_file_max_age,
+        )
+        for path in deleted:
+            print(f"deleted: {path}")
+        return 0
+
+    from grower_spark.config import ConfigError, PipelineConfig
+
+    try:
+        cfg = PipelineConfig.from_yaml(args.config)
+    except (ConfigError, FileNotFoundError) as exc:
+        print(f"config error: {exc}", file=sys.stderr)
+        return 2
+
+    if args.command == "ddl":
+        from grower_spark.plans.pipeline import LogPipeline
+        from grower_spark.sinks.clickhouse import clickhouse_ddl
+
+        pipeline = LogPipeline(cfg)
+        columns = [
+            (name, pipeline.casts[name].type_name)
+            for name in cfg.scheme.columns
+        ]
+        print(clickhouse_ddl(cfg.scheme.logs_table, columns))
+        return 0
+
+    from grower_spark.session import get_spark
+
+    spark = get_spark("grower-spark-cli", cpus=args.parallelism or None)
+
+    if args.command == "batch":
+        from grower_spark.plans.pipeline import LogPipeline
+        from grower_spark.sinks.deadletter import write_deadletter_batch
+        from grower_spark.sinks.files import write_batch_files
+        from grower_spark.sources.file import batch_lines
+
+        pipeline = LogPipeline(cfg)
+        good, bad = pipeline.parse_with_deadletter(batch_lines(spark, args.input))
+        time_col = "time_local" if "time_local" in good.columns else good.columns[0]
+        write_batch_files(good, args.output, time_col=time_col)
+        if args.dead_letter:
+            write_deadletter_batch(bad, args.dead_letter)
+        print(f"wrote {args.output}")
+        return 0
+
+    if args.command == "filelog":
+        from grower_spark.streaming.filelog import FileLogRunner, start_liveness_server
+
+        if args.live_addr_port:
+            start_liveness_server(args.live_addr_port)
+        runner = FileLogRunner(
+            spark,
+            cfg,
+            logs_dir=args.logs_dir,
+            output_path=args.output,
+            checkpoint_root=args.checkpoint,
+            scrape_interval_seconds=args.scrape_interval,
+            deadletter_path=args.dead_letter,
+            available_now=args.available_now,
+        ).start()
+        runner.install_signal_handlers()
+        runner.await_termination()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -134,7 +134,7 @@ def _fixed_string_plan(type_name: str, size: int) -> CastPlan:
     )
 
 
-def _datetime_plan(type_name: str, jdk_pattern: str, now: Column,
+def _datetime_plan(type_name: str, jdk_pattern: str, now: Optional[Column],
                    as_date: bool) -> CastPlan:
     dt: T.DataType = T.DateType() if as_date else T.TimestampType()
 
@@ -143,7 +143,11 @@ def _datetime_plan(type_name: str, jdk_pattern: str, now: Column,
         return ts.cast(T.DateType()) if as_date else ts
 
     def value(col: Column) -> Column:
-        return F.when(col == "", now.cast(dt)).otherwise(parsed(col))
+        # resolve the default lazily: F.current_timestamp() needs an active
+        # SparkContext, and plan *construction* (e.g. `cli ddl`) must work
+        # without one
+        now_col = now if now is not None else F.current_timestamp()
+        return F.when(col == "", now_col.cast(dt)).otherwise(parsed(col))
 
     def valid(col: Column) -> Column:
         return (col == "") | parsed(col).isNotNull()
@@ -173,9 +177,9 @@ def build_cast(type_name: str, *, local_time_format: str = "",
     """Build the cast plan for an explicit ClickHouse type name.
 
     ``now`` is the fallback expression for empty Date/DateTime values
-    (default ``current_timestamp()``; inject a literal for determinism).
+    (default ``current_timestamp()``, resolved lazily; inject a literal for
+    determinism).
     """
-    now = now if now is not None else F.current_timestamp()
     if type_name in UNSIGNED:
         dt, upper = UNSIGNED[type_name]
         return _numeric_plan(type_name, dt, _UNSIGNED_RE, upper)
@@ -205,7 +209,6 @@ def build_field_cast(field: str, *, local_time_format: str,
     declared (caster.go:76-113), else built-in nginx typing (caster.go:118-140),
     else String passthrough.
     """
-    now = now if now is not None else F.current_timestamp()
     if custom_casts_enable and custom_casts and field in custom_casts:
         try:
             return build_cast(custom_casts[field],

@@ -49,6 +49,9 @@ _ND = "__nd"
 # filter stops right above it and reads the ``__f_*``/``__parts``
 # attributes — one regex execution per line.  (``CollapseProject`` already
 # refuses to inline the parts expression into many uses.)
+# ``spark_partition_id()`` is the barrier: nondeterministic to Catalyst,
+# free at runtime, and — unlike monotonically_increasing_id() — allowed in
+# streaming queries, so batch and streaming share one plan shape.
 
 
 @dataclass
@@ -112,7 +115,7 @@ class LogPipeline:
             )
             return stage1.select(
                 "_raw",
-                F.monotonically_increasing_id().alias(_ND),
+                F.spark_partition_id().alias(_ND),
                 matched.alias(_MATCHED),
                 # F.get (not getItem): non-matching lines split into fewer
                 # parts and ANSI mode makes out-of-bounds getItem an error;
@@ -125,7 +128,7 @@ class LogPipeline:
             )
         return df.select(
             line.alias("_raw"),
-            F.monotonically_increasing_id().alias(_ND),
+            F.spark_partition_id().alias(_ND),
             matched.alias(_MATCHED),
             *[scrub_hyphen(fields[var]).alias(f"__f_{var}") for var in used_vars],
         )

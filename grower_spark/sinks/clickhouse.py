@@ -1,0 +1,114 @@
+"""ClickHouse batch-insert sink (reference K1: zikwall/clickhouse-buffer
+wiring at internal/services/filelog/impl.go:60-78).
+
+Reference behavior to match: per-writer buffered batches flushed by size
+(default 5000) or interval (default 2000ms), retry on failure, LZ4 wire
+compression, per-insert ``max_execution_time``, columns named explicitly.
+
+Spark-native mapping: Structured Streaming's micro-batch IS the buffer —
+``trigger(processingTime=flush_interval)`` bounds latency and the batch
+admission options bound size; ``foreachBatch`` delivers each batch to an
+insert function that writes per-partition with app-level retry.  Unlike
+the reference's in-memory buffer (data loss on crash, SURVEY.md §4.2),
+checkpointing + a replayable source upgrades delivery to at-least-once.
+
+The ``clickhouse_connect`` package is absent in this container, so the
+client is injectable: anything with ``insert(table, rows, column_names)``
+works (tests use a fake; production passes a clickhouse-connect client
+factory).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def clickhouse_ddl(
+    table: str,
+    columns: Sequence[tuple[str, str]],
+    partition_by: str = "toYYYYMM(insert_date)",
+    order_by: str = "(status, insert_date)",
+    insert_date_from: Optional[str] = "time_local",
+) -> str:
+    """CREATE TABLE DDL mirroring migrations/sample_test.sql:1-19, including
+    the materialized ``insert_date`` column (:13) and MergeTree layout."""
+    cols = [f"    `{name}` {chtype}" for name, chtype in columns]
+    if insert_date_from:
+        cols.append(f"    `insert_date` Date DEFAULT toDate({insert_date_from})")
+    body = ",\n".join(cols)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table}\n(\n{body}\n)\n"
+        f"ENGINE = MergeTree\nPARTITION BY {partition_by}\nORDER BY {order_by}"
+    )
+
+
+def spark_to_clickhouse_type(spark_type: str) -> str:
+    """Inverse of the §1.3 widening map, for DDL generation."""
+    return {
+        "tinyint": "Int8",
+        "smallint": "Int16",
+        "int": "Int32",
+        "bigint": "Int64",
+        "decimal(20,0)": "UInt64",
+        "float": "Float32",
+        "double": "Float64",
+        "string": "String",
+        "date": "Date",
+        "timestamp": "DateTime",
+    }.get(spark_type, "String")
+
+
+@dataclass
+class ClickHouseSink:
+    """``foreachBatch`` writer with named columns and retry-with-backoff.
+
+    ``client_factory`` is called once per executor-partition task (the
+    client is not serializable); inserts are chunked to ``insert_chunk``
+    rows so one giant micro-batch cannot create one giant INSERT.
+    """
+
+    table: str
+    columns: Sequence[str]
+    client_factory: Callable[[], object]
+    max_retries: int = 3
+    backoff_seconds: float = 0.5
+    insert_chunk: int = 10000
+    settings: dict = field(default_factory=lambda: {"max_execution_time": 30})
+
+    def insert_partition(self, rows_iter) -> None:
+        client = self.client_factory()
+        cols = list(self.columns)
+        buf: list[tuple] = []
+        for row in rows_iter:
+            buf.append(tuple(row[c] for c in cols))
+            if len(buf) >= self.insert_chunk:
+                self._insert_with_retry(client, buf)
+                buf = []
+        if buf:
+            self._insert_with_retry(client, buf)
+
+    def _insert_with_retry(self, client, rows: list[tuple]) -> None:
+        attempt = 0
+        while True:
+            try:
+                client.insert(self.table, rows, column_names=list(self.columns))
+                return
+            except Exception:
+                attempt += 1
+                if attempt > self.max_retries:
+                    raise
+                time.sleep(self.backoff_seconds * (2 ** (attempt - 1)))
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        """The function to hand to ``writeStream.foreachBatch`` (also
+        callable directly with a batch DataFrame for batch mode)."""
+        sink = self
+
+        def write(batch_df: DataFrame, batch_id: int = 0) -> None:
+            batch_df.select(*sink.columns).foreachPartition(sink.insert_partition)
+
+        return write

@@ -1,0 +1,41 @@
+"""Kafka producer sink (reference K2: kafkalog/client.go:62-98).
+
+The reference sends one message per log line, unkeyed, with a selectable
+partition balancer (least_bytes default).  Spark's Kafka sink handles
+batching/partitioning; unkeyed messages get the producer's default sticky
+partitioning (≈ least_bytes in spirit), and a key column opts into hash
+partitioning (≈ the reference's hash balancers).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def kafka_writer_options(brokers: list[str] | str, topic: str) -> dict[str, str]:
+    if isinstance(brokers, (list, tuple)):
+        brokers = ",".join(brokers)
+    return {"kafka.bootstrap.servers": brokers, "topic": topic}
+
+
+def frame_for_kafka(df: DataFrame, value_col: str = "value",
+                    key_col: Optional[str] = None) -> DataFrame:
+    """Project to the (key, value) binary frame the Kafka sink expects."""
+    cols = [F.col(value_col).cast("string").cast("binary").alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").cast("binary").alias("key"))
+    return df.select(*cols)
+
+
+def kafka_stream_writer(df: DataFrame, checkpoint_dir: str, **options):
+    """Streaming writer builder (caller ``.start()``s); requires the
+    spark-sql-kafka connector on the classpath."""
+    writer = frame_for_kafka(df).writeStream.format("kafka").option(
+        "checkpointLocation", checkpoint_dir
+    )
+    for k, v in kafka_writer_options(**options).items():
+        writer = writer.option(k, v)
+    return writer

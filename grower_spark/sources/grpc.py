@@ -1,0 +1,27 @@
+"""gRPC stream source (reference S7: protobuf/filebuf, filegrpc/server.go).
+
+Deliberately deferred (SURVEY.md §2.1 S7): Spark has no native gRPC source,
+and a single gRPC endpoint feeding one executor is an anti-pattern at any
+real scale.  Faithful options, in preference order:
+
+1. A tiny receiver process (outside Spark) appending frames to files or a
+   Kafka topic consumed by ``sources.file`` / ``sources.kafka`` — the
+   reference's own KafkaLog topology with the broker as the buffer.
+2. A custom ``pyspark.sql.datasource.DataSource`` (Spark 4 Python data
+   source API) wrapping a grpc client — viable, but the grpc package is
+   not in this container.
+
+``grpc_line_stream`` documents the contract and fails loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def grpc_line_stream(spark: SparkSession, address: str) -> DataFrame:
+    raise NotImplementedError(
+        "No native gRPC source. Route the FileBuf stream through files or "
+        "Kafka (sources.file / sources.kafka), or implement a Python "
+        "DataSource with the grpc package installed. See module docstring."
+    )

@@ -1,0 +1,129 @@
+"""FileLog transport, Spark-native (reference: cmd/filelog/main.go +
+internal/services/filelog/impl.go — the flagship pipeline, SURVEY.md §3.1).
+
+Reference lifecycle: ticker -> rotate live log -> scan lines -> parallel
+parse/cast workers -> buffered ClickHouse insert; SIGINT/SIGTERM -> drain.
+
+Spark lifecycle here: file stream on the rotation directory
+(``trigger(processingTime=scrape_interval)`` ≈ the ticker, S3) -> the
+config-compiled LogPipeline (one codegen stage ≈ the worker pool, C1) ->
+sink (foreachBatch ClickHouse, or parquet files) + dead-letter stream;
+checkpointing makes delivery at-least-once where the reference's memory
+buffer was at-most-once (SURVEY.md §4.2); ``stop()`` on signal ≈ the
+dropper chain (C3/C5).  An optional liveness HTTP endpoint mirrors C4.
+"""
+
+from __future__ import annotations
+
+import http.server
+import os
+import signal
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import SparkSession
+
+from grower_spark.config import PipelineConfig
+from grower_spark.plans.pipeline import LogPipeline
+from grower_spark.sinks.deadletter import deadletter_writer
+from grower_spark.sinks.files import file_stream_writer
+from grower_spark.sources.file import stream_lines
+
+
+@dataclass
+class FileLogRunner:
+    spark: SparkSession
+    config: PipelineConfig
+    logs_dir: str
+    output_path: str
+    checkpoint_root: str
+    scrape_interval_seconds: int = 60  # reference default, cmd/filelog/main.go:56-61
+    max_files_per_trigger: int = 1
+    deadletter_path: Optional[str] = None
+    foreach_batch: Optional[Callable] = None  # e.g. ClickHouseSink.foreach_batch()
+    available_now: bool = False  # drain-and-stop mode (tests / backfill)
+    queries: list = field(default_factory=list)
+
+    def start(self) -> "FileLogRunner":
+        lines = stream_lines(
+            self.spark,
+            self.logs_dir,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
+        pipeline = LogPipeline(self.config)
+        good, bad = pipeline.parse_with_deadletter(lines)
+
+        if self.foreach_batch is not None:
+            writer = good.writeStream.foreachBatch(self.foreach_batch).option(
+                "checkpointLocation", os.path.join(self.checkpoint_root, "main")
+            )
+            if self.available_now:
+                writer = writer.trigger(availableNow=True)
+            else:
+                writer = writer.trigger(
+                    processingTime=f"{self.scrape_interval_seconds} seconds"
+                )
+        else:
+            writer = file_stream_writer(
+                good,
+                self.output_path,
+                os.path.join(self.checkpoint_root, "main"),
+                trigger_seconds=None if self.available_now else self.scrape_interval_seconds,
+                available_now=self.available_now,
+            )
+        self.queries.append(writer.queryName("filelog-main").start())
+
+        if self.deadletter_path:
+            dl = deadletter_writer(
+                bad,
+                self.deadletter_path,
+                os.path.join(self.checkpoint_root, "deadletter"),
+            )
+            if self.available_now:
+                dl = dl.trigger(availableNow=True)
+            else:
+                dl = dl.trigger(processingTime=f"{self.scrape_interval_seconds} seconds")
+            self.queries.append(dl.queryName("filelog-deadletter").start())
+        return self
+
+    def await_termination(self, timeout: Optional[int] = None) -> None:
+        for q in self.queries:
+            q.awaitTermination(timeout)
+
+    def stop(self) -> None:
+        for q in self.queries:
+            q.stop()
+
+    def install_signal_handlers(self) -> None:
+        """SIGINT/SIGTERM -> graceful stop (reference pkg/signal/notify.go)."""
+
+        def _handler(signum, frame):
+            self.stop()
+
+        signal.signal(signal.SIGINT, _handler)
+        signal.signal(signal.SIGTERM, _handler)
+
+
+def start_liveness_server(port: int) -> threading.Thread:
+    """GET /live -> 200 'Alive' (reference C4, cmd/filelog/main.go:220-241)."""
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/live":
+                body = b"Alive"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *args):  # silence
+            pass
+
+    server = http.server.ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    thread.server = server  # type: ignore[attr-defined]
+    return thread

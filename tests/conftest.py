@@ -3,9 +3,18 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_DIR)
 
-FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+# Executor python workers are separate processes: they need the repo and
+# tests dir on PYTHONPATH to unpickle closures defined in test modules
+# (e.g. foreachPartition fakes).  Must be set before the JVM starts.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO_DIR, _TESTS_DIR, os.environ.get("PYTHONPATH", "")]
+)
+
+FIXTURES = os.path.join(_TESTS_DIR, "fixtures")
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
 

@@ -1,0 +1,279 @@
+"""Transport tests: streaming FileLog end-to-end, rotation/retention,
+syslog envelope extraction, ClickHouse sink batching/retry/DDL, kafka
+framing, dead-letter persistence."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from grower_spark.config import PipelineConfig
+from grower_spark.plans.pipeline import LogPipeline
+from grower_spark.sinks.clickhouse import ClickHouseSink, clickhouse_ddl
+from grower_spark.sinks.deadletter import write_deadletter_batch
+from grower_spark.sinks.kafka import frame_for_kafka, kafka_writer_options
+from grower_spark.sources.kafka import kafka_reader_options
+from grower_spark.sources.rotate import Rotator, clear_backup_files, stamp_name
+from grower_spark.sources.syslog import rfc3164_extract
+from grower_spark.streaming.filelog import FileLogRunner, start_liveness_server
+
+CONFIG = {
+    "nginx": {
+        "log_format": '$remote_addr - $remote_user [$time_local] "$request" $status',
+        "log_time_format": "02/Jan/2006:15:04:05 -0700",
+    },
+    "scheme": {
+        "logs_table": "t.access_log",
+        "columns": {
+            "remote_addr": "remote_addr",
+            "time_local": "time_local",
+            "request": "request",
+            "status": "status",
+        },
+    },
+}
+
+LINE = '1.2.3.4 - bob [21/Jul/2022:00:30:43 +0300] "GET / HTTP/1.1" 200'
+BAD = "not a log line"
+
+
+def test_filelog_streaming_end_to_end(spark, tmp_path):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "access.log-1.growerlog").write_text(
+        "\n".join([LINE, LINE.replace(" 200", " 404"), BAD]) + "\n"
+    )
+    (logs / "access.log-2.growerlog").write_text(LINE.replace(" 200", " 500") + "\n")
+
+    runner = FileLogRunner(
+        spark,
+        PipelineConfig.from_dict(CONFIG),
+        logs_dir=str(logs),
+        output_path=str(tmp_path / "out"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        deadletter_path=str(tmp_path / "dl"),
+        max_files_per_trigger=1,
+        available_now=True,
+    ).start()
+    runner.await_termination(timeout=120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 3
+    assert sorted(r["status"] for r in out.select("status").collect()) == [200, 404, 500]
+    assert "insert_month" in out.columns  # monthly partitioning in place
+    assert out.select("insert_date").distinct().collect()[0][0].isoformat() == "2022-07-20"
+
+    dl = spark.read.parquet(str(tmp_path / "dl"))
+    assert [r["line"] for r in dl.collect()] == [BAD]
+
+
+def test_filelog_streaming_resumes_from_checkpoint(spark, tmp_path):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.growerlog").write_text(LINE + "\n")
+    kwargs = dict(
+        spark=spark,
+        config=PipelineConfig.from_dict(CONFIG),
+        logs_dir=str(logs),
+        output_path=str(tmp_path / "out"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    FileLogRunner(**kwargs).start().await_termination(timeout=120)
+    # second run: only the NEW file is processed (offsets checkpointed)
+    (logs / "b.growerlog").write_text(LINE.replace(" 200", " 201") + "\n")
+    FileLogRunner(**kwargs).start().await_termination(timeout=120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["status"] for r in out.collect()) == [200, 201]
+
+
+def test_rotator_and_retention(tmp_path):
+    live = tmp_path / "access.log"
+    live.write_text("x\n")
+    clock = {"t": 1000.0}
+    reopened = []
+    rot = Rotator(str(live), reopen=lambda: reopened.append(1), clock=lambda: clock["t"])
+    backup = rot.rotate()
+    assert backup == str(tmp_path / "access.log-1000.growerlog")
+    assert os.path.exists(backup) and not os.path.exists(live)
+    assert reopened == [1]
+    assert rot.rotate() is None  # nothing to rotate now
+
+    # retention: keep newest 2, drop older-than-50s among survivors
+    for ts in (1100, 1200, 1300):
+        (tmp_path / f"access.log-{ts}.growerlog").write_text("y\n")
+    deleted = clear_backup_files(str(live), str(tmp_path), max_backups=2,
+                                 max_age_seconds=50, now=1310)
+    assert sorted(os.path.basename(p) for p in deleted) == [
+        "access.log-1000.growerlog",  # beyond max_backups
+        "access.log-1100.growerlog",  # beyond max_backups
+        "access.log-1200.growerlog",  # kept by count, dropped by age
+    ]
+    assert os.path.exists(tmp_path / "access.log-1300.growerlog")
+
+
+def test_stamp_name_format():
+    assert stamp_name("/var/log/access.log", 42) == "/var/log/access.log-42.growerlog"
+
+
+def test_rfc3164_extract(spark):
+    frames = [
+        f"<190>Jul 21 00:30:43 web-01 nginx: {LINE}",
+        f"<13>Jul  2 01:02:03 host-x app[123]: {LINE}",
+        "garbage frame",
+    ]
+    df = rfc3164_extract(spark.createDataFrame([(x,) for x in frames], ["value"]))
+    rows = df.collect()
+    assert rows[0]["pri"] == 190 and rows[0]["facility"] == 23 and rows[0]["severity"] == 6
+    assert rows[0]["tag"] == "nginx" and rows[0]["value"] == LINE
+    assert rows[1]["tag"] == "app" and rows[1]["value"] == LINE
+    assert rows[2]["pri"] is None and rows[2]["value"] == ""
+    # piping content into the pipeline drops the garbage frame (reference drop)
+    pipeline = LogPipeline(PipelineConfig.from_dict(CONFIG))
+    assert pipeline.parse(df.select("value")).count() == 2
+
+
+class FlakyClient:
+    def __init__(self, fail_times=0):
+        self.fail_times = fail_times
+        self.inserts = []
+
+    def insert(self, table, rows, column_names):
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise RuntimeError("transient")
+        self.inserts.append((table, list(rows), list(column_names)))
+
+
+def test_clickhouse_sink_batches_and_retries(spark):
+    client = FlakyClient(fail_times=2)
+    sink = ClickHouseSink(
+        table="db.access_log",
+        columns=["remote_addr", "status"],
+        client_factory=lambda: client,
+        backoff_seconds=0.0,
+        insert_chunk=2,
+    )
+    rows = [{"remote_addr": f"1.1.1.{i}", "status": 200 + i, "extra": "x"} for i in range(5)]
+    sink.insert_partition(iter(rows))
+    assert len(client.inserts) == 3  # chunks of 2,2,1
+    table, first_chunk, cols = client.inserts[0]
+    assert table == "db.access_log" and cols == ["remote_addr", "status"]
+    assert first_chunk == [("1.1.1.0", 200), ("1.1.1.1", 201)]
+
+
+def test_clickhouse_sink_gives_up_after_retries():
+    client = FlakyClient(fail_times=99)
+    sink = ClickHouseSink(
+        table="t", columns=["a"], client_factory=lambda: client,
+        backoff_seconds=0.0, max_retries=2,
+    )
+    with pytest.raises(RuntimeError):
+        sink.insert_partition(iter([{"a": 1}]))
+
+
+class FileBackedClient:
+    """Executor-side fake: inserts append to files so the driver can
+    observe them (foreachPartition runs in worker processes)."""
+
+    def __init__(self, directory):
+        self.directory = directory
+
+    def insert(self, table, rows, column_names):
+        import os
+        import uuid
+
+        path = os.path.join(self.directory, f"{uuid.uuid4().hex}.txt")
+        with open(path, "w") as fh:
+            for row in rows:
+                fh.write(f"{table}|{','.join(column_names)}|{row}\n")
+
+
+def test_clickhouse_foreach_batch_roundtrip(spark, tmp_path):
+    out = tmp_path / "inserts"
+    out.mkdir()
+    out_str = str(out)
+    sink = ClickHouseSink(
+        table="db.t", columns=["status"],
+        client_factory=lambda: FileBackedClient(out_str),
+    )
+    df = spark.createDataFrame([(200,), (404,)], ["status"]).coalesce(1)
+    sink.foreach_batch()(df, 0)
+    lines = sorted(
+        line for f in out.iterdir() for line in f.read_text().splitlines()
+    )
+    assert lines == ["db.t|status|(200,)", "db.t|status|(404,)"]
+
+
+def test_clickhouse_ddl():
+    ddl = clickhouse_ddl(
+        "only_tests.access_log",
+        [("remote_addr", "String"), ("status", "UInt16"), ("time_local", "DateTime")],
+    )
+    assert "CREATE TABLE IF NOT EXISTS only_tests.access_log" in ddl
+    assert "`insert_date` Date DEFAULT toDate(time_local)" in ddl
+    assert "ENGINE = MergeTree" in ddl
+    assert "PARTITION BY toYYYYMM(insert_date)" in ddl
+    assert "ORDER BY (status, insert_date)" in ddl
+
+
+def test_kafka_option_builders():
+    r = kafka_reader_options(["b1:9092", "b2:9092"], "logs", group_id="g1",
+                             max_offsets_per_trigger=5000)
+    assert r["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert r["subscribe"] == "logs" and r["kafka.group.id"] == "g1"
+    assert r["maxOffsetsPerTrigger"] == "5000"
+    w = kafka_writer_options("b1:9092", "logs")
+    assert w == {"kafka.bootstrap.servers": "b1:9092", "topic": "logs"}
+
+
+def test_kafka_framing(spark):
+    df = spark.createDataFrame([("line1", "k1")], ["value", "key"])
+    unkeyed = frame_for_kafka(df)
+    assert unkeyed.columns == ["value"] and dict(unkeyed.dtypes)["value"] == "binary"
+    keyed = frame_for_kafka(df, key_col="key")
+    assert keyed.columns == ["key", "value"]
+
+
+def test_deadletter_batch_write(spark, tmp_path):
+    bad = spark.createDataFrame([("oops",)], ["line"])
+    write_deadletter_batch(bad, str(tmp_path / "dl"), source="syslog")
+    back = spark.read.parquet(str(tmp_path / "dl"))
+    row = back.collect()[0]
+    assert row["line"] == "oops" and row["source"] == "syslog"
+
+
+def test_liveness_server():
+    import urllib.request
+
+    thread = start_liveness_server(18573)
+    try:
+        body = urllib.request.urlopen("http://127.0.0.1:18573/live", timeout=5).read()
+        assert body == b"Alive"
+        with pytest.raises(Exception):
+            urllib.request.urlopen("http://127.0.0.1:18573/nope", timeout=5)
+    finally:
+        thread.server.shutdown()
+
+
+def test_cli_ddl_and_help(tmp_path, capsys):
+    from grower_spark.cli import main
+
+    import yaml
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(CONFIG))
+    assert main(["ddl", "--config", str(cfg_path)]) == 0
+    out = capsys.readouterr().out
+    assert "CREATE TABLE IF NOT EXISTS t.access_log" in out
+    assert "`status` UInt16" in out
+
+
+def test_cli_rotate(tmp_path, capsys):
+    from grower_spark.cli import main
+
+    live = tmp_path / "access.log"
+    live.write_text("x\n")
+    assert main(["rotate", "--log-file", str(live)]) == 0
+    out = capsys.readouterr().out
+    assert "rotated:" in out and ".growerlog" in out
