@@ -561,6 +561,194 @@ WHERE round(
 """
 
 
+# --- JSON log path (P3 — stubbed in the reference, implemented here) ---------
+
+SYNTH_JSON_CONFIG = PipelineConfig.from_dict(
+    {
+        "nginx": {
+            "log_type": "json",
+            "log_time_format": "02/Jan/2006:15:04:05 -0700",
+            "log_format": "",
+        },
+        "scheme": {
+            "logs_table": "synthetic.access_log_json",
+            "columns": dict(SYNTH_CONFIG.scheme.columns),
+        },
+    }
+)
+
+_SYNTH_JSON_SPARK_SQL = """
+SELECT CASE WHEN event_id % 53 = 0 THEN '{"broken": '
+ELSE to_json(named_struct(
+  'remote_addr', '10.' || CAST(user_id % 200 AS STRING) || '.'
+      || CAST(event_id % 250 AS STRING) || '.' || CAST((event_id * 7) % 250 AS STRING),
+  'remote_user', CASE WHEN event_id % 10 = 0 THEN '-' ELSE 'u' || CAST(user_id AS STRING) END,
+  'time_local', date_format(ts, 'dd/MMM/yyyy:HH:mm:ss') || ' +0000',
+  'request', 'GET /' || event_type || '/' || CAST(event_id AS STRING) || ' HTTP/1.1',
+  'status', CAST(200 + (event_id % 5) * 100 AS STRING),
+  'bytes_sent', CASE WHEN event_id % 13 = 0 THEN '-'
+      ELSE CAST(CAST(floor(abs(value) * 100) AS BIGINT) AS STRING) END,
+  'request_time', CAST(CAST(floor(abs(value)) AS BIGINT) AS STRING) || '.'
+      || lpad(CAST(CAST(floor(abs(value) * 100) AS BIGINT) % 100 AS STRING), 2, '0'),
+  'request_method', 'GET'
+)) END AS value
+FROM events_src
+"""
+
+
+def q_nginx_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-framed logs through the same cast pipeline (from_json path)."""
+    events = _cpu_spread(spark, load_table(spark, sf_dir, "events"))
+    events.createOrReplaceTempView("events_src")
+    lines = spark.sql(_SYNTH_JSON_SPARK_SQL)
+    pipeline = LogPipeline(SYNTH_JSON_CONFIG, now=F.lit(FIXED_NOW).cast("timestamp"))
+    parsed = pipeline.parse(lines)
+    return parsed.select(
+        "remote_addr",
+        "remote_user",
+        "request",
+        "status",
+        "bytes_sent",
+        F.round(F.col("request_time").cast("double") * 100).cast("long").alias("rt_centis"),
+        F.to_unix_timestamp("time_local").alias("tl_epoch"),
+    )
+
+
+def oracle_nginx_parse_json() -> str:
+    # Independent ground truth: the JSON framing round-trips the same field
+    # values the csv flagship uses, so the oracle derives them straight from
+    # events (rows with event_id % 53 = 0 are unparseable -> dropped).
+    return """
+SELECT
+  '10.' || CAST(user_id % 200 AS VARCHAR) || '.' || CAST(event_id % 250 AS VARCHAR)
+      || '.' || CAST((event_id * 7) % 250 AS VARCHAR) AS remote_addr,
+  CASE WHEN event_id % 10 = 0 THEN '' ELSE 'u' || CAST(user_id AS VARCHAR) END AS remote_user,
+  'GET /' || event_type || '/' || CAST(event_id AS VARCHAR) || ' HTTP/1.1' AS request,
+  CAST(200 + (event_id % 5) * 100 AS INTEGER) AS status,
+  CAST(CASE WHEN event_id % 13 = 0 THEN 0
+       ELSE CAST(floor(abs(value) * 100) AS BIGINT) END AS BIGINT) AS bytes_sent,
+  CAST(round(CAST(CAST(
+      CAST(CAST(floor(abs(value)) AS BIGINT) AS VARCHAR) || '.'
+      || lpad(CAST(CAST(floor(abs(value) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+    AS REAL) AS DOUBLE) * 100) AS BIGINT) AS rt_centis,
+  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tl_epoch
+FROM events
+WHERE event_id % 53 <> 0
+"""
+
+
+# --- engine capability: event-time windows, sessionization, top-k ------------
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    windowed agg; same F.window operator powers watermarked streams)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_centis"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.to_unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "cnt",
+            "sum_value_centis",
+            "n_users",
+        )
+    )
+
+
+def oracle_events_window_agg() -> str:
+    return """
+SELECT
+  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+  event_type,
+  CAST(count(*) AS BIGINT) AS cnt,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_centis,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): a new session starts
+    after >30min inactivity per user.  One shuffle on user_id; both window
+    functions reuse the same partitioning."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gapped = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "new_session",
+        (F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US)).cast("int"),
+    )
+    sessions = gapped.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_centis"),
+    )
+
+
+def oracle_events_sessionize() -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+s AS (
+  SELECT user_id, ts_us, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  CAST(min(ts_us) AS BIGINT) AS session_start_us,
+  CAST(max(ts_us) AS BIGINT) AS session_end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_centis
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user (window row_number; the grouped
+    top-k building block)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_centis", F.round(F.col("value") * 100).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("value_centis"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", "event_type", "value_centis", "rank")
+    )
+
+
+def oracle_events_topk_per_user() -> str:
+    return """
+SELECT user_id, event_id, event_type,
+  CAST(round(value * 100) AS BIGINT) AS value_centis,
+  CAST(row_number() OVER (PARTITION BY user_id
+       ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS INTEGER) AS rank
+FROM events
+QUALIFY rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Operator queries: dedup / similarity / text analysis / multimodal
 # (grower_spark.operators) with generated DuckDB oracles.  The shared
@@ -944,6 +1132,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_parse_agg": q_nginx_parse_agg,
     "nginx_parse_rows": q_nginx_parse_rows,
     "nginx_deadletter": q_nginx_deadletter,
+    "nginx_parse_json": q_nginx_parse_json,
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "events_topk_per_user": q_events_topk_per_user,
     "syslog_extract": q_syslog_extract,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -969,6 +1161,10 @@ ORACLES: dict[str, str] = {
     "nginx_parse_agg": oracle_nginx_parse_agg(),
     "nginx_parse_rows": oracle_nginx_parse_rows(),
     "nginx_deadletter": oracle_nginx_deadletter(),
+    "nginx_parse_json": oracle_nginx_parse_json(),
+    "events_window_agg": oracle_events_window_agg(),
+    "events_sessionize": oracle_events_sessionize(),
+    "events_topk_per_user": oracle_events_topk_per_user(),
     "syslog_extract": oracle_syslog_extract(),
     "tpch_q1": oracle_tpch_q1(),
     "tpch_q3": oracle_tpch_q3(),

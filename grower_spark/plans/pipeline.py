@@ -92,6 +92,8 @@ class LogPipeline:
         generated code per stage stays far below Janino's 64 KB method cap
         (observed blowup otherwise).
         """
+        if self.config.nginx.log_type == "json":
+            return self._scrubbed_fields_json(df, line)
         lf = self.log_format
         used_vars = [
             v for v in dict.fromkeys(self.config.scheme.columns.values())
@@ -133,6 +135,35 @@ class LogPipeline:
             *[scrub_hyphen(fields[var]).alias(f"__f_{var}") for var in used_vars],
         )
 
+    def _scrubbed_fields_json(self, df: DataFrame, line: Column) -> DataFrame:
+        """JSON log lines (``log_type: json``): the reference declared but
+        never implemented this (template.go:39-41 returns nil; SURVEY.md §2.2
+        P3) — here it's ``from_json`` into a flat string map (the shape
+        nginx's ``escape=json`` log_format produces).
+
+        Drop semantics mirror the csv path: unparseable line -> row invalid;
+        a scheme variable missing from the object -> row invalid
+        (handler.go:28-31 drops rows with missing fields).
+        """
+        used_vars = list(dict.fromkeys(self.config.scheme.columns.values()))
+        parsed = F.from_json(line, "map<string,string>")
+        stage1 = df.select(line.alias("_raw"), parsed.alias(_PARTS))
+        obj = F.col(_PARTS)
+        matched = obj.isNotNull()
+        present = [F.when(matched, obj.getItem(v).isNotNull()) for v in used_vars]
+        all_present = present[0] if present else F.lit(True)
+        for p in present[1:]:
+            all_present = all_present & p
+        return stage1.select(
+            "_raw",
+            F.spark_partition_id().alias(_ND),
+            (matched & F.coalesce(all_present, F.lit(False))).alias(_MATCHED),
+            *[
+                scrub_hyphen(F.coalesce(obj.getItem(v), F.lit(""))).alias(f"__f_{v}")
+                for v in used_vars
+            ],
+        )
+
     # -- public API -----------------------------------------------------------
 
     def parse_detailed(self, df: DataFrame, line_col: str = "value") -> DataFrame:
@@ -144,12 +175,16 @@ class LogPipeline:
         """
         staged = self._scrubbed_fields(df, F.col(line_col))
         matched = F.col(_MATCHED)
+        if self.config.nginx.log_type == "json":
+            available = set(self.config.scheme.columns.values())
+        else:
+            available = set(self.log_format.var_names)
         cols: list[Column] = []
         # referencing __nd anchors any filter on _valid above the scrub stage
         valid = (F.col(_ND) >= -1) & matched
         for col_name, var in self.config.scheme.columns.items():
             plan = self.casts[col_name]
-            if var not in self.log_format.var_names:
+            if var not in available:
                 # Projection failure: scheme references a variable the format
                 # doesn't produce -> every row invalid (entry.go:17-23).
                 valid = F.lit(False)
@@ -158,7 +193,11 @@ class LogPipeline:
             raw = F.col(f"__f_{var}")
             cols.append(F.when(matched, plan.value(raw)).alias(col_name))
             valid = valid & plan.valid(raw)
-        return staged.select(F.col("_raw"), valid.alias("_valid"), *cols)
+        # coalesce: NULL validity (e.g. NULL field from a JSON miss) must
+        # land in the dead-letter side, and `~NULL` is NULL, not true
+        return staged.select(
+            F.col("_raw"), F.coalesce(valid, F.lit(False)).alias("_valid"), *cols
+        )
 
     def parse(self, df: DataFrame, line_col: str = "value") -> DataFrame:
         """Valid, typed rows only (the reference's surviving pipeline output)."""
