@@ -255,11 +255,18 @@ FROM parsed
 
 
 def q_nginx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Malformed-row drop semantics: kept vs dropped counts (§1.3 item 4)."""
-    good, bad = _pipeline().parse_with_deadletter(_synth_lines(spark, sf_dir))
-    kept = good.select(F.lit("kept").alias("bucket"))
-    dropped = bad.select(F.lit("dropped").alias("bucket"))
-    return kept.unionAll(dropped).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    """Malformed-row drop semantics: kept vs dropped counts (§1.3 item 4).
+
+    Single pass over parse_detailed (grouping on the validity flag) instead
+    of unioning the good/bad branches, which would parse every line twice."""
+    detailed = _pipeline().parse_detailed(_synth_lines(spark, sf_dir))
+    return (
+        detailed.select(
+            F.when(F.col("_valid"), "kept").otherwise("dropped").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def oracle_nginx_deadletter() -> str:

@@ -87,11 +87,14 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds quality-score signals: length band, mean token length band,
     stopword ratio band, alpha ratio — and a 0..4 integer ``quality_score``
     (sum of passed checks).  Integer/4-decimal outputs only."""
-    stats = token_stats(df, text_col)
+    # n_alpha materialized as a column: it feeds two outputs and would
+    # otherwise re-inline the regexp_replace per use
+    stats = token_stats(df, text_col).withColumn(
+        "n_alpha", F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    )
     mean_len = F.col("sum_token_len") / F.greatest(F.col("n_tokens"), F.lit(1))
     stop_ratio = F.col("n_stop") / F.greatest(F.col("n_tokens"), F.lit(1))
-    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    alpha_ratio = alpha / F.greatest(F.col("n_chars"), F.lit(1))
+    alpha_ratio = F.col("n_alpha") / F.greatest(F.col("n_chars"), F.lit(1))
     checks = [
         ((F.col("n_chars") >= 32) & (F.col("n_chars") <= 100000)).alias("ok_length"),
         ((mean_len >= 2.0) & (mean_len <= 12.0)).alias("ok_mean_token_len"),

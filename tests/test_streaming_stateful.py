@@ -1,0 +1,96 @@
+"""Watermarked windows + custom stateful sessionization over real
+micro-batched streams (file source, one file per trigger)."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from grower_spark.streaming.stateful import streaming_sessionize, windowed_counts
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, ["user_id", "ts_str", "event_type"]).select(
+        "user_id", F.col("ts_str").cast("timestamp").alias("ts"), "event_type"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    batch1 = str(tmp_path / "in" / "b1")
+    batch2 = str(tmp_path / "in" / "b2")
+    _write_events(spark, batch1, [
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:50:00", "click"),
+        (2, "2024-01-01 11:10:00", "view"),
+    ])
+    # batch2 is far ahead: advances the watermark past the 10:00 window
+    _write_events(spark, batch2, [(1, "2024-01-01 20:00:00", "click")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    out = windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"], r["event_type"]): r["cnt"]
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    # the 10:00 and 11:00 windows closed once the 20:00 event advanced the
+    # watermark; the 20:00 window stays open (no emission in append mode)
+    assert rows[(datetime.datetime(2024, 1, 1, 10, 0), "click")] == 2
+    assert rows[(datetime.datetime(2024, 1, 1, 11, 0), "view")] == 1
+    assert (datetime.datetime(2024, 1, 1, 20, 0), "click") not in rows
+
+
+def test_streaming_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
+    b1 = str(tmp_path / "in" / "b1")
+    b2 = str(tmp_path / "in" / "b2")
+    # user 1: two bursts separated by > 30min inside one batch -> first
+    # session closes on the in-batch gap
+    _write_events(spark, b1, [
+        (1, "2024-01-01 09:00:00", "a"),
+        (1, "2024-01-01 09:10:00", "a"),
+        (1, "2024-01-01 10:30:00", "a"),
+        (2, "2024-01-01 09:00:00", "a"),
+    ])
+    # batch 2 advances the watermark far ahead -> open sessions time out
+    _write_events(spark, b2, [(3, "2024-01-02 12:00:00", "a")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    sessions = streaming_sessionize(stream, gap_seconds=1800, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+
+    def us(s):
+        return int(datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1_000_000)
+
+    # user 1 burst 1: closed by the in-batch gap
+    assert got[(1, us("2024-01-01 09:00:00"))] == (us("2024-01-01 09:10:00"), 2)
+    # user 1 burst 2 and user 2: closed by event-time timeout after batch 2
+    assert got[(1, us("2024-01-01 10:30:00"))] == (us("2024-01-01 10:30:00"), 1)
+    assert got[(2, us("2024-01-01 09:00:00"))] == (us("2024-01-01 09:00:00"), 1)
