@@ -21,11 +21,18 @@ from grower_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     # (name, materialization) — "noop" for row streams, "collect" for tiny aggs
     ("nginx_parse_rows", "noop"),
+    ("nginx_parse_json", "noop"),
     ("nginx_parse_agg", "collect"),
     ("nginx_deadletter", "collect"),
     ("syslog_extract", "noop"),
     ("tpch_q1", "collect"),
     ("tpch_q3", "collect"),
+    ("tpch_q5", "collect"),
+    ("tpch_q6", "collect"),
+    ("events_window_agg", "noop"),
+    ("events_sessionize", "noop"),
+    ("events_topk_per_user", "noop"),
+    ("salted_agg_users", "noop"),
     ("dedup_exact", "noop"),
     ("dedup_minhash_lsh", "noop"),
     ("dedup_simhash", "noop"),

@@ -352,6 +352,109 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-heavy scan agg: every predicate must reach the parquet scan
+    (PushedFilters) — the predicate-pushdown/column-pruning showcase."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast("long")
+        ).alias("revenue_10000"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def oracle_tpch_q6() -> str:
+    return """
+SELECT
+  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_10000,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way join through the dimension chain; all dims broadcast, the
+    lineitem fact shuffles only for the final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+        ).alias("revenue_10000"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def oracle_tpch_q5() -> str:
+    return """
+SELECT r_name, n_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_10000,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_salted_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation over user_id (operators/skew.py);
+    results are salt-invariant, which is exactly what the oracle checks."""
+    from grower_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            F.max("event_id").alias("mx"),
+        ],
+        [
+            F.sum("cnt").alias("cnt"),
+            F.sum("s").alias("sum_value_centis"),
+            F.max("mx").alias("max_event_id"),
+        ],
+    ).select("user_id", "cnt", "sum_value_centis", "max_event_id")
+
+
+def oracle_salted_agg_users() -> str:
+    return """
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS cnt,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_centis,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY user_id
+"""
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority join: broadcast dims, shuffle only on the fact."""
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -1146,6 +1249,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syslog_extract": q_syslog_extract,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1175,6 +1281,9 @@ ORACLES: dict[str, str] = {
     "syslog_extract": oracle_syslog_extract(),
     "tpch_q1": oracle_tpch_q1(),
     "tpch_q3": oracle_tpch_q3(),
+    "tpch_q5": oracle_tpch_q5(),
+    "tpch_q6": oracle_tpch_q6(),
+    "salted_agg_users": oracle_salted_agg_users(),
     "dedup_exact": oracle_dedup_exact(),
     "text_stats": oracle_text_stats(),
     "doc_fingerprint": oracle_doc_fingerprint(),
