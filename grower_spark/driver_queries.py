@@ -1180,6 +1180,52 @@ FROM b
 """
 
 
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.text import rolling_fingerprint
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return rolling_fingerprint(docs).select("doc_id", "rh31")
+
+
+def oracle_doc_rolling_hash() -> str:
+    from grower_spark.operators.text import ROLL_BASE, ROLL_MOD, ROLL_PREFIX_TOKENS
+
+    h = _DUCK_MD5_60.format(x="t") + " % 1073741824"
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_slice(string_split(text, ' '), 1, {ROLL_PREFIX_TOKENS}),
+                     t -> {h})),
+    (a, b) -> (a * {ROLL_BASE} + b) % {ROLL_MOD}) AS rh31
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:N frame sampling through mapInPandas (video plumbing stub)."""
+    from grower_spark.operators.multimodal import attach_binary, sample_frames
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return sample_frames(attach_binary(docs))
+
+
+def oracle_multimodal_frames() -> str:
+    # ASCII text: byte offsets == char offsets, sha256(chars)==sha256(bytes)
+    return """
+WITH idx AS (
+  SELECT doc_id, text,
+    unnest(range(0, least(8, greatest(octet_length(encode(text)) // 64, 1)))) AS i
+  FROM documents
+)
+SELECT doc_id,
+  CAST(i AS INTEGER) AS frame_idx,
+  CAST(i * 64 AS BIGINT) AS frame_off_bytes,
+  substr(sha256(substr(text, i * 64 + 1, 64)), 1, 8) AS frame_sha8
+FROM idx
+"""
+
+
 def q_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README.md:33-34 JSONStringField/JSONUInt64Field over events.props."""
     from grower_spark.functions.scalars import json_string_field, json_uint64_field
@@ -1266,6 +1312,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "doc_rolling_hash": q_doc_rolling_hash,
     "json_fields": q_json_fields,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1298,6 +1346,8 @@ ORACLES: dict[str, str] = {
     "text_bpe_tokens": oracle_text_bpe_tokens(),
     "multimodal_meta": oracle_multimodal_meta(),
     "multimodal_decode": oracle_multimodal_decode(),
+    "multimodal_frames": oracle_multimodal_frames(),
+    "doc_rolling_hash": oracle_doc_rolling_hash(),
     "json_fields": oracle_json_fields(),
     "scalar_funcs": oracle_scalar_funcs(),
 }

@@ -92,6 +92,47 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off_bytes", T.LongType()),
+        T.StructField("frame_sha8", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8, id_col: str = "doc_id",
+                  bin_col: str = "media_bytes") -> DataFrame:
+    """Video-style frame sampling plumbing: 1:N expansion through
+    mapInPandas (each input row yields up to ``max_frames`` frame rows).
+
+    The real kernel would seek keyframes with a video lib; absent codecs,
+    frames are byte-stride samples with a content hash — the Spark-side
+    shape (schema, batching, fan-out) is what's exercised."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
+
+    def run(batches):
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["media_bytes"]):
+                data = bytes(payload)
+                for i in range(min(max_frames, max(len(data) // every_n_bytes, 1))):
+                    off = i * every_n_bytes
+                    chunk = data[off : off + every_n_bytes]
+                    rows.append(
+                        (int(doc_id), i, off, hashlib.sha256(chunk).hexdigest()[:8])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_off_bytes", "frame_sha8"]
+            )
+
+    return src.mapInPandas(run, FRAME_SCHEMA)
+
+
 def decode_images(df: DataFrame, id_col: str = "doc_id",
                   bin_col: str = "media_bytes") -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, bytes) partitions.

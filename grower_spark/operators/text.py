@@ -119,3 +119,28 @@ def fingerprint60(df: DataFrame, text_col: str = "text",
                   out_col: str = "fp60") -> DataFrame:
     """60-bit content fingerprint of the case/whitespace-normalized text."""
     return df.withColumn(out_col, md5_60(F.lower(F.trim(F.col(text_col)))))
+
+
+# Rabin-Karp-style rolling hash parameters.  M is the Mersenne prime 2^31-1
+# and per-token base hashes live in 30 bits, so acc*B + h stays under 2^52 —
+# exact in int64 on every engine.  (A production 61-bit variant needs
+# two-limb modmul; 31 bits is plenty for a prefix fingerprint.)
+ROLL_BASE = 1000003
+ROLL_MOD = (1 << 31) - 1
+ROLL_PREFIX_TOKENS = 24
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                        out_col: str = "rh31") -> DataFrame:
+    """Prefix rolling hash: fold (acc*B + h(token)) mod M over the first
+    ``ROLL_PREFIX_TOKENS`` tokens — the order-sensitive complement to the
+    order-insensitive md5 fingerprint (equal prefixes collide, permuted
+    prefixes don't)."""
+    toks = F.slice(_tokens(F.col(text_col)), 1, ROLL_PREFIX_TOKENS)
+    hashes = F.transform(toks, lambda t: md5_60(t).bitwiseAND(F.lit((1 << 30) - 1)))
+    rolled = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(ROLL_BASE) + h) % F.lit(ROLL_MOD),
+    )
+    return df.withColumn(out_col, rolled)

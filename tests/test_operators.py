@@ -162,3 +162,31 @@ def test_multimodal_meta_and_decode(spark, docs):
     # deterministic across runs
     again = {r["doc_id"]: (r["width"], r["mean_luma"]) for r in decode_images(withbin).collect()}
     assert again == {r["doc_id"]: (r["width"], r["mean_luma"]) for r in rows}
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from grower_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["rh31"] for r in rolling_fingerprint(df).collect()}
+    assert out[0] == out[1]          # identical prefixes collide
+    assert out[0] != out[2]          # permuted tokens do not
+    assert 0 <= out[0] < 2**31
+
+
+def test_sample_frames_fanout(spark):
+    from grower_spark.operators.multimodal import attach_binary, sample_frames
+
+    long_text = "x" * 300  # 300 bytes -> 4 frames at 64-byte stride
+    df = spark.createDataFrame([(0, long_text), (1, "tiny")], ["doc_id", "text"])
+    frames = sample_frames(attach_binary(df)).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 4
+    assert [r["frame_off_bytes"] for r in sorted(by_doc[0], key=lambda r: r["frame_idx"])] == [0, 64, 128, 192]
+    assert len(by_doc[1]) == 1  # short payloads still yield one frame
+    assert all(len(r["frame_sha8"]) == 8 for r in frames)
