@@ -280,6 +280,91 @@ FROM checked GROUP BY 1
     )
 
 
+# --- custom-cast path: UInt64 / FixedString / Date / Float64 (P6-P8) --------
+
+CUSTOM_FORMAT = "$big | $fixed | $day | $ratio"
+CUSTOM_CONFIG = PipelineConfig.from_dict(
+    {
+        "nginx": {
+            "log_format": CUSTOM_FORMAT,
+            "log_time_format": "02/Jan/2006:15:04:05 -0700",
+            "log_custom_casts_enable": True,
+            "log_custom_casts": {
+                "big": "UInt64",
+                "fixed": "FixedString(6)",
+                "day": "Date",
+                "ratio": "Float64",
+            },
+        },
+        "scheme": {
+            "logs_table": "synthetic.custom_casts",
+            "columns": {
+                "big": "big",
+                "fixed": "fixed",
+                "day": "day",
+                "ratio": "ratio",
+            },
+        },
+    }
+)
+
+# `big` exercises the UInt64 > int64-max range (19 digits starting 92.5e18);
+# every 11th row is '-' (hyphen -> '' -> zero semantics).
+_CUSTOM_LINE_TEMPLATE = """
+SELECT
+  (CASE WHEN event_id % 11 = 0 THEN '-'
+   ELSE '925337203' || lpad(CAST(event_id % 1000000 AS {STR}), 10, '0') END)
+  || ' | ' || event_type || '_' || CAST(event_id AS {STR})
+  || ' | ' || {DAY}
+  || ' | ' || CAST(CAST(floor(abs(value)) AS BIGINT) AS {STR}) || '.'
+           || lpad(CAST(CAST(floor(abs(value) * 100) AS BIGINT) % 100 AS {STR}), 2, '0')
+  AS value
+FROM {EVENTS}
+"""
+
+
+def q_nginx_custom_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _cpu_spread(spark, load_table(spark, sf_dir, "events"))
+    events.createOrReplaceTempView("events_src")
+    lines = spark.sql(
+        _CUSTOM_LINE_TEMPLATE.format(
+            STR="STRING", DAY="date_format(ts, 'yyyy-MM-dd')", EVENTS="events_src"
+        )
+    )
+    parsed = LogPipeline(CUSTOM_CONFIG, now=F.lit(FIXED_NOW).cast("timestamp")).parse(lines)
+    return parsed.select(
+        F.col("big"),  # decimal(20,0)
+        F.col("fixed"),
+        F.col("day").cast("string").alias("day_str"),
+        F.round(F.col("ratio") * 100).cast("long").alias("ratio_centis"),
+    )
+
+
+def oracle_nginx_custom_casts() -> str:
+    lines = _CUSTOM_LINE_TEMPLATE.format(
+        STR="VARCHAR", DAY="strftime(ts, '%Y-%m-%d')", EVENTS="events"
+    )
+    return f"""
+WITH lines AS ({lines}),
+fields AS (
+  SELECT
+    (CASE WHEN string_split(value, ' | ')[1] = '-' THEN ''
+     ELSE string_split(value, ' | ')[1] END) AS big_s,
+    string_split(value, ' | ')[2] AS fixed_s,
+    string_split(value, ' | ')[3] AS day_s,
+    string_split(value, ' | ')[4] AS ratio_s
+  FROM lines
+)
+SELECT
+  CASE WHEN big_s = '' THEN CAST(0 AS DECIMAL(20,0))
+       ELSE CAST(big_s AS DECIMAL(20,0)) END AS big,
+  substr(fixed_s, 1, 6) AS fixed,
+  CAST(strptime(day_s, '%Y-%m-%d') AS DATE)::VARCHAR AS day_str,
+  CAST(round(CAST(CAST(ratio_s AS DOUBLE) AS DOUBLE) * 100) AS BIGINT) AS ratio_centis
+FROM fields
+"""
+
+
 # --- syslog content extraction (S5) ----------------------------------------
 
 _SYSLOG_PATTERN = (
@@ -1289,6 +1374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_parse_rows": q_nginx_parse_rows,
     "nginx_deadletter": q_nginx_deadletter,
     "nginx_parse_json": q_nginx_parse_json,
+    "nginx_custom_casts": q_nginx_custom_casts,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_topk_per_user": q_events_topk_per_user,
@@ -1323,6 +1409,7 @@ ORACLES: dict[str, str] = {
     "nginx_parse_rows": oracle_nginx_parse_rows(),
     "nginx_deadletter": oracle_nginx_deadletter(),
     "nginx_parse_json": oracle_nginx_parse_json(),
+    "nginx_custom_casts": oracle_nginx_custom_casts(),
     "events_window_agg": oracle_events_window_agg(),
     "events_sessionize": oracle_events_sessionize(),
     "events_topk_per_user": oracle_events_topk_per_user(),

@@ -112,3 +112,40 @@ class ClickHouseSink:
             batch_df.select(*sink.columns).foreachPartition(sink.insert_partition)
 
         return write
+
+
+class IdempotentForeachBatch:
+    """Batch-id guard around a foreachBatch function.
+
+    Structured Streaming replays the last uncommitted micro-batch after a
+    crash, so a plain insert sink is at-least-once.  Recording committed
+    batch ids (atomic marker files; point ``marker_dir`` at durable storage
+    in production, or swap the marker for a ClickHouse dedup table /
+    ReplacingMergeTree key) makes the replay a no-op — effectively-once.
+    The reference had neither: its in-memory buffer *lost* rows on crash
+    (SURVEY.md §4.2).
+    """
+
+    def __init__(self, inner: Callable[[DataFrame, int], None], marker_dir: str):
+        import os
+
+        self.inner = inner
+        self.marker_dir = marker_dir
+        os.makedirs(marker_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.marker_dir, f"batch-{batch_id}.done")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import tempfile
+
+        marker = self._marker(batch_id)
+        if os.path.exists(marker):
+            return  # replayed batch: already delivered
+        self.inner(batch_df, batch_id)
+        fd, tmp = tempfile.mkstemp(dir=self.marker_dir)
+        os.close(fd)
+        os.rename(tmp, marker)  # atomic commit record

@@ -277,3 +277,17 @@ def test_cli_rotate(tmp_path, capsys):
     assert main(["rotate", "--log-file", str(live)]) == 0
     out = capsys.readouterr().out
     assert "rotated:" in out and ".growerlog" in out
+
+
+def test_idempotent_foreach_batch(spark, tmp_path):
+    from grower_spark.sinks.clickhouse import IdempotentForeachBatch
+
+    calls = []
+    wrapped = IdempotentForeachBatch(
+        lambda df, bid: calls.append(bid), str(tmp_path / "markers")
+    )
+    df = spark.createDataFrame([(1,)], ["x"])
+    wrapped(df, 7)
+    wrapped(df, 7)  # crash-replay of the same micro-batch: must be a no-op
+    wrapped(df, 8)
+    assert calls == [7, 8]
