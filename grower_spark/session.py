@@ -16,6 +16,17 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "grower-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    # Executor python workers import module-level classes/functions by
+    # reference (custom DataSources, mapInPandas kernels), so the package
+    # root must be on their PYTHONPATH.  Only effective before the JVM
+    # starts; previously this worked only when the driver's cwd was the
+    # repo root (workers see cwd via sys.path[0]).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

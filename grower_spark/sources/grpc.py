@@ -4,14 +4,16 @@ Deliberately deferred (SURVEY.md §2.1 S7): Spark has no native gRPC source,
 and a single gRPC endpoint feeding one executor is an anti-pattern at any
 real scale.  Faithful options, in preference order:
 
-1. A tiny receiver process (outside Spark) appending frames to files or a
-   Kafka topic consumed by ``sources.file`` / ``sources.kafka`` — the
-   reference's own KafkaLog topology with the broker as the buffer.
-2. A custom ``pyspark.sql.datasource.DataSource`` (Spark 4 Python data
-   source API) wrapping a grpc client — viable, but the grpc package is
-   not in this container.
+1. A tiny receiver process (outside Spark) appending length-prefixed
+   frames to spool files consumed by the custom ``filebuf`` Python
+   DataSource (``sources/filebuf.py``) — IMPLEMENTED, batch + streaming.
+2. The reference's own KafkaLog topology with the broker as the buffer
+   (``sources.kafka``).
+3. A DataSource wrapping a grpc client directly — the grpc package is not
+   in this container.
 
-``grpc_line_stream`` documents the contract and fails loudly.
+``grpc_line_stream`` documents the contract and fails loudly; use
+``spark.read/readStream.format("filebuf")`` against the receiver's spool.
 """
 
 from __future__ import annotations
