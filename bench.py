@@ -65,9 +65,15 @@ def main() -> None:
     spark = get_spark("grower-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen path once on a trivial plan so per-query numbers
-    # measure the engine, not first-call JIT.
+    # Warm the JVM/codegen path and the Python-UDF workers once so
+    # per-query numbers measure the engine, not first-call JIT or the
+    # pandas import in every worker process.
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _noop_batch(it):
+        yield from it
+
+    spark.range(0, cpus * 4, 1, cpus).mapInPandas(_noop_batch, "id long").count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -153,3 +153,32 @@ def test_negative_unsigned_dropped(spark):
         spark.createDataFrame([(neg,)], ["value"])
     )
     assert good.count() == 0 and bad.count() == 1
+
+
+def test_time_iso8601_full_pipeline(spark):
+    import datetime
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "nginx": {"log_format": "$remote_addr [$time_iso8601] $status"},
+            "scheme": {
+                "logs_table": "t.iso",
+                "columns": {
+                    "remote_addr": "remote_addr",
+                    "time_iso8601": "time_iso8601",
+                    "status": "status",
+                },
+            },
+        }
+    )
+    df = spark.createDataFrame(
+        [("9.8.7.6 [2022-07-21T00:30:43+03:00] 200",),
+         ("9.8.7.6 [2022-07-21T05:30:43Z] 201",),
+         ("9.8.7.6 [not-a-time] 500",)],
+        ["value"],
+    )
+    good, bad = LogPipeline(cfg).parse_with_deadletter(df)
+    rows = {r["status"]: r["time_iso8601"] for r in good.collect()}
+    assert rows[200] == datetime.datetime(2022, 7, 20, 21, 30, 43)  # +03 -> UTC
+    assert rows[201] == datetime.datetime(2022, 7, 21, 5, 30, 43)   # Z suffix
+    assert bad.count() == 1  # malformed iso time dropped
