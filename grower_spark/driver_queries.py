@@ -333,7 +333,12 @@ def q_nginx_custom_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = LogPipeline(CUSTOM_CONFIG, now=F.lit(FIXED_NOW).cast("timestamp")).parse(lines)
     return parsed.select(
-        F.col("big"),  # decimal(20,0)
+        # Driver contract: UInt64 surfaces as string. The engine keeps
+        # decimal(20,0) internally (full uint64 range, golden-tested in
+        # tests/test_caster.py); the harness normalizes oracle output through
+        # pandas, where DECIMAL(20,0) degrades to float64 and values >2^53
+        # can't round-trip — so the *contract* column is engine-neutral text.
+        F.col("big").cast("string").alias("big"),
         F.col("fixed"),
         F.col("day").cast("string").alias("day_str"),
         F.round(F.col("ratio") * 100).cast("long").alias("ratio_centis"),
@@ -356,8 +361,8 @@ fields AS (
   FROM lines
 )
 SELECT
-  CASE WHEN big_s = '' THEN CAST(0 AS DECIMAL(20,0))
-       ELSE CAST(big_s AS DECIMAL(20,0)) END AS big,
+  CAST(CASE WHEN big_s = '' THEN CAST(0 AS DECIMAL(20,0))
+       ELSE CAST(big_s AS DECIMAL(20,0)) END AS VARCHAR) AS big,
   substr(fixed_s, 1, 6) AS fixed,
   CAST(strptime(day_s, '%Y-%m-%d') AS DATE)::VARCHAR AS day_str,
   CAST(round(CAST(CAST(ratio_s AS DOUBLE) AS DOUBLE) * 100) AS BIGINT) AS ratio_centis
@@ -1319,7 +1324,9 @@ def q_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         json_string_field(F.col("props"), "k").alias("k_str"),
-        json_uint64_field(F.col("props"), "k").alias("k_u64"),
+        # Contract column as string (engine keeps decimal(20,0) internally);
+        # see q_nginx_custom_casts for the pandas/float64 rationale.
+        json_uint64_field(F.col("props"), "k").cast("string").alias("k_u64"),
     )
 
 
@@ -1327,7 +1334,7 @@ def oracle_json_fields() -> str:
     return """
 SELECT event_id,
   json_extract_string(props, '$.k') AS k_str,
-  CAST(json_extract_string(props, '$.k') AS DECIMAL(20,0)) AS k_u64
+  CAST(CAST(json_extract_string(props, '$.k') AS DECIMAL(20,0)) AS VARCHAR) AS k_u64
 FROM events
 """
 
