@@ -475,8 +475,11 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five-way join through the dimension chain; all dims broadcast, the
-    lineitem fact shuffles only for the final aggregation."""
+    """Five-way join through the dimension chain; true dims broadcast, and
+    lineitem⋈orders — two fact-scale tables — is left unhinted so AQE can
+    pick shuffled-hash (and split skewed partitions) by *measured* size.
+    A forced broadcast(orders) would OOM the driver at large SF: the hint
+    overrides AQE's size check (round-1 verdict scale-killer #2)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -484,7 +487,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -546,7 +549,10 @@ FROM events GROUP BY user_id
 
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shipping-priority join: broadcast dims, shuffle only on the fact."""
+    """Shipping-priority join: broadcast only the true dim (customer);
+    lineitem⋈orders stays unhinted — even date-filtered, orders is half a
+    fact table, and a forced broadcast overrides AQE's size check (round-1
+    verdict scale-killer #2). AQE still auto-broadcasts it at tiny SF."""
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -555,7 +561,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     )
     return joined.groupBy("l_orderkey").agg(
