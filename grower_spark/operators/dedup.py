@@ -5,9 +5,10 @@ Scale design notes (the 100TB story, per operator):
 - ``exact_dedup``: one hash-shuffle on a 60-bit content hash.  The shuffle
   key is the hash, not the document, so skew is uniform by construction.
 - ``minhash_lsh_pairs``: signatures are computed map-side (per-row, no
-  shuffle); the only shuffle is the band-bucket self-join, whose fan-out is
-  bounded by collisions — the standard shingle->minhash->band->bucket-join
-  pipeline.  ``hash_fn="xxhash"`` is the production path (JVM xxhash64);
+  shuffle); the only shuffle groups by band bucket, then pairs are emitted
+  from each bucket's posting-list array (no self-join, so the signature
+  subtree is computed once and bucket width can be capped before pair
+  fan-out).  ``hash_fn="xxhash"`` is the production path (JVM xxhash64);
   ``"md5"`` produces engine-portable values for the DuckDB oracle.
 - ``simhash``: per-row only (token hash array + bit-vote), then dedup by
   bucket or hamming-neighborhood join on the leading bits.
@@ -133,12 +134,22 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    max_bucket_width: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Output: (id_a, id_b, n_bands) with id_a < id_b — pairs agreeing on at
     least one full band of ``num_perm/bands`` consecutive signature slots.
-    The band bucket is the only shuffle key.
+
+    Plan shape: signatures map-side -> explode band buckets -> ONE shuffle
+    grouping by bucket -> emit ordered pairs from each posting-list array ->
+    count bands per pair.  A bucket self-join would recompute the whole
+    signature subtree per join side (aliases defeat exchange reuse — the
+    same pathology measured at 68s vs 8s for ngram_jaccard_pairs) and
+    couldn't cap its own fan-out.  ``max_bucket_width`` drops degenerate
+    buckets wider than the cap (a bucket of k docs emits k^2/2 pairs):
+    at corpus scale set it to a few thousand; ``None`` keeps exact
+    all-collisions semantics for oracle checks.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signature(df, text_col, num_perm, shingle_n, hash_fn).select(
@@ -156,11 +167,28 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     buckets = sigs.select("_id", F.explode(F.array(*band_cols)).alias("bucket"))
-    a = buckets.select(F.col("_id").alias("id_a"), "bucket")
-    b = buckets.select(F.col("_id").alias("id_b"), "bucket")
+    postings = (
+        buckets.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    if max_bucket_width is not None:
+        postings = postings.where(F.size("ds") <= max_bucket_width)
+    # ordered pairs (i < j) out of each posting list; the 2-arg transform
+    # lambda legitimately receives (element, index) here
+    tail_len = F.size(F.col("ds"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, tail_len),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
