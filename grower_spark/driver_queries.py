@@ -1251,13 +1251,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grower_spark.operators.multimodal import attach_binary, decode_images
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    return decode_images(attach_binary(docs))
+    # decoder pinned to "stub": the oracle below encodes the stub kernel's
+    # fake metadata, so the query must not silently switch to a real codec
+    # if one appears in a future container.
+    return decode_images(attach_binary(docs), decoder="stub")
 
 
 def oracle_multimodal_decode() -> str:
     # The stub decoder's fake metadata re-expressed in SQL (ASCII text, so
     # codepoints == bytes).  Oracle-checks the mapInPandas plumbing
-    # end-to-end; holds only when PIL is absent (it is in this container).
+    # end-to-end; the Spark side pins decoder="stub" so this holds
+    # regardless of which codec libraries the environment carries.
     return """
 WITH b AS (
   SELECT doc_id,

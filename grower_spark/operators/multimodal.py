@@ -53,35 +53,48 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Decode kernel for one Arrow batch.  Tries PIL; falls back to a
-    deterministic fake derived from the payload bytes."""
-    try:  # pragma: no cover - PIL absent in this container
-        import io
+def _stub_one(b: bytes):
+    # Deterministic fake: dimensions/luma from byte statistics.
+    n = len(b)
+    s = sum(b[:256])
+    return ((s % 1024) + 1, (n % 1024) + 1, 3, float((s + n) % 256), "stub")
 
-        from PIL import Image
 
-        def one(b: bytes):
-            img = Image.open(io.BytesIO(b))
-            w, h = img.size
-            gray = img.convert("L")
-            import numpy as np
+def _pil_one_factory():  # pragma: no cover - PIL absent in this container
+    import io
 
-            return w, h, len(img.getbands()), float(np.asarray(gray).mean()), "pil"
+    import numpy as np
+    from PIL import Image
 
-    except ImportError:
+    def one(b: bytes):
+        img = Image.open(io.BytesIO(b))
+        w, h = img.size
+        gray = img.convert("L")
+        return w, h, len(img.getbands()), float(np.asarray(gray).mean()), "pil"
 
-        def one(b: bytes):
-            # Deterministic fake: dimensions/luma from byte statistics.
-            n = len(b)
-            s = sum(b[:256])
-            return (
-                (s % 1024) + 1,
-                (n % 1024) + 1,
-                3,
-                float((s + n) % 256),
-                "stub",
-            )
+    return one
+
+
+def _decode_batch(batch: pd.DataFrame, decoder: str = "auto") -> pd.DataFrame:
+    """Decode kernel for one Arrow batch.
+
+    ``decoder`` selects the kernel explicitly: ``"pil"`` requires the real
+    library (ImportError otherwise), ``"stub"`` always uses the
+    deterministic fake, ``"auto"`` tries PIL and falls back.  Callers whose
+    output is checked against a fixed oracle must pin ``"stub"`` so results
+    don't silently change if a codec library appears in the environment.
+    """
+    if decoder == "stub":
+        one = _stub_one
+    elif decoder == "pil":  # pragma: no cover
+        one = _pil_one_factory()
+    elif decoder == "auto":
+        try:  # pragma: no cover
+            one = _pil_one_factory()
+        except ImportError:
+            one = _stub_one
+    else:
+        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|pil)")
 
     rows = [one(bytes(b)) for b in batch["media_bytes"]]
     out = pd.DataFrame(
@@ -134,16 +147,21 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
 
 
 def decode_images(df: DataFrame, id_col: str = "doc_id",
-                  bin_col: str = "media_bytes") -> DataFrame:
+                  bin_col: str = "media_bytes",
+                  decoder: str = "auto") -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, bytes) partitions.
 
     Only the two needed columns enter the Python worker (column pruning by
     explicit select), and output rows stay 1:1 with input — the shape a
-    real resize/feature-extract kernel would use."""
+    real resize/feature-extract kernel would use.  ``decoder`` pins the
+    kernel (see ``_decode_batch``); oracle-checked callers pass ``"stub"``.
+    """
+    if decoder not in ("auto", "stub", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|pil)")
     src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            yield _decode_batch(batch)
+            yield _decode_batch(batch, decoder)
 
     return src.mapInPandas(run, DECODED_SCHEMA)

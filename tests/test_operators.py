@@ -164,6 +164,16 @@ def test_multimodal_meta_and_decode(spark, docs):
     assert again == {r["doc_id"]: (r["width"], r["mean_luma"]) for r in rows}
 
 
+def test_decode_images_decoder_pinning(spark, docs):
+    withbin = attach_binary(docs)
+    # "stub" is selectable regardless of installed codecs — oracle queries
+    # pin it so their fixed expected values can't drift with the container.
+    rows = decode_images(withbin, decoder="stub").collect()
+    assert all(r["decoder"] == "stub" for r in rows)
+    with pytest.raises(ValueError, match="unknown decoder"):
+        decode_images(withbin, decoder="bogus")
+
+
 def test_rolling_fingerprint_order_sensitive(spark):
     from grower_spark.operators.text import rolling_fingerprint
 
