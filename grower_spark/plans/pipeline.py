@@ -115,6 +115,15 @@ class LogPipeline:
             matched = (F.size(parts) == lf.n_groups) & (
                 ~F.col("_raw").contains(GROUP_SEP)
             )
+            if lf.n_groups == 1:
+                # A non-matching line passes through regexp_replace
+                # unchanged and splits into exactly one part — for a
+                # single-group format that is indistinguishable from a
+                # match by part count alone, so the whole raw line would
+                # be silently accepted as the field value.  Re-check with
+                # rlike here only: for n_groups > 1 the count test is
+                # sufficient and avoids a second regex execution per line.
+                matched = matched & F.col("_raw").rlike(lf.full_line_pattern())
             return stage1.select(
                 "_raw",
                 F.spark_partition_id().alias(_ND),

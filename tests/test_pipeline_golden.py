@@ -182,3 +182,28 @@ def test_time_iso8601_full_pipeline(spark):
     assert rows[200] == datetime.datetime(2022, 7, 20, 21, 30, 43)  # +03 -> UTC
     assert rows[201] == datetime.datetime(2022, 7, 21, 5, 30, 43)   # Z suffix
     assert bad.count() == 1  # malformed iso time dropped
+
+
+def test_single_capture_group_nonmatch_deadlettered(spark):
+    # Regression (round-1 advice): with exactly one capture group, a
+    # non-matching line passes through regexp_replace unchanged and splits
+    # into 1 part == n_groups — without the rlike re-check the whole raw
+    # line would be accepted as the field value instead of dead-lettered.
+    cfg = PipelineConfig.from_dict(
+        {
+            "nginx": {"log_format": "status=$status"},
+            "scheme": {
+                "logs_table": "t.one",
+                "columns": {"status": "status"},
+            },
+        }
+    )
+    df = spark.createDataFrame(
+        [("status=200",), ("totally unrelated line",), ("status=",)],
+        ["value"],
+    )
+    good, bad = LogPipeline(cfg).parse_with_deadletter(df)
+    # "status=" DOES match the format; empty value -> 0 (reference's
+    # empty/hyphen-to-zero cast semantics). Only the unrelated line drops.
+    assert sorted(r["status"] for r in good.collect()) == [0, 200]
+    assert [r.line for r in bad.collect()] == ["totally unrelated line"]
