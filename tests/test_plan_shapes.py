@@ -48,6 +48,25 @@ def test_tpch_q3_orders_join_not_forced_broadcast(no_auto_broadcast):
     assert joins["o_custkey"] == "BroadcastHashJoin"
 
 
+@pytest.mark.parametrize(
+    "qname", ["text_stats", "doc_fingerprint", "nginx_parse_rows", "tpch_q6"]
+)
+def test_per_row_queries_codegen_and_shuffle_budget(spark, qname):
+    """Round-1 verdict: the audit tool counted 0 codegen stages for every
+    query because AQE's pre-execution plan string carries no codegen
+    markers.  Guard the fixed counter AND the plan-hygiene invariant it
+    exists to watch: per-row queries run inside whole-stage codegen with at
+    most one exchange (the documented _cpu_spread repartition)."""
+    from grower_spark.driver_queries import QUERIES
+    from tools.explain_all import plan_stats
+
+    stats = plan_stats(QUERIES[qname](spark, SF_SMALL))
+    assert stats["is_final"]
+    assert stats["codegen_stages"] >= 1, stats
+    assert stats["shuffles"] <= 1, stats
+    assert stats["regex_execs"] <= 1, stats
+
+
 def test_tpch_q5_orders_join_not_forced_broadcast(no_auto_broadcast):
     from grower_spark.driver_queries import q_tpch_q5
 

@@ -2,6 +2,13 @@
 exchange (shuffle) count, broadcast joins, codegen stages, pushed filters —
 and flag smells (regex duplication, interpreted fallbacks).
 
+Under AQE the pre-execution plan string is `AdaptiveSparkPlan
+isFinalPlan=false` with NO codegen markers (stages are planned lazily), so
+the audit EXECUTES each query (collect on the same QueryExecution) and reads
+the final plan, where codegen shows as `*(n)` prefixes.  This also means
+the reported shuffle/broadcast counts are AQE's *actual* runtime decisions,
+not the static guess.
+
 Usage: python tools/explain_all.py [sf_dir] [query ...]
 """
 
@@ -12,6 +19,38 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_stats(df, execute: bool = True) -> dict:
+    """Summary counters for a DataFrame's physical plan.
+
+    With ``execute=True`` (default) the query is run first so AQE's final
+    plan is inspected; codegen stage ids appear as ``*(n)`` there.  The
+    pre-execution string has zero codegen markers under AQE — counting it
+    would silently report 0 for every query (round-1 verdict bug).
+    """
+    qe = df._jdf.queryExecution()
+    if execute:
+        df.collect()
+    plan = qe.executedPlan().toString()
+    # An executed AdaptiveSparkPlan prints "== Final Plan ==" AND
+    # "== Initial Plan ==" sections; counting the whole string would
+    # double-count every node.  Keep only the final section.
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    codegen_ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)) | set(
+        re.findall(r"\*\((\d+)\)", plan)
+    )
+    return {
+        "shuffles": len(
+            re.findall(r"Exchange (hash|range|RoundRobin|SinglePartition)", plan)
+        ),
+        "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
+        "codegen_stages": len(codegen_ids),
+        "regex_execs": plan.count("regexp_replace"),
+        "sorts": len(re.findall(r"\bSort \[", plan)),
+        "is_final": "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan,
+    }
 
 
 def main() -> None:
@@ -28,22 +67,22 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            stats = plan_stats(fn(spark, sf_dir))
         except Exception as exc:
             print(f"{name:24s} ERROR {exc}")
             continue
-        n_exchange = len(re.findall(r"Exchange (hash|range|RoundRobin|SinglePartition)", plan))
-        n_broadcast = len(re.findall(r"BroadcastExchange", plan))
-        n_wsc = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
-        n_regex = plan.count("regexp_replace")
-        n_sort = len(re.findall(r"\bSort\b", plan))
         smells = []
-        if n_regex > 1:
-            smells.append(f"regex x{n_regex}")
+        if stats["regex_execs"] > 1:
+            smells.append(f"regex x{stats['regex_execs']}")
+        if stats["codegen_stages"] == 0:
+            smells.append("no codegen (interpreted?)")
+        if not stats["is_final"]:
+            smells.append("plan not final")
         print(
-            f"{name:24s} shuffles={n_exchange:2d} broadcasts={n_broadcast}"
-            f" codegen_stages={n_wsc:2d} sorts={n_sort}"
+            f"{name:24s} shuffles={stats['shuffles']:2d}"
+            f" broadcasts={stats['broadcasts']}"
+            f" codegen_stages={stats['codegen_stages']:2d}"
+            f" sorts={stats['sorts']}"
             + ("  ⚠ " + ", ".join(smells) if smells else "")
         )
     spark.stop()
