@@ -56,6 +56,26 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("ddl", help="print ClickHouse DDL for a config")
     d.add_argument("--config", required=True)
 
+    rx = sub.add_parser(
+        "receiver",
+        help="socket-to-spool daemon (the filegrpc/syslog transport edge)",
+    )
+    rx.add_argument("--spool-dir", required=True,
+                    help="directory the filebuf source reads")
+    rx.add_argument("--tcp-port", type=int, default=None,
+                    help="TCP listener port (0 = ephemeral)")
+    rx.add_argument("--tcp-host", default="127.0.0.1")
+    rx.add_argument("--unix-path", default=None, help="unix stream socket path")
+    rx.add_argument("--udp-port", type=int, default=None,
+                    help="UDP datagram listener (syslog udp mode)")
+    rx.add_argument("--datagram-path", default=None,
+                    help="unix datagram socket (syslog unixgram mode)")
+    rx.add_argument("--framing", choices=["frames", "lines"], default="frames",
+                    help="stream framing: length-prefixed or newline-delimited")
+    rx.add_argument("--buffer-size", type=int, default=1000,
+                    help="lines per spool file (reference buffer-size)")
+    rx.add_argument("--flush-interval", type=float, default=0.25)
+
     return p
 
 
@@ -78,6 +98,35 @@ def main(argv: list[str] | None = None) -> int:
         )
         for path in deleted:
             print(f"deleted: {path}")
+        return 0
+
+    if args.command == "receiver":
+        import signal
+        import threading
+
+        from grower_spark.sources.receiver import SpoolReceiver
+
+        rx = SpoolReceiver(
+            args.spool_dir,
+            tcp_host=args.tcp_host,
+            tcp_port=args.tcp_port,
+            unix_path=args.unix_path,
+            udp_port=args.udp_port,
+            datagram_path=args.datagram_path,
+            framing=args.framing,
+            flush_max_lines=args.buffer_size,
+            flush_interval=args.flush_interval,
+        ).start()
+        if rx.tcp_port is not None:
+            print(f"tcp: {args.tcp_host}:{rx.tcp_port}", flush=True)
+        if rx.udp_port is not None:
+            print(f"udp: {args.tcp_host}:{rx.udp_port}", flush=True)
+        done = threading.Event()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            signal.signal(sig, lambda *_: done.set())
+        done.wait()
+        rx.stop()
+        print(f"received={rx.n_received} spool_files={rx.n_flushed_files}")
         return 0
 
     from grower_spark.config import ConfigError, PipelineConfig
