@@ -1302,6 +1302,35 @@ FROM documents
 """
 
 
+def q_doc_rolling_hash61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grower_spark.operators.text import rolling_fingerprint61
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return rolling_fingerprint61(docs).select("doc_id", "rh61")
+
+
+def oracle_doc_rolling_hash61() -> str:
+    # Same two-limb fold as _roll61_step, in DuckDB BIGINT arithmetic:
+    # integer // and % recover the limbs, every intermediate < 2^62.
+    from grower_spark.operators.text import ROLL_BASE, ROLL_MOD61, ROLL_PREFIX_TOKENS
+
+    h = _DUCK_MD5_60.format(x="t") + " % 2147483648"
+    step = (
+        f"(((a // 1073741824) * {ROLL_BASE}) // 2147483648"
+        f" + (((a // 1073741824) * {ROLL_BASE}) % 2147483648) * 1073741824"
+        f" + (a % 1073741824) * {ROLL_BASE} + b) % {ROLL_MOD61}"
+    )
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_slice(string_split(text, ' '), 1, {ROLL_PREFIX_TOKENS}),
+                     t -> {h})),
+    (a, b) -> {step}) AS rh61
+FROM documents
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1:N frame sampling through mapInPandas (video plumbing stub)."""
     from grower_spark.operators.multimodal import attach_binary, sample_frames
@@ -1417,6 +1446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "doc_rolling_hash": q_doc_rolling_hash,
+    "doc_rolling_hash61": q_doc_rolling_hash61,
     "json_fields": q_json_fields,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1452,6 +1482,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": oracle_multimodal_decode(),
     "multimodal_frames": oracle_multimodal_frames(),
     "doc_rolling_hash": oracle_doc_rolling_hash(),
+    "doc_rolling_hash61": oracle_doc_rolling_hash61(),
     "json_fields": oracle_json_fields(),
     "scalar_funcs": oracle_scalar_funcs(),
 }

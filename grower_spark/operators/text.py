@@ -123,11 +123,19 @@ def fingerprint60(df: DataFrame, text_col: str = "text",
 
 # Rabin-Karp-style rolling hash parameters.  M is the Mersenne prime 2^31-1
 # and per-token base hashes live in 30 bits, so acc*B + h stays under 2^52 —
-# exact in int64 on every engine.  (A production 61-bit variant needs
-# two-limb modmul; 31 bits is plenty for a prefix fingerprint.)
+# exact in int64 on every engine.  (``rolling_fingerprint61`` below is the
+# production-strength 61-bit variant via two-limb modmul.)
 ROLL_BASE = 1000003
 ROLL_MOD = (1 << 31) - 1
 ROLL_PREFIX_TOKENS = 24
+
+# 61-bit variant: M61 = 2^61-1 (Mersenne), so 2^61 ≡ 1 (mod M61) and the
+# high limb of any product folds back with a plain add — no 128-bit
+# arithmetic needed.  All intermediates below stay under 2^62, exact in
+# int64 even with ANSI overflow checking.
+ROLL_MOD61 = (1 << 61) - 1
+_LIMB30 = 1 << 30
+_LIMB31 = 1 << 31
 
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text",
@@ -143,4 +151,46 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
         F.lit(0).cast("long"),
         lambda acc, h: (acc * F.lit(ROLL_BASE) + h) % F.lit(ROLL_MOD),
     )
+    return df.withColumn(out_col, rolled)
+
+
+def _roll61_step(acc: Column, h: Column) -> Column:
+    """One fold step of ``(acc * B + h) mod (2^61 - 1)`` in exact int64.
+
+    Limb decomposition (B = ROLL_BASE < 2^20, acc < 2^61, h < 2^31):
+
+        acc = a*2^30 + b          (b = low 30 bits, a < 2^31)
+        p   = a*B                 (< 2^51)
+        p   = c*2^31 + d          (d = low 31 bits, c < 2^20)
+        acc*B = p*2^30 + b*B = c*2^61 + d*2^30 + b*B
+              ≡ c + d*2^30 + b*B            (mod 2^61-1, since 2^61 ≡ 1)
+
+    so acc' = (c + d*2^30 + b*B + h) % M61, every term < 2^61 and the sum
+    < 2^62 — no int64 overflow.  The a and c limbs are recovered with
+    subtract-then-divide by a power of two: the numerator is an exact
+    multiple of the divisor and needs < 53 mantissa bits after the shift,
+    so the double-typed division is exact (F.shiftright can't be used —
+    it rejects lambda-bound Columns in PySpark 4).
+    """
+    b = acc.bitwiseAND(F.lit(_LIMB30 - 1))
+    a = ((acc - b) / F.lit(_LIMB30)).cast("long")
+    p = a * F.lit(ROLL_BASE)
+    d = p.bitwiseAND(F.lit(_LIMB31 - 1))
+    c = ((p - d) / F.lit(_LIMB31)).cast("long")
+    return (c + d * F.lit(_LIMB30) + b * F.lit(ROLL_BASE) + h) % F.lit(ROLL_MOD61)
+
+
+def rolling_fingerprint61(df: DataFrame, text_col: str = "text",
+                          out_col: str = "rh61",
+                          prefix_tokens: int = ROLL_PREFIX_TOKENS) -> DataFrame:
+    """Prefix rolling hash modulo the Mersenne prime 2^61-1.
+
+    Same fold as ``rolling_fingerprint`` but with a 61-bit state and 31-bit
+    token hashes, dropping the 31-bit variant's birthday-collision ceiling
+    (~2^15.5 prefixes) to ~2^30.5 — the strength a corpus-scale prefix
+    fingerprint needs.  Per-row, JVM-side, no shuffle.
+    """
+    toks = F.slice(_tokens(F.col(text_col)), 1, prefix_tokens)
+    hashes = F.transform(toks, lambda t: md5_60(t).bitwiseAND(F.lit(_LIMB31 - 1)))
+    rolled = F.aggregate(hashes, F.lit(0).cast("long"), _roll61_step)
     return df.withColumn(out_col, rolled)

@@ -187,6 +187,38 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert 0 <= out[0] < 2**31
 
 
+def test_rolling61_matches_bigint_reference(spark):
+    """The two-limb int64 fold must equal the same fold done in Python's
+    arbitrary-precision arithmetic — proving the limb decomposition never
+    loses bits (values routinely exceed 2^53, where a float path breaks)."""
+    from grower_spark.functions.hashing import md5_60_py
+    from grower_spark.operators.text import (
+        ROLL_BASE,
+        ROLL_MOD61,
+        ROLL_PREFIX_TOKENS,
+        rolling_fingerprint61,
+    )
+
+    texts = [
+        BASE,
+        BASE + " extra tail tokens here",
+        "short",
+        " ".join(f"tok{i}" for i in range(100)),
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r["rh61"] for r in rolling_fingerprint61(df).collect()}
+
+    for i, text in enumerate(texts):
+        acc = 0
+        for tok in text.split(" ")[:ROLL_PREFIX_TOKENS]:
+            h = md5_60_py(tok) % (1 << 31)
+            acc = (acc * ROLL_BASE + h) % ROLL_MOD61
+        assert got[i] == acc, f"doc {i}"
+    # 61-bit state actually exercised (not stuck under 2^53)
+    assert any(v > (1 << 53) for v in got.values())
+
+
 def test_sample_frames_fanout(spark):
     from grower_spark.operators.multimodal import attach_binary, sample_frames
 
