@@ -1142,6 +1142,64 @@ QUALIFY rank <= {ANN_TOPK}
 """
 
 
+ANN_PROBES = 4
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-directed multi-probe LSH: each query also searches the buckets
+    reached by flipping its ANN_PROBES lowest-|margin| sign bits.  Measured
+    at sf0.01: recall@10 vs brute force rises 0.01 -> 0.09 from probes 0->4
+    at ~5x candidate volume (still a vanishing fraction of the corpus)."""
+    from grower_spark.operators.similarity import lsh_ann_topk
+
+    emb, q = _ann_queries(spark, sf_dir)
+    return lsh_ann_topk(
+        emb, q, k=ANN_TOPK, n_planes=ANN_LSH_PLANES, dim=EMB_DIM, n_probes=ANN_PROBES
+    )
+
+
+def oracle_ann_lsh_multiprobe() -> str:
+    from grower_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(ANN_LSH_PLANES, EMB_DIM)
+
+    def dot(plane):
+        return f"list_dot_product(vec, CAST([{', '.join(repr(v) for v in plane)}] AS DOUBLE[]))"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {dot(plane)} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    margin_terms = ", ".join(
+        f"{{'m': abs({dot(plane)}), 'pw': CAST({1 << p} AS BIGINT)}}"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+b AS (SELECT vec_id, vec, {bucket_terms} AS bkt FROM v),
+bm AS (SELECT vec_id, vec, bkt, [{margin_terms}] AS margins FROM v
+       JOIN (SELECT vec_id AS vid2, bkt FROM b) ON vec_id = vid2
+       WHERE vec_id < {N_ANN_QUERIES}),
+q AS (SELECT vec_id AS qid, vec AS qvec,
+        list_concat([bkt],
+          list_transform(list_slice(list_sort(margins), 1, {ANN_PROBES}),
+                         s -> xor(bkt, s.pw))) AS probes
+      FROM bm),
+qp AS (SELECT qid, qvec, unnest(probes) AS bkt FROM q),
+cand AS (
+  SELECT qp.qid, c.vec_id,
+    round(list_dot_product(qp.qvec, c.vec)
+      / (sqrt(list_dot_product(qp.qvec, qp.qvec)) * sqrt(list_dot_product(c.vec, c.vec))), 4) AS sim_r4
+  FROM b c JOIN qp ON c.bkt = qp.bkt AND c.vec_id <> qp.qid
+)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_r4 DESC, vec_id) AS INTEGER) AS rank,
+       sim_r4
+FROM cand
+QUALIFY rank <= {ANN_TOPK}
+"""
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grower_spark.operators.text import language_id
 
@@ -1439,6 +1497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -1475,6 +1534,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_ngram_jaccard": oracle_dedup_ngram_jaccard(),
     "ann_lsh": oracle_ann_lsh(),
+    "ann_lsh_multiprobe": oracle_ann_lsh_multiprobe(),
     "text_lang_id": oracle_text_lang_id(),
     "text_quality": oracle_text_quality(),
     "text_bpe_tokens": oracle_text_bpe_tokens(),

@@ -89,12 +89,48 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    arr = F.array(*[F.lit(v) for v in plane])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _probe_buckets(vec: Column, planes: list[list[float]], n_probes: int) -> Column:
+    """Array of probe buckets: the home bucket plus ``n_probes``
+    single-bit flips, chosen query-directed — flip the planes with the
+    smallest |dot| margin first (those are the sign bits a near-neighbor
+    most plausibly landed on the other side of).  All probes are distinct
+    buckets, so downstream bucket-equality joins can't duplicate a pair.
+
+    The power-of-two for each flip is baked into the margin struct at plan
+    time (F.shiftleft rejects lambda-bound Columns in PySpark 4)."""
+    dots = [_plane_dot(vec, plane) for plane in planes]
+    home = F.lit(0).cast("long")
+    for p, d in enumerate(dots):
+        home = home + (d > 0).cast("long") * F.lit(1 << p)
+    margins = F.array(
+        *[
+            F.struct(F.abs(d).alias("m"), F.lit(1 << p).cast("long").alias("pw"))
+            for p, d in enumerate(dots)
+        ]
+    )
+    flips = F.transform(
+        F.slice(F.sort_array(margins), 1, n_probes),
+        lambda s: home.bitwiseXOR(s["pw"]),
+    )
+    return F.concat(F.array(home), flips)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
     dim: int = 64,
+    n_probes: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
@@ -102,11 +138,24 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: bucket join on the LSH key, exact re-rank inside.
 
+    ``n_probes`` > 0 enables query-directed multi-probe: each query also
+    searches the buckets reached by flipping its ``n_probes``
+    lowest-margin sign bits, trading candidate volume for recall without
+    touching the corpus-side plan (the probe explode happens on the tiny
+    broadcast side only — the corpus still computes exactly one bucket
+    per row, and the join stays a broadcast hash join on the bucket key).
+
     Output (qid, vec_id, rank, sim_r4) — ranks are within the candidate
     set, so recall vs ``cosine_topk`` measures LSH quality."""
     planes = lsh_planes(n_planes, dim)
     c = corpus.withColumn("_bkt", _bucket_expr(F.col(vec_col), planes))
-    q = queries.withColumn("_bkt", _bucket_expr(F.col(qvec_col), planes))
+    if n_probes <= 0:
+        q = queries.withColumn("_bkt", _bucket_expr(F.col(qvec_col), planes))
+    else:
+        q = queries.withColumn(
+            "_bkt",
+            F.explode(_probe_buckets(F.col(qvec_col), planes, n_probes)),
+        )
     cand = c.join(F.broadcast(q), "_bkt").where(F.col(id_col) != F.col(qid_col))
     scored = cand.select(
         qid_col, id_col, F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4")

@@ -1,0 +1,61 @@
+"""Multi-probe LSH: recall against brute-force ground truth must rise
+monotonically with probes, and probe buckets must be distinct (no pair
+duplication through the bucket join)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from grower_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+from conftest import SF_SMALL
+
+K = 5
+N_QUERIES = 12
+
+
+@pytest.fixture(scope="module")
+def emb_and_queries(spark):
+    from grower_spark.io_tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return emb, q
+
+
+def _pairs(df):
+    return {(r["qid"], r["vec_id"]) for r in df.collect()}
+
+
+def test_multiprobe_recall_lift(spark, emb_and_queries):
+    emb, q = emb_and_queries
+    dim = len(emb.select("embedding").first()[0])
+    truth = _pairs(cosine_topk(emb, q, k=K))
+
+    recalls = {}
+    n_cands = {}
+    for probes in (0, 2, 4):
+        got = lsh_ann_topk(emb, q, k=K, n_planes=8, dim=dim, n_probes=probes)
+        found = _pairs(got)
+        recalls[probes] = len(found & truth) / len(truth)
+        n_cands[probes] = len(found)
+
+    # monotone: more probes never lose recall, and the full probe budget
+    # must beat the single-bucket baseline on this data
+    assert recalls[0] <= recalls[2] <= recalls[4], recalls
+    assert recalls[4] > recalls[0], recalls
+    # cost grows with probes but stays bounded by (n_probes+1) buckets
+    assert n_cands[0] <= n_cands[2] <= n_cands[4]
+
+
+def test_probe_buckets_distinct_no_pair_duplication(spark, emb_and_queries):
+    emb, q = emb_and_queries
+    dim = len(emb.select("embedding").first()[0])
+    got = lsh_ann_topk(emb, q, k=1000, n_planes=8, dim=dim, n_probes=4)
+    # if the same (qid, vec_id) matched via two probes, row_number would
+    # emit it twice with different ranks
+    dupes = (
+        got.groupBy("qid", "vec_id").count().where(F.col("count") > 1).count()
+    )
+    assert dupes == 0
