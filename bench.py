@@ -42,7 +42,10 @@ BENCH_QUERIES = [
     ("text_quality", "noop"),
     ("doc_fingerprint", "noop"),
     ("ann_cosine_topk", "collect"),
+    ("ann_cosine_topk_np", "collect"),
     ("ann_lsh", "collect"),
+    ("ann_lsh_multiprobe", "collect"),
+    ("doc_rolling_hash61", "noop"),
     ("multimodal_decode", "noop"),
     ("json_fields", "noop"),
 ]

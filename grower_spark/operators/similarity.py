@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
+from pyspark.sql import types as T
 
 from grower_spark.functions.hashing import md5_60_py
 
@@ -59,6 +60,90 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, "rank", "sim_r4")
+    )
+
+
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k neighbors per query via a vectorized numpy-matmul kernel.
+
+    Same output contract as ``cosine_topk`` ((qid, vec_id, rank, sim_r4),
+    ranked by rounded similarity with vec_id tie-break), different physical
+    strategy for real embedding widths: the HOF version evaluates one
+    Catalyst fold per (row, query) pair — fine at dim≈64, but at 768-4096
+    dims the expression interpreter becomes the bottleneck.  Here the
+    query matrix is collected once (queries are broadcast-small by the
+    same contract the HOF version relies on), L2-normalized, and shipped
+    to executors; each Arrow batch of the corpus becomes one BLAS matmul
+    (batch × dim @ dim × n_queries), and only the per-batch top-k per
+    query leave Python — a map-side partial top-k, so the final window
+    sees ≤ k·n_batches·n_queries rows instead of the full score matrix.
+
+    One corpus pass, no corpus-side shuffle before the tiny top-k window —
+    the same plan shape as the HOF version, with the scoring hot loop in
+    BLAS instead of Catalyst.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(qid_col, qvec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("sim_r4", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        qids_, qn = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = np.round(cmat @ qn.T, 4)  # rounded BEFORE selection so
+            # the batch-local top-k agrees with the global rounded ordering
+            parts = []
+            for j, qid in enumerate(qids_):
+                s = sims[:, j]
+                keep = ids != qid
+                order = np.lexsort((ids[keep], -s[keep]))[:k]
+                sel_ids, sel_sims = ids[keep][order], s[keep][order]
+                parts.append(
+                    pd.DataFrame(
+                        {"qid": qid, "vec_id": sel_ids, "sim_r4": sel_sims}
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    scored = src.mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_r4"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("vec_id").alias(id_col),
+            "rank",
+            "sim_r4",
+        )
     )
 
 

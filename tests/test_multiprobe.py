@@ -49,6 +49,18 @@ def test_multiprobe_recall_lift(spark, emb_and_queries):
     assert n_cands[0] <= n_cands[2] <= n_cands[4]
 
 
+def test_numpy_scorer_matches_hof_scorer(spark, emb_and_queries):
+    """cosine_topk_np (BLAS matmul in mapInPandas, map-side partial top-k)
+    must produce the same ranked neighbors as the Catalyst-HOF version —
+    same contract, different physical strategy."""
+    from grower_spark.operators.similarity import cosine_topk_np
+
+    emb, q = emb_and_queries
+    hof = {(r["qid"], r["vec_id"], r["rank"]) for r in cosine_topk(emb, q, k=K).collect()}
+    np_ = {(r["qid"], r["vec_id"], r["rank"]) for r in cosine_topk_np(emb, q, k=K).collect()}
+    assert hof == np_
+
+
 def test_probe_buckets_distinct_no_pair_duplication(spark, emb_and_queries):
     emb, q = emb_and_queries
     dim = len(emb.select("embedding").first()[0])
