@@ -1212,6 +1212,39 @@ QUALIFY rank <= {ANN_TOPK}
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: stamp every event with the latest 'mark'
+    (every 20th event) at-or-before it for the same user — the as-of join
+    a pipeline needs for config-change / deploy-marker attribution.
+    (user_id, ts) is unique among marks in this dataset, so the match is
+    well-defined; epoch micros is the asof time on both engines."""
+    from grower_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", F.unix_micros("ts").alias("t_us"))
+    right = ev.where(F.col("event_id") % 20 == 0).select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_id").alias("mark_id"),
+        F.round(F.col("value") * 100).cast("long").alias("mark_value_centis"),
+    )
+    return asof_join(
+        left, right, ["user_id"], "t_us", ["mark_id", "mark_value_centis"]
+    )
+
+
+def oracle_events_asof_join() -> str:
+    return """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+r AS (SELECT user_id, epoch_us(ts) AS t_us, event_id AS mark_id,
+             CAST(round(value * 100) AS BIGINT) AS mark_value_centis
+      FROM events WHERE event_id % 20 = 0)
+SELECT l.event_id, l.user_id, l.t_us, r.mark_id, r.mark_value_centis
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.t_us >= r.t_us
+"""
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grower_spark.operators.text import language_id
 
@@ -1511,6 +1544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "events_asof_join": q_events_asof_join,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -1551,6 +1585,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk_np": oracle_ann_cosine_topk(),
     "ann_lsh": oracle_ann_lsh(),
     "ann_lsh_multiprobe": oracle_ann_lsh_multiprobe(),
+    "events_asof_join": oracle_events_asof_join(),
     "text_lang_id": oracle_text_lang_id(),
     "text_quality": oracle_text_quality(),
     "text_bpe_tokens": oracle_text_bpe_tokens(),

@@ -3,8 +3,12 @@
 ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4
 refuses to read natively; with ``spark.sql.legacy.parquet.nanosAsLong=true``
 it surfaces as a bigint of epoch nanoseconds.  ``load_table`` normalizes that
-to both the raw nanos (``ts_ns``, exact — matches DuckDB ``epoch_ns(ts)``)
-and a microsecond-truncated timestamp (``ts``).
+to both the raw nanos (``ts_ns``, exact) and a microsecond-TRUNCATED
+timestamp (``ts``) — integer ``div``, never float division: epoch-nanos
+exceed 2^53, so ``(ts_ns / 1000).cast("long")`` rounds on the double
+mantissa and lands 1µs above DuckDB's floored parquet conversion for ~half
+of all sub-µs timestamps (caught by the asof-join oracle; every engine
+must agree on ``ts`` to the microsecond).
 """
 
 from __future__ import annotations
@@ -26,7 +30,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = (
             df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
         )
     return df
 

@@ -1,0 +1,95 @@
+"""As-of (point-in-time) join: match each left row to the latest right row
+with ``right.ts <= left.ts`` per key — the lookup a log/metrics pipeline
+needs to stamp events with the most recent config change, deploy marker,
+or slowly-changing dimension version.
+
+Spark has no native ASOF JOIN; the classic workarounds are a range self
+join (quadratic blowup per key) or a per-key collect (driver-bound).  The
+scalable formulation used here is union + ordered window:
+
+1. tag left rows side=1, right rows side=0, union them over the shared
+   (keys, ts) shape;
+2. one shuffle+sort on (keys) ordered by (ts, side) — right-before-left at
+   equal ts gives ``<=`` semantics;
+3. ``last(value, ignorenulls=True)`` over the running window propagates the
+   most recent right values onto every subsequent left row;
+4. keep side=1 rows.
+
+Cost: ONE shuffle + per-partition sort over |L|+|R| rows — the same as a
+sort-merge join, with no pair blowup however many left rows share a right
+match.  At 100TB the refinement is time-bucketed range partitioning per key
+with boundary carry-in rows; per-key ordering inside a partition is what
+this operator already expresses.
+
+Unmatched left rows keep NULL right values (left-join semantics), matching
+DuckDB's ``ASOF LEFT JOIN`` which the driver-query oracle uses verbatim.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+_SIDE = "__side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tolerance: Optional[int] = None,
+) -> DataFrame:
+    """Left as-of join: all left columns plus, for each name in
+    ``value_cols``, the value from the latest right row with
+    ``right[ts_col] <= left[ts_col]`` and equal ``key_cols``.
+
+    ``tolerance`` (same unit as ``ts_col``) nulls out matches older than
+    ``left.ts - tolerance`` — pass an integer ts (e.g. epoch micros) when
+    using it.  Right rows at exactly ``left.ts`` DO match (<=, not <).
+    """
+    keys = list(key_cols)
+    vals = list(value_cols)
+    left_cols = [c for c in left.columns]
+    clash = set(vals) & set(left_cols)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+
+    l_tagged = left.select(
+        *left_cols,
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in vals],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in keys and c != ts_col],
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias(_SIDE),
+        *vals,
+    ).select(*left_cols, _SIDE, *vals)  # align column order with l_tagged
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(F.col(v), ignorenulls=True).over(w).alias(v) for v in vals]
+    matched_ts = F.last(
+        F.when(F.col(_SIDE) == 0, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+
+    out = unioned.select(*left_cols, F.col(_SIDE), matched_ts.alias("__mts"), *carried)
+    out = out.where(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        in_range = F.col("__mts") >= (F.col(ts_col) - F.lit(tolerance))
+        out = out.select(
+            *left_cols,
+            "__mts",
+            *[F.when(in_range, F.col(v)).alias(v) for v in vals],
+        )
+    return out.select(*left_cols, *vals)

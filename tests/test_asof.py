@@ -1,0 +1,53 @@
+"""as-of join semantics: latest-at-or-before match per key, left-join
+nulls, equal-ts inclusion, tolerance cutoff, and name-clash guard."""
+
+import pytest
+
+from grower_spark.operators.asof import asof_join
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u1", 300),
+         (4, "u2", 150), (5, "u3", 500)],
+        ["event_id", "user", "t"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 10), ("u1", 200, 20), ("u1", 400, 40), ("u2", 160, 99)],
+        ["user", "t", "mark"],
+    )
+    return left, right
+
+
+def test_latest_at_or_before(spark, frames):
+    left, right = frames
+    out = {r["event_id"]: r["mark"]
+           for r in asof_join(left, right, ["user"], "t", ["mark"]).collect()}
+    assert out[1] == 10   # exact ts match included (<=)
+    assert out[2] == 20   # 205 -> mark at 200, not 100, not 400
+    assert out[3] == 20   # 300 -> still 200 (400 is in the future)
+    assert out[4] is None  # u2's only mark is at 160 > 150
+    assert out[5] is None  # u3 has no marks at all (left join)
+
+
+def test_tolerance_nulls_stale_matches(spark, frames):
+    left, right = frames
+    out = {r["event_id"]: r["mark"]
+           for r in asof_join(left, right, ["user"], "t", ["mark"],
+                              tolerance=50).collect()}
+    assert out[1] == 10   # age 0 <= 50
+    assert out[2] == 20   # age 5 <= 50
+    assert out[3] is None  # age 100 > 50: stale match nulled
+    assert out[4] is None and out[5] is None
+
+
+def test_all_left_rows_survive(spark, frames):
+    left, right = frames
+    assert asof_join(left, right, ["user"], "t", ["mark"]).count() == left.count()
+
+
+def test_value_col_clash_rejected(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["user"], "t", ["t"])
