@@ -1212,6 +1212,30 @@ QUALIFY rank <= {ANN_TOPK}
 """
 
 
+def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join (operators/skew.py::salted_join): the
+    events fact is salted, the customer dim replicated per salt, so one hot
+    user cannot pin a single reducer.  Output is salt-invariant — exactly a
+    plain join — which is precisely what the oracle checks."""
+    from grower_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_nationkey").alias("user_nation"),
+    )
+    return salted_join(ev, dim, ["user_id"], n_salts=8)
+
+
+def oracle_salted_join_events() -> str:
+    return """
+SELECT e.user_id, e.event_id, c.c_name AS user_name,
+       c.c_nationkey AS user_nation
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: stamp every event with the latest 'mark'
     (every 20th event) at-or-before it for the same user — the as-of join
@@ -1545,6 +1569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "events_asof_join": q_events_asof_join,
+    "salted_join_events": q_salted_join_events,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -1586,6 +1611,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh": oracle_ann_lsh(),
     "ann_lsh_multiprobe": oracle_ann_lsh_multiprobe(),
     "events_asof_join": oracle_events_asof_join(),
+    "salted_join_events": oracle_salted_join_events(),
     "text_lang_id": oracle_text_lang_id(),
     "text_quality": oracle_text_quality(),
     "text_bpe_tokens": oracle_text_bpe_tokens(),

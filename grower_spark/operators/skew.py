@@ -59,3 +59,32 @@ def salted_broadcast_left(
     big side on (key, salt)."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(salt_col)
     return small.select("*", salts)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side
+    ``n_salts`` ways, join on (keys + salt), drop the salt.
+
+    Result is identical to ``big.join(small, on, how)`` — the salt only
+    changes the physical distribution: a hot key's rows land on
+    ``n_salts`` different reducers instead of one, bounding per-task input
+    when one key dominates the shuffle (AQE's skew splitting covers
+    sort-merge joins after the fact; salting also covers hash-partitioned
+    work feeding later stages, and degrades gracefully when statistics
+    are missing).  Cost: the small side is materialized ``n_salts`` times
+    — keep it dimension-sized.
+
+    Only ``inner`` and ``left`` are allowed: a right/full join would emit
+    unmatched small-side rows once per salt replica.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    b = with_salt(big, n_salts)
+    s = salted_broadcast_left(small, n_salts)
+    return b.join(s, [*on, "_salt"], how).drop("_salt")

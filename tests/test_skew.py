@@ -1,8 +1,15 @@
-"""Skew operators: salted two-phase aggregation must be salt-invariant."""
+"""Skew operators: salted two-phase aggregation and the salted join must
+be salt-invariant (identical to their unsalted equivalents)."""
 
 import pyspark.sql.functions as F
+import pytest
 
-from grower_spark.operators.skew import salted_agg, salted_broadcast_left, with_salt
+from grower_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_left,
+    salted_join,
+    with_salt,
+)
 
 
 def test_salted_agg_matches_plain(spark):
@@ -33,3 +40,28 @@ def test_salted_broadcast_left_replicates(spark):
     exploded = salted_broadcast_left(small, n_salts=3)
     assert exploded.count() == 6
     assert exploded.where(F.col("k") == 1).count() == 3
+
+
+def test_salted_join_matches_plain(spark):
+    # hot key 1 dominates the fact side
+    big = spark.createDataFrame(
+        [(1 if i % 10 != 0 else i % 5, i) for i in range(1000)], ["k", "eid"]
+    )
+    small = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two"), (9, "unmatched-dim")], ["k", "name"]
+    )
+    for how in ("inner", "left"):
+        salted = salted_join(big, small, ["k"], n_salts=8, how=how)
+        plain = big.join(small, ["k"], how)
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), how
+    # left join keeps unmatched big rows exactly once
+    left = salted_join(big, small, ["k"], n_salts=8, how="left")
+    assert left.count() == big.count()
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.createDataFrame([(1, 1)], ["k", "v"])
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(df, df, ["k"], how="right")
