@@ -1212,6 +1212,52 @@ QUALIFY rank <= {ANN_TOPK}
 """
 
 
+IVF_CELLS = 16
+IVF_PROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (16 unit-norm cells),
+    map-side cell assignment, 2-cell probe per query, exact re-rank."""
+    from grower_spark.operators.similarity import ivf_ann_topk
+
+    emb, q = _ann_queries(spark, sf_dir)
+    return ivf_ann_topk(
+        emb, q, k=ANN_TOPK, n_cells=IVF_CELLS, n_probe=IVF_PROBE, dim=EMB_DIM
+    )
+
+
+def oracle_ann_ivf() -> str:
+    from grower_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(IVF_CELLS, EMB_DIM)
+    ranked_terms = ", ".join(
+        f"{{'m': -list_dot_product(vec, CAST([{', '.join(repr(v) for v in cent)}] AS DOUBLE[])), "
+        f"'i': CAST({i} AS INTEGER)}}"
+        for i, cent in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+ranked AS (SELECT vec_id, vec,
+             list_transform(list_sort([{ranked_terms}]), s -> s.i) AS cells
+           FROM v),
+c AS (SELECT vec_id, vec, cells[1] AS cell FROM ranked),
+q AS (SELECT vec_id AS qid, vec AS qvec, unnest(list_slice(cells, 1, {IVF_PROBE})) AS cell
+      FROM ranked WHERE vec_id < {N_ANN_QUERIES}),
+cand AS (
+  SELECT q.qid, c.vec_id,
+    round(list_dot_product(q.qvec, c.vec)
+      / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec))), 4) AS sim_r4
+  FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.qid
+)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_r4 DESC, vec_id) AS INTEGER) AS rank,
+       sim_r4
+FROM cand
+QUALIFY rank <= {ANN_TOPK}
+"""
+
+
 def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe fact⋈dim equi-join (operators/skew.py::salted_join): the
     events fact is salted, the customer dim replicated per salt, so one hot
@@ -1568,6 +1614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
     "salted_join_events": q_salted_join_events,
     "text_lang_id": q_text_lang_id,
@@ -1610,6 +1657,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk_np": oracle_ann_cosine_topk(),
     "ann_lsh": oracle_ann_lsh(),
     "ann_lsh_multiprobe": oracle_ann_lsh_multiprobe(),
+    "ann_ivf": oracle_ann_ivf(),
     "events_asof_join": oracle_events_asof_join(),
     "salted_join_events": oracle_salted_join_events(),
     "text_lang_id": oracle_text_lang_id(),

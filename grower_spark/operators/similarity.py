@@ -147,6 +147,84 @@ def cosine_topk_np(
     )
 
 
+def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic unit-norm centroid grid: component (c, d) is
+    md5-derived in [-1, 1], then L2-normalized.  Data-independent by
+    design — the coarse quantizer is injectable in a real deployment
+    (swap in sampled k-means centroids); a fixed grid keeps the cell
+    assignment a plan-time constant that Spark, DuckDB, and Python all
+    reproduce bit-for-bit, which is what makes the oracle possible."""
+    import math
+
+    out = []
+    for c in range(n_cells):
+        raw = [((md5_60_py(f"ivf{c}_{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+        norm = math.sqrt(sum(v * v for v in raw)) or 1.0
+        out.append([v / norm for v in raw])
+    return out
+
+
+def _cell_ranking(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of cell indices ordered by descending dot(vec, centroid)
+    (ties to the lower index): sort on (-dot, idx) ascending."""
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-_plane_dot(vec, cent)).alias("m"),
+                    F.lit(i).cast("int").alias("i"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+    )
+    return F.transform(ranked, lambda s: s["i"])
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` inverted lists (each row's cell = argmax centroid dot,
+    computed map-side — ONE cell per corpus row, no corpus shuffle except
+    the final bucket join), probe each query's ``n_probe`` closest cells,
+    exact-cosine re-rank inside the probed cells.
+
+    The 100TB shape: cell assignment is a map-side literal expression, the
+    only shuffle key is the bounded cell id, and the probe fan-out lives on
+    the broadcast query side — the same candidate-generation discipline as
+    the LSH variant with a geometry-aware quantizer instead of sign bits.
+    Output (qid, vec_id, rank, sim_r4), ranks within the candidate set.
+    """
+    cents = ivf_centroids(n_cells, dim)
+    c = corpus.withColumn(
+        "_cell", F.get(_cell_ranking(F.col(vec_col), cents), 0)
+    )
+    q = queries.withColumn(
+        "_cell",
+        F.explode(F.slice(_cell_ranking(F.col(qvec_col), cents), 1, n_probe)),
+    )
+    cand = c.join(F.broadcast(q), "_cell").where(F.col(id_col) != F.col(qid_col))
+    scored = cand.select(
+        qid_col, id_col, F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim_r4"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank", "sim_r4")
+    )
+
+
 def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) is
     md5-derived in [-1, 1].  Plan-time constants — identical in the Spark

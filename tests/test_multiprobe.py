@@ -61,6 +61,24 @@ def test_numpy_scorer_matches_hof_scorer(spark, emb_and_queries):
     assert hof == np_
 
 
+def test_ivf_recall_monotone_in_probes(spark, emb_and_queries):
+    """IVF ANN: probing more cells never loses recall and covers the whole
+    corpus at n_probe == n_cells (exhaustive fallback == brute force)."""
+    from grower_spark.operators.similarity import ivf_ann_topk
+
+    emb, q = emb_and_queries
+    dim = len(emb.select("embedding").first()[0])
+    truth = _pairs(cosine_topk(emb, q, k=K))
+
+    recalls = {}
+    for probe in (1, 4, 8):
+        got = ivf_ann_topk(emb, q, k=K, n_cells=8, n_probe=probe, dim=dim)
+        recalls[probe] = len(_pairs(got) & truth) / len(truth)
+    assert recalls[1] <= recalls[4] <= recalls[8], recalls
+    # probing every cell IS brute force
+    assert recalls[8] == 1.0, recalls
+
+
 def test_probe_buckets_distinct_no_pair_duplication(spark, emb_and_queries):
     emb, q = emb_and_queries
     dim = len(emb.select("embedding").first()[0])
