@@ -156,23 +156,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "batch":
         from grower_spark.plans.pipeline import LogPipeline
         from grower_spark.sinks.deadletter import write_deadletter_batch
-        from grower_spark.sinks.files import write_batch_files
+        from grower_spark.sinks.files import pick_time_col, write_batch_files
         from grower_spark.sources.file import batch_lines
 
         pipeline = LogPipeline(cfg)
         good, bad = pipeline.parse_with_deadletter(batch_lines(spark, args.input))
-        time_col = "time_local" if "time_local" in good.columns else good.columns[0]
-        write_batch_files(good, args.output, time_col=time_col)
+        write_batch_files(good, args.output, time_col=pick_time_col(good))
         if args.dead_letter:
             write_deadletter_batch(bad, args.dead_letter)
         print(f"wrote {args.output}")
         return 0
 
     if args.command == "filelog":
-        from grower_spark.streaming.filelog import FileLogRunner, start_liveness_server
+        from grower_spark.streaming.filelog import (
+            FileLogRunner,
+            StreamMetrics,
+            start_liveness_server,
+        )
 
         if args.live_addr_port:
-            start_liveness_server(args.live_addr_port)
+            metrics = StreamMetrics()
+            spark.streams.addListener(metrics.listener())
+            start_liveness_server(args.live_addr_port, metrics)
         runner = FileLogRunner(
             spark,
             cfg,

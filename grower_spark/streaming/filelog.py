@@ -65,10 +65,13 @@ class FileLogRunner:
                     processingTime=f"{self.scrape_interval_seconds} seconds"
                 )
         else:
+            from grower_spark.sinks.files import pick_time_col
+
             writer = file_stream_writer(
                 good,
                 self.output_path,
                 os.path.join(self.checkpoint_root, "main"),
+                time_col=pick_time_col(good),
                 trigger_seconds=None if self.available_now else self.scrape_interval_seconds,
                 available_now=self.available_now,
             )
@@ -105,19 +108,97 @@ class FileLogRunner:
         signal.signal(signal.SIGTERM, _handler)
 
 
-def start_liveness_server(port: int) -> threading.Thread:
-    """GET /live -> 200 'Alive' (reference C4, cmd/filelog/main.go:220-241)."""
+class StreamMetrics:
+    """Cumulative streaming metrics in Prometheus text exposition format.
+
+    The reference left "sending metrics to prometheus" as a TODO
+    (README.md:27-31); here it's a ``StreamingQueryListener`` that
+    accumulates per-query totals from progress events plus last-batch
+    gauges, rendered by the liveness server's ``/metrics`` endpoint.
+
+    Register with ``spark.streams.addListener(metrics.listener())``.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.rows_total: dict[str, int] = {}
+        self.batches_total: dict[str, int] = {}
+        self.last_batch_rows: dict[str, int] = {}
+        self.last_rows_per_sec: dict[str, float] = {}
+
+    def record(self, name: str, num_input_rows: int, rows_per_sec: float) -> None:
+        with self._lock:
+            self.rows_total[name] = self.rows_total.get(name, 0) + num_input_rows
+            self.batches_total[name] = self.batches_total.get(name, 0) + 1
+            self.last_batch_rows[name] = num_input_rows
+            self.last_rows_per_sec[name] = rows_per_sec
+
+    def listener(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        metrics = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                p = event.progress
+                metrics.record(
+                    p.name or str(p.id),
+                    int(p.numInputRows or 0),
+                    float(p.processedRowsPerSecond or 0.0),
+                )
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        return _Listener()
+
+    def render(self) -> str:
+        def series(metric: str, mtype: str, values: dict) -> list[str]:
+            out = [f"# TYPE {metric} {mtype}"]
+            for name in sorted(values):
+                out.append(f'{metric}{{query="{name}"}} {values[name]}')
+            return out
+
+        with self._lock:
+            lines = (
+                series("grower_stream_rows_total", "counter", self.rows_total)
+                + series("grower_stream_batches_total", "counter", self.batches_total)
+                + series("grower_stream_last_batch_rows", "gauge", self.last_batch_rows)
+                + series(
+                    "grower_stream_processed_rows_per_second",
+                    "gauge",
+                    self.last_rows_per_sec,
+                )
+            )
+        return "\n".join(lines) + "\n"
+
+
+def start_liveness_server(
+    port: int, metrics: Optional[StreamMetrics] = None
+) -> threading.Thread:
+    """GET /live -> 200 'Alive' (reference C4, cmd/filelog/main.go:220-241);
+    GET /metrics -> Prometheus text exposition when a ``StreamMetrics`` is
+    attached (reference TODO, README.md:27-31)."""
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802
             if self.path == "/live":
                 body = b"Alive"
-                self.send_response(200)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            elif self.path == "/metrics" and metrics is not None:
+                body = metrics.render().encode()
             else:
                 self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def log_message(self, *args):  # silence
             pass

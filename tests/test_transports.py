@@ -252,8 +252,66 @@ def test_liveness_server():
         assert body == b"Alive"
         with pytest.raises(Exception):
             urllib.request.urlopen("http://127.0.0.1:18573/nope", timeout=5)
+        with pytest.raises(Exception):  # no metrics registry attached
+            urllib.request.urlopen("http://127.0.0.1:18573/metrics", timeout=5)
     finally:
         thread.server.shutdown()
+
+
+def test_metrics_endpoint_renders_registry():
+    import urllib.request
+
+    from grower_spark.streaming.filelog import StreamMetrics
+
+    metrics = StreamMetrics()
+    metrics.record("filelog-main", 100, 2500.0)
+    metrics.record("filelog-main", 50, 1250.0)
+    metrics.record("filelog-deadletter", 2, 10.0)
+    thread = start_liveness_server(18574, metrics)
+    try:
+        body = urllib.request.urlopen(
+            "http://127.0.0.1:18574/metrics", timeout=5
+        ).read().decode()
+    finally:
+        thread.server.shutdown()
+    assert '# TYPE grower_stream_rows_total counter' in body
+    assert 'grower_stream_rows_total{query="filelog-main"} 150' in body
+    assert 'grower_stream_batches_total{query="filelog-main"} 2' in body
+    assert 'grower_stream_last_batch_rows{query="filelog-main"} 50' in body
+    assert 'grower_stream_rows_total{query="filelog-deadletter"} 2' in body
+
+
+def test_metrics_listener_accumulates_from_stream(spark, tmp_path):
+    """End-to-end: a real streaming query's progress events flow through
+    the StreamingQueryListener into the registry."""
+    import time
+
+    from grower_spark.streaming.filelog import StreamMetrics
+
+    metrics = StreamMetrics()
+    listener = metrics.listener()
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.txt").write_text("one\ntwo\nthree\n")
+        q = (
+            spark.readStream.text(str(src))
+            .writeStream.format("noop")
+            .queryName("metrics-e2e")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 15  # listener events are async
+        while time.time() < deadline and metrics.rows_total.get("metrics-e2e", 0) < 3:
+            time.sleep(0.2)
+        assert metrics.rows_total.get("metrics-e2e") == 3
+        assert metrics.batches_total.get("metrics-e2e", 0) >= 1
+        assert "metrics-e2e" in metrics.render()
+    finally:
+        spark.streams.removeListener(listener)
 
 
 def test_cli_ddl_and_help(tmp_path, capsys):
