@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--backup-file-max-age", type=int, default=None,
                    help="seconds; older backups deleted")
     r.add_argument("--nginx-reopen", action="store_true")
+    r.add_argument("--compress", action="store_true",
+                   help="gzip the rotated backup (reference TODO)")
 
     d = sub.add_parser("ddl", help="print ClickHouse DDL for a config")
     d.add_argument("--config", required=True)
@@ -87,7 +89,11 @@ def main(argv: list[str] | None = None) -> int:
 
         from grower_spark.sources.rotate import Rotator, clear_backup_files, nginx_reopen
 
-        rot = Rotator(args.log_file, reopen=nginx_reopen if args.nginx_reopen else lambda: None)
+        rot = Rotator(
+            args.log_file,
+            reopen=nginx_reopen if args.nginx_reopen else lambda: None,
+            compress=args.compress,
+        )
         backup = rot.rotate()
         print(f"rotated: {backup}" if backup else "nothing to rotate")
         deleted = clear_backup_files(

@@ -767,6 +767,140 @@ WHERE round(
 """
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with the PRODUCTION blocking key: the LSH bucket
+    (hyperplane sign bits) instead of a trusted label column.  Same plan
+    shape — shuffle on the bounded bucket key only, never all-pairs; recall
+    is the standard LSH tradeoff (same-bucket requires all sign bits to
+    agree; band the planes or multi-probe to raise it)."""
+    from grower_spark.operators.similarity import _bucket_expr, lsh_planes
+
+    planes = lsh_planes(ANN_LSH_PLANES, EMB_DIM)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_bkt", _bucket_expr(F.col("embedding"), planes)
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "_bkt")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "_bkt")
+    pairs = a.join(b, "_bkt").where(F.col("id_a") < F.col("id_b"))
+    sim = _cosine(F.col("vec_a"), F.col("vec_b"))
+    return (
+        pairs.select(
+            F.col("_bkt").alias("bucket"), "id_a", "id_b", F.round(sim, 4).alias("sim_r4")
+        )
+        .where(F.col("sim_r4") >= NEARDUP_THRESHOLD)
+    )
+
+
+def oracle_embedding_neardup_lsh() -> str:
+    from grower_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(ANN_LSH_PLANES, EMB_DIM)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, CAST([{', '.join(repr(v) for v in plane)}] AS DOUBLE[])) > 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    sim = (
+        "round(list_dot_product(a.vec, b.vec)"
+        " / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 4)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+bkt AS (SELECT vec_id, vec, {bucket_terms} AS bucket FROM v)
+SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS sim_r4
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {sim} >= {NEARDUP_THRESHOLD}
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate in one shuffle: ROLLUP over (event_type, day)
+    produces per-(type, day), per-type, and grand-total rows with a single
+    grouping-sets exchange — the hypertable-rollup shape, Catalyst-native."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("v_centis"),
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_centis").alias("sum_centis"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def oracle_events_rollup() -> str:
+    return """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_centis,
+  CAST(grouping(event_type) * 2 + grouping(strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-native session windows (F.session_window): same gap
+    semantics as the hand-rolled gaps-and-islands sessionizer but as ONE
+    aggregate the planner understands — and the identical expression works
+    under readStream with a watermark (streaming/stateful.py uses the
+    hand-rolled variant where per-event rows are needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_centis"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("sess_end_us"),
+            "n_events",
+            "sum_centis",
+        )
+    )
+
+
+def oracle_events_session_window() -> str:
+    # gaps-and-islands: a new session starts when the gap from the previous
+    # event reaches the gap duration (Spark sessions are [start, last+gap),
+    # so an event exactly at prev+gap opens a new session); end = last+gap.
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS v,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              >= INTERVAL {SESSION_GAP_MIN} MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+ids AS (
+  SELECT user_id, ts, v,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+  epoch_us(min(ts)) AS sess_start_us,
+  epoch_us(max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE) AS sess_end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(v) AS BIGINT) AS sum_centis
+FROM ids
+GROUP BY user_id, sid
+"""
+
+
 # --- JSON log path (P3 — stubbed in the reference, implemented here) ---------
 
 SYNTH_JSON_CONFIG = PipelineConfig.from_dict(
@@ -1596,6 +1730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_custom_casts": q_nginx_custom_casts,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
     "events_topk_per_user": q_events_topk_per_user,
     "syslog_extract": q_syslog_extract,
     "tpch_q1": q_tpch_q1,
@@ -1608,6 +1743,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "events_rollup": q_events_rollup,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1637,6 +1774,7 @@ ORACLES: dict[str, str] = {
     "nginx_custom_casts": oracle_nginx_custom_casts(),
     "events_window_agg": oracle_events_window_agg(),
     "events_sessionize": oracle_events_sessionize(),
+    "events_session_window": oracle_events_session_window(),
     "events_topk_per_user": oracle_events_topk_per_user(),
     "syslog_extract": oracle_syslog_extract(),
     "tpch_q1": oracle_tpch_q1(),
@@ -1649,6 +1787,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": oracle_doc_fingerprint(),
     "ann_cosine_topk": oracle_ann_cosine_topk(),
     "embedding_neardup": oracle_embedding_neardup(),
+    "embedding_neardup_lsh": oracle_embedding_neardup_lsh(),
+    "events_rollup": oracle_events_rollup(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_ngram_jaccard": oracle_dedup_ngram_jaccard(),

@@ -12,14 +12,17 @@ drops files older than ``max_age`` (pkg/fileio/io.go:23-73).
 
 from __future__ import annotations
 
+import gzip
 import os
 import re
+import shutil
 import subprocess
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 BACKUP_SUFFIX = ".growerlog"
+GZ_SUFFIX = BACKUP_SUFFIX + ".gz"
 
 
 def stamp_name(original: str, now: Optional[float] = None) -> str:
@@ -28,8 +31,23 @@ def stamp_name(original: str, now: Optional[float] = None) -> str:
 
 
 def _backup_ts(original_base: str, name: str) -> Optional[int]:
-    m = re.fullmatch(re.escape(original_base) + r"-(\d+)" + re.escape(BACKUP_SUFFIX), name)
+    pat = re.escape(original_base) + r"-(\d+)" + re.escape(BACKUP_SUFFIX) + r"(\.gz)?"
+    m = re.fullmatch(pat, name)
     return int(m.group(1)) if m else None
+
+
+def compress_backup(path: str) -> str:
+    """Gzip a rotated backup in place (write .gz, fsync-free rename, unlink
+    the original) — the reference's "compressing logs" TODO (README.md:30).
+    Spark's text source reads .gz transparently, so the rotation directory
+    stream keeps working on compressed backups."""
+    gz_path = path + ".gz"
+    tmp = gz_path + ".tmp"
+    with open(path, "rb") as src, gzip.open(tmp, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    os.rename(tmp, gz_path)  # readers never see a partial .gz
+    os.remove(path)
+    return gz_path
 
 
 def nginx_reopen() -> None:
@@ -48,15 +66,19 @@ class Rotator:
     path: str
     reopen: Callable[[], None] = field(default=lambda: None)
     clock: Callable[[], float] = time.time
+    compress: bool = False
 
     def rotate(self) -> Optional[str]:
-        """Returns the backup path, or None when the live log is absent/empty
-        (the reference skips empty rotations, pkg/fileio/rotate.go:36-44)."""
+        """Returns the backup path (gzipped when ``compress``), or None when
+        the live log is absent/empty (the reference skips empty rotations,
+        pkg/fileio/rotate.go:36-44)."""
         if not os.path.exists(self.path) or os.path.getsize(self.path) == 0:
             return None
         backup = stamp_name(self.path, self.clock())
         os.rename(self.path, backup)
-        self.reopen()
+        self.reopen()  # writer reopens immediately; compression happens after
+        if self.compress:
+            backup = compress_backup(backup)
         return backup
 
 

@@ -116,6 +116,38 @@ def test_stamp_name_format():
     assert stamp_name("/var/log/access.log", 42) == "/var/log/access.log-42.growerlog"
 
 
+def test_rotate_with_compression_and_spark_readback(spark, tmp_path):
+    """compress=True gzips the backup (reference 'compressing logs' TODO);
+    retention counts .gz backups; Spark's text source reads them
+    transparently so the rotation-directory stream keeps working."""
+    import gzip
+
+    live = tmp_path / "access.log"
+    live.write_text("line one\nline two\n")
+    rot = Rotator(str(live), clock=lambda: 2000.0, compress=True)
+    backup = rot.rotate()
+    assert backup == str(tmp_path / "access.log-2000.growerlog.gz")
+    assert os.path.exists(backup) and not os.path.exists(live)
+    assert not os.path.exists(backup[:-3])  # original removed
+    with gzip.open(backup, "rt") as fh:
+        assert fh.read() == "line one\nline two\n"
+
+    # retention sees compressed backups
+    deleted = clear_backup_files(str(live), str(tmp_path), max_backups=0)
+    assert deleted == [backup]
+
+    # Spark reads .gz text transparently
+    live.write_text("fresh\n")
+    Rotator(str(live), clock=lambda: 3000.0, compress=True).rotate()
+    rows = {r["value"] for r in spark.read.text(str(tmp_path)).collect()}
+    assert rows == {"fresh"} or rows == set()  # live log may be empty now
+    rows_all = {
+        r["value"]
+        for r in spark.read.text(str(tmp_path / "access.log-3000.growerlog.gz")).collect()
+    }
+    assert rows_all == {"fresh"}
+
+
 def test_rfc3164_extract(spark):
     frames = [
         f"<190>Jul 21 00:30:43 web-01 nginx: {LINE}",
