@@ -52,6 +52,57 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert (datetime.datetime(2024, 1, 1, 20, 0), "click") not in rows
 
 
+def test_session_window_under_streaming(spark, tmp_path):
+    """The same F.session_window expression the batch driver query uses
+    (q_events_session_window) runs under readStream with a watermark:
+    gap-closed sessions emit in append mode once the watermark passes."""
+    batch1 = str(tmp_path / "in" / "b1")
+    batch2 = str(tmp_path / "in" / "b2")
+    _write_events(spark, batch1, [
+        (1, "2024-01-01 10:00:00", "a"),
+        (1, "2024-01-01 10:10:00", "a"),   # same session (gap 30m)
+        (1, "2024-01-01 11:30:00", "a"),   # new session
+    ])
+    _write_events(spark, batch2, [(1, "2024-01-02 09:00:00", "a")])  # advances watermark
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    sessions = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("start"),
+            F.col("session_window.end").alias("end"),
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sesswin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["start"], r["end"]): r["n_events"]
+        for r in spark.sql("select * from sesswin").collect()
+    }
+    # first session: 10:00-10:10 -> closes at 10:40; second: 11:30 -> 12:00
+    assert rows[(datetime.datetime(2024, 1, 1, 10, 0),
+                 datetime.datetime(2024, 1, 1, 10, 40))] == 2
+    assert rows[(datetime.datetime(2024, 1, 1, 11, 30),
+                 datetime.datetime(2024, 1, 1, 12, 0))] == 1
+    # the 09:00 next-day session stays open (no emission in append mode)
+    assert all(s.date() == datetime.date(2024, 1, 1) for s, _ in rows)
+
+
 def test_streaming_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
     b1 = str(tmp_path / "in" / "b1")
     b2 = str(tmp_path / "in" / "b2")
