@@ -844,6 +844,38 @@ GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: connected components over the ngram-jaccard
+    near-dup pair graph (min-label propagation, one shuffle per round,
+    converged — iterative, so the oracle is a recursive closure)."""
+    from grower_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_df=JACCARD_MAX_DF,
+    )
+    return duplicate_clusters(pairs)
+
+
+def oracle_dedup_clusters() -> str:
+    # same pair set as dedup_ngram_jaccard, closed into components by a
+    # recursive min-reachability CTE (min reachable id == the propagated
+    # min label at convergence)
+    return f"""
+WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ({oracle_dedup_ngram_jaccard()}) p),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp
+          UNION SELECT id_b AS a, id_a AS b FROM jp),
+reach(n, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n
+)
+SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY n
+"""
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1748,6 +1780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -1792,6 +1825,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_ngram_jaccard": oracle_dedup_ngram_jaccard(),
+    "dedup_clusters": oracle_dedup_clusters(),
     # same contract, same oracle: the np scorer must reproduce the HOF
     # scorer's exact ranked output (tests/test_multiprobe.py proves it)
     "ann_cosine_topk_np": oracle_ann_cosine_topk(),

@@ -194,6 +194,66 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation.  Output (doc_id, cluster_id) where
+    cluster_id is the smallest doc id reachable through the pair graph —
+    the canonical "keep the lowest id, drop the rest" dedup decision.
+
+    Each iteration is one shuffle: every node takes the min of its own
+    label and its neighbors' labels; convergence (no label changed) is
+    checked per round and lineage is truncated with ``localCheckpoint`` so
+    the plan stays flat.  Iterations needed = graph diameter, which for
+    near-dup clusters is small (dup clusters are dense); pathological
+    chains are bounded by ``max_iter`` (raise for adversarial data, or
+    switch to the large-star/small-star variant — same primitive, fewer
+    rounds — which this formulation is the readable baseline for).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

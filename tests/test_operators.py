@@ -187,6 +187,21 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert 0 <= out[0] < 2**31
 
 
+def test_duplicate_clusters_connected_components(spark):
+    """min-label propagation must find exact connected components: a
+    4-chain (worst case for propagation speed), a triangle, and a pair."""
+    from grower_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                    # pair
+        ["id_a", "id_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_rolling61_matches_bigint_reference(spark):
     """The two-limb int64 fold must equal the same fold done in Python's
     arbitrary-precision arithmetic — proving the limb decomposition never
