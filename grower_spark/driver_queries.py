@@ -876,6 +876,42 @@ FROM reach GROUP BY n
 """
 
 
+RANGE_WIN_US = 30 * 60 * 1_000_000  # 30-minute windows in epoch micros
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: every 20th event opens a 30-minute window
+    per user; each event matches every window containing it (bucketed
+    range join, operators/ranges.py — one equi-join shuffle on
+    (user, time bucket), never a nested-loop)."""
+    from grower_spark.operators.ranges import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select("event_id", "user_id", F.unix_micros("ts").alias("t_us"))
+    windows = ev.where(F.col("event_id") % 20 == 0).select(
+        "user_id",
+        F.col("event_id").alias("win_id"),
+        F.unix_micros("ts").alias("win_start_us"),
+        (F.unix_micros("ts") + F.lit(RANGE_WIN_US)).alias("win_end_us"),
+    )
+    return range_join(
+        points, windows, "t_us", "win_start_us", "win_end_us",
+        bucket_width=RANGE_WIN_US, keys=["user_id"],
+    )
+
+
+def oracle_events_range_join() -> str:
+    return f"""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+r AS (SELECT user_id, event_id AS win_id, epoch_us(ts) AS win_start_us,
+             epoch_us(ts) + {RANGE_WIN_US} AS win_end_us
+      FROM events WHERE event_id % 20 = 0)
+SELECT l.event_id, l.user_id, l.t_us, r.win_id, r.win_start_us, r.win_end_us
+FROM l JOIN r ON l.user_id = r.user_id
+            AND l.t_us >= r.win_start_us AND l.t_us < r.win_end_us
+"""
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1786,6 +1822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
     "salted_join_events": q_salted_join_events,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -1833,6 +1870,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_multiprobe": oracle_ann_lsh_multiprobe(),
     "ann_ivf": oracle_ann_ivf(),
     "events_asof_join": oracle_events_asof_join(),
+    "events_range_join": oracle_events_range_join(),
     "salted_join_events": oracle_salted_join_events(),
     "text_lang_id": oracle_text_lang_id(),
     "text_quality": oracle_text_quality(),
