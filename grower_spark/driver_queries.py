@@ -876,6 +876,59 @@ FROM reach GROUP BY n
 """
 
 
+def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped distinct count (ClickHouse uniqExact analog): Catalyst
+    plans count(DISTINCT) as a two-phase expand+agg — partial dedup
+    map-side, so the shuffle carries (group, user) pairs, not raw rows.
+    The streaming/approximate analog is approx_count_distinct (HLL++),
+    excluded here because sketch estimates are engine-specific and can't
+    hash-match an oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def oracle_events_distinct_users() -> str:
+    return """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` == SQL
+    percentile_cont semantics: rank p*(n-1), linear interpolation — the
+    same definition DuckDB's quantile_cont uses).  Inputs are integer
+    centis so the interpolated midpoints are exact binary fractions and
+    both engines agree bit-for-bit.  At scale the approximate counterpart
+    is percentile_approx (t-digest) — engine-specific, so not oracled."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("event_type", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.percentile("v", F.lit(0.5)).alias("p50"),
+            F.percentile("v", F.lit(0.9)).alias("p90"),
+            F.percentile("v", F.lit(0.99)).alias("p99"),
+        )
+    )
+
+
+def oracle_events_quantiles() -> str:
+    return """
+SELECT event_type,
+  quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+  quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90,
+  quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 RANGE_WIN_US = 30 * 60 * 1_000_000  # 30-minute windows in epoch micros
 
 
@@ -1813,6 +1866,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "events_rollup": q_events_rollup,
+    "events_distinct_users": q_events_distinct_users,
+    "events_quantiles": q_events_quantiles,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1859,6 +1914,8 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": oracle_embedding_neardup(),
     "embedding_neardup_lsh": oracle_embedding_neardup_lsh(),
     "events_rollup": oracle_events_rollup(),
+    "events_distinct_users": oracle_events_distinct_users(),
+    "events_quantiles": oracle_events_quantiles(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_ngram_jaccard": oracle_dedup_ngram_jaccard(),
