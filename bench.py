@@ -34,7 +34,10 @@ BENCH_QUERIES = [
     ("events_session_window", "noop"),
     ("events_topk_per_user", "noop"),
     ("events_rollup", "noop"),
+    ("events_distinct_users", "collect"),
+    ("events_quantiles", "collect"),
     ("events_asof_join", "noop"),
+    ("events_range_join", "noop"),
     ("salted_agg_users", "noop"),
     ("salted_join_events", "noop"),
     ("dedup_exact", "noop"),
