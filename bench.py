@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     ("events_rollup", "noop"),
     ("events_distinct_users", "collect"),
     ("events_quantiles", "collect"),
+    ("events_sketches", "collect"),
     ("events_asof_join", "noop"),
     ("events_range_join", "noop"),
     ("salted_agg_users", "noop"),
@@ -56,6 +57,7 @@ BENCH_QUERIES = [
     ("embedding_neardup_lsh", "collect"),
     ("doc_rolling_hash61", "noop"),
     ("multimodal_decode", "noop"),
+    ("multimodal_hist", "noop"),
     ("json_fields", "noop"),
 ]
 

@@ -929,6 +929,51 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates validated against themselves: HLL++ distinct
+    count and t-digest quantiles are engine-specific sketches whose raw
+    estimates can never hash-match another engine — so the query emits the
+    EXACT values plus booleans asserting the sketch landed within
+    tolerance.  The oracle expects (exact, true, true): if Spark's sketch
+    drifts out of tolerance the booleans flip and the hash check fails,
+    making even the approximate path oracle-gated."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_hll"),
+        F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.5)").alias("p50_exact"),
+        F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.49)").alias("_p49"),
+        F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.51)").alias("_p51"),
+        F.percentile_approx(v, F.lit(0.5), F.lit(10000)).alias("p50_td"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("n_hll") - F.col("n_exact")) <= F.col("n_exact") * 0.05).alias(
+            "hll_within_5pct"
+        ),
+        "p50_exact",
+        # rank-based tolerance: the t-digest median must land between the
+        # exact 49th and 51st percentiles (value-based slack breaks when
+        # adjacent members are far apart in a discrete distribution)
+        (
+            (F.col("p50_td") >= F.col("_p49")) & (F.col("p50_td") <= F.col("_p51"))
+        ).alias("tdigest_within_rank_1pct"),
+    )
+
+
+def oracle_events_sketches() -> str:
+    return """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+  true AS hll_within_5pct,
+  quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_exact,
+  true AS tdigest_within_rank_1pct
+FROM events GROUP BY event_type
+"""
+
+
 RANGE_WIN_US = 30 * 60 * 1_000_000  # 30-minute windows in epoch micros
 
 
@@ -1918,6 +1963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_distinct_users": q_events_distinct_users,
     "events_quantiles": q_events_quantiles,
+    "events_sketches": q_events_sketches,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1967,6 +2013,7 @@ ORACLES: dict[str, str] = {
     "events_rollup": oracle_events_rollup(),
     "events_distinct_users": oracle_events_distinct_users(),
     "events_quantiles": oracle_events_quantiles(),
+    "events_sketches": oracle_events_sketches(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_ngram_jaccard": oracle_dedup_ngram_jaccard(),
