@@ -55,6 +55,32 @@ def test_range_join_left_keeps_unmatched(spark, frames):
     assert (1, None) not in rows and (1, "A") in rows
 
 
+def test_range_join_property_random_graphs(spark):
+    """Hypothesis-style randomized check (fixed seeds for determinism):
+    bucketized result == naive theta-join for arbitrary interval layouts,
+    including touching, nested, and duplicated intervals."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        pts = [(i, rng.randrange(0, 500)) for i in range(40)]
+        ivs = []
+        for j in range(25):
+            s = rng.randrange(0, 500)
+            ivs.append((j, s, s + rng.randrange(0, 120)))
+        points = spark.createDataFrame(pts, ["pid", "t"])
+        intervals = spark.createDataFrame(ivs, ["iid", "s", "e"])
+        width = rng.choice([1, 7, 64, 300])
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(points, intervals, "t", "s", "e", width).collect()
+        }
+        naive = {
+            (p, j) for p, t in pts for j, s, e in ivs if s <= t < e
+        }
+        assert got == naive, f"seed={seed} width={width}"
+
+
 def test_range_join_rejects_bad_how_and_clash(spark, frames):
     points, intervals = frames
     with pytest.raises(ValueError, match="inner|left"):

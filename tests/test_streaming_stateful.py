@@ -103,6 +103,52 @@ def test_session_window_under_streaming(spark, tmp_path):
     assert all(s.date() == datetime.date(2024, 1, 1) for s, _ in rows)
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: impressions joined to clicks within
+    [0, 10 min) — Spark buffers both sides in state bounded by the
+    watermark + interval condition (the streaming analog of range_join)."""
+    imp_dir = str(tmp_path / "imp")
+    clk_dir = str(tmp_path / "clk")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00")],
+        ["imp_id", "ts_str"],
+    ).select("imp_id", F.col("ts_str").cast("timestamp").alias("imp_ts")) \
+     .coalesce(1).write.mode("overwrite").parquet(imp_dir)
+    spark.createDataFrame(
+        [(101, 1, "2024-01-01 10:05:00"),   # within 10 min of imp 1
+         (102, 1, "2024-01-01 10:20:00"),   # too late for imp 1
+         (103, 2, "2024-01-01 11:09:00")],  # within 10 min of imp 2
+        ["click_id", "imp_id", "ts_str"],
+    ).select("click_id", "imp_id", F.col("ts_str").cast("timestamp").alias("clk_ts")) \
+     .coalesce(1).write.mode("overwrite").parquet(clk_dir)
+
+    imps = (
+        spark.readStream.schema("imp_id long, imp_ts timestamp").parquet(imp_dir)
+        .withWatermark("imp_ts", "1 hour")
+    )
+    clicks = (
+        spark.readStream.schema("click_id long, imp_id long, clk_ts timestamp")
+        .parquet(clk_dir)
+        .withWatermark("clk_ts", "1 hour")
+    )
+    joined = imps.join(
+        clicks,
+        (imps.imp_id == clicks.imp_id)
+        & (clicks.clk_ts >= imps.imp_ts)
+        & (clicks.clk_ts < imps.imp_ts + F.expr("INTERVAL 10 MINUTES")),
+    ).select(imps.imp_id, "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["imp_id"], r["click_id"]) for r in spark.sql("select * from ssjoin").collect()}
+    assert got == {(1, 101), (2, 103)}
+
+
 def test_streaming_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
     b1 = str(tmp_path / "in" / "b1")
     b2 = str(tmp_path / "in" / "b2")
