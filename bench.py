@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     ("tpch_q3", "collect"),
     ("tpch_q5", "collect"),
     ("tpch_q6", "collect"),
+    ("tpch_q14", "collect"),
     ("events_window_agg", "noop"),
     ("events_sessionize", "noop"),
     ("events_session_window", "noop"),

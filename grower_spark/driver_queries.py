@@ -474,6 +474,51 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 """
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-revenue ratio: date-filtered lineitem ⋈ broadcast part with
+    a conditional numerator — the conditional-aggregate pattern.  Fixed-
+    point sums; the final ratio is emitted in basis points (integer) so the
+    division result is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))).alias(
+            "promo_10000"
+        ),
+        F.sum(rev).alias("total_10000"),
+    )
+    return agg.select(
+        "promo_10000",
+        "total_10000",
+        F.floor(F.col("promo_10000") * 10000 / F.col("total_10000"))
+        .cast("long")
+        .alias("promo_share_bp"),
+    )
+
+
+def oracle_tpch_q14() -> str:
+    return """
+SELECT
+  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+       THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+       ELSE 0 END) AS BIGINT) AS promo_10000,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_10000,
+  CAST(floor(sum(CASE WHEN p_type LIKE 'PROMO%'
+       THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+       ELSE 0 END) * 10000.0
+       / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))) AS BIGINT)
+    AS promo_share_bp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-way join through the dimension chain; true dims broadcast, and
     lineitem⋈orders — two fact-scale tables — is left unhinted so AQE can
@@ -1953,6 +1998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q14": q_tpch_q14,
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -2003,6 +2049,7 @@ ORACLES: dict[str, str] = {
     "tpch_q3": oracle_tpch_q3(),
     "tpch_q5": oracle_tpch_q5(),
     "tpch_q6": oracle_tpch_q6(),
+    "tpch_q14": oracle_tpch_q14(),
     "salted_agg_users": oracle_salted_agg_users(),
     "dedup_exact": oracle_dedup_exact(),
     "text_stats": oracle_text_stats(),
