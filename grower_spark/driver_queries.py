@@ -1396,6 +1396,33 @@ SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed
 """
 
 
+SIMHASH_PAIR_BANDS = 8
+SIMHASH_MAX_HAMMING = 6
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup pairs: bands > max_hamming gives total
+    recall by pigeonhole, so the oracle is the naive all-pairs hamming
+    filter while the Spark plan only ever shuffles on band keys."""
+    from grower_spark.operators.dedup import simhash_banded_pairs
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return simhash_banded_pairs(
+        docs, bits=SIMHASH_BITS, bands=SIMHASH_PAIR_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING, hash_fn="md5",
+    )
+
+
+def oracle_dedup_simhash_pairs() -> str:
+    return f"""
+WITH sh AS ({oracle_dedup_simhash()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 JACCARD_THRESHOLD = 0.12
 # stop-shingle cap: drops shingles shared by more docs than this before the
 # self-join (the skew guard that keeps the join subquadratic); mirrored in
@@ -2012,6 +2039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sketches": q_events_sketches,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
@@ -2063,6 +2091,7 @@ ORACLES: dict[str, str] = {
     "events_sketches": oracle_events_sketches(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
+    "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),
     "dedup_ngram_jaccard": oracle_dedup_ngram_jaccard(),
     "dedup_clusters": oracle_dedup_clusters(),
     # same contract, same oracle: the np scorer must reproduce the HOF

@@ -312,6 +312,86 @@ def simhash_dedup_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def simhash_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 8,
+    max_hamming: int = 6,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-dup pairs with a PROVABLE recall guarantee: the simhash is
+    split into ``bands`` bit-windows and pairs block on any shared band.
+
+    Pigeonhole: a pair within ``max_hamming`` bit flips has its flips
+    spread over ``bands`` windows, so when ``bands > max_hamming`` at
+    least one window is flip-free and the pair shares that band — banded
+    blocking finds EVERY pair with hamming <= max_hamming (unlike the
+    single-prefix blocking of ``simhash_dedup_pairs``, which misses pairs
+    whose flips land in the prefix).  The oracle can therefore be the
+    naive all-pairs hamming filter.
+
+    Plan: simhash map-side -> explode (band, window-value) keys -> ONE
+    shuffle grouping by band key -> ordered pairs from each posting list
+    (signature carried in the posting struct, computed once) -> pair
+    dedupe across bands -> exact hamming filter.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"recall guarantee needs bands > max_hamming, got {bands} <= {max_hamming}"
+        )
+    if bits % bands:
+        raise ValueError(f"bits {bits} not divisible by bands {bands}")
+    w = bits // bands
+    h = simhash(df, text_col, bits, hash_fn).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                F.shiftright(F.col("simhash"), b * w)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = h.select("_id", "simhash", F.explode(band_keys).alias("bucket"))
+    postings = (
+        buckets.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "simhash"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    tail_len = F.size(F.col("ds"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, tail_len),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    x["simhash"].alias("sh_a"),
+                    y["_id"].alias("id_b"),
+                    y["simhash"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        # a pair sharing k bands appears k times: dedupe before the filter
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

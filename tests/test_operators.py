@@ -209,6 +209,37 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert 0 <= out[0] < 2**31
 
 
+def test_simhash_banded_pairs_total_recall(spark):
+    """bands > max_hamming: banded blocking must equal the naive all-pairs
+    hamming filter (pigeonhole — some band is flip-free), including pairs
+    whose flips would defeat single-prefix blocking."""
+    from grower_spark.operators.dedup import simhash, simhash_banded_pairs
+
+    texts = [(i, BASE + (" tail%d" % (i % 3))) for i in range(12)] + [
+        (100, "completely different content about gardens and rivers flowing"),
+        (101, "completely different content about gardens and rivers flowing fast"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_banded_pairs(df, bands=8, max_hamming=6).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ids = sorted(sh)
+    naive = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 6
+    }
+    assert got == naive and naive  # non-vacuous
+
+    with pytest.raises(ValueError, match="bands > max_hamming"):
+        simhash_banded_pairs(df, bands=4, max_hamming=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        simhash_banded_pairs(df, bits=32, bands=7)
+
+
 def test_duplicate_clusters_connected_components(spark):
     """min-label propagation must find exact connected components: a
     4-chain (worst case for propagation speed), a triangle, and a pair."""
