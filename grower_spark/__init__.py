@@ -23,4 +23,25 @@ Everything is declarative DataFrame construction; Catalyst handles
 optimization.  No RDDs, no driver-side row loops.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Convenience top-level surface (submodule imports stay the canonical path;
+# these are lazy so importing grower_spark never drags in pyspark eagerly
+# for tooling that only wants __version__).
+_LAZY = {
+    "PipelineConfig": ("grower_spark.config", "PipelineConfig"),
+    "LogPipeline": ("grower_spark.plans.pipeline", "LogPipeline"),
+    "LogFormat": ("grower_spark.plans.template", "LogFormat"),
+    "get_spark": ("grower_spark.session", "get_spark"),
+    "FileLogRunner": ("grower_spark.streaming.filelog", "FileLogRunner"),
+}
+
+
+def __getattr__(name):
+    try:
+        module_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(module_name), attr)
