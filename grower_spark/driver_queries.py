@@ -1847,6 +1847,30 @@ FROM documents
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form + its fingerprint — the dedup preprocessor."""
+    from grower_spark.operators.text import normalize_text
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    out = normalize_text(docs)
+    return out.select(
+        "doc_id",
+        "text_norm",
+        F.length("text_norm").alias("n_norm_chars"),
+    )
+
+
+def oracle_text_normalize() -> str:
+    return """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                      '\\s+', ' ', 'g')) AS text_norm,
+  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g'))) AS INTEGER) AS n_norm_chars
+FROM documents
+"""
+
+
 def q_multimodal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram + entropy feature extraction over the media payload
     (a REAL kernel, not a stub — nibble histogram and Shannon entropy are
@@ -2052,6 +2076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "text_normalize": q_text_normalize,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
@@ -2106,6 +2131,7 @@ ORACLES: dict[str, str] = {
     "text_lang_id": oracle_text_lang_id(),
     "text_quality": oracle_text_quality(),
     "text_bpe_tokens": oracle_text_bpe_tokens(),
+    "text_normalize": oracle_text_normalize(),
     "multimodal_meta": oracle_multimodal_meta(),
     "multimodal_decode": oracle_multimodal_decode(),
     "multimodal_frames": oracle_multimodal_frames(),

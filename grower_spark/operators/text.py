@@ -115,6 +115,19 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", score)
 
 
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm") -> DataFrame:
+    """Dedup-canonical text form: lowercase, punctuation stripped to
+    spaces, whitespace collapsed, trimmed.  Near-dup operators key on
+    content, so normalizing first merges trivial variants (case, extra
+    spaces, punctuation) into one cluster.  Pure JVM string ops — per-row,
+    no shuffle; run it before shingling at corpus scale."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return df.withColumn(out_col, F.trim(c))
+
+
 def fingerprint60(df: DataFrame, text_col: str = "text",
                   out_col: str = "fp60") -> DataFrame:
     """60-bit content fingerprint of the case/whitespace-normalized text."""

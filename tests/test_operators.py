@@ -209,6 +209,23 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert 0 <= out[0] < 2**31
 
 
+def test_normalize_text_merges_trivial_variants(spark):
+    from grower_spark.operators.dedup import exact_dedup
+    from grower_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world"), (2, "HELLO   world."),
+         (3, "different doc")],
+        ["doc_id", "text"],
+    )
+    norm = normalize_text(df)
+    vals = {r["doc_id"]: r["text_norm"] for r in norm.collect()}
+    assert vals[0] == vals[1] == vals[2] == "hello world"
+    assert vals[3] == "different doc"
+    groups = exact_dedup(norm, text_col="text_norm").collect()
+    assert sorted((r["keep_id"], r["n_copies"]) for r in groups) == [(0, 3), (3, 1)]
+
+
 def test_simhash_banded_pairs_total_recall(spark):
     """bands > max_hamming: banded blocking must equal the naive all-pairs
     hamming filter (pigeonhole — some band is flip-free), including pairs
