@@ -103,6 +103,42 @@ def test_session_window_under_streaming(spark, tmp_path):
     assert all(s.date() == datetime.date(2024, 1, 1) for s, _ in rows)
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one copy
+    of a key across micro-batches while its state lives, and expires state
+    by the watermark (bounded memory — the streaming analog of
+    exact_dedup)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_events(spark, str(in_dir / "b1"), [
+        (1, "2024-01-01 10:00:00", "e1"),
+        (1, "2024-01-01 10:00:30", "e1"),   # dup key in same batch
+        (2, "2024-01-01 10:01:00", "e2"),
+    ])
+    _write_events(spark, str(in_dir / "b2"), [
+        (1, "2024-01-01 10:02:00", "e1"),   # dup key across batches
+        (3, "2024-01-01 10:03:00", "e3"),
+    ])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_type"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r["event_type"] for r in spark.sql("select * from sdedup").collect()]
+    assert sorted(rows) == ["e1", "e2", "e3"]  # exactly one copy each
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream join: impressions joined to clicks within
     [0, 10 min) — Spark buffers both sides in state bounded by the
