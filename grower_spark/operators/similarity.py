@@ -206,9 +206,19 @@ def ivf_ann_topk(
     Output (qid, vec_id, rank, sim_r4), ranks within the candidate set.
     """
     cents = ivf_centroids(n_cells, dim)
-    c = corpus.withColumn(
-        "_cell", F.get(_cell_ranking(F.col(vec_col), cents), 0)
-    )
+    # corpus side needs only the argmax cell: lexicographic least over
+    # (-dot, idx) structs — same result and tie-break as ranking[0], but
+    # without materializing and sorting the 16-struct array per row
+    argmax_cell = F.least(
+        *[
+            F.struct(
+                (-_plane_dot(F.col(vec_col), cent)).alias("m"),
+                F.lit(i).cast("int").alias("i"),
+            )
+            for i, cent in enumerate(cents)
+        ]
+    )["i"]
+    c = corpus.withColumn("_cell", argmax_cell)
     q = queries.withColumn(
         "_cell",
         F.explode(F.slice(_cell_ranking(F.col(qvec_col), cents), 1, n_probe)),
