@@ -1863,10 +1863,9 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_text_normalize() -> str:
     return """
 SELECT doc_id,
-  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
-                      '\\s+', ' ', 'g')) AS text_norm,
-  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
-                                  '\\s+', ' ', 'g'))) AS INTEGER) AS n_norm_chars
+  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS text_norm,
+  CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS INTEGER)
+    AS n_norm_chars
 FROM documents
 """
 

@@ -122,9 +122,10 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     content, so normalizing first merges trivial variants (case, extra
     spaces, punctuation) into one cluster.  Pure JVM string ops — per-row,
     no shuffle; run it before shingling at corpus scale."""
-    c = F.lower(F.col(text_col))
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    # one regex pass: any run of non-alphanumerics (punctuation AND
+    # whitespace) becomes a single space, which is exactly
+    # punct->space + collapse-whitespace composed
+    c = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
     return df.withColumn(out_col, F.trim(c))
 
 
