@@ -136,6 +136,48 @@ def test_no_listener_rejected(tmp_path):
         SpoolReceiver(str(tmp_path), tcp_port=0, framing="bogus")
 
 
+def test_live_receiver_feeding_running_stream(spark, tmp_path):
+    """Receiver and streaming query running CONCURRENTLY: lines sent over
+    the socket while the query is live must flow spool -> filebuf stream
+    -> memory sink across multiple trigger cycles."""
+    import time
+
+    spool = str(tmp_path / "spool")
+    rx = SpoolReceiver(spool, tcp_port=0, framing="frames",
+                       flush_max_lines=2, flush_interval=0.2).start()
+    spark.dataSource.register(FileBufDataSource)
+    q = (
+        spark.readStream.format("filebuf")
+        .load(spool)
+        .writeStream.format("memory")
+        .queryName("live_rx")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        _send_frames(rx.tcp_port, ["w1", "w2"])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = {r["value"] for r in spark.sql("select * from live_rx").collect()}
+            if got >= {"w1", "w2"}:
+                break
+            time.sleep(0.5)
+        assert got >= {"w1", "w2"}, got
+        # second wave while the query is still running
+        _send_frames(rx.tcp_port, ["w3"])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = {r["value"] for r in spark.sql("select * from live_rx").collect()}
+            if "w3" in got:
+                break
+            time.sleep(0.5)
+        assert got == {"w1", "w2", "w3"}, got
+    finally:
+        q.stop()
+        rx.stop()
+
+
 def test_socket_to_pipeline_e2e(spark, tmp_path):
     """Reference sample_test.log lines through socket -> spool ->
     format('filebuf') -> LogPipeline, asserting parsed field values."""
