@@ -921,6 +921,44 @@ FROM reach GROUP BY n
 """
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window, 15m slide): each event lands
+    in window_len/slide = 4 overlapping windows — F.window handles the
+    fan-out before one (window, type) aggregation; partial aggregation
+    keeps the shuffle tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def oracle_events_sliding_window() -> str:
+    # each event belongs to the 4 slide-aligned windows covering it:
+    # starts at floor((t - k*900)/900)*900 for k in 0..3 where the 1h
+    # window starting there still contains t
+    return """
+WITH t AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS te, event_type FROM events
+),
+expanded AS (
+  SELECT te, event_type,
+    (te // 900) * 900 - 900 * k.k AS w_start
+  FROM t, (SELECT unnest(range(0, 4)) AS k) k
+  WHERE (te // 900) * 900 - 900 * k.k + 3600 > te
+)
+SELECT w_start AS w_start_epoch, event_type, CAST(count(*) AS BIGINT) AS n
+FROM expanded GROUP BY 1, 2
+"""
+
+
 def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped distinct count (ClickHouse uniqExact analog): Catalyst
     plans count(DISTINCT) as a two-phase expand+agg — partial dedup
@@ -2042,6 +2080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
+    "events_sliding_window": q_events_sliding_window,
     "events_topk_per_user": q_events_topk_per_user,
     "syslog_extract": q_syslog_extract,
     "tpch_q1": q_tpch_q1,
@@ -2095,6 +2134,7 @@ ORACLES: dict[str, str] = {
     "events_window_agg": oracle_events_window_agg(),
     "events_sessionize": oracle_events_sessionize(),
     "events_session_window": oracle_events_session_window(),
+    "events_sliding_window": oracle_events_sliding_window(),
     "events_topk_per_user": oracle_events_topk_per_user(),
     "syslog_extract": oracle_syslog_extract(),
     "tpch_q1": oracle_tpch_q1(),
