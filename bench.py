@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     ("events_window_agg", "noop"),
     ("events_sessionize", "noop"),
     ("events_session_window", "noop"),
+    ("events_sliding_window", "noop"),
     ("events_topk_per_user", "noop"),
     ("events_rollup", "noop"),
     ("events_distinct_users", "collect"),
