@@ -11,8 +11,12 @@ scalable formulation used here is union + ordered window:
    (keys, ts) shape;
 2. one shuffle+sort on (keys) ordered by (ts, side) — right-before-left at
    equal ts gives ``<=`` semantics;
-3. ``last(value, ignorenulls=True)`` over the running window propagates the
-   most recent right values onto every subsequent left row;
+3. ``last(payload, ignorenulls=True)`` over the running window propagates
+   the most recent right row onto every subsequent left row, where
+   ``payload`` is ONE struct of (right ts, *value_cols) that is NULL only
+   for left rows — so a right row whose individual value is NULL still
+   wins (its NULL is carried), and all values come from the SAME right
+   row, matching DuckDB ``ASOF LEFT JOIN`` exactly;
 4. keep side=1 rows.
 
 Cost: ONE shuffle + per-partition sort over |L|+|R| rows — the same as a
@@ -78,18 +82,21 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [F.last(F.col(v), ignorenulls=True).over(w).alias(v) for v in vals]
-    matched_ts = F.last(
-        F.when(F.col(_SIDE) == 0, F.col(ts_col)), ignorenulls=True
-    ).over(w)
+    # One struct per right row (NULL for left rows): last(ignorenulls) then
+    # picks the newest RIGHT ROW as a unit — per-column last() would skip a
+    # legitimately-NULL value and carry a stale older row's value instead,
+    # and could mix values from different right rows.
+    payload = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(F.col(ts_col).alias("__rts"), *[F.col(v) for v in vals]),
+    )
+    carried = F.last(payload, ignorenulls=True).over(w)
 
-    out = unioned.select(*left_cols, F.col(_SIDE), matched_ts.alias("__mts"), *carried)
+    out = unioned.select(*left_cols, F.col(_SIDE), carried.alias("__carry"))
     out = out.where(F.col(_SIDE) == 1)
     if tolerance is not None:
-        in_range = F.col("__mts") >= (F.col(ts_col) - F.lit(tolerance))
-        out = out.select(
-            *left_cols,
-            "__mts",
-            *[F.when(in_range, F.col(v)).alias(v) for v in vals],
-        )
-    return out.select(*left_cols, *vals)
+        in_range = F.col("__carry.__rts") >= (F.col(ts_col) - F.lit(tolerance))
+        picked = [F.when(in_range, F.col(f"__carry.`{v}`")).alias(v) for v in vals]
+    else:
+        picked = [F.col(f"__carry.`{v}`").alias(v) for v in vals]
+    return out.select(*left_cols, *picked)

@@ -21,10 +21,27 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 _BKT = "__rbkt"
+
+
+def _with_floor_bucket(df: DataFrame, src: Column, width: int, out: str) -> DataFrame:
+    """Add ``out = floor(src / width)`` computed with EXACT integer arithmetic.
+
+    Spark's ``/`` on integral types is double division — above 2^53 (epoch
+    nanos!) the quotient can be off by one and boundary matches silently
+    drop.  SQL ``div`` is exact but truncates toward zero, so negative
+    inputs need a remainder correction to get a true floor.
+    """
+    tmp = f"__fd_{out}"
+    q = F.expr(f"`{tmp}` div {width}") - F.when(
+        (F.col(tmp) % width) < 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(tmp, src.cast("long")).withColumn(
+        out, q.cast("long")
+    ).drop(tmp)
 
 
 def range_join(
@@ -48,21 +65,22 @@ def range_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join supports inner|left, got {how!r}")
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     keys = list(keys or [])
     clash = set(points.columns) & set(intervals.columns) - set(keys)
     if clash:
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
 
-    p = points.withColumn(_BKT, F.floor(F.col(ts_col) / bucket_width).cast("long"))
-    spread = F.explode(
-        F.sequence(
-            F.floor(F.col(start_col) / bucket_width).cast("long"),
-            # end is exclusive: a zero-length or bucket-aligned end does not
-            # reach the next bucket
-            F.floor((F.col(end_col) - 1) / bucket_width).cast("long"),
-        )
-    )
-    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(_BKT, spread)
+    p = _with_floor_bucket(points, F.col(ts_col), bucket_width, _BKT)
+    iv = intervals.where(F.col(end_col) > F.col(start_col))
+    iv = _with_floor_bucket(iv, F.col(start_col), bucket_width, "__b0")
+    # end is exclusive: a zero-length or bucket-aligned end does not reach
+    # the next bucket
+    iv = _with_floor_bucket(iv, F.col(end_col) - 1, bucket_width, "__b1")
+    iv = iv.withColumn(
+        _BKT, F.explode(F.sequence(F.col("__b0"), F.col("__b1")))
+    ).drop("__b0", "__b1")
 
     matched = (
         p.join(iv, [*keys, _BKT], "inner")
@@ -72,12 +90,17 @@ def range_join(
     if how == "inner":
         return matched
     iv_cols = [c for c in intervals.columns if c not in keys]
-    unmatched = (
-        p.drop(_BKT)
-        .join(matched.select(*points.columns).distinct(), points.columns, "left_anti")
-        .select(
-            *points.columns,
-            *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in iv_cols],
-        )
+    # Unmatched recovery must be NULL-safe: plain column-list equality uses
+    # `=`, under which NULL != NULL, so a *matched* point row containing a
+    # NULL anywhere would reappear as a spurious NULL-extended row.
+    pa = p.drop(_BKT).alias("__rj_p")
+    ma = matched.select(*points.columns).alias("__rj_m")
+    cond = None
+    for c in points.columns:
+        e = F.col(f"__rj_p.`{c}`").eqNullSafe(F.col(f"__rj_m.`{c}`"))
+        cond = e if cond is None else (cond & e)
+    unmatched = pa.join(ma, cond, "left_anti").select(
+        *[F.col(f"__rj_p.`{c}`").alias(c) for c in points.columns],
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in iv_cols],
     )
     return matched.select(*points.columns, *iv_cols).unionByName(unmatched)

@@ -43,6 +43,7 @@ import os
 import socket
 import struct
 import threading
+import time
 from typing import Optional
 
 from grower_spark.sources.filebuf import FRAME_SUFFIX
@@ -59,7 +60,7 @@ class SpoolReceiver:
     - ``udp_port``: UDP datagrams (one line per packet), ``self.udp_port``.
     - ``datagram_path``: unix datagram socket (one line per packet).
 
-    Lines are buffered and flushed to ``<ms>-<seq>.fbuf`` when
+    Lines are buffered and flushed to ``<epoch_ms>-<pid>-<seq>.fbuf`` when
     ``flush_max_lines`` is reached or ``flush_interval`` seconds pass with
     data pending (the reference's size-or-ticker flush policy,
     internal/services/filelog/impl.go's buffer loop).  Files are written to
@@ -107,18 +108,33 @@ class SpoolReceiver:
     # -- spool publication ----------------------------------------------------
 
     def _flush(self) -> None:
-        """Publish the buffered lines as one spool file (atomic rename)."""
+        """Publish the buffered lines as one spool file (atomic rename).
+
+        Names are wall-clock epoch ms + pid + per-instance sequence: a
+        monotonic/loop clock is process-relative (resets at boot), so after
+        a restart — or with two receivers sharing a spool dir — a new file
+        could collide with an existing unconsumed spool and the rename
+        would silently overwrite it.  Epoch+pid makes collisions
+        practically impossible; the existence check below makes even those
+        loud instead of lossy.
+        """
         if not self._buf:
             return
         lines, self._buf = self._buf, []
         self._seq += 1
         os.makedirs(self.spool_dir, exist_ok=True)
-        loop = self._loop
-        now_ms = int((loop.time() if loop else 0) * 1000)
+        now_ms = int(time.time() * 1000)
+        pid = os.getpid()
         final = os.path.join(
-            self.spool_dir, f"{now_ms:015d}-{self._seq:06d}{FRAME_SUFFIX}"
+            self.spool_dir, f"{now_ms:015d}-{pid:07d}-{self._seq:06d}{FRAME_SUFFIX}"
         )
-        tmp = os.path.join(self.spool_dir, f".tmp-{self._seq:06d}")
+        while os.path.exists(final):  # never clobber an unconsumed spool
+            self._seq += 1
+            final = os.path.join(
+                self.spool_dir,
+                f"{now_ms:015d}-{pid:07d}-{self._seq:06d}{FRAME_SUFFIX}",
+            )
+        tmp = os.path.join(self.spool_dir, f".tmp-{pid:07d}-{self._seq:06d}")
         with open(tmp, "wb") as fh:
             for line in lines:
                 payload = line.encode("utf-8")

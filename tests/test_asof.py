@@ -47,6 +47,44 @@ def test_all_left_rows_survive(spark, frames):
     assert asof_join(left, right, ["user"], "t", ["mark"]).count() == left.count()
 
 
+def test_null_value_in_newest_right_row_is_carried(spark):
+    """A right row whose value column is legitimately NULL still wins the
+    as-of match — per-column last(ignorenulls) would skip it and carry a
+    STALE older row's value (DuckDB ASOF JOIN carries the NULL)."""
+    left = spark.createDataFrame([(1, "u1", 300)], ["event_id", "user", "t"])
+    right = spark.createDataFrame(
+        [("u1", 100, 10), ("u1", 200, None)], schema="user string, t long, mark int"
+    )
+    out = asof_join(left, right, ["user"], "t", ["mark"]).collect()
+    assert out[0]["mark"] is None  # newest row's NULL, not the stale 10
+
+
+def test_all_values_come_from_the_same_right_row(spark):
+    """Multiple value_cols must be carried from ONE right row, never mixed
+    across rows when one of them is NULL in the newest row."""
+    left = spark.createDataFrame([(1, "u1", 300)], ["event_id", "user", "t"])
+    right = spark.createDataFrame(
+        [("u1", 100, 10, "a"), ("u1", 200, None, "b")],
+        schema="user string, t long, mark int, tag string",
+    )
+    row = asof_join(left, right, ["user"], "t", ["mark", "tag"]).collect()[0]
+    assert (row["mark"], row["tag"]) == (None, "b")
+
+
+def test_tolerance_gates_on_the_carried_rows_ts(spark):
+    """Tolerance must judge the SAME row whose values are carried."""
+    left = spark.createDataFrame([(1, "u1", 300)], ["event_id", "user", "t"])
+    right = spark.createDataFrame(
+        [("u1", 100, 10), ("u1", 200, None)], schema="user string, t long, mark int"
+    )
+    # newest row (t=200, mark NULL) is within tolerance: carry its NULL
+    out = asof_join(left, right, ["user"], "t", ["mark"], tolerance=150).collect()
+    assert out[0]["mark"] is None
+    # tolerance 50 excludes even the newest row
+    out = asof_join(left, right, ["user"], "t", ["mark"], tolerance=50).collect()
+    assert out[0]["mark"] is None
+
+
 def test_value_col_clash_rejected(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):

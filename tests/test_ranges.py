@@ -2,8 +2,9 @@
 bounds, bucket-boundary spans, multi-match, left-join nulls, guards."""
 
 import pytest
+import pyspark.sql.functions as F
 
-from grower_spark.operators.ranges import range_join
+from grower_spark.operators.ranges import _with_floor_bucket, range_join
 
 
 @pytest.fixture()
@@ -79,6 +80,53 @@ def test_range_join_property_random_graphs(spark):
             (p, j) for p, t in pts for j, s, e in ivs if s <= t < e
         }
         assert got == naive, f"seed={seed} width={width}"
+
+
+def test_range_join_left_null_safe_no_spurious_rows(spark):
+    """A MATCHED point row containing a NULL must not reappear as a
+    NULL-extended row: the unmatched-row recovery anti-join has to compare
+    null-safely (plain `=` never equates NULL to NULL)."""
+    points = spark.createDataFrame(
+        [(1, 100, None), (2, 4000, None), (3, 150, "x")],
+        schema="pid int, t int, extra string",
+    )
+    intervals = spark.createDataFrame([("A", 100, 200)], ["name", "s", "e"])
+    out = range_join(points, intervals, "t", "s", "e", 50, how="left")
+    rows = [(r["pid"], r["extra"], r["name"]) for r in out.collect()]
+    assert sorted(rows) == [(1, None, "A"), (2, None, None), (3, "x", "A")]
+
+
+def test_floor_bucket_exact_above_2_53_and_negative(spark):
+    """Bucket assignment must be exact integer floor division: double
+    division drifts above 2^53 (epoch nanos), truncating div is wrong for
+    negatives."""
+    vals = [
+        (1 << 60) + 999, (1 << 60) - 1, (1 << 53) + 1, (1 << 53) - 1,
+        -1, -999, -1000, -1001, 0, 1, 999, 1000, 1001,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], schema="v long")
+    got = {
+        r["v"]: r["b"]
+        for r in _with_floor_bucket(df, F.col("v"), 1000, "b").collect()
+    }
+    assert got == {v: v // 1000 for v in vals}
+
+
+def test_range_join_exact_at_epoch_nanos_scale(spark):
+    """Boundary matches at 2^60-scale timestamps (epoch nanos) must not be
+    dropped by bucket rounding."""
+    base = 1 << 60
+    points = spark.createDataFrame(
+        [(1, base), (2, base + 123), (3, base + 1000)], schema="pid long, t long"
+    )
+    intervals = spark.createDataFrame(
+        [("A", base, base + 1000)], schema="name string, s long, e long"
+    )
+    got = {
+        (r["pid"], r["name"])
+        for r in range_join(points, intervals, "t", "s", "e", 777).collect()
+    }
+    assert got == {(1, "A"), (2, "A")}  # half-open: base+1000 excluded
 
 
 def test_range_join_rejects_bad_how_and_clash(spark, frames):

@@ -129,6 +129,34 @@ def test_udp_datagram_mode(tmp_path):
     assert _spool_lines(spool) == ["udp line"]
 
 
+def test_spool_names_survive_restart_and_never_clobber(tmp_path, monkeypatch):
+    """Spool names must use wall-clock epoch ms + pid (a monotonic clock
+    resets at boot → a restarted receiver could silently rename over an
+    unconsumed spool), and _flush must bump past an existing path rather
+    than overwrite it."""
+    import grower_spark.sources.receiver as rxmod
+
+    spool = str(tmp_path / "spool")
+    rx = SpoolReceiver(spool, tcp_port=0)
+    monkeypatch.setattr(rxmod.time, "time", lambda: 1234.567)
+    rx._buf = ["first"]
+    rx._flush()
+    (name,) = os.listdir(spool)
+    ms, pid, seq = name.rsplit(".", 1)[0].split("-")
+    assert int(ms) == 1234567 and int(pid) == os.getpid() and int(seq) == 1
+
+    # a second receiver (same dir, clock frozen, seq reset) must not
+    # overwrite the first spool
+    rx2 = SpoolReceiver(spool, tcp_port=0)
+    first = os.path.join(spool, name)
+    before = open(first, "rb").read()
+    rx2._buf = ["second"]
+    monkeypatch.setattr(rxmod.os, "getpid", lambda: int(pid))  # force collision
+    rx2._flush()
+    assert open(first, "rb").read() == before
+    assert len(os.listdir(spool)) == 2
+
+
 def test_no_listener_rejected(tmp_path):
     with pytest.raises(ValueError, match="no listener"):
         SpoolReceiver(str(tmp_path))
