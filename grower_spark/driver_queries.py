@@ -1863,28 +1863,6 @@ FROM b
 """
 
 
-def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from grower_spark.operators.text import rolling_fingerprint
-
-    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    return rolling_fingerprint(docs).select("doc_id", "rh31")
-
-
-def oracle_doc_rolling_hash() -> str:
-    from grower_spark.operators.text import ROLL_BASE, ROLL_MOD, ROLL_PREFIX_TOKENS
-
-    h = _DUCK_MD5_60.format(x="t") + " % 1073741824"
-    return f"""
-SELECT doc_id,
-  list_reduce(
-    list_prepend(CAST(0 AS BIGINT),
-      list_transform(list_slice(string_split(text, ' '), 1, {ROLL_PREFIX_TOKENS}),
-                     t -> {h})),
-    (a, b) -> (a * {ROLL_BASE} + b) % {ROLL_MOD}) AS rh31
-FROM documents
-"""
-
-
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text form + its fingerprint — the dedup preprocessor."""
     from grower_spark.operators.text import normalize_text
@@ -1959,17 +1937,29 @@ FROM hist
 
 
 def q_doc_rolling_hash61(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from grower_spark.operators.text import rolling_fingerprint61
+    """Both rolling fingerprints (31-bit classic + 61-bit two-limb) in one
+    driver row — one documents scan, two folds; covers rolling_fingerprint
+    AND rolling_fingerprint61 (consolidated in r4 to keep the registry
+    inside the driver's 50-query window)."""
+    from grower_spark.operators.text import rolling_fingerprint, rolling_fingerprint61
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    return rolling_fingerprint61(docs).select("doc_id", "rh61")
+    return rolling_fingerprint61(rolling_fingerprint(docs)).select(
+        "doc_id", "rh31", "rh61"
+    )
 
 
 def oracle_doc_rolling_hash61() -> str:
     # Same two-limb fold as _roll61_step, in DuckDB BIGINT arithmetic:
     # integer // and % recover the limbs, every intermediate < 2^62.
-    from grower_spark.operators.text import ROLL_BASE, ROLL_MOD61, ROLL_PREFIX_TOKENS
+    from grower_spark.operators.text import (
+        ROLL_BASE,
+        ROLL_MOD,
+        ROLL_MOD61,
+        ROLL_PREFIX_TOKENS,
+    )
 
+    h31 = _DUCK_MD5_60.format(x="t") + " % 1073741824"
     h = _DUCK_MD5_60.format(x="t") + " % 2147483648"
     step = (
         f"(((a // 1073741824) * {ROLL_BASE}) // 2147483648"
@@ -1978,6 +1968,11 @@ def oracle_doc_rolling_hash61() -> str:
     )
     return f"""
 SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_slice(string_split(text, ' '), 1, {ROLL_PREFIX_TOKENS}),
+                     t -> {h31})),
+    (a, b) -> (a * {ROLL_BASE} + b) % {ROLL_MOD}) AS rh31,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
       list_transform(list_slice(string_split(text, ' '), 1, {ROLL_PREFIX_TOKENS}),
@@ -2119,7 +2114,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_hist": q_multimodal_hist,
-    "doc_rolling_hash": q_doc_rolling_hash,
     "doc_rolling_hash61": q_doc_rolling_hash61,
     "json_fields": q_json_fields,
     "scalar_funcs": q_scalar_funcs,
@@ -2175,7 +2169,6 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": oracle_multimodal_decode(),
     "multimodal_frames": oracle_multimodal_frames(),
     "multimodal_hist": oracle_multimodal_hist(),
-    "doc_rolling_hash": oracle_doc_rolling_hash(),
     "doc_rolling_hash61": oracle_doc_rolling_hash61(),
     "json_fields": oracle_json_fields(),
     "scalar_funcs": oracle_scalar_funcs(),

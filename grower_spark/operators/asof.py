@@ -27,6 +27,13 @@ this operator already expresses.
 
 Unmatched left rows keep NULL right values (left-join semantics), matching
 DuckDB's ``ASOF LEFT JOIN`` which the driver-query oracle uses verbatim.
+
+NULL timestamps: a NULL ts never matches anything, on either side (the
+principled ternary-logic reading of ``right.ts <= left.ts``, and what
+pandas ``merge_asof`` does).  Raw DuckDB ASOF orders NULLs LAST and so
+matches a NULL-ts left row to a NULL-ts right row (both act as +inf) — a
+sort artifact; our semantics equal DuckDB ASOF over NULL-filtered inputs
+(pinned by ``test_null_ts_matches_duckdb_asof_oracle``).
 """
 
 from __future__ import annotations
@@ -61,6 +68,17 @@ def asof_join(
     clash = set(vals) & set(left_cols)
     if clash:
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    reserved = {_SIDE, "__carry", "__rts"}
+    bad = reserved & (set(vals) | set(left_cols))
+    if bad:
+        raise ValueError(f"reserved column names in use: {sorted(bad)}")
+
+    # A right row with NULL ts can never be "<= left.ts" (NULL comparisons are
+    # never true), so it must not enter the carry stream at all — otherwise
+    # NULLS-FIRST ordering would put it before every real row and
+    # last(ignorenulls) would hand its payload to left rows with no true
+    # predecessor.  DuckDB ASOF drops such rows the same way.
+    right = right.where(F.col(ts_col).isNotNull())
 
     l_tagged = left.select(
         *left_cols,
@@ -77,9 +95,12 @@ def asof_join(
     ).select(*left_cols, _SIDE, *vals)  # align column order with l_tagged
 
     unioned = l_tagged.unionByName(r_tagged)
+    # NULLS FIRST (explicit): with right NULL-ts rows filtered above, a left
+    # row with NULL ts sorts before every right row in its key group, carries
+    # NULL, and comes out unmatched — DuckDB ASOF semantics for NULL ts.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
+        .orderBy(F.col(ts_col).asc_nulls_first(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # One struct per right row (NULL for left rows): last(ignorenulls) then

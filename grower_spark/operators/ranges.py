@@ -36,6 +36,10 @@ def _with_floor_bucket(df: DataFrame, src: Column, width: int, out: str) -> Data
     inputs need a remainder correction to get a true floor.
     """
     tmp = f"__fd_{out}"
+    if tmp in df.columns or out in df.columns:
+        raise ValueError(
+            f"reserved column name already present: {[c for c in (tmp, out) if c in df.columns]}"
+        )
     q = F.expr(f"`{tmp}` div {width}") - F.when(
         (F.col(tmp) % width) < 0, F.lit(1)
     ).otherwise(F.lit(0))
@@ -71,6 +75,10 @@ def range_join(
     clash = set(points.columns) & set(intervals.columns) - set(keys)
     if clash:
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
+    reserved = {_BKT, "__b0", "__b1", f"__fd_{_BKT}", "__fd___b0", "__fd___b1"}
+    bad = reserved & (set(points.columns) | set(intervals.columns))
+    if bad:
+        raise ValueError(f"reserved column names in use: {sorted(bad)}")
 
     p = _with_floor_bucket(points, F.col(ts_col), bucket_width, _BKT)
     iv = intervals.where(F.col(end_col) > F.col(start_col))

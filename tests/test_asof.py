@@ -89,3 +89,70 @@ def test_value_col_clash_rejected(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, ["user"], "t", ["t"])
+
+
+def test_reserved_names_rejected(spark):
+    """'__rts' as a value col would shadow the carry struct's timestamp field
+    and break the tolerance path; '__side'/'__carry' on the left likewise."""
+    left = spark.createDataFrame([(1, "u1", 100)], ["event_id", "user", "t"])
+    right = spark.createDataFrame([("u1", 50, 7)], ["user", "t", "__rts"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, ["user"], "t", ["__rts"])
+    left2 = left.withColumnRenamed("event_id", "__carry")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left2, right.withColumnRenamed("__rts", "mark"),
+                  ["user"], "t", ["mark"])
+
+
+def test_null_ts_right_rows_never_match(spark):
+    """DuckDB ASOF never matches a NULL-ts right row (NULL <= t is not
+    true); before the fix, NULLS-FIRST ordering handed its payload to left
+    rows with no real predecessor."""
+    left = spark.createDataFrame([(1, "u1", 50)], ["event_id", "user", "t"])
+    right = spark.createDataFrame(
+        [("u1", None, 99)], schema="user string, t long, mark int"
+    )
+    out = asof_join(left, right, ["user"], "t", ["mark"]).collect()
+    assert out[0]["mark"] is None
+
+
+def test_null_ts_left_rows_are_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", None), (2, "u1", 300)], schema="event_id int, user string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 10), ("u1", None, 99)], schema="user string, t long, mark int"
+    )
+    out = {r["event_id"]: r["mark"]
+           for r in asof_join(left, right, ["user"], "t", ["mark"]).collect()}
+    assert out[1] is None  # NULL left ts: no predecessor can satisfy <=
+    assert out[2] == 10    # real rows unaffected by the NULL ones
+
+
+def test_null_ts_matches_duckdb_asof_oracle(spark):
+    """Cross-check NULL-ts semantics against DuckDB ASOF over NULL-filtered
+    inputs.  Raw DuckDB ASOF orders NULLs LAST and so matches a NULL-ts left
+    row to a NULL-ts right row (both act as +inf) — a sort artifact, not
+    ternary logic.  Our contract is the principled one (NULL never matches),
+    i.e. DuckDB ASOF with NULL-ts rows excluded on both sides."""
+    duckdb = pytest.importorskip("duckdb")
+    lrows = [(1, "u1", None), (2, "u1", 120), (3, "u2", 80), (4, "u2", 200)]
+    rrows = [("u1", None, 99), ("u1", 100, 11), ("u2", None, 77), ("u2", 150, 22)]
+    left = spark.createDataFrame(lrows, schema="event_id int, user string, t long")
+    right = spark.createDataFrame(rrows, schema="user string, t long, mark int")
+    got = {r["event_id"]: r["mark"]
+           for r in asof_join(left, right, ["user"], "t", ["mark"]).collect()}
+    con = duckdb.connect()
+    con.execute("create table l(event_id int, u varchar, t bigint)")
+    con.executemany("insert into l values (?,?,?)", lrows)
+    con.execute("create table r(u varchar, t bigint, mark int)")
+    con.executemany("insert into r values (?,?,?)", rrows)
+    want = dict(con.execute(
+        "select l.event_id, r.mark"
+        " from (select * from l where t is not null) l"
+        " asof left join (select * from r where t is not null) r"
+        " on l.u = r.u and r.t <= l.t"
+        " union all select event_id, NULL from l where t is null"
+    ).fetchall())
+    assert got == want
+    assert want == {1: None, 2: 11, 3: None, 4: 22}

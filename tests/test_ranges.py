@@ -135,3 +135,15 @@ def test_range_join_rejects_bad_how_and_clash(spark, frames):
         range_join(points, intervals, "t", "s", "e", 10, how="full")
     with pytest.raises(ValueError, match="overlapping"):
         range_join(points, points.withColumnRenamed("pid", "s"), "t", "s", "t", 10)
+
+
+def test_reserved_column_names_rejected(spark):
+    """An input column named like an internal temp would be silently
+    overwritten and dropped; both entry points must refuse instead."""
+    points = spark.createDataFrame([(1, 10, 0)], schema="pid long, t long, __rbkt long")
+    intervals = spark.createDataFrame([("A", 0, 100)], schema="name string, s long, e long")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(points, intervals, "t", "s", "e", 10)
+    df = spark.createDataFrame([(1, 2)], schema="v long, __fd_b long")
+    with pytest.raises(ValueError, match="reserved"):
+        _with_floor_bucket(df, F.col("v"), 10, "b")
