@@ -74,3 +74,28 @@ def test_tpch_q5_orders_join_not_forced_broadcast(no_auto_broadcast):
     assert joins["l_orderkey"] in ("SortMergeJoin", "ShuffledHashJoin")
     for dim_key in ("o_custkey", "l_suppkey", "s_nationkey", "n_regionkey"):
         assert joins[dim_key] == "BroadcastHashJoin", dim_key
+
+
+def test_simhash_prefix_pairs_no_self_join(spark):
+    """Round-3 verdict: the prefix-block variant was a bucket self-join that
+    recomputed the simhash bit-vote subtree per side (the 68s-vs-8s
+    pathology).  Pin the posting-list rewrite: no join node at all, exactly
+    one exchange (the block groupBy), and results unchanged."""
+    from grower_spark.operators.dedup import simhash_dedup_pairs
+    from tools.explain_all import plan_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"common prefix words here variant {i % 3}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    out = simhash_dedup_pairs(docs, prefix_bits=4, max_hamming=32)
+    stats = plan_stats(out)
+    assert stats["joins"] == 0, stats
+    assert stats["shuffles"] == 1, stats
+    # three identical-text groups of 4 docs -> at least the within-group pairs
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    for grp in range(3):
+        ids = [i for i in range(12) if i % 3 == grp]
+        for a_i, a in enumerate(ids):
+            for b in ids[a_i + 1:]:
+                assert (a, b) in got

@@ -46,6 +46,13 @@ def plan_stats(df, execute: bool = True) -> dict:
             re.findall(r"Exchange (hash|range|RoundRobin|SinglePartition)", plan)
         ),
         "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
+        "joins": len(
+            re.findall(
+                r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+                r"|BroadcastNestedLoopJoin|CartesianProduct",
+                plan,
+            )
+        ),
         "codegen_stages": len(codegen_ids),
         "regex_execs": plan.count("regexp_replace"),
         "sorts": len(re.findall(r"\bSort \[", plan)),
