@@ -147,6 +147,126 @@ def cosine_topk_np(
     )
 
 
+def _rerank_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    scorer: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a candidate set -> (qid, vec_id, rank, sim_r4).
+
+    ``scorer="hof"`` evaluates one Catalyst fold per candidate — JVM-side,
+    IEEE-identical to the DuckDB oracle, the right default at small dims.
+    ``scorer="np"`` ships each Arrow batch of candidates through one
+    vectorized numpy kernel against a broadcast L2-normalized query matrix
+    — at production embedding widths (768-4096) the fold interpreter is
+    the bottleneck (measured 7.4s->1.6s for brute force at dim 768), and
+    the same applies to candidate re-ranking.  Both score rounded-to-4
+    BEFORE ranking, so ranks agree wherever the two float paths agree on
+    the rounded value (pinned by rank-parity tests).
+    """
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim_r4"), F.asc(id_col))
+    if scorer == "hof":
+        scored = cand.select(
+            qid_col,
+            id_col,
+            F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4"),
+        )
+    elif scorer == "np":
+        import numpy as np
+        import pandas as pd
+
+        q_rows = queries.select(qid_col, qvec_col).collect()
+        qid_to_idx = {r[0]: i for i, r in enumerate(q_rows)}
+        qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        bc = cand.sparkSession.sparkContext.broadcast((qid_to_idx, qmat))
+
+        out_schema = T.StructType(
+            [
+                T.StructField("qid", T.LongType()),
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("sim_r4", T.DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            idx_map, qn = bc.value
+            for batch in batches:
+                if not len(batch):
+                    continue
+                qids_ = batch["qid"].to_numpy(dtype=np.int64)
+                ids = batch["vec_id"].to_numpy(dtype=np.int64)
+                cmat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+                )
+                cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+                qidx = pd.Series(qids_).map(idx_map).to_numpy(dtype=np.int64)
+                sims = np.round(np.einsum("ij,ij->i", cmat, qn[qidx]), 4)
+                yield pd.DataFrame({"qid": qids_, "vec_id": ids, "sim_r4": sims})
+
+        # qvec is NOT shipped through the kernel: each candidate row carries
+        # only (qid, corpus vec); the query matrix rides the broadcast.
+        src = cand.select(
+            F.col(qid_col).cast("long").alias("qid"),
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        )
+        scored = src.mapInPandas(score, out_schema).select(
+            F.col("qid").alias(qid_col), F.col("vec_id").alias(id_col), "sim_r4"
+        )
+    else:
+        raise ValueError(f"scorer must be hof|np, got {scorer!r}")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank", "sim_r4")
+    )
+
+
+def _np_assign(
+    df: DataFrame, mat_rows: list[list[float]], mode: str, vec_col: str, out_col: str
+) -> DataFrame:
+    """Append an LSH bucket (``mode="sign"``) or IVF cell (``mode="argmax"``)
+    column computed as ONE numpy matmul per Arrow batch against the
+    broadcast plane/centroid matrix.
+
+    Functionally identical to the Catalyst-fold assignment (strict
+    ``dot > 0`` sign bits; argmax with lowest-index tie-break == least on
+    (-dot, idx)), but the per-row cost is a BLAS row of (dim x n) instead
+    of n interpreted folds — at dim 768 the fold assignment dominated the
+    whole ANN query (measured: it, not the re-rank, was the bottleneck).
+    Map-side only; partitioning and downstream join shape are unchanged.
+    """
+    import numpy as np
+
+    P = np.array(mat_rows, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(P)
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def assign(batches):
+        P_ = bc.value
+        weights = 1 << np.arange(P_.shape[0], dtype=np.int64)
+        for batch in batches:
+            if not len(batch):
+                continue
+            cmat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            dots = cmat @ P_.T
+            if mode == "sign":
+                val = ((dots > 0).astype(np.int64) * weights).sum(axis=1)
+            else:
+                val = dots.argmax(axis=1).astype(np.int64)
+            batch = batch.copy()
+            batch[out_col] = val
+            yield batch
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
     """Deterministic unit-norm centroid grid: component (c, d) is
     md5-derived in [-1, 1], then L2-normalized.  Data-independent by
@@ -192,6 +312,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    scorer: str = "hof",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``n_cells`` inverted lists (each row's cell = argmax centroid dot,
@@ -204,35 +325,55 @@ def ivf_ann_topk(
     the broadcast query side — the same candidate-generation discipline as
     the LSH variant with a geometry-aware quantizer instead of sign bits.
     Output (qid, vec_id, rank, sim_r4), ranks within the candidate set.
+
+    ``scorer="np"`` vectorizes BOTH the corpus-side cell assignment and
+    the candidate re-rank through numpy kernels (same math, BLAS hot
+    loop) — use it at production embedding widths; the default ``"hof"``
+    stays Catalyst-side and oracle-exact.
     """
     cents = ivf_centroids(n_cells, dim)
-    # corpus side needs only the argmax cell: lexicographic least over
-    # (-dot, idx) structs — same result and tie-break as ranking[0], but
-    # without materializing and sorting the 16-struct array per row
-    argmax_cell = F.least(
-        *[
-            F.struct(
-                (-_plane_dot(F.col(vec_col), cent)).alias("m"),
-                F.lit(i).cast("int").alias("i"),
-            )
-            for i, cent in enumerate(cents)
-        ]
-    )["i"]
-    c = corpus.withColumn("_cell", argmax_cell)
+    if scorer == "np":
+        import numpy as np
+
+        # Query-side probe cells driver-side: the queries are collected for
+        # the re-rank matrix anyway, and at dim 768+ the HOF ranking
+        # expression is a ~n_cells*dim-literal Catalyst tree whose mere
+        # compilation dominates; the broadcast side shrinks to (qid, cell)
+        # int pairs.  Same ordering/tie-break as _cell_ranking.
+        C = np.array(cents, dtype=np.float64)
+        q_rows = queries.select(qid_col, qvec_col).collect()
+        qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        dots = qm @ C.T
+        pairs = []
+        for i, r in enumerate(q_rows):
+            order = np.lexsort((np.arange(len(cents)), -dots[i]))[:n_probe]
+            pairs += [(int(r[0]), int(cell)) for cell in order]
+        q = corpus.sparkSession.createDataFrame(
+            pairs, schema=f"{qid_col} long, _cell long"
+        )
+        c = _np_assign(corpus, cents, "argmax", vec_col, "_cell")
+        cand = c.join(F.broadcast(q), "_cell").where(F.col(id_col) != F.col(qid_col))
+        return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
+    else:
+        # corpus side needs only the argmax cell: lexicographic least over
+        # (-dot, idx) structs — same result and tie-break as ranking[0], but
+        # without materializing and sorting the 16-struct array per row
+        argmax_cell = F.least(
+            *[
+                F.struct(
+                    (-_plane_dot(F.col(vec_col), cent)).alias("m"),
+                    F.lit(i).cast("int").alias("i"),
+                )
+                for i, cent in enumerate(cents)
+            ]
+        )["i"]
+        c = corpus.withColumn("_cell", argmax_cell)
     q = queries.withColumn(
         "_cell",
         F.explode(F.slice(_cell_ranking(F.col(qvec_col), cents), 1, n_probe)),
     )
     cand = c.join(F.broadcast(q), "_cell").where(F.col(id_col) != F.col(qid_col))
-    scored = cand.select(
-        qid_col, id_col, F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4")
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("sim_r4"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(qid_col, id_col, "rank", "sim_r4")
-    )
+    return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
 
 
 def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
@@ -308,6 +449,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    scorer: str = "hof",
 ) -> DataFrame:
     """Approximate top-k: bucket join on the LSH key, exact re-rank inside.
 
@@ -319,8 +461,39 @@ def lsh_ann_topk(
     per row, and the join stays a broadcast hash join on the bucket key).
 
     Output (qid, vec_id, rank, sim_r4) — ranks are within the candidate
-    set, so recall vs ``cosine_topk`` measures LSH quality."""
+    set, so recall vs ``cosine_topk`` measures LSH quality.
+
+    ``scorer="np"`` vectorizes BOTH the corpus-side bucket assignment and
+    the candidate re-rank through numpy kernels (the fold assignment, not
+    the re-rank, dominates at dim 768+); default ``"hof"`` stays
+    Catalyst-side and oracle-exact."""
     planes = lsh_planes(n_planes, dim)
+    if scorer == "np":
+        import numpy as np
+
+        # Same driver-side probe construction as the IVF np path: home
+        # bucket from sign bits, then n_probes lowest-|margin| single-bit
+        # flips — ordering and tie-break identical to _probe_buckets
+        # (sort by (|margin|, power) ascending).
+        P = np.array(planes, dtype=np.float64)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        q_rows = queries.select(qid_col, qvec_col).collect()
+        qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        dots = qm @ P.T
+        home = ((dots > 0).astype(np.int64) * weights).sum(axis=1)
+        pairs = []
+        for i, r in enumerate(q_rows):
+            bkts = [int(home[i])]
+            if n_probes > 0:
+                order = np.lexsort((weights, np.abs(dots[i])))[:n_probes]
+                bkts += [int(home[i] ^ weights[p]) for p in order]
+            pairs += [(int(r[0]), b) for b in bkts]
+        q = corpus.sparkSession.createDataFrame(
+            pairs, schema=f"{qid_col} long, _bkt long"
+        )
+        c = _np_assign(corpus, planes, "sign", vec_col, "_bkt")
+        cand = c.join(F.broadcast(q), "_bkt").where(F.col(id_col) != F.col(qid_col))
+        return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
     c = corpus.withColumn("_bkt", _bucket_expr(F.col(vec_col), planes))
     if n_probes <= 0:
         q = queries.withColumn("_bkt", _bucket_expr(F.col(qvec_col), planes))
@@ -330,12 +503,4 @@ def lsh_ann_topk(
             F.explode(_probe_buckets(F.col(qvec_col), planes, n_probes)),
         )
     cand = c.join(F.broadcast(q), "_bkt").where(F.col(id_col) != F.col(qid_col))
-    scored = cand.select(
-        qid_col, id_col, F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4")
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("sim_r4"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(qid_col, id_col, "rank", "sim_r4")
-    )
+    return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)

@@ -89,3 +89,28 @@ def test_probe_buckets_distinct_no_pair_duplication(spark, emb_and_queries):
         got.groupBy("qid", "vec_id").count().where(F.col("count") > 1).count()
     )
     assert dupes == 0
+
+
+def test_np_rerank_matches_hof_rerank_lsh_and_ivf(spark, emb_and_queries):
+    """scorer="np" must only change the scoring kernel, never the candidate
+    set or the ranking (same rounded-to-4 scores, same tie-break)."""
+    from grower_spark.operators.similarity import ivf_ann_topk
+
+    emb, q = emb_and_queries
+    dim = len(emb.select("embedding").first()[0])
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["rank"], r["vec_id"], r["sim_r4"]) for r in df.collect()
+        )
+
+    lsh_kw = dict(k=K, n_planes=8, dim=dim, n_probes=2)
+    assert rows(lsh_ann_topk(emb, q, scorer="np", **lsh_kw)) == rows(
+        lsh_ann_topk(emb, q, **lsh_kw)
+    )
+    ivf_kw = dict(k=K, n_cells=16, n_probe=2, dim=dim)
+    assert rows(ivf_ann_topk(emb, q, scorer="np", **ivf_kw)) == rows(
+        ivf_ann_topk(emb, q, **ivf_kw)
+    )
+    with pytest.raises(ValueError, match="hof|np"):
+        lsh_ann_topk(emb, q, scorer="blas", **lsh_kw)
