@@ -481,3 +481,104 @@ def ngram_jaccard_pairs(
     return inter.select(
         "id_a", "id_b", "inter", "size_a", "size_b", F.round(jac, 4).alias("jaccard_r4")
     ).where(F.round(jac, 4) >= threshold)
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: Optional[int] = 1000,
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` with AllPairs/PPJoin prefix filtering: same
+    output, superlinearly less posting volume at corpus scale.
+
+    Shingles get a global total order (document frequency ascending, ties
+    by shingle — rarest first minimizes candidates); only each doc's first
+    ``|rare(d)| - ceil(t*|d|) + 1`` shingles enter the inverted index.  A
+    qualifying pair (jaccard >= t) shares at least ceil(t*|d|) shingles,
+    and its globally-smallest shared shingle provably sits inside BOTH
+    prefixes — so candidate generation keeps total recall while the
+    posting lists shrink by ~t/(1+t) of each doc plus every pair whose
+    only shared shingles are suffix shingles.  Candidates are then
+    verified with the EXACT intersection (array_intersect of the
+    rare-shingle arrays), so found pairs carry true counts.
+
+    Cap semantics match the base operator: shingles with document
+    frequency > ``max_shingle_df`` are excluded from the similarity
+    universe (intersection counts rare shingles only; sizes stay full),
+    so the two operators are output-identical cap or no cap.
+
+    Plan: one inverted-index shuffle for document frequencies, a per-doc
+    re-sort (shuffle on id), ONE prefix-posting shuffle (the formerly
+    superlinear term), then candidate verification as two id-keyed joins
+    against the rare-shingle arrays.  More fixed shuffles than the base's
+    two, but each is linear in docs or candidates — the right trade when
+    posting volume, not shuffle count, is the bottleneck.  At production
+    scale persist the sorted-array stage; here it is recomputed per
+    consumer (linear map work).
+    """
+    arr = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sharr")
+    ).withColumn("sz", F.size("_sharr"))
+    inv = arr.select("_id", "sz", F.explode("_sharr").alias("sh"))
+    # shingles() is distinct per doc, so count(*) == document frequency
+    shdf = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    if max_shingle_df is not None:
+        shdf = shdf.where(F.col("df_") <= max_shingle_df)
+    ranked = inv.join(shdf, "sh")
+    docs_sorted = ranked.groupBy("_id", "sz").agg(
+        F.array_sort(F.collect_list(F.struct("df_", "sh"))).alias("rs")
+    )
+    # epsilon-guarded ceil: an IEEE product a hair ABOVE the true integer
+    # would shorten the prefix and silently lose recall; a hair below only
+    # lengthens it (pure perf cost)
+    need = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
+    plen = F.greatest(F.size("rs") - need + 1, F.lit(0))
+    pref = docs_sorted.select(
+        "_id",
+        "sz",
+        F.explode(
+            F.slice(F.transform("rs", lambda s: s["sh"]), 1, plen)
+        ).alias("sh"),
+    )
+    postings = (
+        pref.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "sz"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    tail_len = F.size(F.col("ds"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, tail_len),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    x["sz"].alias("size_a"),
+                    y["_id"].alias("id_b"),
+                    y["sz"].alias("size_b"),
+                ),
+            ),
+        )
+    )
+    cands = (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    rare_arr = docs_sorted.select(
+        "_id", F.transform("rs", lambda s: s["sh"]).alias("ra")
+    )
+    j = cands.join(
+        rare_arr.select(F.col("_id").alias("id_a"), F.col("ra").alias("_ra_a")), "id_a"
+    ).join(
+        rare_arr.select(F.col("_id").alias("id_b"), F.col("ra").alias("_ra_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("_ra_a", "_ra_b")).cast("long")
+    j = j.withColumn("inter", inter)
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return j.select(
+        "id_a", "id_b", "inter", "size_a", "size_b", F.round(jac, 4).alias("jaccard_r4")
+    ).where(F.round(jac, 4) >= threshold)

@@ -317,3 +317,39 @@ def test_sample_frames_fanout(spark):
     assert [r["frame_off_bytes"] for r in sorted(by_doc[0], key=lambda r: r["frame_idx"])] == [0, 64, 128, 192]
     assert len(by_doc[1]) == 1  # short payloads still yield one frame
     assert all(len(r["frame_sha8"]) == 8 for r in frames)
+
+
+def test_prefix_filter_matches_base_on_testdata(spark):
+    """AllPairs prefix filtering is candidate PRUNING, not a semantics
+    change: output must be row-identical to ngram_jaccard_pairs on real
+    documents, with and without a binding stop-shingle cap."""
+    from conftest import SF_SMALL
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    documents = load_table(spark, SF_SMALL, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for cap in (None, 3):
+        base = ngram_jaccard_pairs(documents, threshold=0.4, max_shingle_df=cap)
+        pref = ngram_jaccard_pairs_prefix(documents, threshold=0.4, max_shingle_df=cap)
+        assert base.columns == pref.columns
+        b, p = rows(base), rows(pref)
+        assert b == p, (len(b), len(p), cap)
+        assert len(b) > 0  # non-vacuous: testdata contains qualifying pairs
+
+
+def test_prefix_filter_threshold_semantics(spark, docs):
+    from grower_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    base = {
+        (r["id_a"], r["id_b"]): (r["jaccard_r4"], r["inter"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): (r["jaccard_r4"], r["inter"])
+        for r in ngram_jaccard_pairs_prefix(docs, threshold=0.1).collect()
+    }
+    assert base == pref
