@@ -900,7 +900,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
         max_shingle_df=JACCARD_MAX_DF,
     )
-    return duplicate_clusters(pairs)
+    # star backend (r4): O(log^2 n) rounds instead of diameter rounds —
+    # the oracle (recursive min-reachability CTE) is backend-agnostic, so
+    # this also proves the star rewrite end-to-end on real pair graphs
+    return duplicate_clusters(pairs, backend="star")
 
 
 def oracle_dedup_clusters() -> str:

@@ -194,11 +194,99 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — same (doc_id, cluster_id) contract as
+    ``duplicate_clusters``, cluster_id = component-min id.
+
+    Per round: LARGE-STAR hangs every neighbor larger than u off u's
+    current minimum (one groupBy over the symmetric edge list); SMALL-STAR
+    re-hangs each node's smaller neighbors (and itself) off their minimum
+    (one groupBy over canonical max->min edges).  The edge set provably
+    converges to per-component stars centered at the component minimum in
+    O(log^2 n) rounds — min-label propagation needs DIAMETER rounds, so on
+    a chain of 60 near-dups this converges in ~5 rounds instead of 60.
+    Two shuffles per round, lineage truncated per round, convergence =
+    edge-set fixpoint (count + order-independent hash signature).
+    """
+    E = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: group the SYMMETRIC neighborhood of every node
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        g = (
+            sym.groupBy("u")
+            .agg(F.collect_set("v").alias("ns"))
+            .withColumn("m", F.array_min(F.concat(F.col("ns"), F.array(F.col("u")))))
+        )
+        ls = (
+            g.select(
+                F.explode(
+                    F.filter(F.col("ns"), lambda x: x > F.col("u"))
+                ).alias("lu"),
+                F.col("m").alias("lv"),
+            )
+            .where(F.col("lu") != F.col("lv"))
+            .distinct()
+        )
+        # small-star: group canonical (larger -> smaller) edges
+        g2 = (
+            ls.groupBy("lu")
+            .agg(F.collect_set("lv").alias("ns"))
+            .withColumn("m", F.array_min(F.col("ns")))
+        )
+        E_new = (
+            g2.select(
+                F.explode(
+                    F.concat(
+                        F.filter(F.col("ns"), lambda x: x != F.col("m")),
+                        F.array(F.col("lu")),
+                    )
+                ).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # bit_xor, not sum: ANSI mode makes a sum of int64 hashes overflow
+        sig = E_new.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        E = E_new
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # at the fixpoint E is a star per component: u -> component min
+    leaves = E.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    centers = E.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    return (
+        leaves.unionByName(centers)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    backend: str = "label_prop",
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into CLUSTERS: connected components by
     iterative min-label propagation.  Output (doc_id, cluster_id) where
@@ -209,11 +297,16 @@ def duplicate_clusters(
     label and its neighbors' labels; convergence (no label changed) is
     checked per round and lineage is truncated with ``localCheckpoint`` so
     the plan stays flat.  Iterations needed = graph diameter, which for
-    near-dup clusters is small (dup clusters are dense); pathological
-    chains are bounded by ``max_iter`` (raise for adversarial data, or
-    switch to the large-star/small-star variant — same primitive, fewer
-    rounds — which this formulation is the readable baseline for).
+    near-dup clusters is small (dup clusters are dense); for adversarial
+    diameters pass ``backend="star"`` — large-star/small-star converges in
+    O(log^2 n) rounds instead of diameter rounds
+    (``duplicate_clusters_star``; equality pinned on a pathological chain
+    by pytest).
     """
+    if backend == "star":
+        return duplicate_clusters_star(pairs, id_a, id_b, max_iter)
+    if backend != "label_prop":
+        raise ValueError(f"backend must be label_prop|star, got {backend!r}")
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )

@@ -353,3 +353,25 @@ def test_prefix_filter_threshold_semantics(spark, docs):
         for r in ngram_jaccard_pairs_prefix(docs, threshold=0.1).collect()
     }
     assert base == pref
+
+
+def test_star_backend_matches_label_prop(spark):
+    """Large-star/small-star must produce the identical clustering on a
+    pathological 60-node chain (where min-label propagation needs 60
+    rounds but star converges in O(log^2 n)), plus a triangle, a pair,
+    and two bridged cliques. Star gets max_iter=8 to PROVE the round
+    bound; label_prop gets the full diameter."""
+    from grower_spark.operators.dedup import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(100, 160)]
+    extra = [(10, 11), (11, 12), (10, 12), (20, 21),
+             (1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    pairs = spark.createDataFrame(chain + extra, ["id_a", "id_b"])
+    base = {r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs, max_iter=70).collect()}
+    star = {r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs, max_iter=8, backend="star").collect()}
+    assert star == base
+    assert star[159] == 100 and star[6] == 1  # chain + bridged cliques collapsed
+    with pytest.raises(ValueError, match="label_prop|star"):
+        duplicate_clusters(pairs, backend="bogus")
