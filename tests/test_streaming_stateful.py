@@ -227,3 +227,63 @@ def test_streaming_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
     # user 1 burst 2 and user 2: closed by event-time timeout after batch 2
     assert got[(1, us("2024-01-01 10:30:00"))] == (us("2024-01-01 10:30:00"), 1)
     assert got[(2, us("2024-01-01 09:00:00"))] == (us("2024-01-01 09:00:00"), 1)
+
+
+def test_late_rows_beyond_watermark_dropped_exactly(spark, tmp_path):
+    """Late-data contract, pinned row by row against Spark's ACTUAL
+    two-watermark semantics (3.4+): late-row FILTERING in batch N uses the
+    eviction watermark of batch N-1 (one batch lagged), the filter
+    predicate is window-END <= late-events watermark (not per-row event
+    time), and EVICTION/emission uses the current batch's watermark.  So a
+    drop requires the late row to arrive two batches after the advancing
+    event; a row whose event time is below the watermark but whose window
+    is still open is kept and counted."""
+    _write_events(spark, str(tmp_path / "in" / "b1"), [
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:20:00", "click"),
+    ])
+    _write_events(spark, str(tmp_path / "in" / "b2"), [
+        (1, "2024-01-01 10:10:00", "click"),  # late vs b1 max, window open: KEPT
+        (1, "2024-01-01 12:00:00", "click"),  # watermark -> 11:30 (evicts 10:00 win next batch)
+    ])
+    _write_events(spark, str(tmp_path / "in" / "b3"), [
+        (1, "2024-01-01 13:00:00", "click"),  # filler: ages 11:30 into the late-filter
+    ])
+    _write_events(spark, str(tmp_path / "in" / "b4"), [
+        (1, "2024-01-01 10:15:00", "click"),  # win end 11:00 <= 11:30: DROPPED
+        (1, "2024-01-01 11:05:00", "click"),  # event < wm but win end 12:00 > 11:30: KEPT
+        (1, "2024-01-01 14:00:00", "click"),  # advances wm; stays open itself
+    ])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    out = windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latewin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["window_start"], r["event_type"]): r["cnt"]
+        for r in spark.sql("select * from latewin").collect()
+    }
+    assert rows == {
+        # 10:05 + 10:20 + the late-but-kept 10:10; NOT the dropped 10:15
+        (datetime.datetime(2024, 1, 1, 10, 0), "click"): 3,
+        # the still-open-window late row 11:05, emitted on eviction
+        (datetime.datetime(2024, 1, 1, 11, 0), "click"): 1,
+        (datetime.datetime(2024, 1, 1, 12, 0), "click"): 1,
+        # 13:00 and 14:00 windows still open in append mode -> absent
+    }
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1
