@@ -16,6 +16,8 @@ Two tiers, same output shape:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 from pyspark.sql import types as T
@@ -284,6 +286,63 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
     return out
 
 
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    iters: int = 8,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer trained on a bounded corpus
+    sample — the production replacement for the fixed ``ivf_centroids``
+    grid (which stays the oracle-side quantizer: data-independent, every
+    engine reproduces it bit-for-bit).
+
+    The fit runs in ONE executor task via ``mapInPandas`` over a
+    ``limit(sample_n)`` sample coalesced to a single partition: the raw
+    sample vectors never reach the driver, only the ``n_cells`` centroid
+    rows do.  Initialization is the deterministic md5 grid, so given the
+    same sample the result is reproducible.  Assignment is by dot product
+    against unit-norm centroids (same ranking the query path uses), the
+    update re-normalizes the member mean, and an emptied cell keeps its
+    previous centroid.  Plug the result into ``ivf_ann_topk(centroids=…)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    init = ivf_centroids(n_cells, dim)
+    sample = corpus.select(F.col(vec_col).alias("v")).limit(sample_n).coalesce(1)
+
+    def fit(batches):
+        chunks = []
+        for batch in batches:
+            if len(batch):
+                chunks.append(
+                    np.stack([np.asarray(v, dtype=np.float64) for v in batch["v"]])
+                )
+        if not chunks:
+            yield pd.DataFrame({"cell": [], "centroid": []})
+            return
+        X = np.concatenate(chunks)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = np.array(init, dtype=np.float64)
+        for _ in range(iters):
+            a = (X @ C.T).argmax(axis=1)
+            for c in range(n_cells):
+                members = X[a == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        C[c] = m / n
+        yield pd.DataFrame({"cell": range(n_cells), "centroid": [list(c) for c in C]})
+
+    rows = sample.mapInPandas(fit, "cell int, centroid array<double>").collect()
+    got = {r["cell"]: list(r["centroid"]) for r in rows}
+    return [got[c] for c in range(n_cells)]
+
+
 def _cell_ranking(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of cell indices ordered by descending dot(vec, centroid)
     (ties to the lower index): sort on (-dot, idx) ascending."""
@@ -313,6 +372,7 @@ def ivf_ann_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     scorer: str = "hof",
+    centroids: Optional[list[list[float]]] = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``n_cells`` inverted lists (each row's cell = argmax centroid dot,
@@ -331,7 +391,9 @@ def ivf_ann_topk(
     loop) — use it at production embedding widths; the default ``"hof"``
     stays Catalyst-side and oracle-exact.
     """
-    cents = ivf_centroids(n_cells, dim)
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    if len(cents) != n_cells:
+        raise ValueError(f"expected {n_cells} centroids, got {len(cents)}")
     if scorer == "np":
         import numpy as np
 

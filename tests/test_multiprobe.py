@@ -114,3 +114,28 @@ def test_np_rerank_matches_hof_rerank_lsh_and_ivf(spark, emb_and_queries):
     )
     with pytest.raises(ValueError, match="hof|np"):
         lsh_ann_topk(emb, q, scorer="blas", **lsh_kw)
+
+
+def test_kmeans_centroids_beat_fixed_grid(spark, emb_and_queries):
+    """The trained spherical-k-means quantizer must dominate the
+    data-independent md5 grid on recall@10 (deterministic: fixed sample,
+    grid init, fixed iteration count)."""
+    from grower_spark.operators.similarity import cosine_topk_np, ivf_ann_topk
+    from grower_spark.operators.similarity import ivf_kmeans_centroids
+
+    emb, q = emb_and_queries
+    dim = len(emb.select("embedding").first()[0])
+    truth = _pairs(cosine_topk_np(emb, q, k=K))
+    cents = ivf_kmeans_centroids(emb, n_cells=16, dim=dim)
+    assert len(cents) == 16 and len(cents[0]) == dim
+
+    def recall(centroids):
+        got = _pairs(ivf_ann_topk(emb, q, k=K, n_cells=16, n_probe=2, dim=dim,
+                                  scorer="np", centroids=centroids))
+        return len(got & truth) / len(truth)
+
+    r_grid, r_kmeans = recall(None), recall(cents)
+    assert r_kmeans >= r_grid, (r_kmeans, r_grid)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="centroids"):
+        ivf_ann_topk(emb, q, n_cells=16, dim=dim, centroids=cents[:5])
