@@ -91,22 +91,31 @@ def main() -> None:
 
     spark.range(0, cpus * 4, 1, cpus).mapInPandas(_noop_batch, "id long").count()
 
-    # Two timed runs per query, keep the min: a single-shot number is at
-    # the mercy of host noise (observed 3-6x outliers on individual queries
-    # from VM contention); the min of two is what the engine actually costs.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Three timed runs per query, keep the min, REPORT the spread: a
+    # single-shot number is at the mercy of host noise (observed 3-6x
+    # outliers on individual queries from VM contention; round 3 burned
+    # review time on three phantom "regressions").  The min is what the
+    # engine actually costs; the per-query run list makes noise visible
+    # in the artifact instead of inferred after the fact.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     total = 0.0
     for name, how in BENCH_QUERIES:
         fn = QUERIES[name]
-        best = None
+        rs = []
         for _ in range(max(n_runs, 1)):
             t0 = time.time()
             materialize(fn(spark, sf_dir), how)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            rs.append(round(time.time() - t0, 3))
+        runs[name] = rs
+        timings[name] = min(rs)
         total += timings[name]
+    spreads = sorted(max(r) / max(min(r), 1e-9) for r in runs.values())
+    noise = {
+        "median_max_over_min": round(spreads[len(spreads) // 2], 2),
+        "worst_max_over_min": round(spreads[-1], 2),
+    }
 
     # Ingest-throughput sanity figure vs the reference's 10k lines/s bar
     # (BASELINE.md): lines parsed+cast+validated per second, measured on a
@@ -124,6 +133,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "parse_lines_per_sec": lps,
+                "runs": runs,
+                "noise": noise,
             }
         )
     )
