@@ -8,6 +8,11 @@ parallelism (one task per topic-partition) are built in.
 The connector jar (spark-sql-kafka) is not bundled with pip pyspark, so
 this module only *wires options*; ``kafka_line_stream`` raises a clear
 error when the connector is missing rather than an opaque ClassNotFound.
+
+Environment re-probes (per-round standing check for an e2e path):
+2026-08-13 r4: no spark-sql-kafka/kafka-clients jar on disk, nothing
+listening on :9092, no grpcio/confluent_kafka in site-packages — still
+options-wiring only.
 """
 
 from __future__ import annotations
