@@ -36,8 +36,8 @@ BENCH_QUERIES = [
     ("events_sliding_window", "noop"),
     ("events_topk_per_user", "noop"),
     ("events_rollup", "noop"),
-    ("events_distinct_users", "collect"),
-    ("events_quantiles", "collect"),
+    ("events_exact_stats", "collect"),
+    ("events_sample_stratified", "noop"),
     ("events_sketches", "collect"),
     ("events_asof_join", "noop"),
     ("events_range_join", "noop"),
@@ -51,16 +51,17 @@ BENCH_QUERIES = [
     ("text_lang_id", "noop"),
     ("text_quality", "noop"),
     ("doc_fingerprint", "noop"),
-    ("ann_cosine_topk", "collect"),
     ("ann_cosine_topk_np", "collect"),
     ("ann_lsh", "collect"),
     ("ann_lsh_multiprobe", "collect"),
     ("ann_ivf", "collect"),
     ("embedding_neardup_lsh", "collect"),
     ("doc_rolling_hash61", "noop"),
-    ("multimodal_decode", "noop"),
+    ("multimodal_pipeline", "noop"),
     ("multimodal_hist", "noop"),
     ("json_fields", "noop"),
+    ("doc_decontaminate", "noop"),
+    ("text_repetition", "noop"),
 ]
 
 

@@ -727,25 +727,11 @@ N_ANN_QUERIES = 8
 ANN_TOPK = 10
 
 
-def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the query vectors, one pass over
-    the corpus, per-query window top-k.  The 100TB scale path is the same
-    plan with the corpus partitioned; no shuffle on the corpus side."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    pairs = emb.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("qid"))
-    sim = _cosine(F.col("qvec"), F.col("embedding"))
-    scored = pairs.select("qid", "vec_id", F.round(sim, 4).alias("sim_r4"))
-    w = Window.partitionBy("qid").orderBy(F.desc("sim_r4"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= ANN_TOPK)
-        .select("qid", "vec_id", "rank", "sim_r4")
-    )
-
-
+# (The HOF brute-force wrapper formerly registered as `ann_cosine_topk` was
+# retired in round 4: `ann_cosine_topk_np` runs the same contract through the
+# BLAS kernel and shares this oracle, and test_operators pins HOF-vs-BLAS rank
+# parity at the operator level — one driver row for two identical answers was
+# a slot the registry's 50-query window couldn't spare.)
 def oracle_ann_cosine_topk() -> str:
     return f"""
 WITH q AS (
@@ -962,42 +948,28 @@ FROM expanded GROUP BY 1, 2
 """
 
 
-def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped distinct count (ClickHouse uniqExact analog): Catalyst
-    plans count(DISTINCT) as a two-phase expand+agg — partial dedup
-    map-side, so the shuffle carries (group, user) pairs, not raw rows.
-    The streaming/approximate analog is approx_count_distinct (HLL++),
-    excluded here because sketch estimates are engine-specific and can't
-    hash-match an oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+def q_events_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped distinct count + exact interpolated quantiles in ONE
+    aggregation (round-4 consolidation of the former events_distinct_users
+    and events_quantiles rows — same group key, so two queries were one
+    shuffle too many).
 
-
-def oracle_events_distinct_users() -> str:
-    return """
-SELECT event_type,
-  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-  CAST(count(*) AS BIGINT) AS n_events
-FROM events GROUP BY event_type
-"""
-
-
-def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles per group (Spark `percentile` == SQL
-    percentile_cont semantics: rank p*(n-1), linear interpolation — the
-    same definition DuckDB's quantile_cont uses).  Inputs are integer
-    centis so the interpolated midpoints are exact binary fractions and
-    both engines agree bit-for-bit.  At scale the approximate counterpart
-    is percentile_approx (t-digest) — engine-specific, so not oracled."""
+    count(DISTINCT): Catalyst plans it as a two-phase expand+agg — partial
+    dedup map-side, so the shuffle carries (group, user) pairs, not raw
+    rows.  `percentile` == SQL percentile_cont semantics (rank p*(n-1),
+    linear interpolation — the same definition DuckDB's quantile_cont
+    uses); inputs are integer centis so the interpolated midpoints are
+    exact binary fractions and both engines agree bit-for-bit.  The
+    approximate analogs (HLL++/t-digest) are engine-specific sketches and
+    live in events_sketches with tolerance gates."""
     ev = load_table(spark, sf_dir, "events")
     v = F.round(F.col("value") * 100).cast("long")
     return (
-        ev.select("event_type", v.alias("v"))
+        ev.select("event_type", "user_id", v.alias("v"))
         .groupBy("event_type")
         .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
             F.percentile("v", F.lit(0.5)).alias("p50"),
             F.percentile("v", F.lit(0.9)).alias("p90"),
             F.percentile("v", F.lit(0.99)).alias("p99"),
@@ -1005,9 +977,11 @@ def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oracle_events_quantiles() -> str:
+def oracle_events_exact_stats() -> str:
     return """
 SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events,
   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90,
   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99
@@ -1833,21 +1807,38 @@ FROM documents
 """
 
 
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from grower_spark.operators.multimodal import attach_binary, decode_images
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode metadata joined to sampled frames — BOTH mapInPandas
+    kernels in one result (round-4 consolidation of the former
+    multimodal_decode and multimodal_frames rows; each kernel's output is
+    still independently oracle-checked through the join).
+
+    decoder pinned to "stub": the oracle encodes the stub kernel's fake
+    metadata, so the query must not silently switch to a real codec if one
+    appears in a future container.  The doc_id join is a same-key shuffle
+    of two derivations of one scan; at 100 TB you'd fuse the two kernels
+    into one mapInPandas pass instead — kept separate here precisely so
+    both UDF plumbing paths stay driver-verified."""
+    from grower_spark.operators.multimodal import (
+        attach_binary,
+        decode_images,
+        sample_frames,
+    )
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    # decoder pinned to "stub": the oracle below encodes the stub kernel's
-    # fake metadata, so the query must not silently switch to a real codec
-    # if one appears in a future container.
-    return decode_images(attach_binary(docs), decoder="stub")
+    b = attach_binary(docs)
+    meta = decode_images(b, decoder="stub").select(
+        "doc_id", "width", "height", "n_channels", "mean_luma", "decoder"
+    )
+    frames = sample_frames(b)
+    return meta.join(frames, "doc_id")
 
 
-def oracle_multimodal_decode() -> str:
+def oracle_multimodal_pipeline() -> str:
     # The stub decoder's fake metadata re-expressed in SQL (ASCII text, so
-    # codepoints == bytes).  Oracle-checks the mapInPandas plumbing
-    # end-to-end; the Spark side pins decoder="stub" so this holds
-    # regardless of which codec libraries the environment carries.
+    # codepoints == bytes and sha256(chars) == sha256(bytes)), joined to
+    # the 1:N frame-sampling expansion.  Oracle-checks both mapInPandas
+    # kernels end-to-end.
     return """
 WITH b AS (
   SELECT doc_id,
@@ -1855,14 +1846,31 @@ WITH b AS (
     list_sum(list_transform(range(1, least(length(text), 256) + 1),
                             i -> unicode(substr(text, i, 1)))) AS s
   FROM documents
+),
+meta AS (
+  SELECT doc_id,
+    CAST((s % 1024) + 1 AS INTEGER) AS width,
+    CAST((n % 1024) + 1 AS INTEGER) AS height,
+    CAST(3 AS INTEGER) AS n_channels,
+    CAST((s + n) % 256 AS REAL) AS mean_luma,
+    'stub' AS decoder
+  FROM b
+),
+idx AS (
+  SELECT doc_id, text,
+    unnest(range(0, least(8, greatest(octet_length(encode(text)) // 64, 1)))) AS i
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+    CAST(i AS INTEGER) AS frame_idx,
+    CAST(i * 64 AS BIGINT) AS frame_off_bytes,
+    substr(sha256(substr(text, i * 64 + 1, 64)), 1, 8) AS frame_sha8
+  FROM idx
 )
-SELECT doc_id,
-  CAST((s % 1024) + 1 AS INTEGER) AS width,
-  CAST((n % 1024) + 1 AS INTEGER) AS height,
-  CAST(3 AS INTEGER) AS n_channels,
-  CAST((s + n) % 256 AS REAL) AS mean_luma,
-  'stub' AS decoder
-FROM b
+SELECT m.doc_id, m.width, m.height, m.n_channels, m.mean_luma, m.decoder,
+       f.frame_idx, f.frame_off_bytes, f.frame_sha8
+FROM meta m JOIN frames f USING (doc_id)
 """
 
 
@@ -1985,30 +1993,6 @@ FROM documents
 """
 
 
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1:N frame sampling through mapInPandas (video plumbing stub)."""
-    from grower_spark.operators.multimodal import attach_binary, sample_frames
-
-    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    return sample_frames(attach_binary(docs))
-
-
-def oracle_multimodal_frames() -> str:
-    # ASCII text: byte offsets == char offsets, sha256(chars)==sha256(bytes)
-    return """
-WITH idx AS (
-  SELECT doc_id, text,
-    unnest(range(0, least(8, greatest(octet_length(encode(text)) // 64, 1)))) AS i
-  FROM documents
-)
-SELECT doc_id,
-  CAST(i AS INTEGER) AS frame_idx,
-  CAST(i * 64 AS BIGINT) AS frame_off_bytes,
-  substr(sha256(substr(text, i * 64 + 1, 64)), 1, 8) AS frame_sha8
-FROM idx
-"""
-
-
 def q_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README.md:33-34 JSONStringField/JSONUInt64Field over events.props."""
     from grower_spark.functions.scalars import json_string_field, json_uint64_field
@@ -2065,6 +2049,118 @@ FROM parsed
     )
 
 
+# Decontamination: 3-grams because the sf documents are short word-soup texts
+# over a tiny vocabulary — real pipelines use 8..13-gram overlap, but a random
+# 8-gram here never collides and the operator's output would be empty.  The
+# plan shape (broadcast benchmark grams, map-side explode, one doc_id shuffle)
+# is identical at any n.
+DECONTAM_N = 3
+DECONTAM_BENCH_MOD = 31
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: every doc_id % 31 == 0 document plays
+    the held-out eval set; the query reports each remaining document's
+    count of distinct 3-grams shared with that set."""
+    from grower_spark.operators.decontam import contamination_hits
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    return contamination_hits(corpus, bench, n=DECONTAM_N)
+
+
+def oracle_doc_decontaminate() -> str:
+    n = DECONTAM_N
+    gram_h = _DUCK_MD5_60.format(x="gram")
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + {n - 1}], ' ') AS gram
+  FROM (SELECT doc_id, w,
+          unnest(range(1, greatest(len(w) - {n - 1}, 1) + 1)) AS i
+        FROM words)
+),
+hashed AS (SELECT doc_id, {gram_h} AS gram_h FROM grams),
+bench AS (SELECT DISTINCT gram_h FROM hashed WHERE doc_id % {DECONTAM_BENCH_MOD} = 0)
+SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+FROM hashed h JOIN bench b USING (gram_h)
+WHERE h.doc_id % {DECONTAM_BENCH_MOD} <> 0
+GROUP BY h.doc_id
+"""
+
+
+# Downsample the frequent event types, keep the rare-but-precious ones whole —
+# the canonical corpus-mixing move, as deterministic permille rates.
+SAMPLE_RATES = {"view": 10, "click": 50, "signup": 250, "purchase": 500, "error": 1000}
+SAMPLE_SALT = "r4"
+
+
+def q_events_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sample of events: per-type keep rates via a
+    salted md5 permille bucket of event_id.  Pure map-side filter — zero
+    shuffles, membership independent of partitioning, identical on any
+    cluster layout (and in DuckDB, which is the oracle check)."""
+    from grower_spark.operators.sampling import sample_stratified
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sample_stratified(
+        ev, "event_type", SAMPLE_RATES, key_col="event_id", salt=SAMPLE_SALT
+    )
+    return out.select("event_id", "event_type", "user_id")
+
+
+def oracle_events_sample_stratified() -> str:
+    bucket = _DUCK_MD5_60.format(x=f"'{SAMPLE_SALT}|' || CAST(event_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE {bucket} % 1000 < CASE event_type {cases} ELSE 0 END
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-word / top-bigram mass,
+    distinct-token ratio) — the explode + two-stage-aggregate plan; see
+    operators/text.py:repetition_stats for the shuffle story."""
+    from grower_spark.operators.text import repetition_stats
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return repetition_stats(docs)
+
+
+def oracle_text_repetition() -> str:
+    return """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (
+  SELECT doc_id, unnest(w) AS gram, 'w' AS kind FROM words
+  UNION ALL
+  SELECT doc_id, array_to_string(w[i : i + 1], ' ') AS gram, 'g' AS kind
+  FROM (SELECT doc_id, w,
+          unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+        FROM words)
+),
+cnt AS (SELECT doc_id, kind, gram, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN kind = 'w' THEN c END) AS BIGINT) AS n_tokens,
+    max(CASE WHEN kind = 'w' THEN c END) AS top_w,
+    CAST(sum(CASE WHEN kind = 'w' THEN 1 END) AS BIGINT) AS n_distinct_w,
+    max(CASE WHEN kind = 'g' THEN c END) AS top_g,
+    CAST(sum(CASE WHEN kind = 'g' THEN c END) AS BIGINT) AS n_bigrams
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+  (n_distinct_w * 10000) // n_tokens AS distinct_ratio_bp,
+  (top_w * 10000) // n_tokens AS top_word_bp,
+  (top_g * 10000) // n_bigrams AS top_bigram_bp
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -2090,12 +2186,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
-    "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "events_rollup": q_events_rollup,
-    "events_distinct_users": q_events_distinct_users,
-    "events_quantiles": q_events_quantiles,
+    "events_exact_stats": q_events_exact_stats,
     "events_sketches": q_events_sketches,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -2114,12 +2208,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_normalize": q_text_normalize,
     "multimodal_meta": q_multimodal_meta,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
+    "multimodal_pipeline": q_multimodal_pipeline,
     "multimodal_hist": q_multimodal_hist,
     "doc_rolling_hash61": q_doc_rolling_hash61,
     "json_fields": q_json_fields,
     "scalar_funcs": q_scalar_funcs,
+    "doc_decontaminate": q_doc_decontaminate,
+    "events_sample_stratified": q_events_sample_stratified,
+    "text_repetition": q_text_repetition,
 }
 
 ORACLES: dict[str, str] = {
@@ -2143,12 +2239,10 @@ ORACLES: dict[str, str] = {
     "dedup_exact": oracle_dedup_exact(),
     "text_stats": oracle_text_stats(),
     "doc_fingerprint": oracle_doc_fingerprint(),
-    "ann_cosine_topk": oracle_ann_cosine_topk(),
     "embedding_neardup": oracle_embedding_neardup(),
     "embedding_neardup_lsh": oracle_embedding_neardup_lsh(),
     "events_rollup": oracle_events_rollup(),
-    "events_distinct_users": oracle_events_distinct_users(),
-    "events_quantiles": oracle_events_quantiles(),
+    "events_exact_stats": oracle_events_exact_stats(),
     "events_sketches": oracle_events_sketches(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
@@ -2169,10 +2263,12 @@ ORACLES: dict[str, str] = {
     "text_bpe_tokens": oracle_text_bpe_tokens(),
     "text_normalize": oracle_text_normalize(),
     "multimodal_meta": oracle_multimodal_meta(),
-    "multimodal_decode": oracle_multimodal_decode(),
-    "multimodal_frames": oracle_multimodal_frames(),
+    "multimodal_pipeline": oracle_multimodal_pipeline(),
     "multimodal_hist": oracle_multimodal_hist(),
     "doc_rolling_hash61": oracle_doc_rolling_hash61(),
     "json_fields": oracle_json_fields(),
     "scalar_funcs": oracle_scalar_funcs(),
+    "doc_decontaminate": oracle_doc_decontaminate(),
+    "events_sample_stratified": oracle_events_sample_stratified(),
+    "text_repetition": oracle_text_repetition(),
 }

@@ -1,0 +1,68 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+`df.sample()` is seed-dependent per-partition and changes membership when
+the partitioning changes — useless for reproducible corpus construction.
+These operators derive the keep/drop decision from a hash of a stable row
+key, so the sample is:
+
+- **reproducible**: same key + salt → same decision on any cluster layout,
+- **consistent across tables**: sampling two tables by the same key keeps
+  them join-compatible,
+- **pure map-side**: a per-row JVM filter, zero shuffles, pushdown-
+  friendly — at 100 TB the sample rate directly scales the bytes every
+  downstream stage touches.
+
+``md5_60``-based buckets are engine-portable (same value in Spark, DuckDB,
+Python), which is what makes the sample oracle-checkable.  Production
+pipelines can swap ``xxhash_60`` for cheaper hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from grower_spark.functions.hashing import md5_60
+
+PERMILLE_MOD = 1000
+
+
+def hash_permille(key: Column, salt: str = "") -> Column:
+    """Uniform 0..999 bucket from md5(salt ++ '|' ++ key).
+
+    The salt decorrelates independent samples over the same key space
+    (e.g. a 1% eval holdout vs a 10% ablation subset).
+    """
+    return md5_60(F.concat(F.lit(salt + "|"), key.cast("string"))) % PERMILLE_MOD
+
+
+def sample_uniform(df: DataFrame, key_col: str, rate_permille: int,
+                   salt: str = "") -> DataFrame:
+    """Keep rows whose key hashes below ``rate_permille`` (0..1000)."""
+    return df.where(hash_permille(F.col(key_col), salt) < F.lit(rate_permille))
+
+
+def sample_stratified(df: DataFrame, strata_col: str, rates: dict[str, int],
+                      key_col: str, salt: str = "",
+                      default_permille: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value →
+    keep rate in permille; unlisted strata keep ``default_permille``.
+
+    The canonical corpus-mixing move: downsample the dominant source,
+    keep the rare one whole.  Still a single map-side filter — the rate
+    lookup compiles to a when-chain over the stratum column.
+    """
+    u = hash_permille(F.col(key_col), salt)
+    rate: Column = F.lit(default_permille)
+    for value in sorted(rates):
+        rate = F.when(F.col(strata_col) == value, F.lit(rates[value])).otherwise(rate)
+    return df.where(u < rate)
+
+
+def split_column(key: Column, holdout_permille: int, salt: str = "",
+                 out_values: tuple[str, str] = ("train", "holdout")) -> Column:
+    """Label column for a reproducible train/holdout split by key hash."""
+    train, holdout = out_values
+    return F.when(
+        hash_permille(key, salt) < F.lit(holdout_permille), F.lit(holdout)
+    ).otherwise(F.lit(train))

@@ -115,6 +115,65 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", score)
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: how much of a document is the same
+    token or bigram repeated (boilerplate, keyword stuffing, generation
+    loops — the classic low-quality markers a per-row length/stopword
+    score misses).
+
+    Output per document, all exact integers (basis points via integer
+    floor division, so both engines agree bit-for-bit):
+
+    - ``n_tokens``          whitespace token count
+    - ``distinct_ratio_bp`` distinct tokens / tokens * 10000
+    - ``top_word_bp``       most frequent token's share * 10000
+    - ``top_bigram_bp``     most frequent bigram's share * 10000
+
+    Plan shape: per-token counts need a group-by over (doc, gram), so this
+    is NOT per-row like the other text signals — it explodes tokens and
+    bigrams (tagged, one explode) and aggregates twice: (doc, kind, gram)
+    then (doc).  Both aggregations partial-combine map-side, so the first
+    shuffle carries one row per *distinct* gram per doc (bounded by doc
+    length) and the second one row per doc.  Grouping is by doc id, so
+    corpus-level token skew ("the" everywhere) does NOT skew the shuffle —
+    hot keys can only be as hot as the longest single document.
+    """
+    toks = _tokens(F.col(text_col))
+    # non-distinct bigrams (repetition needs multiplicity; dedup.shingles
+    # would distinct them away).  Docs shorter than 2 tokens contribute
+    # their full token join, mirroring shingles() semantics.
+    n_bg = F.greatest(F.size(toks) - 1, F.lit(1))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n_bg - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    elems = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit("w").alias("kind"), t.alias("gram"))),
+        F.transform(bigrams, lambda g: F.struct(F.lit("g").alias("kind"), g.alias("gram"))),
+    )
+    ex = df.select(F.col(id_col), F.explode(elems).alias("e")).select(
+        id_col, F.col("e.kind").alias("kind"), F.col("e.gram").alias("gram")
+    )
+    cnt = ex.groupBy(id_col, "kind", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = F.col("kind") == "w"
+    g = F.col("kind") == "g"
+    agg = cnt.groupBy(id_col).agg(
+        F.sum(F.when(w, F.col("c"))).alias("n_tokens"),
+        F.max(F.when(w, F.col("c"))).alias("_top_w"),
+        F.sum(F.when(w, F.lit(1))).alias("_n_distinct_w"),
+        F.max(F.when(g, F.col("c"))).alias("_top_g"),
+        F.sum(F.when(g, F.col("c"))).alias("_n_bigrams"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        F.expr("_n_distinct_w * 10000 div n_tokens").alias("distinct_ratio_bp"),
+        F.expr("_top_w * 10000 div n_tokens").alias("top_word_bp"),
+        F.expr("_top_g * 10000 div _n_bigrams").alias("top_bigram_bp"),
+    )
+
+
 def normalize_text(df: DataFrame, text_col: str = "text",
                    out_col: str = "text_norm") -> DataFrame:
     """Dedup-canonical text form: lowercase, punctuation stripped to

@@ -1,0 +1,143 @@
+"""Round-4 training-data operators: decontamination, deterministic
+sampling, repetition quality signals."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from grower_spark.operators.decontam import contamination_hits, decontaminate
+from grower_spark.operators.sampling import (
+    hash_permille,
+    sample_stratified,
+    sample_uniform,
+    split_column,
+)
+from grower_spark.operators.text import repetition_stats
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown cat sleeps all day long"),
+        (4, "entirely different words about nothing in particular"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    # shares the 3-gram "the quick brown" with docs 1 and 3, nothing else
+    return spark.createDataFrame(
+        [(100, "the quick brown weasel runs")], ["doc_id", "text"]
+    )
+
+
+def test_contamination_hits_known_overlap(corpus, bench):
+    hits = {
+        r["doc_id"]: r["n_hit"]
+        for r in contamination_hits(corpus, bench, n=3).collect()
+    }
+    # docs 1 and 3 share exactly "the quick brown"; 2 and 4 share nothing
+    assert hits == {1: 1, 3: 1}
+
+
+def test_decontaminate_drops_hit_docs(corpus, bench):
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench, n=3).collect()
+    )
+    assert kept == [2, 4]
+
+
+def test_contamination_short_doc_whole_text_gram(spark):
+    # shingles() semantics: a doc shorter than n contributes its full join,
+    # so an exact short match is still caught
+    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "hello world")], ["doc_id", "text"])
+    assert contamination_hits(docs, bench, n=8).count() == 1
+
+
+def test_hash_permille_matches_python_md5(spark):
+    # the cross-engine contract: Spark permille == python md5 arithmetic
+    df = spark.range(50).select(
+        F.col("id"), hash_permille(F.col("id"), salt="s").alias("u")
+    )
+    for r in df.collect():
+        expect = int(hashlib.md5(f"s|{r['id']}".encode()).hexdigest()[:15], 16) % 1000
+        assert r["u"] == expect
+
+
+def test_sample_uniform_rate_and_determinism(spark):
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    a = sample_uniform(df, "k", 100, salt="x")
+    # membership is a pure function of (key, salt): repartitioning must not
+    # change the sample, unlike df.sample()
+    b = sample_uniform(df.repartition(7), "k", 100, salt="x")
+    ka = sorted(r["k"] for r in a.collect())
+    kb = sorted(r["k"] for r in b.collect())
+    assert ka == kb
+    assert 0.08 < len(ka) / 20000 < 0.12
+    # different salt decorrelates: two independent 10% samples overlap at
+    # ~the sample rate (10% of each other), not at 100% (same salt would)
+    c = set(r["k"] for r in sample_uniform(df, "k", 100, salt="y").collect())
+    overlap = len(set(ka) & c) / max(len(c), 1)
+    assert 0.05 < overlap < 0.2
+
+
+def test_sample_stratified_rates(spark):
+    rows = [(i, "big" if i % 2 == 0 else "rare") for i in range(10000)]
+    df = spark.createDataFrame(rows, ["k", "stratum"])
+    out = sample_stratified(
+        df, "stratum", {"big": 100, "rare": 1000}, key_col="k", salt="s"
+    ).groupBy("stratum").count().collect()
+    got = {r["stratum"]: r["count"] for r in out}
+    assert got["rare"] == 5000  # 1000 permille keeps everything
+    assert 400 < got["big"] < 600
+    # unlisted strata default to 0 permille
+    df2 = spark.createDataFrame([(1, "other")], ["k", "stratum"])
+    assert sample_stratified(df2, "stratum", {"big": 100}, key_col="k").count() == 0
+
+
+def test_split_column_partitions_completely(spark):
+    df = spark.range(5000).select(
+        F.col("id"), split_column(F.col("id"), 200, salt="sp").alias("part")
+    )
+    counts = {r["part"]: r["count"] for r in df.groupBy("part").count().collect()}
+    assert set(counts) == {"train", "holdout"}
+    assert counts["train"] + counts["holdout"] == 5000
+    assert 800 < counts["holdout"] < 1200
+
+
+def test_repetition_stats_crafted_values(spark):
+    rows = [
+        (1, "a a a b"),          # top word a:3/4, bigrams: "a a" x2, "a b" -> 2/3
+        (2, "x y z w"),          # all distinct
+        (3, "solo"),             # single token: 1 bigram == the token itself
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["distinct_ratio_bp"] == 5000       # 2 distinct / 4
+    assert got[1]["top_word_bp"] == 7500             # 3/4
+    assert got[1]["top_bigram_bp"] == 6666           # 2/3 floored
+    assert got[2]["distinct_ratio_bp"] == 10000
+    assert got[2]["top_word_bp"] == 2500
+    assert got[2]["top_bigram_bp"] == 3333           # 1/3
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["top_bigram_bp"] == 10000
+
+
+def test_repetition_stats_repeated_doc_is_flagged(spark):
+    rows = [(1, " ".join(["spam ham"] * 50)), (2, " ".join(f"w{i}" for i in range(100)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    # doc 1 is two tokens repeated 50x: distinct ratio 2/100, top word 50%
+    assert got[1]["distinct_ratio_bp"] == 200
+    assert got[1]["top_word_bp"] == 5000
+    assert got[1]["top_bigram_bp"] > 4000
+    assert got[2]["distinct_ratio_bp"] == 10000
+    assert got[2]["top_word_bp"] == 100
