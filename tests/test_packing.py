@@ -1,0 +1,81 @@
+"""Sequence packing (bin packing into token budgets) — invariants and
+determinism."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from grower_spark.operators.packing import pack_documents, pack_utilization
+
+MAX = 1000
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    # Zipf-ish sizes incl. an oversize doc and exact-fit docs
+    rows = [(i, (i * 37) % 900 + 50) for i in range(500)]
+    rows.append((1000, 5000))   # oversize: can never fit MAX
+    rows.append((1001, MAX))    # exact fit
+    return spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+
+
+def test_every_doc_packed_exactly_once(spark, sized_docs):
+    packs = pack_documents(sized_docs, MAX, num_groups=8)
+    got = packs.groupBy("doc_id").count().where(F.col("count") != 1).count()
+    assert got == 0
+    assert packs.count() == sized_docs.count()
+
+
+def test_no_pack_exceeds_budget(spark, sized_docs):
+    packs = pack_documents(sized_docs, MAX, num_groups=8)
+    over = (
+        packs.where(~F.col("oversize"))
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .where(F.col("t") > MAX)
+    )
+    assert over.count() == 0
+
+
+def test_oversize_docs_flagged_and_isolated(spark, sized_docs):
+    packs = pack_documents(sized_docs, MAX, num_groups=8)
+    over_rows = packs.where(F.col("oversize")).collect()
+    assert [r["doc_id"] for r in over_rows] == [1000]
+    # the oversize doc sits alone in its pack
+    pack_id = over_rows[0]["pack_id"]
+    assert packs.where(F.col("pack_id") == pack_id).count() == 1
+    # the exact-fit doc is NOT oversize
+    exact = packs.where(F.col("doc_id") == 1001).collect()[0]
+    assert not exact["oversize"]
+
+
+def test_packing_deterministic_across_partitioning(spark, sized_docs):
+    a = {r["doc_id"]: (r["pack_id"], r["pack_pos"])
+         for r in pack_documents(sized_docs, MAX, num_groups=8).collect()}
+    b = {r["doc_id"]: (r["pack_id"], r["pack_pos"])
+         for r in pack_documents(sized_docs.repartition(13), MAX, num_groups=8).collect()}
+    assert a == b
+
+
+def test_ffd_utilization_beats_padding(spark, sized_docs):
+    packs = pack_documents(sized_docs, MAX, num_groups=8)
+    util = pack_utilization(packs, MAX).collect()
+    total_fill = sum(r["pack_tokens"] for r in util)
+    budget = MAX * len(util)
+    # FFD on Zipf-ish sizes should land well above naive one-doc-per-pack
+    # (which here would be ~47% mean fill); require >80% aggregate fill
+    assert total_fill / budget > 0.80
+    # pack_pos is a dense 0..n-1 sequence within each pack
+    pos = (
+        packs.groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("pack_pos").alias("mx"),
+             F.min("pack_pos").alias("mn"))
+        .where((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0))
+    )
+    assert pos.count() == 0
+
+
+def test_pack_documents_rejects_bad_budget(spark, sized_docs):
+    with pytest.raises(ValueError):
+        pack_documents(sized_docs, 0)
