@@ -808,7 +808,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planes = lsh_planes(ANN_LSH_PLANES, EMB_DIM)
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "_bkt", _bucket_expr(F.col("embedding"), planes)
+        "_bkt", _bucket_expr("embedding", planes)
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "_bkt")
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "_bkt")

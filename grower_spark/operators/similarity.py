@@ -343,21 +343,22 @@ def ivf_kmeans_centroids(
     return [got[c] for c in range(n_cells)]
 
 
-def _cell_ranking(vec: Column, centroids: list[list[float]]) -> Column:
+def _cell_struct_sql(vec_name: str, centroids: list[list[float]]) -> str:
+    """Comma-joined ``named_struct('m', -dot, 'i', idx)`` terms — the
+    shared (-dot, idx) ordering key of ranking and argmax."""
+    return ", ".join(
+        f"named_struct('m', -({_dot_sql(vec_name, cent)}), 'i', CAST({i} AS INT))"
+        for i, cent in enumerate(centroids)
+    )
+
+
+def _cell_ranking(vec_name: str, centroids: list[list[float]]) -> Column:
     """Array of cell indices ordered by descending dot(vec, centroid)
     (ties to the lower index): sort on (-dot, idx) ascending."""
-    ranked = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    (-_plane_dot(vec, cent)).alias("m"),
-                    F.lit(i).cast("int").alias("i"),
-                )
-                for i, cent in enumerate(centroids)
-            ]
-        )
+    return F.expr(
+        f"transform(sort_array(array({_cell_struct_sql(vec_name, centroids)})), "
+        f"s -> s.i)"
     )
-    return F.transform(ranked, lambda s: s["i"])
 
 
 def ivf_ann_topk(
@@ -420,19 +421,13 @@ def ivf_ann_topk(
         # corpus side needs only the argmax cell: lexicographic least over
         # (-dot, idx) structs — same result and tie-break as ranking[0], but
         # without materializing and sorting the 16-struct array per row
-        argmax_cell = F.least(
-            *[
-                F.struct(
-                    (-_plane_dot(F.col(vec_col), cent)).alias("m"),
-                    F.lit(i).cast("int").alias("i"),
-                )
-                for i, cent in enumerate(cents)
-            ]
-        )["i"]
+        argmax_cell = F.expr(
+            f"least({_cell_struct_sql(vec_col, cents)}).i"
+        )
         c = corpus.withColumn("_cell", argmax_cell)
     q = queries.withColumn(
         "_cell",
-        F.explode(F.slice(_cell_ranking(F.col(qvec_col), cents), 1, n_probe)),
+        F.explode(F.slice(_cell_ranking(qvec_col, cents), 1, n_probe)),
     )
     cand = c.join(F.broadcast(q), "_cell").where(F.col(id_col) != F.col(qid_col))
     return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
@@ -448,33 +443,51 @@ def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket: bit p is 1 iff dot(vec, plane_p) > 0."""
-    bits = []
-    for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append((dot > 0).cast("long") * F.lit(1 << p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+# --- SQL-string expression builders -----------------------------------------
+#
+# These helpers BUILD the plan-time-constant expressions (plane dots, sign
+# buckets, cell rankings) as single SQL strings handed to one F.expr() call,
+# instead of composing thousands of F.lit()/F.array() Column objects.  The
+# resulting Catalyst tree is identical (Spark parses '0.123D' to the same
+# IEEE double repr() printed — shortest-repr round-trip is exact both ways),
+# but construction drops from one py4j round-trip PER LITERAL (16 cells x 64
+# dims ~ 2000+ calls, measured 4.5s of driver time per ANN query — larger
+# than the query's actual execution) to one call per expression.  Driver
+# overhead is a fixed cost that does NOT amortize at scale: it delays every
+# job submission regardless of data size.
 
 
-def _plane_dot(vec: Column, plane: list[float]) -> Column:
-    arr = F.array(*[F.lit(v) for v in plane])
-    return F.aggregate(
-        F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _sql_darray(vals: list[float]) -> str:
+    """SQL literal for array<double>; repr() round-trips doubles exactly."""
+    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+
+
+def _dot_sql(vec_name: str, vals: list[float]) -> str:
+    """SQL fold for dot(`vec_name`, vals) — same tree as the former
+    F.aggregate/F.zip_with composition."""
+    return (
+        f"aggregate(zip_with(`{vec_name}`, {_sql_darray(vals)}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
     )
 
 
-def _probe_buckets(vec: Column, planes: list[list[float]], n_probes: int) -> Column:
+def _bucket_sql(vec_name: str, planes: list[list[float]]) -> str:
+    """Sign-bit bucket: bit p is 1 iff dot(vec, plane_p) > 0."""
+    return " + ".join(
+        f"(CAST(({_dot_sql(vec_name, plane)}) > 0D AS BIGINT) * {1 << p})"
+        for p, plane in enumerate(planes)
+    )
+
+
+def _bucket_expr(vec_name: str, planes: list[list[float]]) -> Column:
+    return F.expr(_bucket_sql(vec_name, planes))
+
+
+def _plane_dot(vec_name: str, plane: list[float]) -> Column:
+    return F.expr(_dot_sql(vec_name, plane))
+
+
+def _probe_buckets(vec_name: str, planes: list[list[float]], n_probes: int) -> Column:
     """Array of probe buckets: the home bucket plus ``n_probes``
     single-bit flips, chosen query-directed — flip the planes with the
     smallest |dot| margin first (those are the sign bits a near-neighbor
@@ -483,21 +496,17 @@ def _probe_buckets(vec: Column, planes: list[list[float]], n_probes: int) -> Col
 
     The power-of-two for each flip is baked into the margin struct at plan
     time (F.shiftleft rejects lambda-bound Columns in PySpark 4)."""
-    dots = [_plane_dot(vec, plane) for plane in planes]
-    home = F.lit(0).cast("long")
-    for p, d in enumerate(dots):
-        home = home + (d > 0).cast("long") * F.lit(1 << p)
-    margins = F.array(
-        *[
-            F.struct(F.abs(d).alias("m"), F.lit(1 << p).cast("long").alias("pw"))
-            for p, d in enumerate(dots)
-        ]
+    home = _bucket_sql(vec_name, planes)
+    margins = "array(" + ", ".join(
+        f"named_struct('m', abs({_dot_sql(vec_name, plane)}), "
+        f"'pw', CAST({1 << p} AS BIGINT))"
+        for p, plane in enumerate(planes)
+    ) + ")"
+    return F.expr(
+        f"concat(array({home}), "
+        f"transform(slice(sort_array({margins}), 1, {n_probes}), "
+        f"s -> ({home}) ^ s.pw))"
     )
-    flips = F.transform(
-        F.slice(F.sort_array(margins), 1, n_probes),
-        lambda s: home.bitwiseXOR(s["pw"]),
-    )
-    return F.concat(F.array(home), flips)
 
 
 def lsh_ann_topk(
@@ -556,13 +565,13 @@ def lsh_ann_topk(
         c = _np_assign(corpus, planes, "sign", vec_col, "_bkt")
         cand = c.join(F.broadcast(q), "_bkt").where(F.col(id_col) != F.col(qid_col))
         return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
-    c = corpus.withColumn("_bkt", _bucket_expr(F.col(vec_col), planes))
+    c = corpus.withColumn("_bkt", _bucket_expr(vec_col, planes))
     if n_probes <= 0:
-        q = queries.withColumn("_bkt", _bucket_expr(F.col(qvec_col), planes))
+        q = queries.withColumn("_bkt", _bucket_expr(qvec_col, planes))
     else:
         q = queries.withColumn(
             "_bkt",
-            F.explode(_probe_buckets(F.col(qvec_col), planes, n_probes)),
+            F.explode(_probe_buckets(qvec_col, planes, n_probes)),
         )
     cand = c.join(F.broadcast(q), "_bkt").where(F.col(id_col) != F.col(qid_col))
     return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
