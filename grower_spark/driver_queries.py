@@ -116,8 +116,20 @@ def _pipeline() -> LogPipeline:
     return LogPipeline(SYNTH_CONFIG, now=F.lit(FIXED_NOW).cast("timestamp"))
 
 
+# Five nginx driver queries share the identical parsed DataFrame; building
+# it costs ~0.4s of driver-side Column construction each time.  DataFrames
+# are immutable, so one per (session, sf_dir) serves them all.
+_PARSED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _pipeline().parse(_synth_lines(spark, sf_dir))
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _PARSED_CACHE.get(key)
+    if hit is None:
+        hit = _PARSED_CACHE[key] = _pipeline().parse(_synth_lines(spark, sf_dir))
+    return hit
 
 
 # --- DuckDB oracle: independent regex-parse + cast of the same lines --------

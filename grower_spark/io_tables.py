@@ -24,7 +24,19 @@ TABLES = (
 )
 
 
+# (appId, sf_dir, table) -> analyzed DataFrame.  spark.read.parquet lists
+# files and reads footers on EVERY call (~0.2-0.3s of driver time per
+# table); a multi-table query like tpch_q5 paid it six times over.
+# DataFrames are immutable plans, so sharing one per session is safe;
+# keying on applicationId keeps entries from leaking across sessions.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -32,6 +44,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
         )
+    _CACHE[key] = df
     return df
 
 
