@@ -1,0 +1,89 @@
+"""End-to-end corpus construction: quality -> decontaminate -> dedup ->
+sample -> pack, with auditable drop reasons."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tools.corpus_build import build_corpus
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "bank where it drinks cool water every single morning"
+)
+
+
+def _distinct_doc(i: int) -> str:
+    # stopword-rich, length-ok, alpha-ok, and sharing no 3-gram with any
+    # other doc (the content words are all doc-unique)
+    w = [f"w{i}x{k}" for k in range(12)]
+    return (
+        f"the {w[0]} and {w[1]} of {w[2]} is {w[3]} it {w[4]} that {w[5]} "
+        f"in {w[6]} you {w[7]} to {w[8]} a {w[9]} {w[10]} {w[11]}"
+    )
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    rows = [
+        # healthy docs: unique content words, no shared shingles
+        *[(i, _distinct_doc(i)) for i in range(10)],
+        # low quality: short, no stopwords, no alpha -> fails 3 of 4 checks
+        (100, "#### 1234 !!!!"),
+        # repetitive: one token is 60% of the doc
+        (101, " ".join(["spam"] * 30 + ["the quick brown fox jumps over it".split()[i % 7] for i in range(20)])),
+        # exact duplicate pair: 201 drops, 200 keeps
+        (200, GOOD + " duplicate payload"),
+        (201, GOOD + " duplicate payload"),
+        # contaminated: contains the benchmark 8-gram verbatim
+        (300, "prefix words " + "alpha beta gamma delta epsilon zeta eta theta" + " suffix words and the end of it all comes here now"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    return spark.createDataFrame(
+        [(9000, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+
+
+def test_full_corpus_build(spark, raw_docs, bench_docs):
+    corpus, drops, report = build_corpus(
+        spark, raw_docs, bench_docs,
+        min_quality=2, max_top_word_bp=4000, decontam_n=8,
+        sample_permille=1000, max_tokens=64,
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in drops.collect()}
+    assert reasons[100] == "quality"
+    assert reasons[101] == "repetition"
+    assert reasons[300] == "contaminated"
+    assert reasons[201] == "exact"
+    kept = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert 200 in kept and 201 not in kept
+    assert kept.isdisjoint(reasons)
+    # every kept doc has a pack and the budget holds
+    assert corpus.where(F.col("pack_id").isNull()).count() == 0
+    over = (
+        corpus.where(~F.col("oversize"))
+        .groupBy("pack_id").agg(F.sum("pack_n_tokens").alias("t"))
+        .where(F.col("t") > 64)
+    )
+    assert over.count() == 0
+    assert report["input"] == raw_docs.count()
+    assert report["kept"] == len(kept)
+    assert report["dropped_quality"] == 1
+    assert report["dropped_contaminated"] == 1
+
+
+def test_sampling_stage_reproducible(spark, raw_docs):
+    a = build_corpus(spark, raw_docs, None, sample_permille=500, max_tokens=64)
+    b = build_corpus(spark, raw_docs.repartition(5), None, sample_permille=500,
+                     max_tokens=64)
+    ka = sorted(r["doc_id"] for r in a[0].select("doc_id").collect())
+    kb = sorted(r["doc_id"] for r in b[0].select("doc_id").collect())
+    assert ka == kb
+    sampled = {r["doc_id"] for r in a[1].where(F.col("reason") == "sampled-out").collect()}
+    assert sampled  # at 500 permille on this set some doc is sampled out

@@ -1,0 +1,173 @@
+"""End-to-end training-corpus constructor: the full composed pipeline a
+training-data team runs to turn a raw document table into packed,
+training-ready sequences.
+
+    quality filter (signals + repetition) ->
+    benchmark decontamination (n-gram overlap) ->
+    dedup keep-list (normalize -> exact -> MinHash-LSH -> clusters) ->
+    deterministic sample (reproducible permille) ->
+    sequence packing (FFD into token budgets)
+
+Every stage is a package operator; each drop is recorded with a reason so
+the whole corpus construction is auditable.  Output layout:
+
+    <out>/corpus/     kept documents + (pack_id, pack_pos, n_tokens)
+    <out>/drops/      (doc_id, reason) for every removed document
+    <out>/report.json one line of per-stage counts
+
+Scale notes: stages 1-2 and 4 are map-side filters (zero/one shuffle);
+stage 3 is the bucketed dedup pipeline (tools/dedup_corpus.py); stage 5
+shuffles two ints per doc.  Nothing in the composition is quadratic in
+corpus size.
+
+Usage:
+    python tools/corpus_build.py <input parquet> <out dir>
+        [--benchmark parquet]       decontamination reference set
+        [--min-quality 2]           quality_score floor (0..4)
+        [--max-top-word-bp 4000]    repetition cap (basis points)
+        [--decontam-n 8]            n-gram width for contamination
+        [--sample-permille 1000]    deterministic keep rate
+        [--max-tokens 2048]         pack budget
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def build_corpus(
+    spark,
+    docs,
+    benchmark=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: int = 2,
+    max_top_word_bp: int = 4000,
+    decontam_n: int = 8,
+    sample_permille: int = 1000,
+    sample_salt: str = "corpus",
+    max_tokens: int = 2048,
+    num_perm: int = 16,
+    bands: int = 4,
+    min_shared_bands: int = 2,
+):
+    """Returns (corpus_df, drops_df, report_dict).
+
+    corpus_df: kept docs with pack assignment columns.
+    drops_df:  (doc_id, reason) — one row per dropped doc, first reason wins
+               (stages run in order: quality, repetition, contaminated,
+               exact/near-dup, sampled-out).
+    """
+    from grower_spark.operators.decontam import contamination_hits
+    from grower_spark.operators.packing import pack_documents
+    from grower_spark.operators.sampling import hash_permille
+    from grower_spark.operators.text import quality_signals, repetition_stats
+    from tools.dedup_corpus import build_keep_drop
+
+    report: dict[str, int] = {"input": docs.count()}
+    drops = []
+
+    # 1a. per-row quality signals (map-side)
+    scored = quality_signals(docs, text_col)
+    bad_q = scored.where(F.col("quality_score") < min_quality).select(
+        F.col(id_col), F.lit("quality").alias("reason")
+    )
+    drops.append(bad_q)
+    pool = scored.where(F.col("quality_score") >= min_quality)
+
+    # 1b. repetition signals (explode + two partial aggs, keyed by doc)
+    rep = repetition_stats(pool, id_col=id_col, text_col=text_col)
+    bad_rep = rep.where(F.col("top_word_bp") > max_top_word_bp).select(
+        F.col(id_col), F.lit("repetition").alias("reason")
+    )
+    drops.append(bad_rep)
+    pool = pool.join(F.broadcast(bad_rep.select(id_col)), id_col, "left_anti")
+
+    # 2. benchmark decontamination (broadcast benchmark grams)
+    if benchmark is not None:
+        hits = contamination_hits(
+            pool, benchmark, id_col=id_col, text_col=text_col, n=decontam_n
+        )
+        bad_c = hits.select(F.col(id_col), F.lit("contaminated").alias("reason"))
+        drops.append(bad_c)
+        pool = pool.join(F.broadcast(bad_c.select(id_col)), id_col, "left_anti")
+
+    # 3. dedup keep-list (normalize -> exact -> LSH -> clusters)
+    keep, dd = build_keep_drop(
+        pool, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, min_shared_bands=min_shared_bands,
+    )
+    drops.append(dd.select(F.col(id_col), F.col("reason")))
+    pool = pool.join(keep.select(id_col), id_col)
+
+    # 4. deterministic sample (reproducible on any layout)
+    if sample_permille < 1000:
+        u = hash_permille(F.col(id_col), sample_salt)
+        sampled_out = pool.where(u >= sample_permille).select(
+            F.col(id_col), F.lit("sampled-out").alias("reason")
+        )
+        drops.append(sampled_out)
+        pool = pool.where(u < sample_permille)
+
+    # 5. pack into token budgets (whitespace token count as the budget unit;
+    #    swap in a real tokenizer count upstream when available)
+    sized = pool.withColumn("_n_tok", F.size(F.split(F.col(text_col), " ")))
+    packs = pack_documents(
+        sized, max_tokens, id_col=id_col, size_col="_n_tok"
+    ).withColumnRenamed("n_tokens", "pack_n_tokens")
+    corpus = sized.drop("_n_tok").join(packs, id_col)
+
+    all_drops = drops[0]
+    for d in drops[1:]:
+        all_drops = all_drops.unionByName(d)
+    report["kept"] = corpus.count()
+    for reason, n in (
+        all_drops.groupBy("reason").count().collect()
+    ):
+        report[f"dropped_{reason.replace('-', '_')}"] = n
+    return corpus, all_drops, report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("out")
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=int, default=2)
+    ap.add_argument("--max-top-word-bp", type=int, default=4000)
+    ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--sample-permille", type=int, default=1000)
+    ap.add_argument("--max-tokens", type=int, default=2048)
+    args = ap.parse_args()
+
+    from grower_spark.session import get_spark
+
+    spark = get_spark("corpus-build")
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    corpus, drops, report = build_corpus(
+        spark, docs, bench,
+        id_col=args.id_col, text_col=args.text_col,
+        min_quality=args.min_quality, max_top_word_bp=args.max_top_word_bp,
+        decontam_n=args.decontam_n, sample_permille=args.sample_permille,
+        max_tokens=args.max_tokens,
+    )
+    corpus.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
+    drops.write.mode("overwrite").parquet(os.path.join(args.out, "drops"))
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
