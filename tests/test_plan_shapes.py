@@ -99,3 +99,41 @@ def test_simhash_prefix_pairs_no_self_join(spark):
         for a_i, a in enumerate(ids):
             for b in ids[a_i + 1:]:
                 assert (a, b) in got
+
+
+def test_decontaminate_corpus_side_never_shuffled(spark):
+    """The decontamination contract at 100 TB: the benchmark gram set is
+    broadcast and the corpus meets it map-side — the ONLY exchange in the
+    hit count is the per-doc aggregation.  (A sort-merge formulation would
+    shuffle the whole corpus gram stream by gram.)"""
+    from grower_spark.operators.decontam import contamination_hits
+    from tools.explain_all import plan_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(99, "alpha beta gamma")], ["doc_id", "text"])
+    out = contamination_hits(docs, bench, n=3)
+    stats = plan_stats(out)
+    assert stats["broadcasts"] >= 1, stats
+    # exchanges: benchmark-side distinct + doc_id aggregation; the corpus
+    # gram stream itself must not appear under an Exchange
+    assert stats["shuffles"] <= 2, stats
+    phys = out._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" not in phys
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """Deterministic sampling must stay a map-side filter: zero exchanges,
+    zero joins — the property that makes it free at the scan edge."""
+    from grower_spark.operators.sampling import sample_stratified
+    from tools.explain_all import plan_stats
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], ["k", "s"]
+    )
+    out = sample_stratified(df, "s", {"a": 100, "b": 900}, key_col="k")
+    stats = plan_stats(out)
+    assert stats["shuffles"] == 0, stats
+    assert stats["joins"] == 0, stats
