@@ -57,7 +57,9 @@ def contamination_hits(docs: DataFrame, bench: DataFrame,
     Returns ``(id_col, n_hit)`` for documents with at least ``min_hits``
     overlapping n-grams.  ``shingles`` semantics: documents shorter than
     ``n`` tokens contribute their full token join as a single gram, so
-    short docs still participate.
+    short docs still participate.  NULL text produces no grams on either
+    side: NULL-text corpus docs are reported clean, NULL-text benchmark
+    rows contribute nothing.
     """
     grams = benchmark_ngrams(bench, text_col, n, hash_fn)
     doc_grams = docs.select(

@@ -71,6 +71,13 @@ def _pack_group(pdf: pd.DataFrame, max_tokens: int) -> pd.DataFrame:
     text size.  Deterministic: stable sort by (size desc, id asc).
     """
     group = str(pdf[_GROUP_COL].iloc[0])
+    if pdf["__size"].isna().any() or pdf["doc_id"].isna().any():
+        bad = pdf[pdf["__size"].isna() | pdf["doc_id"].isna()]["doc_id"].tolist()[:5]
+        raise ValueError(
+            f"pack_documents: NULL id/size rows (e.g. doc_ids {bad}) — a "
+            "packer cannot place a document of unknown size; fix or filter "
+            "upstream"
+        )
     pdf = pdf.sort_values(["__size", "doc_id"], ascending=[False, True])
     bins: list[int] = []  # remaining capacity per bin
     out_pack: list[str] = []

@@ -32,6 +32,12 @@ def hash_permille(key: Column, salt: str = "") -> Column:
 
     The salt decorrelates independent samples over the same key space
     (e.g. a 1% eval holdout vs a 10% ablation subset).
+
+    NULL keys hash to NULL, and every sampler filter below treats NULL as
+    "drop" (NULL < rate is not true) — rows without a stable key cannot be
+    sampled REPRODUCIBLY, so silently keeping them would break the
+    operator's core contract.  Coalesce a surrogate key upstream if NULL
+    rows must participate (pinned by test_sampling_null_keys_dropped).
     """
     return md5_60(F.concat(F.lit(salt + "|"), key.cast("string"))) % PERMILLE_MOD
 

@@ -138,6 +138,9 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     length) and the second one row per doc.  Grouping is by doc id, so
     corpus-level token skew ("the" everywhere) does NOT skew the shuffle —
     hot keys can only be as hot as the longest single document.
+
+    NULL-text documents explode to zero rows and are absent from the
+    output (no tokens -> no repetition signal to report).
     """
     toks = _tokens(F.col(text_col))
     # non-distinct bigrams (repetition needs multiplicity; dedup.shingles

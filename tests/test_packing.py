@@ -79,3 +79,36 @@ def test_ffd_utilization_beats_padding(spark, sized_docs):
 def test_pack_documents_rejects_bad_budget(spark, sized_docs):
     with pytest.raises(ValueError):
         pack_documents(sized_docs, 0)
+
+
+def test_pack_documents_rejects_null_sizes(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "doc_id: long, n_tokens: long"
+    )
+    with pytest.raises(Exception, match="NULL id/size"):
+        pack_documents(df, MAX).collect()
+
+
+def test_pack_invariants_property(spark):
+    """Property sweep: random-ish Zipf sizes at several budgets — every doc
+    packed once, no pack over budget, fill stays reasonable."""
+    import hashlib
+
+    rows = [
+        (i, int(hashlib.md5(f"sz{i}".encode()).hexdigest()[:4], 16) % 997 + 3)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    for budget in (64, 500, 1200):
+        packs = pack_documents(df, budget, num_groups=16)
+        assert packs.count() == 800
+        per_pack = (
+            packs.where(~F.col("oversize"))
+            .groupBy("pack_id")
+            .agg(F.sum("n_tokens").alias("t"))
+        )
+        assert per_pack.where(F.col("t") > budget).count() == 0
+        n_over = packs.where(F.col("oversize")).count()
+        assert n_over == sum(1 for _, s in rows if s > budget)

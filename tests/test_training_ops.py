@@ -141,3 +141,26 @@ def test_repetition_stats_repeated_doc_is_flagged(spark):
     assert got[1]["top_bigram_bp"] > 4000
     assert got[2]["distinct_ratio_bp"] == 10000
     assert got[2]["top_word_bp"] == 100
+
+
+def test_sampling_null_keys_dropped(spark):
+    # NULL key -> NULL bucket -> dropped, never sampled nondeterministically
+    df = spark.createDataFrame([(1,), (None,)], "k: bigint")
+    got = [r["k"] for r in sample_uniform(df, "k", 1000, salt="s").collect()]
+    assert got == [1]
+
+
+def test_decontam_null_text_is_clean(spark, bench):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the quick brown weasel runs")], ["doc_id", "text"]
+    )
+    hits = {r["doc_id"] for r in contamination_hits(docs, bench, n=3).collect()}
+    assert hits == {2}
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()}
+    assert kept == {1}
+
+
+def test_repetition_null_text_absent(spark):
+    df = spark.createDataFrame([(1, None), (2, "a b a")], ["doc_id", "text"])
+    got = {r["doc_id"] for r in repetition_stats(df).collect()}
+    assert got == {2}
