@@ -87,3 +87,10 @@ def test_sampling_stage_reproducible(spark, raw_docs):
     assert ka == kb
     sampled = {r["doc_id"] for r in a[1].where(F.col("reason") == "sampled-out").collect()}
     assert sampled  # at 500 permille on this set some doc is sampled out
+
+
+def test_corpus_build_empty_input(spark):
+    docs = spark.createDataFrame([], "doc_id: long, text: string")
+    corpus, drops, report = build_corpus(spark, docs, None, max_tokens=64)
+    assert report == {"input": 0, "kept": 0}
+    assert corpus.count() == 0 and drops.count() == 0
