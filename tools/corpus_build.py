@@ -71,11 +71,17 @@ def build_corpus(
     from grower_spark.operators.text import quality_signals, repetition_stats
     from tools.dedup_corpus import build_keep_drop
 
-    report: dict[str, int] = {"input": docs.count()}
     drops = []
 
-    # 1a. per-row quality signals (map-side)
-    scored = quality_signals(docs, text_col)
+    # 1a. per-row quality signals (map-side).  `scored` is the fan-out
+    # point every later stage re-derives (repetition, decontamination,
+    # dedup, sampling, packing all branch from it) — cache it so the scan
+    # + signal computation runs once, not once per downstream action.  At
+    # cluster scale prefer a checkpoint/intermediate write if the scored
+    # corpus exceeds cache capacity; lineage recompute of a 100 TB scan
+    # per stage is the thing to avoid either way.
+    scored = quality_signals(docs, text_col).cache()
+    report: dict[str, int] = {"input": scored.count()}
     bad_q = scored.where(F.col("quality_score") < min_quality).select(
         F.col(id_col), F.lit("quality").alias("reason")
     )
@@ -127,11 +133,14 @@ def build_corpus(
     all_drops = drops[0]
     for d in drops[1:]:
         all_drops = all_drops.unionByName(d)
-    report["kept"] = corpus.count()
-    for reason, n in (
-        all_drops.groupBy("reason").count().collect()
-    ):
+    # one aggregation over the drop union computes every per-stage count
+    # (the union's branches all read the cached `scored`); kept is derived,
+    # not a second pass over the corpus
+    for reason, n in all_drops.groupBy("reason").count().collect():
         report[f"dropped_{reason.replace('-', '_')}"] = n
+    report["kept"] = report["input"] - sum(
+        v for k, v in report.items() if k.startswith("dropped_")
+    )
     return corpus, all_drops, report
 
 
