@@ -129,7 +129,7 @@ def pack_documents(
 ) -> DataFrame:
     """Assign every document to a pack with total size <= ``max_tokens``.
 
-    Returns ``(doc_id, pack_id, pack_pos, n_tokens, oversize)`` — one row
+    Returns ``(<id_col>, pack_id, pack_pos, n_tokens, oversize)`` — one row
     per input document; join back on the id to materialize pack contents.
     """
     if max_tokens <= 0:
@@ -141,9 +141,12 @@ def pack_documents(
          % num_groups).alias(_GROUP_COL),
     )
 
-    return slim.groupBy(_GROUP_COL).applyInPandas(
+    out = slim.groupBy(_GROUP_COL).applyInPandas(
         lambda pdf: _pack_group(pdf, max_tokens), schema=PACK_SCHEMA
     )
+    # the packer works on a canonical internal name; hand the caller's id
+    # name back so joins against the source frame line up
+    return out if id_col == "doc_id" else out.withColumnRenamed("doc_id", id_col)
 
 
 def pack_utilization(packs: DataFrame, max_tokens: int) -> DataFrame:

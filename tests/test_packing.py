@@ -112,3 +112,13 @@ def test_pack_invariants_property(spark):
         assert per_pack.where(F.col("t") > budget).count() == 0
         n_over = packs.where(F.col("oversize")).count()
         assert n_over == sum(1 for _, s in rows if s > budget)
+
+
+def test_pack_documents_custom_id_column(spark):
+    df = spark.createDataFrame(
+        [(10, 100), (11, 200), (12, 300)], "item_id: long, sz: long"
+    )
+    packs = pack_documents(df, 1000, id_col="item_id", size_col="sz")
+    assert "item_id" in packs.columns and "doc_id" not in packs.columns
+    joined = df.join(packs, "item_id")
+    assert joined.count() == 3
