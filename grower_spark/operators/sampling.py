@@ -27,6 +27,11 @@ from grower_spark.functions.hashing import md5_60
 PERMILLE_MOD = 1000
 
 
+def _check_permille(value: int, what: str) -> None:
+    if not (0 <= value <= PERMILLE_MOD):
+        raise ValueError(f"{what} must be in [0, {PERMILLE_MOD}], got {value}")
+
+
 def hash_permille(key: Column, salt: str = "") -> Column:
     """Uniform 0..999 bucket from md5(salt ++ '|' ++ key).
 
@@ -45,6 +50,7 @@ def hash_permille(key: Column, salt: str = "") -> Column:
 def sample_uniform(df: DataFrame, key_col: str, rate_permille: int,
                    salt: str = "") -> DataFrame:
     """Keep rows whose key hashes below ``rate_permille`` (0..1000)."""
+    _check_permille(rate_permille, "rate_permille")
     return df.where(hash_permille(F.col(key_col), salt) < F.lit(rate_permille))
 
 
@@ -58,6 +64,9 @@ def sample_stratified(df: DataFrame, strata_col: str, rates: dict[str, int],
     keep the rare one whole.  Still a single map-side filter — the rate
     lookup compiles to a when-chain over the stratum column.
     """
+    _check_permille(default_permille, "default_permille")
+    for k, v in rates.items():
+        _check_permille(v, f"rates[{k!r}]")
     u = hash_permille(F.col(key_col), salt)
     rate: Column = F.lit(default_permille)
     for value in sorted(rates):
@@ -68,6 +77,7 @@ def sample_stratified(df: DataFrame, strata_col: str, rates: dict[str, int],
 def split_column(key: Column, holdout_permille: int, salt: str = "",
                  out_values: tuple[str, str] = ("train", "holdout")) -> Column:
     """Label column for a reproducible train/holdout split by key hash."""
+    _check_permille(holdout_permille, "holdout_permille")
     train, holdout = out_values
     return F.when(
         hash_permille(key, salt) < F.lit(holdout_permille), F.lit(holdout)

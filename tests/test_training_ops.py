@@ -164,3 +164,15 @@ def test_repetition_null_text_absent(spark):
     df = spark.createDataFrame([(1, None), (2, "a b a")], ["doc_id", "text"])
     got = {r["doc_id"] for r in repetition_stats(df).collect()}
     assert got == {2}
+
+
+def test_sampling_rejects_out_of_range_rates(spark):
+    df = spark.createDataFrame([(1, "a")], ["k", "s"])
+    with pytest.raises(ValueError):
+        sample_uniform(df, "k", 1001)
+    with pytest.raises(ValueError):
+        sample_uniform(df, "k", -1)
+    with pytest.raises(ValueError):
+        sample_stratified(df, "s", {"a": 2000}, key_col="k")
+    with pytest.raises(ValueError):
+        split_column(F.col("k"), 5000)
