@@ -51,27 +51,34 @@ def benchmark_ngrams(bench: DataFrame, text_col: str = "text", n: int = 8,
 def contamination_hits(docs: DataFrame, bench: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        n: int = 8, min_hits: int = 1,
-                       hash_fn: HashFn = md5_60) -> DataFrame:
+                       hash_fn: HashFn = md5_60,
+                       return_grams: bool = False) -> DataFrame:
     """Per-document count of distinct n-grams shared with the benchmark.
 
     Returns ``(id_col, n_hit)`` for documents with at least ``min_hits``
-    overlapping n-grams.  ``shingles`` semantics: documents shorter than
-    ``n`` tokens contribute their full token join as a single gram, so
-    short docs still participate.  NULL text produces no grams on either
-    side: NULL-text corpus docs are reported clean, NULL-text benchmark
-    rows contribute nothing.
+    overlapping n-grams; with ``return_grams=True`` adds ``hit_grams``
+    (sorted array of the matching gram strings — the evidence a reviewer
+    needs to audit a contamination decision; costs gram strings instead of
+    fixed-width hashes through the shuffle, so keep it off for bulk runs).
+    ``shingles`` semantics: documents shorter than ``n`` tokens contribute
+    their full token join as a single gram, so short docs still
+    participate.  NULL text produces no grams on either side: NULL-text
+    corpus docs are reported clean, NULL-text benchmark rows contribute
+    nothing.
     """
     grams = benchmark_ngrams(bench, text_col, n, hash_fn)
     doc_grams = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
-    ).select(id_col, hash_fn(F.col("gram")).alias("gram_h"))
-    hits = (
-        doc_grams.join(F.broadcast(grams), "gram_h")
-        .groupBy(id_col)
-        # shingles() is already per-doc distinct, so count(*) == distinct
-        # shared grams
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
+    ).select(id_col, "gram", hash_fn(F.col("gram")).alias("gram_h"))
+    joined = doc_grams.join(F.broadcast(grams), "gram_h")
+    # shingles() is already per-doc distinct, so count(*) == distinct
+    # shared grams
+    aggs = [F.count(F.lit(1)).alias("n_hit")]
+    if return_grams:
+        aggs.append(F.sort_array(F.collect_list("gram")).alias("hit_grams"))
+    else:
+        joined = joined.drop("gram")
+    hits = joined.groupBy(id_col).agg(*aggs)
     return hits.where(F.col("n_hit") >= min_hits)
 
 

@@ -176,3 +176,11 @@ def test_sampling_rejects_out_of_range_rates(spark):
         sample_stratified(df, "s", {"a": 2000}, key_col="k")
     with pytest.raises(ValueError):
         split_column(F.col("k"), 5000)
+
+
+def test_contamination_reports_matching_grams(corpus, bench):
+    got = {
+        r["doc_id"]: list(r["hit_grams"])
+        for r in contamination_hits(corpus, bench, n=3, return_grams=True).collect()
+    }
+    assert got == {1: ["the quick brown"], 3: ["the quick brown"]}
