@@ -32,9 +32,18 @@ TABLES = (
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               refresh: bool = False) -> DataFrame:
+    """Read one testdata table, memoizing the DataFrame per session.
+
+    The memo returns the ORIGINAL file listing: if the parquet at
+    ``sf_dir`` is rewritten within the same application, pass
+    ``refresh=True`` (or call ``clear_table_cache()``) to re-list.  The
+    driver/bench testdata directories are immutable, which is what makes
+    the default safe there.
+    """
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
-    hit = _CACHE.get(key)
+    hit = None if refresh else _CACHE.get(key)
     if hit is not None:
         return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,6 +55,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     _CACHE[key] = df
     return df
+
+
+def clear_table_cache() -> None:
+    """Drop every memoized table handle (all sessions)."""
+    _CACHE.clear()
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

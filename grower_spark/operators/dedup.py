@@ -211,6 +211,16 @@ def duplicate_clusters_star(
     Two shuffles per round, lineage truncated per round, convergence =
     edge-set fixpoint (count + order-independent hash signature).
     """
+    # capture the node set BEFORE dropping self-edges: a node that appears
+    # only in self-pairs (id_a == id_b) is a singleton component and must
+    # still come out as (id, id) — label_prop emits it, so this backend
+    # must too (the documented same-contract guarantee)
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     E = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -270,8 +280,17 @@ def duplicate_clusters_star(
     # at the fixpoint E is a star per component: u -> component min
     leaves = E.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     centers = E.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    singletons = (
+        nodes.join(
+            leaves.select("doc_id").union(centers.select("doc_id")),
+            nodes.node == F.col("doc_id"),
+            "left_anti",
+        )
+        .select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
+    )
     return (
         leaves.unionByName(centers)
+        .unionByName(singletons)
         .groupBy("doc_id")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql.types import (
     BooleanType,
+    DataType,
     IntegerType,
     LongType,
     StringType,
@@ -53,15 +54,19 @@ from grower_spark.functions.hashing import md5_60
 
 _GROUP_COL = "__pack_group"
 
-PACK_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("pack_id", StringType()),
-        StructField("pack_pos", IntegerType()),
-        StructField("n_tokens", LongType()),
-        StructField("oversize", BooleanType()),
-    ]
-)
+
+def _pack_schema(id_type: DataType) -> StructType:
+    """Output schema; the id keeps the caller's type (string/UUID ids are
+    as valid as bigints — no hidden long cast)."""
+    return StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("pack_id", StringType()),
+            StructField("pack_pos", IntegerType()),
+            StructField("n_tokens", LongType()),
+            StructField("oversize", BooleanType()),
+        ]
+    )
 
 
 def _pack_group(pdf: pd.DataFrame, max_tokens: int) -> pd.DataFrame:
@@ -71,12 +76,13 @@ def _pack_group(pdf: pd.DataFrame, max_tokens: int) -> pd.DataFrame:
     text size.  Deterministic: stable sort by (size desc, id asc).
     """
     group = str(pdf[_GROUP_COL].iloc[0])
-    if pdf["__size"].isna().any() or pdf["doc_id"].isna().any():
-        bad = pdf[pdf["__size"].isna() | pdf["doc_id"].isna()]["doc_id"].tolist()[:5]
+    invalid = pdf["__size"].isna() | pdf["doc_id"].isna() | (pdf["__size"] < 0)
+    if invalid.any():
+        bad = pdf[invalid]["doc_id"].tolist()[:5]
         raise ValueError(
-            f"pack_documents: NULL id/size rows (e.g. doc_ids {bad}) — a "
-            "packer cannot place a document of unknown size; fix or filter "
-            "upstream"
+            f"pack_documents: NULL or negative id/size rows (e.g. doc_ids "
+            f"{bad}) — a packer cannot place a document of unknown size "
+            "(note: Spark's size(NULL) is -1); fix or filter upstream"
         )
     pdf = pdf.sort_values(["__size", "doc_id"], ascending=[False, True])
     bins: list[int] = []  # remaining capacity per bin
@@ -135,14 +141,15 @@ def pack_documents(
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     slim = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         F.col(size_col).cast("long").alias("__size"),
         (md5_60(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
          % num_groups).alias(_GROUP_COL),
     )
 
     out = slim.groupBy(_GROUP_COL).applyInPandas(
-        lambda pdf: _pack_group(pdf, max_tokens), schema=PACK_SCHEMA
+        lambda pdf: _pack_group(pdf, max_tokens),
+        schema=_pack_schema(df.schema[id_col].dataType),
     )
     # the packer works on a canonical internal name; hand the caller's id
     # name back so joins against the source frame line up

@@ -96,6 +96,8 @@ def cosine_topk_np(
     import pandas as pd
 
     q_rows = queries.select(qid_col, qvec_col).collect()
+    if not q_rows:
+        return _empty_topk(corpus.sparkSession, id_col, qid_col)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -149,6 +151,13 @@ def cosine_topk_np(
     )
 
 
+def _empty_topk(spark, id_col: str, qid_col: str) -> DataFrame:
+    """Zero-row result in the np paths' output shape (long ids)."""
+    return spark.createDataFrame(
+        [], f"{qid_col} long, {id_col} long, rank int, sim_r4 double"
+    )
+
+
 def _rerank_topk(
     cand: DataFrame,
     queries: DataFrame,
@@ -158,6 +167,7 @@ def _rerank_topk(
     qid_col: str,
     qvec_col: str,
     scorer: str,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Exact-cosine re-rank of a candidate set -> (qid, vec_id, rank, sim_r4).
 
@@ -182,7 +192,14 @@ def _rerank_topk(
         import numpy as np
         import pandas as pd
 
-        q_rows = queries.select(qid_col, qvec_col).collect()
+        # callers that already collected the queries (probe construction)
+        # pass q_rows through so the table is fetched and broadcast once
+        if q_rows is None:
+            q_rows = queries.select(qid_col, qvec_col).collect()
+        if not q_rows:
+            # np.array of zero rows is 1-D and breaks the matmul; an empty
+            # query set is a valid empty answer, same as the hof path
+            return _empty_topk(cand.sparkSession, id_col, qid_col)
         qid_to_idx = {r[0]: i for i, r in enumerate(q_rows)}
         qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
         qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -237,12 +254,19 @@ def _np_assign(
     column computed as ONE numpy matmul per Arrow batch against the
     broadcast plane/centroid matrix.
 
-    Functionally identical to the Catalyst-fold assignment (strict
-    ``dot > 0`` sign bits; argmax with lowest-index tie-break == least on
-    (-dot, idx)), but the per-row cost is a BLAS row of (dim x n) instead
-    of n interpreted folds — at dim 768 the fold assignment dominated the
-    whole ANN query (measured: it, not the re-rank, was the bottleneck).
+    Same decision rule as the Catalyst-fold assignment (strict ``dot > 0``
+    sign bits; argmax with lowest-index tie-break == least on (-dot, idx)),
+    but the per-row cost is a BLAS row of (dim x n) instead of n
+    interpreted folds — at dim 768 the fold assignment dominated the whole
+    ANN query (measured: it, not the re-rank, was the bottleneck).
     Map-side only; partitioning and downstream join shape are unchanged.
+
+    IEEE caveat: BLAS sums in a different order than the sequential fold,
+    so a dot product within ~1 ulp of a decision boundary (sign flip /
+    argmax tie) can assign a different bucket than the hof path and the
+    DuckDB oracle — a tail risk on adversarially-near-zero projections,
+    not observed on the testdata (rank-parity pinned at dim 64); that is
+    why ``scorer="hof"`` stays the oracle default.
     """
     import numpy as np
 
@@ -339,6 +363,11 @@ def ivf_kmeans_centroids(
         yield pd.DataFrame({"cell": range(n_cells), "centroid": [list(c) for c in C]})
 
     rows = sample.mapInPandas(fit, "cell int, centroid array<double>").collect()
+    if not rows:
+        raise ValueError(
+            "ivf_kmeans_centroids: empty corpus sample — nothing to fit "
+            "(pass the fixed ivf_centroids grid instead for an empty corpus)"
+        )
     got = {r["cell"]: list(r["centroid"]) for r in rows}
     return [got[c] for c in range(n_cells)]
 
@@ -405,6 +434,8 @@ def ivf_ann_topk(
         # int pairs.  Same ordering/tie-break as _cell_ranking.
         C = np.array(cents, dtype=np.float64)
         q_rows = queries.select(qid_col, qvec_col).collect()
+        if not q_rows:
+            return _empty_topk(corpus.sparkSession, id_col, qid_col)
         qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
         dots = qm @ C.T
         pairs = []
@@ -416,7 +447,8 @@ def ivf_ann_topk(
         )
         c = _np_assign(corpus, cents, "argmax", vec_col, "_cell")
         cand = c.join(F.broadcast(q), "_cell").where(F.col(id_col) != F.col(qid_col))
-        return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
+        return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col,
+                            scorer, q_rows=q_rows)
     else:
         # corpus side needs only the argmax cell: lexicographic least over
         # (-dot, idx) structs — same result and tie-break as ranking[0], but
@@ -459,6 +491,14 @@ def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
 
 def _sql_darray(vals: list[float]) -> str:
     """SQL literal for array<double>; repr() round-trips doubles exactly."""
+    import math
+
+    bad = [v for v in vals if not math.isfinite(v)]
+    if bad:
+        # repr(nan/inf) is not valid SQL; a degenerate quantizer fit (e.g.
+        # a zero-norm k-means cell) must fail HERE with a clear message,
+        # not as a parser error deep in F.expr
+        raise ValueError(f"non-finite plane/centroid components: {bad[:3]}")
     return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
 
 
@@ -549,6 +589,8 @@ def lsh_ann_topk(
         P = np.array(planes, dtype=np.float64)
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         q_rows = queries.select(qid_col, qvec_col).collect()
+        if not q_rows:
+            return _empty_topk(corpus.sparkSession, id_col, qid_col)
         qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
         dots = qm @ P.T
         home = ((dots > 0).astype(np.int64) * weights).sum(axis=1)
@@ -564,7 +606,8 @@ def lsh_ann_topk(
         )
         c = _np_assign(corpus, planes, "sign", vec_col, "_bkt")
         cand = c.join(F.broadcast(q), "_bkt").where(F.col(id_col) != F.col(qid_col))
-        return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
+        return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col,
+                            scorer, q_rows=q_rows)
     c = corpus.withColumn("_bkt", _bucket_expr(vec_col, planes))
     if n_probes <= 0:
         q = queries.withColumn("_bkt", _bucket_expr(qvec_col, planes))

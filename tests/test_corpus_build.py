@@ -94,3 +94,17 @@ def test_corpus_build_empty_input(spark):
     corpus, drops, report = build_corpus(spark, docs, None, max_tokens=64)
     assert report == {"input": 0, "kept": 0}
     assert corpus.count() == 0 and drops.count() == 0
+
+
+def test_null_text_docs_are_audited_not_lost(spark):
+    # a NULL-text doc scores NULL on every quality check; it must land in
+    # drops (reason=quality), never silently vanish from both outputs
+    docs = spark.createDataFrame(
+        [(1, None), (2, _distinct_doc(2))], ["doc_id", "text"]
+    )
+    corpus, drops, report = build_corpus(spark, docs, None, min_quality=1,
+                                         max_tokens=64)
+    reasons = {r["doc_id"]: r["reason"] for r in drops.collect()}
+    assert reasons == {1: "quality"}
+    assert {r["doc_id"] for r in corpus.select("doc_id").collect()} == {2}
+    assert report["kept"] == 1 and report["dropped_quality"] == 1

@@ -139,3 +139,24 @@ def test_kmeans_centroids_beat_fixed_grid(spark, emb_and_queries):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="centroids"):
         ivf_ann_topk(emb, q, n_cells=16, dim=dim, centroids=cents[:5])
+
+
+def test_np_paths_empty_query_set(spark, emb_and_queries):
+    """Empty query sets must return empty results, not crash in numpy."""
+    from grower_spark.operators.similarity import cosine_topk_np, ivf_ann_topk
+
+    emb, q = emb_and_queries
+    dim = len(emb.select("embedding").first()[0])
+    empty_q = q.where("qid < -1")
+    assert cosine_topk_np(emb, empty_q).count() == 0
+    assert lsh_ann_topk(emb, empty_q, n_planes=4, dim=dim, scorer="np").count() == 0
+    assert ivf_ann_topk(emb, empty_q, n_cells=4, dim=dim, scorer="np").count() == 0
+
+
+def test_kmeans_centroids_empty_corpus_loud(spark):
+    import pytest as _pytest
+    from grower_spark.operators.similarity import ivf_kmeans_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty corpus sample"):
+        ivf_kmeans_centroids(empty, n_cells=4, dim=4)

@@ -375,3 +375,18 @@ def test_star_backend_matches_label_prop(spark):
     assert star[159] == 100 and star[6] == 1  # chain + bridged cliques collapsed
     with pytest.raises(ValueError, match="label_prop|star"):
         duplicate_clusters(pairs, backend="bogus")
+
+
+def test_star_backend_keeps_self_pair_singletons(spark):
+    """A node appearing only in self-pairs is a singleton component; both
+    backends must emit it (same-contract guarantee)."""
+    from grower_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], ["id_a", "id_b"])
+    want = {(1, 1), (2, 1), (5, 5)}
+    for backend in ("label_prop", "star"):
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in duplicate_clusters(pairs, backend=backend).collect()
+        }
+        assert got == want, backend

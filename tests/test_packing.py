@@ -87,7 +87,7 @@ def test_pack_documents_rejects_null_sizes(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, None), (3, 30)], "doc_id: long, n_tokens: long"
     )
-    with pytest.raises(Exception, match="NULL id/size"):
+    with pytest.raises(Exception, match="NULL or negative id/size"):
         pack_documents(df, MAX).collect()
 
 
@@ -122,3 +122,23 @@ def test_pack_documents_custom_id_column(spark):
     assert "item_id" in packs.columns and "doc_id" not in packs.columns
     joined = df.join(packs, "item_id")
     assert joined.count() == 3
+
+
+def test_pack_documents_string_ids(spark):
+    df = spark.createDataFrame(
+        [("u-1", 100), ("u-2", 950), ("u-3", 30)], "doc_id: string, n_tokens: long"
+    )
+    packs = pack_documents(df, 1000)
+    got = {r["doc_id"] for r in packs.collect()}
+    assert got == {"u-1", "u-2", "u-3"}
+    assert dict(packs.dtypes)["doc_id"] == "string"
+
+
+def test_pack_documents_rejects_negative_sizes(spark):
+    # size(NULL) is -1 in Spark — a classic sentinel that must not be
+    # packable (it would un-fill the oversize bin's full-forever marker)
+    df = spark.createDataFrame(
+        [(1, 5000), (2, -1), (3, 3)], "doc_id: long, n_tokens: long"
+    )
+    with pytest.raises(Exception, match="negative"):
+        pack_documents(df, 1000).collect()

@@ -64,6 +64,11 @@ def build_corpus(
     drops_df:  (doc_id, reason) — one row per dropped doc, first reason wins
                (stages run in order: quality, repetition, contaminated,
                exact/near-dup, sampled-out).
+
+    The scored-corpus cache is left alive so the caller's materialization
+    of corpus/drops reuses it; call ``spark.catalog.clearCache()`` (or
+    ``.unpersist()`` the returned frames' lineage) when done in a
+    long-lived session.
     """
     from grower_spark.operators.decontam import contamination_hits
     from grower_spark.operators.packing import pack_documents
@@ -82,11 +87,16 @@ def build_corpus(
     # per stage is the thing to avoid either way.
     scored = quality_signals(docs, text_col).cache()
     report: dict[str, int] = {"input": scored.count()}
-    bad_q = scored.where(F.col("quality_score") < min_quality).select(
+    # NULL-safe split: NULL text scores NULL on every check, which would
+    # fail BOTH a `< min` and a `>= min` filter and silently vanish from
+    # corpus AND drops — an unscorable doc is a quality drop, auditable
+    # like any other
+    keep_cond = F.col("quality_score") >= min_quality
+    bad_q = scored.where(~F.coalesce(keep_cond, F.lit(False))).select(
         F.col(id_col), F.lit("quality").alias("reason")
     )
     drops.append(bad_q)
-    pool = scored.where(F.col("quality_score") >= min_quality)
+    pool = scored.where(keep_cond)
 
     # 1b. repetition signals (explode + two partial aggs, keyed by doc)
     rep = repetition_stats(pool, id_col=id_col, text_col=text_col)
