@@ -108,3 +108,21 @@ def test_null_text_docs_are_audited_not_lost(spark):
     assert reasons == {1: "quality"}
     assert {r["doc_id"] for r in corpus.select("doc_id").collect()} == {2}
     assert report["kept"] == 1 and report["dropped_quality"] == 1
+
+
+def test_corpus_build_with_chunking(spark, raw_docs):
+    corpus, drops, report = build_corpus(
+        spark, raw_docs, None, min_quality=1, chunk_tokens=8,
+        chunk_overlap=2, max_tokens=24,
+    )
+    rows = corpus.collect()
+    # chunk units: more rows than kept docs, every unit within the window
+    assert len(rows) > report["kept"]
+    assert all(r["n_chunk_tokens"] <= 8 for r in rows)
+    assert all(r["pack_n_tokens"] <= 8 for r in rows)
+    # budget holds over packs of chunks
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault(r["pack_id"], 0)
+        per_pack[r["pack_id"]] += r["pack_n_tokens"]
+    assert all(v <= 24 for v in per_pack.values())

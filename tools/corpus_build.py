@@ -6,6 +6,7 @@ training-ready sequences.
     benchmark decontamination (n-gram overlap) ->
     dedup keep-list (normalize -> exact -> MinHash-LSH -> clusters) ->
     deterministic sample (reproducible permille) ->
+    [optional] chunking (token windows with overlap) ->
     sequence packing (FFD into token budgets)
 
 Every stage is a package operator; each drop is recorded with a reason so
@@ -53,6 +54,8 @@ def build_corpus(
     decontam_n: int = 8,
     sample_permille: int = 1000,
     sample_salt: str = "corpus",
+    chunk_tokens: int = 0,
+    chunk_overlap: int = 0,
     max_tokens: int = 2048,
     num_perm: int = 16,
     bands: int = 4,
@@ -132,13 +135,27 @@ def build_corpus(
         drops.append(sampled_out)
         pool = pool.where(u < sample_permille)
 
-    # 5. pack into token budgets (whitespace token count as the budget unit;
+    # 5. optional chunking: long docs become context-window pieces first,
+    #    so the packer bins units that actually fit the budget
+    if chunk_tokens:
+        from grower_spark.operators.chunking import chunk_documents
+
+        units = chunk_documents(
+            pool, chunk_tokens, chunk_overlap, id_col=id_col, text_col=text_col
+        )
+        unit_id, unit_size = "chunk_id", "n_chunk_tokens"
+    else:
+        units = pool.withColumn(
+            "_n_tok", F.size(F.split(F.col(text_col), " "))
+        )
+        unit_id, unit_size = id_col, "_n_tok"
+
+    # 6. pack into token budgets (whitespace token count as the budget unit;
     #    swap in a real tokenizer count upstream when available)
-    sized = pool.withColumn("_n_tok", F.size(F.split(F.col(text_col), " ")))
     packs = pack_documents(
-        sized, max_tokens, id_col=id_col, size_col="_n_tok"
+        units, max_tokens, id_col=unit_id, size_col=unit_size
     ).withColumnRenamed("n_tokens", "pack_n_tokens")
-    corpus = sized.drop("_n_tok").join(packs, id_col)
+    corpus = units.drop("_n_tok").join(packs, unit_id)
 
     all_drops = drops[0]
     for d in drops[1:]:
@@ -165,6 +182,9 @@ def main() -> int:
     ap.add_argument("--max-top-word-bp", type=int, default=4000)
     ap.add_argument("--decontam-n", type=int, default=8)
     ap.add_argument("--sample-permille", type=int, default=1000)
+    ap.add_argument("--chunk-tokens", type=int, default=0,
+                    help="split docs into windows of this many tokens (0 = off)")
+    ap.add_argument("--chunk-overlap", type=int, default=0)
     ap.add_argument("--max-tokens", type=int, default=2048)
     args = ap.parse_args()
 
@@ -178,6 +198,7 @@ def main() -> int:
         id_col=args.id_col, text_col=args.text_col,
         min_quality=args.min_quality, max_top_word_bp=args.max_top_word_bp,
         decontam_n=args.decontam_n, sample_permille=args.sample_permille,
+        chunk_tokens=args.chunk_tokens, chunk_overlap=args.chunk_overlap,
         max_tokens=args.max_tokens,
     )
     corpus.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
