@@ -95,6 +95,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingle_df_topk(df: DataFrame, text_col: str = "text",
+                    shingle_n: int = 3, k: int = 100) -> DataFrame:
+    """Top-k shingles by document frequency: ``(gram, df)``.
+
+    The tuning input for ``max_shingle_df`` / ``max_bucket_width`` — the
+    caps that keep posting-list pair emission from going quadratic on
+    stop-shingles.  Plan: explode per-doc distinct shingles (map-side),
+    ONE count shuffle with partial aggregation (one row per distinct gram
+    per partition), then a global TakeOrdered of k rows — no full sort.
+    """
+    grams = df.select(F.explode(shingles(F.col(text_col), shingle_n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return counts.orderBy(F.desc("df"), F.asc("gram")).limit(k)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -390,3 +390,16 @@ def test_star_backend_keeps_self_pair_singletons(spark):
             for r in duplicate_clusters(pairs, backend=backend).collect()
         }
         assert got == want, backend
+
+
+def test_shingle_df_topk(spark):
+    from grower_spark.operators.dedup import shingle_df_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"common stop shingle unique{i} tail words") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    top = shingle_df_topk(docs, shingle_n=3, k=2).collect()
+    # "common stop shingle" appears in every doc; everything else is rarer
+    assert top[0]["gram"] == "common stop shingle" and top[0]["df"] == 6
+    assert top[1]["df"] < 6
