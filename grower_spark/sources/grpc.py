@@ -7,10 +7,14 @@ real scale.  Faithful options, in preference order:
 1. A tiny receiver process (outside Spark) appending length-prefixed
    frames to spool files consumed by the custom ``filebuf`` Python
    DataSource (``sources/filebuf.py``) — IMPLEMENTED, batch + streaming.
+   With ``SpoolReceiver(framing="grpc")`` the receiver accepts the exact
+   gRPC wire bytes (length-prefixed-message framing + proto3
+   ``Request{data}``, hand-decoded in ``sources/protowire.py``), so the
+   remaining gap vs the reference endpoint is the HTTP/2 transport alone.
 2. The reference's own KafkaLog topology with the broker as the buffer
    (``sources.kafka``).
 3. A DataSource wrapping a grpc client directly — the grpc package is not
-   in this container.
+   in this container (that is what HTTP/2 would need).
 
 ``grpc_line_stream`` documents the contract and fails loudly; use
 ``spark.read/readStream.format("filebuf")`` against the receiver's spool.

@@ -22,6 +22,10 @@ Stream framing modes:
 - ``"frames"``: 4-byte big-endian length prefix per payload — the filebuf
   wire format (what a gRPC Request{data} stream degenerates to without
   protobuf).
+- ``"grpc"``: the actual gRPC wire bytes — 1-byte compressed flag +
+  4-byte big-endian length + proto3-encoded ``Request{data}``
+  (``sources/protowire.py``); what a generated client stub sends, minus
+  only the HTTP/2 transport.
 - ``"lines"``: newline-delimited UTF-8 — TCP syslog (RFC 6587 style).
 
 Datagram sockets (UDP / unix-datagram) are always one-message-one-line —
@@ -47,6 +51,7 @@ import time
 from typing import Optional
 
 from grower_spark.sources.filebuf import FRAME_SUFFIX
+from grower_spark.sources.protowire import GRPC_HEADER, ProtoWireError, decode_request
 
 
 class SpoolReceiver:
@@ -81,8 +86,8 @@ class SpoolReceiver:
         flush_max_lines: int = 1000,
         flush_interval: float = 0.25,
     ) -> None:
-        if framing not in ("frames", "lines"):
-            raise ValueError(f"unknown framing {framing!r} (want frames|lines)")
+        if framing not in ("frames", "grpc", "lines"):
+            raise ValueError(f"unknown framing {framing!r} (want frames|grpc|lines)")
         if tcp_port is None and not unix_path and udp_port is None and not datagram_path:
             raise ValueError("no listener configured")
         self.spool_dir = spool_dir
@@ -167,6 +172,25 @@ class SpoolReceiver:
                     except asyncio.IncompleteReadError:
                         break  # torn frame at disconnect: drop, like read_frames
                     self._push(payload.decode("utf-8", errors="replace"))
+            elif self.framing == "grpc":
+                while True:
+                    try:
+                        header = await reader.readexactly(GRPC_HEADER.size)
+                    except asyncio.IncompleteReadError:
+                        break
+                    flag, n = GRPC_HEADER.unpack(header)
+                    if flag != 0:
+                        # compression was never negotiated — protocol
+                        # violation; drop the connection, not the error
+                        break
+                    try:
+                        payload = await reader.readexactly(n)
+                    except asyncio.IncompleteReadError:
+                        break  # torn message at disconnect: drop
+                    try:
+                        self._push(decode_request(payload))
+                    except ProtoWireError:
+                        break  # malformed protobuf: close, stay alive
             else:
                 while True:
                     raw = await reader.readline()
