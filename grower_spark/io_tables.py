@@ -1,14 +1,24 @@
 """Testdata table loading (see /root/repo/TESTDATA.md).
 
-``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4
-refuses to read natively; with ``spark.sql.legacy.parquet.nanosAsLong=true``
-it surfaces as a bigint of epoch nanoseconds.  ``load_table`` normalizes that
-to both the raw nanos (``ts_ns``, exact) and a microsecond-TRUNCATED
-timestamp (``ts``) — integer ``div``, never float division: epoch-nanos
-exceed 2^53, so ``(ts_ns / 1000).cast("long")`` rounds on the double
-mantissa and lands 1µs above DuckDB's floored parquet conversion for ~half
-of all sub-µs timestamps (caught by the asof-join oracle; every engine
-must agree on ``ts`` to the microsecond).
+``events.parquet`` has shipped ``ts`` under two different parquet encodings
+across driver rounds, so ``load_table`` branches on the READ dtype rather
+than assuming either:
+
+* TIMESTAMP(NANOS) — Spark 4 refuses to read it natively; with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as a bigint of
+  epoch nanoseconds.  We keep the raw nanos as ``ts_ns`` and derive a
+  microsecond-TRUNCATED ``ts`` via integer ``div`` (never float division:
+  epoch-nanos exceed 2^53, so ``(ts_ns / 1000).cast("long")`` rounds on the
+  double mantissa and lands 1µs off DuckDB's floored conversion).
+* TIMESTAMP(MICROS) — reads as ``timestamp_ntz``.  We cast to session-tz
+  TIMESTAMP (session tz is UTC via ``tune_session``, so the reinterpretation
+  is value-preserving and matches DuckDB's naive timestamps; downstream
+  ``unix_micros`` rejects TIMESTAMP_NTZ) and synthesize
+  ``ts_ns = unix_micros(ts) * 1000``.
+
+Contract for every downstream query: after ``load_table`` the events table
+always has ``ts`` as TIMESTAMP and ``ts_ns`` as BIGINT epoch-nanos,
+regardless of the fixture's on-disk encoding.
 """
 
 from __future__ import annotations
@@ -49,10 +59,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
+        dt = dict(df.dtypes)["ts"]
+        if dt in ("bigint", "long"):
+            # nanosAsLong path: fixture stores TIMESTAMP(NANOS)
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            )
+        else:
+            # fixture stores TIMESTAMP(MICROS): reads as timestamp_ntz
+            df = (
+                df.withColumn("ts", F.col("ts").cast("timestamp"))
+                .withColumn("ts_ns", F.unix_micros("ts") * 1000)
+            )
     _CACHE[key] = df
     return df
 

@@ -77,6 +77,11 @@ def decode_varint(buf: bytes, pos: int) -> Tuple[int, int]:
         pos += 1
         result |= (byte & 0x7F) << shift
         if not byte & 0x80:
+            # A 10th byte with payload bits above the 64-bit budget would
+            # otherwise decode to a >64-bit value (e.g. b"\xff"*9 + b"\x7f"
+            # -> 70 bits); canonical proto decoders reject that.
+            if result >= 1 << 64:
+                raise ProtoWireError("varint exceeds 64 bits")
             return result, pos
         shift += 7
         if shift >= 64:

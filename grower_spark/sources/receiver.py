@@ -85,6 +85,7 @@ class SpoolReceiver:
         framing: str = "frames",
         flush_max_lines: int = 1000,
         flush_interval: float = 0.25,
+        max_message_bytes: int = 4 * 1024 * 1024,
     ) -> None:
         if framing not in ("frames", "grpc", "lines"):
             raise ValueError(f"unknown framing {framing!r} (want frames|grpc|lines)")
@@ -99,6 +100,11 @@ class SpoolReceiver:
         self.framing = framing
         self.flush_max_lines = flush_max_lines
         self.flush_interval = flush_interval
+        # The length prefix is client-controlled (u32, up to ~4 GiB); one
+        # hostile or buggy client could otherwise balloon receiver memory
+        # with a single readexactly.  gRPC servers enforce a max receive
+        # message size for the same reason — its default is also 4 MiB.
+        self.max_message_bytes = max_message_bytes
         self.n_received = 0
         self.n_flushed_files = 0
         self._buf: list[str] = []
@@ -167,6 +173,8 @@ class SpoolReceiver:
                     except asyncio.IncompleteReadError:
                         break
                     (n,) = struct.unpack(">I", header)
+                    if n > self.max_message_bytes:
+                        break  # oversize frame: drop the connection
                     try:
                         payload = await reader.readexactly(n)
                     except asyncio.IncompleteReadError:
@@ -183,6 +191,8 @@ class SpoolReceiver:
                         # compression was never negotiated — protocol
                         # violation; drop the connection, not the error
                         break
+                    if n > self.max_message_bytes:
+                        break  # oversize message: drop the connection
                     try:
                         payload = await reader.readexactly(n)
                     except asyncio.IncompleteReadError:
