@@ -58,7 +58,8 @@ BENCH_QUERIES = [
     ("embedding_neardup_lsh", "collect"),
     ("doc_rolling_hash61", "noop"),
     ("multimodal_pipeline", "noop"),
-    ("multimodal_hist", "noop"),
+    ("pack_documents", "noop"),
+    ("chunk_documents", "noop"),
     ("json_fields", "noop"),
     ("doc_decontaminate", "noop"),
     ("text_repetition", "noop"),

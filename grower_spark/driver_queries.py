@@ -1014,10 +1014,21 @@ def q_events_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact"),
         F.approx_count_distinct("user_id", 0.02).alias("n_hll"),
-        F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.5)").alias("p50_exact"),
-        F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.49)").alias("_p49"),
-        F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.51)").alias("_p51"),
+        # one percentile() over an array of fractions shares a single
+        # sort buffer; three separate percentile() aggregates each carry
+        # their own copy of every value in the group
+        F.expr(
+            "percentile(CAST(round(value * 100) AS BIGINT),"
+            " array(0.49D, 0.5D, 0.51D))"
+        ).alias("_pcts"),
         F.percentile_approx(v, F.lit(0.5), F.lit(10000)).alias("p50_td"),
+    )
+    agg = agg.withColumns(
+        {
+            "_p49": F.col("_pcts")[0],
+            "p50_exact": F.col("_pcts")[1],
+            "_p51": F.col("_pcts")[2],
+        }
     )
     return agg.select(
         "event_type",
@@ -1800,57 +1811,57 @@ FROM documents
 """
 
 
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from grower_spark.operators.multimodal import attach_binary, binary_meta
-
-    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    return binary_meta(attach_binary(docs)).select(
-        "doc_id", "byte_len", F.col("sha256_hex"), F.upper("magic_hex").alias("magic_hex")
-    )
-
-
-def oracle_multimodal_meta() -> str:
-    return """
-SELECT doc_id,
-  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-  sha256(text) AS sha256_hex,
-  upper(hex(encode(substr(text, 1, 4)))) AS magic_hex
-FROM documents
-"""
-
-
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode metadata joined to sampled frames — BOTH mapInPandas
-    kernels in one result (round-4 consolidation of the former
-    multimodal_decode and multimodal_frames rows; each kernel's output is
-    still independently oracle-checked through the join).
+    """The full multimodal surface in one driver row: JVM-side binary
+    metadata (byte_len / sha256 / magic sniff), the stub image-decode
+    kernel, the byte-histogram + entropy kernel, and the 1:N frame
+    sampler, all joined on doc_id (round-5 consolidation of the former
+    multimodal_meta and multimodal_hist rows into the r4 pipeline row —
+    every kernel's output is still independently oracle-checked through
+    the join).
 
     decoder pinned to "stub": the oracle encodes the stub kernel's fake
     metadata, so the query must not silently switch to a real codec if one
-    appears in a future container.  The doc_id join is a same-key shuffle
-    of two derivations of one scan; at 100 TB you'd fuse the two kernels
+    appears in a future container.  The doc_id joins are same-key shuffles
+    of derivations of one scan; at 100 TB you'd fuse the per-doc kernels
     into one mapInPandas pass instead — kept separate here precisely so
-    both UDF plumbing paths stay driver-verified."""
+    each UDF plumbing path stays driver-verified."""
     from grower_spark.operators.multimodal import (
         attach_binary,
+        binary_meta,
+        byte_histogram,
         decode_images,
         sample_frames,
     )
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
     b = attach_binary(docs)
+    bmeta = binary_meta(b).select(
+        "doc_id", "byte_len", "sha256_hex", F.upper("magic_hex").alias("magic_hex")
+    )
     meta = decode_images(b, decoder="stub").select(
         "doc_id", "width", "height", "n_channels", "mean_luma", "decoder"
     )
+    hist = byte_histogram(b).select(
+        "doc_id",
+        "n_bytes",
+        # contract column as text: pandas renders Spark lists "[1, 2]" but
+        # DuckDB arrays "[1 2]", so an array column can't survive the
+        # driver's pandas-normalized hash
+        F.array_join(F.transform("hist16", lambda x: x.cast("string")), ",").alias(
+            "hist16_csv"
+        ),
+        "entropy_milli",
+    )
     frames = sample_frames(b)
-    return meta.join(frames, "doc_id")
+    return meta.join(bmeta, "doc_id").join(hist, "doc_id").join(frames, "doc_id")
 
 
 def oracle_multimodal_pipeline() -> str:
     # The stub decoder's fake metadata re-expressed in SQL (ASCII text, so
-    # codepoints == bytes and sha256(chars) == sha256(bytes)), joined to
-    # the 1:N frame-sampling expansion.  Oracle-checks both mapInPandas
-    # kernels end-to-end.
+    # codepoints == bytes and sha256(chars) == sha256(bytes)), plus binary
+    # metadata, nibble histogram/entropy (same double ops in bin order,
+    # same libm log2), and the 1:N frame-sampling expansion.
     return """
 WITH b AS (
   SELECT doc_id,
@@ -1868,6 +1879,37 @@ meta AS (
     'stub' AS decoder
   FROM b
 ),
+bm AS (
+  SELECT doc_id,
+    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+    sha256(text) AS sha256_hex,
+    upper(hex(encode(substr(text, 1, 4)))) AS magic_hex
+  FROM documents
+),
+pre AS (
+  SELECT doc_id,
+    list_transform(range(1, least(length(text), 256) + 1),
+                   i -> unicode(substr(text, i, 1)) // 16) AS nib
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), b -> len(list_filter(nib, x -> x = b))) AS hl,
+    len(nib) AS hn
+  FROM pre
+),
+hist AS (
+  SELECT doc_id,
+    CAST(hn AS INTEGER) AS n_bytes,
+    array_to_string(hl, ',') AS hist16_csv,
+    CAST(floor(1000 * list_reduce(
+        list_prepend(CAST(0 AS DOUBLE),
+          list_transform(hl, k -> CASE WHEN k > 0
+            THEN -(k / CAST(hn AS DOUBLE)) * log2(k / CAST(hn AS DOUBLE))
+            ELSE 0.0 END)),
+        (a, b) -> a + b)) AS BIGINT) AS entropy_milli
+  FROM h
+),
 idx AS (
   SELECT doc_id, text,
     unnest(range(0, least(8, greatest(octet_length(encode(text)) // 64, 1)))) AS i
@@ -1881,8 +1923,13 @@ frames AS (
   FROM idx
 )
 SELECT m.doc_id, m.width, m.height, m.n_channels, m.mean_luma, m.decoder,
+       bm.byte_len, bm.sha256_hex, bm.magic_hex,
+       hi.n_bytes, hi.hist16_csv, hi.entropy_milli,
        f.frame_idx, f.frame_off_bytes, f.frame_sha8
-FROM meta m JOIN frames f USING (doc_id)
+FROM meta m
+JOIN bm USING (doc_id)
+JOIN hist hi USING (doc_id)
+JOIN frames f USING (doc_id)
 """
 
 
@@ -1909,53 +1956,138 @@ FROM documents
 """
 
 
-def q_multimodal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram + entropy feature extraction over the media payload
-    (a REAL kernel, not a stub — nibble histogram and Shannon entropy are
-    the pre-decode sniffing signals), through Arrow mapInPandas."""
-    from grower_spark.operators.multimodal import attach_binary, byte_histogram
+_PACK_MAX_TOKENS = 256
+_PACK_NUM_GROUPS = 8
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (first-fit-decreasing) over whitespace token
+    counts — the context-window binning step of a training pipeline.
+
+    The packer itself (`operators/packing.py`) is a group-local Python
+    kernel under applyInPandas: genuinely sequential bin packing, salted
+    into hash groups for parallelism.  The oracle pins the EXACT FFD
+    assignment via a recursive-CTE fold in DuckDB (one iteration per doc
+    per group, bin state carried as a csv string), so the kernel's sort
+    order, first-fit scan, and oversize handling are all hash-checked."""
+    from grower_spark.operators.packing import pack_documents
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    out = byte_histogram(attach_binary(docs))
-    # contract column as text: pandas renders Spark lists "[1, 2]" but
-    # DuckDB arrays "[1 2]", so an array column can't survive the driver's
-    # pandas-normalized hash (same class of issue as decimal(20,0) in r1)
-    return out.select(
-        "doc_id",
-        "n_bytes",
-        F.array_join(F.transform("hist16", lambda x: x.cast("string")), ",").alias(
-            "hist16_csv"
-        ),
-        "entropy_milli",
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pack_documents(
+        sized, max_tokens=_PACK_MAX_TOKENS, num_groups=_PACK_NUM_GROUPS
     )
 
 
-def oracle_multimodal_hist() -> str:
-    # ASCII text: byte == codepoint. Same bin order, same double ops
-    # (divide, log2, multiply, subtract in sequence), same libm log2.
-    return """
-WITH pre AS (
+def oracle_pack_documents() -> str:
+    # First-fit-decreasing re-expressed as a sequential fold: the
+    # recursive CTE advances one document per group per iteration
+    # (ordered by size desc, doc_id asc — the packer's exact sort), with
+    # remaining bin capacities carried as a csv string (DuckDB v1.0's
+    # list_reduce corrupts list-typed struct fields, so csv it is).
+    # list_position returns 0 (not NULL) for no-fit in v1.0.  pack_pos is
+    # recovered afterwards by row_number within (group, bin) in placement
+    # order — identical to the kernel's per-bin fill counter.
+    return f"""
+WITH RECURSIVE sizes AS (
   SELECT doc_id,
-    list_transform(range(1, least(length(text), 256) + 1),
-                   i -> unicode(substr(text, i, 1)) // 16) AS nib
+    CAST(len(str_split(text, ' ')) AS BIGINT) AS sz,
+    CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {_PACK_NUM_GROUPS} AS grp
   FROM documents
 ),
-hist AS (
-  SELECT doc_id,
-    list_transform(range(0, 16), b -> len(list_filter(nib, x -> x = b))) AS h,
-    len(nib) AS n
-  FROM pre
+ord AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY sz DESC, doc_id ASC) AS rn
+  FROM sizes
+),
+fold AS (
+  SELECT grp, rn, doc_id, sz,
+    0 AS b,
+    sz > {_PACK_MAX_TOKENS} AS over,
+    CASE WHEN sz > {_PACK_MAX_TOKENS} THEN '-1'
+         ELSE CAST({_PACK_MAX_TOKENS} - sz AS VARCHAR) END AS bins
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.rn, o.doc_id, o.sz,
+    CASE
+      WHEN o.sz > {_PACK_MAX_TOKENS}
+        THEN len(str_split(f.bins, ','))
+      WHEN list_position(list_transform(str_split(f.bins, ','),
+             s -> CAST(s AS BIGINT) >= o.sz), true) > 0
+        THEN list_position(list_transform(str_split(f.bins, ','),
+             s -> CAST(s AS BIGINT) >= o.sz), true) - 1
+      ELSE len(str_split(f.bins, ','))
+    END AS b,
+    o.sz > {_PACK_MAX_TOKENS} AS over,
+    CASE
+      WHEN o.sz > {_PACK_MAX_TOKENS} THEN f.bins || ',-1'
+      WHEN list_position(list_transform(str_split(f.bins, ','),
+             s -> CAST(s AS BIGINT) >= o.sz), true) > 0
+        THEN array_to_string(
+          list_transform(range(1, len(str_split(f.bins, ',')) + 1),
+            i -> CASE WHEN i = list_position(list_transform(str_split(f.bins, ','),
+                          s -> CAST(s AS BIGINT) >= o.sz), true)
+                 THEN CAST(str_split(f.bins, ',')[i] AS BIGINT) - o.sz
+                 ELSE CAST(str_split(f.bins, ',')[i] AS BIGINT) END), ',')
+      ELSE f.bins || ',' || CAST({_PACK_MAX_TOKENS} - o.sz AS VARCHAR)
+    END AS bins
+  FROM fold f JOIN ord o ON o.grp = f.grp AND o.rn = f.rn + 1
 )
 SELECT doc_id,
-  CAST(n AS INTEGER) AS n_bytes,
-  array_to_string(h, ',') AS hist16_csv,
-  CAST(floor(1000 * list_reduce(
-      list_prepend(CAST(0 AS DOUBLE),
-        list_transform(h, k -> CASE WHEN k > 0
-          THEN -(k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE))
-          ELSE 0.0 END)),
-      (a, b) -> a + b)) AS BIGINT) AS entropy_milli
-FROM hist
+  CAST(grp AS VARCHAR) || '-' || CAST(b AS VARCHAR) AS pack_id,
+  CAST(row_number() OVER (PARTITION BY grp, b ORDER BY rn) - 1 AS INTEGER) AS pack_pos,
+  sz AS n_tokens,
+  over AS oversize
+FROM fold
+"""
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap — the step between
+    corpus filtering and packing.  Pure per-row JVM array expressions
+    (split → sequence → slice → explode): zero shuffles, scan-speed."""
+    from grower_spark.operators.chunking import chunk_documents
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap_tokens=_CHUNK_OVERLAP
+    )
+
+
+def oracle_chunk_documents() -> str:
+    # stride = chunk - overlap; window i covers tokens
+    # [i*stride, i*stride + chunk); the last window is the remainder.
+    # DuckDB list_slice(l, a, b) is 1-based inclusive-both-ends and clamps,
+    # matching Spark slice(l, a, len) for b = a + len - 1.
+    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    return f"""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+n AS (
+  SELECT doc_id, toks,
+    1 + (greatest(len(toks) - {_CHUNK_TOKENS}, 0) + {stride - 1}) // {stride}
+      AS n_chunks
+  FROM t
+),
+ex AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM n
+)
+SELECT doc_id,
+  CAST(i AS INTEGER) AS chunk_idx,
+  CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS chunk_id,
+  array_to_string(list_slice(toks, i * {stride} + 1, i * {stride} + {_CHUNK_TOKENS}), ' ')
+    AS chunk_text,
+  CAST(len(list_slice(toks, i * {stride} + 1, i * {stride} + {_CHUNK_TOKENS})) AS BIGINT)
+    AS n_chunk_tokens
+FROM ex
 """
 
 
@@ -2219,9 +2351,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_normalize": q_text_normalize,
-    "multimodal_meta": q_multimodal_meta,
     "multimodal_pipeline": q_multimodal_pipeline,
-    "multimodal_hist": q_multimodal_hist,
+    "pack_documents": q_pack_documents,
+    "chunk_documents": q_chunk_documents,
     "doc_rolling_hash61": q_doc_rolling_hash61,
     "json_fields": q_json_fields,
     "scalar_funcs": q_scalar_funcs,
@@ -2274,9 +2406,9 @@ ORACLES: dict[str, str] = {
     "text_quality": oracle_text_quality(),
     "text_bpe_tokens": oracle_text_bpe_tokens(),
     "text_normalize": oracle_text_normalize(),
-    "multimodal_meta": oracle_multimodal_meta(),
     "multimodal_pipeline": oracle_multimodal_pipeline(),
-    "multimodal_hist": oracle_multimodal_hist(),
+    "pack_documents": oracle_pack_documents(),
+    "chunk_documents": oracle_chunk_documents(),
     "doc_rolling_hash61": oracle_doc_rolling_hash61(),
     "json_fields": oracle_json_fields(),
     "scalar_funcs": oracle_scalar_funcs(),

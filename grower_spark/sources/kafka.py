@@ -13,6 +13,9 @@ Environment re-probes (per-round standing check for an e2e path):
 2026-08-13 r4: no spark-sql-kafka/kafka-clients jar on disk, nothing
 listening on :9092, no grpcio/confluent_kafka in site-packages — still
 options-wiring only.
+2026-08-13 r5: re-probed — filesystem-wide find for spark-sql-kafka* /
+kafka-clients*.jar empty, :9092 connection refused, no kafka CLI tools on
+PATH.  Unchanged.
 """
 
 from __future__ import annotations
