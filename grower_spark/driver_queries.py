@@ -976,16 +976,25 @@ def q_events_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in events_sketches with tolerance gates."""
     ev = load_table(spark, sf_dir, "events")
     v = F.round(F.col("value") * 100).cast("long")
-    return (
-        ev.select("event_type", "user_id", v.alias("v"))
-        .groupBy("event_type")
-        .agg(
-            F.count_distinct("user_id").alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.percentile("v", F.lit(0.5)).alias("p50"),
-            F.percentile("v", F.lit(0.9)).alias("p90"),
-            F.percentile("v", F.lit(0.99)).alias("p99"),
-        )
+    src = ev.select("event_type", "user_id", v.alias("v"))
+    # split as in q_events_sketches: a DISTINCT aggregate beside buffered
+    # percentiles plans an Expand that doubles the percentile input rows;
+    # two passes joined on the tiny group key avoid it, and one
+    # array-of-fractions percentile shares a single sort buffer
+    dist = src.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    pcts = src.groupBy("event_type").agg(
+        F.expr("percentile(v, array(0.5D, 0.9D, 0.99D))").alias("_p")
+    )
+    return dist.join(pcts, "event_type").select(
+        "event_type",
+        "n_users",
+        "n_events",
+        F.col("_p")[0].alias("p50"),
+        F.col("_p")[1].alias("p90"),
+        F.col("_p")[2].alias("p99"),
     )
 
 
@@ -1831,9 +1840,10 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder pinned to "stub": the oracle encodes the stub kernel's fake
     metadata, so the query must not silently switch to a real codec if one
     appears in a future container.  The doc_id joins are same-key shuffles
-    of derivations of one scan; at 100 TB you'd fuse the per-doc kernels
-    into one mapInPandas pass instead — kept separate here precisely so
-    each UDF plumbing path stays driver-verified."""
+    of derivations of one scan; the 100 TB production path is the FUSED
+    one-pass kernel (`operators.multimodal.multimodal_features`, pytest-
+    pinned equal to decode JOIN histogram) — kept separate here precisely
+    so each UDF plumbing path stays driver-verified."""
     from grower_spark.operators.multimodal import (
         attach_binary,
         binary_meta,

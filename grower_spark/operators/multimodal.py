@@ -201,6 +201,56 @@ def byte_histogram(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(run, HIST_SCHEMA)
 
 
+FUSED_SCHEMA = T.StructType(
+    list(DECODED_SCHEMA) + [f for f in HIST_SCHEMA if f.name != "doc_id"]
+)
+
+
+def multimodal_features(df: DataFrame, id_col: str = "doc_id",
+                        bin_col: str = "media_bytes",
+                        decoder: str = "auto",
+                        prefix_bytes: int = 256) -> DataFrame:
+    """The 100 TB production path: decode metadata AND byte-histogram
+    features in ONE ``mapInPandas`` pass — the media bytes cross the
+    Arrow boundary once instead of once per kernel, and there is no
+    doc_id re-join of derivations of the same scan.
+
+    Output == ``decode_images(df, decoder) JOIN byte_histogram(df)`` on
+    ``doc_id`` (pytest-pinned); the separate kernels stay exported because
+    the driver oracle checks each one's plumbing independently."""
+    import math
+
+    import numpy as np
+
+    if decoder not in ("auto", "stub", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|pil)")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = _decode_batch(batch, decoder)
+            n_bytes, hists, ents = [], [], []
+            for payload in batch["media_bytes"]:
+                data = bytes(payload)[:prefix_bytes]
+                arr = np.frombuffer(data, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16).astype("int64")
+                n = int(hist.sum())
+                ent = 0.0
+                for k in hist.tolist():
+                    if k:
+                        p = k / n
+                        ent -= p * math.log2(p)
+                n_bytes.append(n)
+                hists.append(hist.astype("int32").tolist())
+                ents.append(math.floor(ent * 1000))
+            out["n_bytes"] = n_bytes
+            out["hist16"] = hists
+            out["entropy_milli"] = ents
+            yield out
+
+    return src.mapInPandas(run, FUSED_SCHEMA)
+
+
 def decode_images(df: DataFrame, id_col: str = "doc_id",
                   bin_col: str = "media_bytes",
                   decoder: str = "auto") -> DataFrame:

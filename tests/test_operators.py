@@ -186,6 +186,26 @@ def test_byte_histogram_features(spark):
     assert r["entropy_milli"] == expect
 
 
+def test_multimodal_features_fused_equals_joined(spark, docs):
+    """The fused one-pass kernel must equal decode JOIN histogram exactly
+    (it is the production path; the separate kernels are the oracle path)."""
+    from grower_spark.operators.multimodal import byte_histogram, multimodal_features
+
+    withbin = attach_binary(docs)
+    fused = {r["doc_id"]: r for r in multimodal_features(withbin, decoder="stub").collect()}
+    joined = {
+        r["doc_id"]: r
+        for r in decode_images(withbin, decoder="stub")
+        .join(byte_histogram(withbin), "doc_id")
+        .collect()
+    }
+    assert fused.keys() == joined.keys()
+    for k in fused:
+        for c in ["width", "height", "n_channels", "mean_luma", "decoder",
+                  "n_bytes", "hist16", "entropy_milli"]:
+            assert fused[k][c] == joined[k][c], (k, c)
+
+
 def test_decode_images_decoder_pinning(spark, docs):
     withbin = attach_binary(docs)
     # "stub" is selectable regardless of installed codecs — oracle queries

@@ -137,3 +137,47 @@ def test_stratified_sample_is_pure_filter(spark):
     stats = plan_stats(out)
     assert stats["shuffles"] == 0, stats
     assert stats["joins"] == 0, stats
+
+
+def test_chunking_zero_shuffles(spark):
+    """Chunking must stay map-side (split/sequence/slice + one explode):
+    zero exchanges, zero joins — chunk fan-out happens where the text
+    lives, which is what makes it scan-speed at 100 TB."""
+    from grower_spark.operators.chunking import chunk_documents
+    from tools.explain_all import plan_stats
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(100))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    stats = plan_stats(out)
+    assert stats["shuffles"] == 0, stats
+    assert stats["joins"] == 0, stats
+
+
+def test_packing_single_group_shuffle(spark):
+    """Packing's only exchange is the (group, id, size) shuffle — the text
+    column must never enter the packer's plan."""
+    from grower_spark.operators.packing import pack_documents
+    from tools.explain_all import plan_stats
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 300 + 1) for i in range(50)], ["doc_id", "n_tokens"]
+    )
+    out = pack_documents(docs, max_tokens=256, num_groups=4)
+    stats = plan_stats(out)
+    assert stats["shuffles"] == 1, stats
+    assert stats["joins"] == 0, stats
+
+
+@pytest.mark.parametrize("qname", ["events_sketches", "events_exact_stats"])
+def test_distinct_plus_percentile_no_expand(spark, qname):
+    """Round-5 finding: count_distinct mixed with buffered percentile
+    aggregates plans an Expand that replicates every input row through the
+    percentile sort buffers (measured 2.8x at sf0.1).  The split-and-join
+    rewrite must keep Expand out of the plan."""
+    from grower_spark.driver_queries import QUERIES
+
+    phys = QUERIES[qname](spark, SF_SMALL)._jdf.queryExecution().sparkPlan().toString()
+    assert "Expand" not in phys, f"{qname} regressed to a distinct-agg Expand plan"
