@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     ("dedup_ngram_jaccard", "noop"),
     ("text_stats", "noop"),
     ("text_lang_id", "noop"),
-    ("text_quality", "noop"),
+    ("dedup_paragraphs", "noop"),
     ("doc_fingerprint", "noop"),
     ("ann_cosine_topk_np", "collect"),
     ("ann_lsh", "collect"),

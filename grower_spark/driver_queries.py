@@ -665,35 +665,58 @@ FROM documents GROUP BY md5(text)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality signals per document (all-integer outputs)."""
+    """Token statistics AND quality signals in one per-row pass (round-5
+    consolidation of the former text_stats + text_quality rows — both were
+    selects over the same token array; one row frees a registry slot for
+    dedup_paragraphs).  All outputs integer / boolean / 4-decimal."""
+    from grower_spark.operators.text import quality_signals
+
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
-    stop = F.array([F.lit(w) for w in _STOPWORDS])
-    return docs.select(
+    return quality_signals(docs).select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
-        ).alias("sum_token_len"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("n_stop"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        "n_chars", "n_tokens", "sum_token_len", "n_stop", "n_distinct_tokens",
+        "ok_length", "ok_mean_token_len", "ok_stop_ratio", "ok_alpha_ratio",
+        "mean_token_len_r4", "stop_ratio_r4", "alpha_ratio_r4",
+        "quality_score",
     )
 
 
-_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
-
-
 def oracle_text_stats() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    from grower_spark.operators.text import STOPWORDS_EN
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     return f"""
-SELECT doc_id,
-  CAST(length(text) AS INTEGER) AS n_chars,
-  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INTEGER) AS sum_token_len,
-  CAST(len(list_filter(string_split(text, ' '), t -> list_contains([{stop_list}], t))) AS INTEGER) AS n_stop,
-  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
-FROM documents
+WITH stats AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_tokens,
+    list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_token_len,
+    len(list_filter(string_split(text, ' '), t -> list_contains([{stop_list}], t))) AS n_stop,
+    len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    CAST(n_chars AS INTEGER) AS n_chars,
+    CAST(n_tokens AS INTEGER) AS n_tokens,
+    CAST(sum_token_len AS INTEGER) AS sum_token_len,
+    CAST(n_stop AS INTEGER) AS n_stop,
+    CAST(n_distinct_tokens AS INTEGER) AS n_distinct_tokens,
+    (n_chars >= 32 AND n_chars <= 100000) AS ok_length,
+    (sum_token_len / greatest(n_tokens, 1) >= 2.0
+     AND sum_token_len / greatest(n_tokens, 1) <= 12.0) AS ok_mean_token_len,
+    (n_stop / greatest(n_tokens, 1) >= 0.01) AS ok_stop_ratio,
+    (n_alpha / greatest(n_chars, 1) >= 0.5) AS ok_alpha_ratio,
+    round(sum_token_len / greatest(n_tokens, 1), 4) AS mean_token_len_r4,
+    round(n_stop / greatest(n_tokens, 1), 4) AS stop_ratio_r4,
+    round(n_alpha / greatest(n_chars, 1), 4) AS alpha_ratio_r4
+  FROM stats
+)
+SELECT *,
+  CAST(ok_length AS INTEGER) + CAST(ok_mean_token_len AS INTEGER)
+  + CAST(ok_stop_ratio AS INTEGER) + CAST(ok_alpha_ratio AS INTEGER) AS quality_score
+FROM sig
 """
 
 
@@ -1767,47 +1790,60 @@ SELECT doc_id, CASE {case} END AS lang_guess FROM counts
 """
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from grower_spark.operators.text import quality_signals
+_PARA_SEP = " a "
+_PARA_MIN_DF = 2
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level common-paragraph removal (C4/RefinedWeb line-level
+    dedup): every segment occurring >= min_df times across the corpus is
+    dropped from every document; the rest of each document survives in
+    order.
+
+    The synthetic documents fixture has no newline paragraphs, so the
+    driver row segments on the literal token separator ``" a "`` — an
+    arbitrary but deterministic boundary that exercises the identical
+    plumbing (split -> corpus hash-count -> AQE-broadcast common set ->
+    ordered reassembly) a real ``"\\n\\n"`` corpus would."""
+    from grower_spark.operators.dedup import drop_common_paragraphs
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    return quality_signals(docs).select(
-        "doc_id", "ok_length", "ok_mean_token_len", "ok_stop_ratio",
-        "ok_alpha_ratio", "mean_token_len_r4", "stop_ratio_r4",
-        "alpha_ratio_r4", "quality_score",
+    return drop_common_paragraphs(
+        docs, min_df=_PARA_MIN_DF, sep=_PARA_SEP
     )
 
 
-def oracle_text_quality() -> str:
-    from grower_spark.operators.text import STOPWORDS_EN
-
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+def oracle_dedup_paragraphs() -> str:
+    # Same split (literal separator), same 60-bit md5 count key, same
+    # keep/drop rule, reassembly ordered by original segment position.
     return f"""
-WITH stats AS (
-  SELECT doc_id,
-    length(text) AS n_chars,
-    len(string_split(text, ' ')) AS n_tokens,
-    list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_token_len,
-    len(list_filter(string_split(text, ' '), t -> list_contains([{stop_list}], t))) AS n_stop,
-    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
-  FROM documents
+WITH t AS (
+  SELECT doc_id, string_split(text, '{_PARA_SEP}') AS l
+  FROM documents WHERE text IS NOT NULL
 ),
-sig AS (
-  SELECT doc_id,
-    (n_chars >= 32 AND n_chars <= 100000) AS ok_length,
-    (sum_token_len / greatest(n_tokens, 1) >= 2.0
-     AND sum_token_len / greatest(n_tokens, 1) <= 12.0) AS ok_mean_token_len,
-    (n_stop / greatest(n_tokens, 1) >= 0.01) AS ok_stop_ratio,
-    (n_alpha / greatest(n_chars, 1) >= 0.5) AS ok_alpha_ratio,
-    round(sum_token_len / greatest(n_tokens, 1), 4) AS mean_token_len_r4,
-    round(n_stop / greatest(n_tokens, 1), 4) AS stop_ratio_r4,
-    round(n_alpha / greatest(n_chars, 1), 4) AS alpha_ratio_r4
-  FROM stats
+paras AS (
+  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l
+  FROM t
+),
+p2 AS (
+  SELECT doc_id, pos, l[pos] AS para,
+    CAST(('0x' || substr(md5(l[pos]), 1, 15)) AS BIGINT) AS h
+  FROM paras
+),
+common AS (
+  SELECT h FROM p2 GROUP BY h HAVING count(*) >= {_PARA_MIN_DF}
+),
+flagged AS (
+  SELECT p2.*, (c.h IS NOT NULL) AS is_common
+  FROM p2 LEFT JOIN common c USING (h)
 )
-SELECT *,
-  CAST(ok_length AS INTEGER) + CAST(ok_mean_token_len AS INTEGER)
-  + CAST(ok_stop_ratio AS INTEGER) + CAST(ok_alpha_ratio AS INTEGER) AS quality_score
-FROM sig
+SELECT doc_id,
+  coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE NOT is_common),
+                           '{_PARA_SEP}'), '') AS text_clean,
+  CAST(count(*) FILTER (WHERE NOT is_common) AS INTEGER) AS n_kept,
+  CAST(count(*) FILTER (WHERE is_common) AS INTEGER) AS n_dropped
+FROM flagged
+GROUP BY doc_id
 """
 
 
@@ -2366,7 +2402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "salted_join_events": q_salted_join_events,
     "text_lang_id": q_text_lang_id,
-    "text_quality": q_text_quality,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_normalize": q_text_normalize,
     "multimodal_pipeline": q_multimodal_pipeline,
@@ -2421,7 +2457,7 @@ ORACLES: dict[str, str] = {
     "events_range_join": oracle_events_range_join(),
     "salted_join_events": oracle_salted_join_events(),
     "text_lang_id": oracle_text_lang_id(),
-    "text_quality": oracle_text_quality(),
+    "dedup_paragraphs": oracle_dedup_paragraphs(),
     "text_bpe_tokens": oracle_text_bpe_tokens(),
     "text_normalize": oracle_text_normalize(),
     "multimodal_pipeline": oracle_multimodal_pipeline(),

@@ -703,3 +703,73 @@ def ngram_jaccard_pairs_prefix(
     return j.select(
         "id_a", "id_b", "inter", "size_a", "size_b", F.round(jac, 4).alias("jaccard_r4")
     ).where(F.round(jac, 4) >= threshold)
+
+
+def drop_common_paragraphs(
+    df: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    join_sep: Optional[str] = None,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: drop every paragraph that occurs
+    ``min_df``-or-more times ACROSS the corpus, keeping the rest of each
+    document intact (the C4/RefinedWeb line-level-dedup step — headers,
+    footers, cookie banners, license blurbs repeat across documents even
+    when no two documents are whole-document duplicates).
+
+    ``sep`` is a Java regex for the paragraph split; ``join_sep`` (default:
+    ``sep`` verbatim) is the literal used to reassemble — pass both when
+    ``sep`` is a non-literal regex.  Returns one row per non-NULL-text
+    document: ``(id_col, text_clean, n_kept, n_dropped)``.  NULL-text
+    documents explode to zero paragraphs and are absent (same convention as
+    chunking).
+
+    Scale shape (100 TB):
+
+    - paragraphs explode map-side; the ONLY full-corpus shuffles are the
+      60-bit-hash count aggregation (partial map-side combine, uniform key
+      by construction) and the per-document reassembly groupBy.
+    - the common-paragraph set is filtered BEFORE the join back, and
+      boilerplate is small by definition (bounded by total_paragraphs /
+      min_df distinct values, typically far fewer) — AQE sees the
+      post-aggregation size at runtime and broadcasts it; no hint forces a
+      fact-scale broadcast.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para"),
+    ).withColumn("_h", md5_60(F.col("para")))
+    common = (
+        paras.groupBy("_h")
+        .count()
+        .where(F.col("count") >= min_df)
+        .select("_h", F.lit(True).alias("_common"))
+    )
+    flagged = paras.join(common, "_h", "left")
+    kept_struct = F.when(
+        F.col("_common").isNull(), F.struct(F.col("pos"), F.col("para"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            # collect_list skips the NULLs the when() leaves for dropped
+            # paragraphs; array_sort on (pos, para) structs restores
+            # document order regardless of shuffle arrival order
+            F.concat_ws(
+                join_sep if join_sep is not None else sep,
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+                ),
+            ).alias("text_clean"),
+            F.sum(F.when(F.col("_common").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_common").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )

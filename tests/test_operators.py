@@ -423,3 +423,43 @@ def test_shingle_df_topk(spark):
     # "common stop shingle" appears in every doc; everything else is rarer
     assert top[0]["gram"] == "common stop shingle" and top[0]["df"] == 6
     assert top[1]["df"] < 6
+
+
+def test_drop_common_paragraphs(spark):
+    from grower_spark.operators.dedup import drop_common_paragraphs
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (0, f"unique intro\n\n{boiler}\n\nunique body zero"),
+            (1, f"{boiler}\n\nunique body one"),
+            (2, f"unique body two\n\n{boiler}"),
+            (3, boiler),             # all paragraphs dropped -> empty doc
+            (4, "totally unique"),   # untouched
+            (5, None),               # NULL text -> absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in drop_common_paragraphs(df, min_df=2).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}  # NULL-text doc absent
+    assert out[0]["text_clean"] == "unique intro\n\nunique body zero"
+    assert out[0]["n_kept"] == 2 and out[0]["n_dropped"] == 1
+    assert out[1]["text_clean"] == "unique body one"
+    assert out[2]["text_clean"] == "unique body two"
+    assert out[3]["text_clean"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text_clean"] == "totally unique" and out[4]["n_dropped"] == 0
+    with pytest.raises(ValueError, match="min_df"):
+        drop_common_paragraphs(df, min_df=1)
+
+
+def test_drop_common_paragraphs_order_stability(spark):
+    """Reassembly must restore original paragraph order regardless of
+    shuffle arrival order (array_sort on (pos, para) structs)."""
+    from grower_spark.operators.dedup import drop_common_paragraphs
+
+    n = 30
+    text = "\n\n".join(f"para number {i}" for i in range(n))
+    df = spark.createDataFrame([(0, text), (1, "x"), (2, "x")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in drop_common_paragraphs(df, min_df=2).collect()}
+    assert out[0]["text_clean"] == text  # nothing common, order intact
+    assert out[1]["text_clean"] == "" and out[2]["text_clean"] == ""
