@@ -126,3 +126,27 @@ def test_corpus_build_with_chunking(spark, raw_docs):
         per_pack.setdefault(r["pack_id"], 0)
         per_pack[r["pack_id"]] += r["pack_n_tokens"]
     assert all(v <= 24 for v in per_pack.values())
+
+
+def test_corpus_build_with_boilerplate_scrub(spark):
+    boiler = "subscribe to our newsletter today"
+    # bodies share no content words (else near-dup dedup would eat them)
+    body = [_distinct_doc(50 + i) for i in range(3)]
+    rows = [
+        (0, f"{body[0]}\n\n{boiler}"),
+        (1, f"{boiler}\n\n{body[1]}"),
+        (2, body[2]),
+        (3, boiler),  # boilerplate-only doc -> auditable drop
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus, drops, report = build_corpus(
+        spark, docs, min_quality=2, max_top_word_bp=10000, para_min_df=3
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in drops.collect()}
+    assert reasons.get(3) == "boilerplate-only"
+    kept = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert set(kept) == {0, 1, 2}
+    for i in (0, 1, 2):
+        assert boiler not in kept[i]
+        assert f"w{50 + i}x0" in kept[i]
+    assert report["dropped_boilerplate_only"] == 1

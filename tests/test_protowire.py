@@ -169,3 +169,44 @@ def test_receiver_grpc_torn_message_at_disconnect(tmp_path):
     finally:
         rx.stop()
     assert _spool_lines(spool) == ["whole"]
+
+
+# -- property-based round-trips (hypothesis) ----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_varint_roundtrip_property(value):
+    wire = encode_varint(value)
+    assert len(wire) <= 10
+    assert decode_varint(wire, 0) == (value, len(wire))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=2000))
+def test_request_roundtrip_property(text):
+    assert decode_request(encode_request(text)) == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=2**64, max_value=2**70 - 1))
+def test_varint_overflow_always_rejected(value):
+    """ADVICE r4: a 10-byte varint whose last byte has no continuation bit
+    can encode >64-bit values; the decoder must reject every one of them."""
+    wire = bytearray()
+    v = value
+    while True:
+        bits = v & 0x7F
+        v >>= 7
+        if v:
+            wire.append(bits | 0x80)
+        else:
+            wire.append(bits)
+            break
+    if len(wire) > 10:  # >70-bit encodings already die on the shift guard
+        return
+    with pytest.raises(ProtoWireError, match="64 bits"):
+        decode_varint(bytes(wire), 0)

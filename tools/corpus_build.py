@@ -4,6 +4,7 @@ training-ready sequences.
 
     quality filter (signals + repetition) ->
     benchmark decontamination (n-gram overlap) ->
+    [optional] boilerplate scrub (corpus-level common-paragraph removal) ->
     dedup keep-list (normalize -> exact -> MinHash-LSH -> clusters) ->
     deterministic sample (reproducible permille) ->
     [optional] chunking (token windows with overlap) ->
@@ -52,6 +53,8 @@ def build_corpus(
     min_quality: int = 2,
     max_top_word_bp: int = 4000,
     decontam_n: int = 8,
+    para_min_df: int = 0,
+    para_sep: str = "\n\n",
     sample_permille: int = 1000,
     sample_salt: str = "corpus",
     chunk_tokens: int = 0,
@@ -118,6 +121,28 @@ def build_corpus(
         drops.append(bad_c)
         pool = pool.join(F.broadcast(bad_c.select(id_col)), id_col, "left_anti")
 
+    # 2b. corpus-level boilerplate scrub (common-paragraph removal),
+    #     BEFORE dedup: shared headers/footers inflate near-dup similarity
+    #     between otherwise-distinct documents.  Docs reduced to nothing
+    #     are an auditable drop like any other.
+    if para_min_df >= 2:
+        from grower_spark.operators.dedup import drop_common_paragraphs
+
+        cleaned = drop_common_paragraphs(
+            pool, min_df=para_min_df, id_col=id_col, text_col=text_col,
+            sep=para_sep,
+        )
+        empty = cleaned.where(F.col("n_kept") == 0).select(
+            F.col(id_col), F.lit("boilerplate-only").alias("reason")
+        )
+        drops.append(empty)
+        pool = pool.drop(text_col).join(
+            cleaned.where(F.col("n_kept") > 0).select(
+                F.col(id_col), F.col("text_clean").alias(text_col)
+            ),
+            id_col,
+        )
+
     # 3. dedup keep-list (normalize -> exact -> LSH -> clusters)
     keep, dd = build_keep_drop(
         pool, id_col=id_col, text_col=text_col, num_perm=num_perm,
@@ -181,6 +206,10 @@ def main() -> int:
     ap.add_argument("--min-quality", type=int, default=2)
     ap.add_argument("--max-top-word-bp", type=int, default=4000)
     ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--para-min-df", type=int, default=0,
+                    help="drop paragraphs occurring in >= this many places "
+                         "corpus-wide (0 = off)")
+    ap.add_argument("--para-sep", default="\n\n")
     ap.add_argument("--sample-permille", type=int, default=1000)
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="split docs into windows of this many tokens (0 = off)")
@@ -197,7 +226,9 @@ def main() -> int:
         spark, docs, bench,
         id_col=args.id_col, text_col=args.text_col,
         min_quality=args.min_quality, max_top_word_bp=args.max_top_word_bp,
-        decontam_n=args.decontam_n, sample_permille=args.sample_permille,
+        decontam_n=args.decontam_n,
+        para_min_df=args.para_min_df, para_sep=args.para_sep,
+        sample_permille=args.sample_permille,
         chunk_tokens=args.chunk_tokens, chunk_overlap=args.chunk_overlap,
         max_tokens=args.max_tokens,
     )
