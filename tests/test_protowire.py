@@ -171,6 +171,50 @@ def test_receiver_grpc_torn_message_at_disconnect(tmp_path):
     assert _spool_lines(spool) == ["whole"]
 
 
+@pytest.mark.parametrize("framing", ["frames", "grpc"])
+def test_receiver_rejects_oversize_length_prefix(tmp_path, framing):
+    """ADVICE r4: the length prefix is client-controlled (u32, ~4 GiB); a
+    single hostile frame must drop the connection instead of ballooning
+    one readexactly — in BOTH stream framings.  gRPC's own default max
+    receive size (4 MiB) is the default cap."""
+    spool = str(tmp_path / "spool")
+    rx = SpoolReceiver(
+        spool, tcp_port=0, framing=framing, max_message_bytes=1024
+    ).start()
+    try:
+        with socket.create_connection(("127.0.0.1", rx.tcp_port), timeout=5) as s:
+            if framing == "grpc":
+                s.sendall(b"\x00" + struct.pack(">I", 1 << 30))  # claims 1 GiB
+            else:
+                s.sendall(struct.pack(">I", 1 << 30))
+            s.settimeout(5)
+            assert s.recv(1) == b""  # server closed the connection
+        # receiver stays alive; a compliant client still gets through
+        if framing == "grpc":
+            _send_grpc(rx.tcp_port, ["post-oversize"])
+        else:
+            with socket.create_connection(("127.0.0.1", rx.tcp_port), timeout=5) as s:
+                payload = "post-oversize".encode()
+                s.sendall(struct.pack(">I", len(payload)) + payload)
+    finally:
+        rx.stop()
+    assert _spool_lines(spool) == ["post-oversize"]
+
+
+def test_receiver_accepts_frame_at_exact_cap(tmp_path):
+    """Boundary: a frame of exactly max_message_bytes is legal."""
+    spool = str(tmp_path / "spool")
+    rx = SpoolReceiver(spool, tcp_port=0, framing="frames",
+                       max_message_bytes=64).start()
+    try:
+        with socket.create_connection(("127.0.0.1", rx.tcp_port), timeout=5) as s:
+            payload = b"y" * 64
+            s.sendall(struct.pack(">I", len(payload)) + payload)
+    finally:
+        rx.stop()
+    assert _spool_lines(spool) == ["y" * 64]
+
+
 # -- property-based round-trips (hypothesis) ----------------------------------
 
 from hypothesis import given, settings
