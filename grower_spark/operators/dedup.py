@@ -714,10 +714,12 @@ def drop_common_paragraphs(
     join_sep: Optional[str] = None,
 ) -> DataFrame:
     """Corpus-level boilerplate removal: drop every paragraph that occurs
-    ``min_df``-or-more times ACROSS the corpus, keeping the rest of each
-    document intact (the C4/RefinedWeb line-level-dedup step — headers,
-    footers, cookie banners, license blurbs repeat across documents even
-    when no two documents are whole-document duplicates).
+    ``min_df``-or-more times ACROSS the corpus (OCCURRENCES, not distinct
+    documents — a document repeating its own banner twice contributes two),
+    keeping the rest of each document intact (the C4/RefinedWeb
+    line-level-dedup step — headers, footers, cookie banners, license
+    blurbs repeat across documents even when no two documents are
+    whole-document duplicates).
 
     ``sep`` is a Java regex for the paragraph split; ``join_sep`` (default:
     ``sep`` verbatim) is the literal used to reassemble — pass both when
