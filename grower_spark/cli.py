@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     d = sub.add_parser("ddl", help="print ClickHouse DDL for a config")
     d.add_argument("--config", required=True)
+    d.add_argument("--apply-url", default=None, metavar="URL",
+                   help="also execute the DDL against a ClickHouse HTTP "
+                        "endpoint (e.g. http://host:8123)")
+    d.add_argument("--database", default="default")
+    d.add_argument("--user", default=None)
+    d.add_argument("--password", default=None)
 
     rx = sub.add_parser(
         "receiver",
@@ -152,7 +158,16 @@ def main(argv: list[str] | None = None) -> int:
             (name, pipeline.casts[name].type_name)
             for name in cfg.scheme.columns
         ]
-        print(clickhouse_ddl(cfg.scheme.logs_table, columns))
+        ddl = clickhouse_ddl(cfg.scheme.logs_table, columns)
+        print(ddl)
+        if args.apply_url:
+            from grower_spark.sinks.clickhouse import HttpClickHouseClient
+
+            HttpClickHouseClient(
+                args.apply_url, database=args.database,
+                user=args.user, password=args.password,
+            ).command(ddl)
+            print(f"-- applied to {args.apply_url}", file=sys.stderr)
         return 0
 
     from grower_spark.session import get_spark

@@ -12,19 +12,125 @@ insert function that writes per-partition with app-level retry.  Unlike
 the reference's in-memory buffer (data loss on crash, SURVEY.md §4.2),
 checkpointing + a replayable source upgrades delivery to at-least-once.
 
-The ``clickhouse_connect`` package is absent in this container, so the
-client is injectable: anything with ``insert(table, rows, column_names)``
-works (tests use a fake; production passes a clickhouse-connect client
-factory).
+The client is injectable — anything with ``insert(table, rows,
+column_names)`` works — and two real options ship here:
+
+- ``HttpClickHouseClient`` (this module): stdlib-only client speaking
+  ClickHouse's public HTTP interface (``POST /?query=INSERT ... FORMAT
+  TabSeparated`` with TSV body, settings as URL params, credentials via
+  ``X-ClickHouse-User``/``Key`` headers) — zero dependencies, testable
+  against an in-process fake server, and a legitimate production path
+  (the HTTP interface is ClickHouse's canonical second protocol).
+- a ``clickhouse_connect`` client (absent in this container): pass its
+  factory for native-protocol + LZ4, matching the reference's
+  clickhouse-go wiring.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import gzip as _gzip
 import time
+import urllib.parse
+import urllib.request
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame
+
+
+def _tsv_value(v) -> str:
+    """One value in ClickHouse TabSeparated encoding.
+
+    Escaping per the TSV format spec: backslash, tab, newline, CR; NULL is
+    ``\\N``; DateTime as ``YYYY-MM-DD hh:mm:ss`` (server-local seconds —
+    ClickHouse DateTime carries no sub-second), Date as ``YYYY-MM-DD``;
+    bools as 1/0 (UInt8 convention).
+    """
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.strftime("%Y-%m-%d")
+    s = str(v)
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+class ClickHouseHttpError(RuntimeError):
+    """Non-2xx reply from the ClickHouse HTTP interface (body included —
+    ClickHouse returns the exception text there)."""
+
+
+class HttpClickHouseClient:
+    """Minimal ClickHouse client over the public HTTP interface (stdlib).
+
+    Satisfies the sink's client protocol: ``insert(table, rows,
+    column_names)`` plus ``command(sql)`` for DDL.  One POST per insert
+    call; the sink's chunking already bounds statement size.  ``compress``
+    gzips the request body (``Content-Encoding: gzip``, decompressed
+    server-side — saves wire bytes on wide text rows).
+    """
+
+    def __init__(
+        self,
+        url: str = "http://localhost:8123",
+        database: str = "default",
+        user: Optional[str] = None,
+        password: Optional[str] = None,
+        settings: Optional[dict] = None,
+        timeout: float = 30.0,
+        compress: bool = False,
+    ) -> None:
+        self.url = url.rstrip("/")
+        self.database = database
+        self.user = user
+        self.password = password
+        self.settings = dict(settings or {})
+        self.timeout = timeout
+        self.compress = compress
+
+    def _post(self, query: str, body: bytes = b"") -> bytes:
+        params = {"database": self.database, "query": query}
+        for k, v in self.settings.items():
+            params[str(k)] = str(v)
+        url = f"{self.url}/?{urllib.parse.urlencode(params)}"
+        headers = {"Content-Type": "application/octet-stream"}
+        if self.user is not None:
+            headers["X-ClickHouse-User"] = self.user
+        if self.password is not None:
+            headers["X-ClickHouse-Key"] = self.password
+        if self.compress and body:
+            body = _gzip.compress(body)
+            headers["Content-Encoding"] = "gzip"
+        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as exc:  # non-2xx: surface CH's text
+            detail = exc.read().decode("utf-8", errors="replace")
+            raise ClickHouseHttpError(
+                f"ClickHouse HTTP {exc.code}: {detail[:500]}"
+            ) from None
+
+    def command(self, sql: str) -> None:
+        """Run a statement with no data body (DDL, SET, ...)."""
+        self._post(sql)
+
+    def insert(self, table: str, rows: Sequence[tuple], column_names: Sequence[str]) -> None:
+        cols = ", ".join(f"`{c}`" for c in column_names)
+        query = f"INSERT INTO {table} ({cols}) FORMAT TabSeparated"
+        body = "".join(
+            "\t".join(_tsv_value(v) for v in row) + "\n" for row in rows
+        ).encode("utf-8")
+        self._post(query, body)
 
 
 def clickhouse_ddl(
