@@ -5,6 +5,11 @@ partition balancer (least_bytes default).  Spark's Kafka sink handles
 batching/partitioning; unkeyed messages get the producer's default sticky
 partitioning (≈ least_bytes in spirit), and a key column opts into hash
 partitioning (≈ the reference's hash balancers).
+
+The connector jar is absent in this container (dated probes in
+``sources/kafka.py``); ``sinks/kafkawire.py`` carries a dependency-free
+wire-level producer (RecordBatch v2 + Produce v3, CRC32C) as the
+protocol-verified stand-in.
 """
 
 from __future__ import annotations

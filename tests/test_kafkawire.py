@@ -1,0 +1,272 @@
+"""Kafka wire codec: CRC32C spec vectors, zigzag varints, RecordBatch v2
+against hand-built bytes (layout pinned independently of the encoder),
+Produce v3 framing, and a fake-broker socket e2e through Spark
+foreachPartition — the same verification pattern sources/protowire.py
+established for the gRPC transport.
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+
+import pytest
+
+from grower_spark.sinks.kafkawire import (
+    KafkaWireError,
+    KafkaWireProducer,
+    Record,
+    crc32c,
+    decode_produce_response,
+    decode_record_batch,
+    encode_produce_request,
+    encode_produce_response,
+    encode_record_batch,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+# -- CRC32C -------------------------------------------------------------------
+
+
+def test_crc32c_spec_vectors():
+    # RFC 3720 / the universally published Castagnoli check value
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    # 32 zero bytes — iSCSI spec test vector
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    # incremental == one-shot
+    assert crc32c(b"6789", crc32c(b"12345")) == crc32c(b"123456789")
+
+
+# -- zigzag varints -----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "value,wire",
+    [
+        (0, b"\x00"),
+        (-1, b"\x01"),
+        (1, b"\x02"),
+        (-2, b"\x03"),
+        (63, b"\x7e"),
+        (-64, b"\x7f"),
+        (64, b"\x80\x01"),
+        (2**31 - 1, b"\xfe\xff\xff\xff\x0f"),
+    ],
+)
+def test_zigzag_spec_bytes(value, wire):
+    assert zigzag_encode(value) == wire
+    assert zigzag_decode(wire, 0) == (value, len(wire))
+
+
+def test_zigzag_roundtrip_extremes():
+    for v in (2**62, -(2**62), 2**63 - 1, -(2**63)):
+        assert zigzag_decode(zigzag_encode(v), 0)[0] == v
+
+
+# -- RecordBatch v2 -----------------------------------------------------------
+
+
+def _hand_built_single_record_batch() -> bytes:
+    """RecordBatch v2 with one record (value=b'hi', no key, no headers,
+    ts=1000), assembled field-by-field from the protocol spec — NOT via the
+    encoder under test."""
+    # record: attrs 0, tsDelta 0, offsetDelta 0, key -1, value len 2 'hi',
+    # headers 0
+    record_body = b"\x00" + b"\x00" + b"\x00" + b"\x01" + b"\x04" + b"hi" + b"\x00"
+    record = bytes([len(record_body) << 1]) + record_body  # zigzag(len)
+    after_crc = struct.pack(
+        ">hiqqqhii",
+        0,      # attributes
+        0,      # lastOffsetDelta
+        1000,   # baseTimestamp
+        1000,   # maxTimestamp
+        -1,     # producerId
+        -1,     # producerEpoch
+        -1,     # baseSequence
+        1,      # record count
+    ) + record
+    crc = crc32c(after_crc)
+    after_length = struct.pack(">ibI", 0, 2, crc) + after_crc
+    return struct.pack(">qi", 0, len(after_length)) + after_length
+
+
+def test_batch_encoder_matches_hand_built_bytes():
+    got = encode_record_batch([Record(value=b"hi", timestamp_ms=1000)])
+    assert got == _hand_built_single_record_batch()
+
+
+def test_batch_roundtrip_keys_headers_timestamps():
+    records = [
+        Record(value=b"v0", key=b"k0", timestamp_ms=100,
+               headers=[("h", b"x"), ("h2", b"")]),
+        Record(value=b"", key=None, timestamp_ms=250),
+        Record(value=b"v2" * 100, key=b"", timestamp_ms=90),
+    ]
+    base, out = decode_record_batch(encode_record_batch(records, base_offset=7))
+    assert base == 7
+    assert [r.value for r in out] == [r.value for r in records]
+    assert [r.key for r in out] == [b"k0", None, b""]
+    assert [r.timestamp_ms for r in out] == [100, 250, 90]
+    assert out[0].headers == [("h", b"x"), ("h2", b"")]
+
+
+def test_batch_crc_corruption_detected():
+    buf = bytearray(encode_record_batch([Record(value=b"payload")]))
+    buf[-1] ^= 0xFF
+    with pytest.raises(KafkaWireError, match="crc"):
+        decode_record_batch(bytes(buf))
+
+
+def test_batch_rejects_wrong_magic():
+    buf = bytearray(encode_record_batch([Record(value=b"x")]))
+    buf[16] = 1  # magic byte (after baseOffset 8 + length 4 + epoch 4)
+    with pytest.raises(KafkaWireError, match="magic"):
+        decode_record_batch(bytes(buf))
+
+
+# -- Produce framing ----------------------------------------------------------
+
+
+def test_produce_request_layout():
+    batch = encode_record_batch([Record(value=b"line")])
+    req = encode_produce_request("logs", 3, batch, correlation_id=9,
+                                 client_id="cli", acks=-1, timeout_ms=1000)
+    (size,) = struct.unpack_from(">i", req, 0)
+    assert size == len(req) - 4
+    api_key, api_ver, corr = struct.unpack_from(">hhi", req, 4)
+    assert (api_key, api_ver, corr) == (0, 3, 9)
+    (cid_len,) = struct.unpack_from(">h", req, 12)
+    assert req[14:14 + cid_len] == b"cli"
+    pos = 14 + cid_len
+    (txn_len,) = struct.unpack_from(">h", req, pos)
+    assert txn_len == -1  # non-transactional
+    acks, timeout = struct.unpack_from(">hi", req, pos + 2)
+    assert (acks, timeout) == (-1, 1000)
+    # the record set bytes survive framing verbatim
+    assert batch in req
+
+
+def test_produce_response_roundtrip():
+    wire = encode_produce_response(42, "logs", 3, error_code=0, base_offset=17)
+    (size,) = struct.unpack_from(">i", wire, 0)
+    corr, parts = decode_produce_response(wire[4:4 + size])
+    assert corr == 42
+    assert parts == [("logs", 3, 0, 17)]
+
+
+# -- fake broker e2e ----------------------------------------------------------
+
+_BROKER_LOG: list[bytes] = []  # values in arrival order
+_BROKER_ERRS: list[int] = []   # queue of error codes to inject
+
+
+def _recv_exact(conn, n):
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def _fake_broker(srv):
+    while True:
+        try:
+            conn, _ = srv.accept()
+        except OSError:
+            return
+        with conn:
+            while True:
+                head = _recv_exact(conn, 4)
+                if head is None:
+                    break
+                (size,) = struct.unpack(">i", head)
+                payload = _recv_exact(conn, size)
+                _api, _ver, corr = struct.unpack_from(">hhi", payload, 0)
+                (cid_len,) = struct.unpack_from(">h", payload, 8)
+                pos = 10 + cid_len
+                (txn,) = struct.unpack_from(">h", payload, pos)
+                pos += 2 + (txn if txn > 0 else 0)
+                pos += 6  # acks + timeout
+                pos += 4  # topic array count (1)
+                (tlen,) = struct.unpack_from(">h", payload, pos)
+                pos += 2
+                topic = payload[pos:pos + tlen].decode()
+                pos += tlen + 4  # partition array count (1)
+                (part,) = struct.unpack_from(">i", payload, pos)
+                pos += 4
+                (blen,) = struct.unpack_from(">i", payload, pos)
+                pos += 4
+                _base, records = decode_record_batch(payload[pos:pos + blen])
+                err = _BROKER_ERRS.pop() if _BROKER_ERRS else 0
+                if err == 0:
+                    base_offset = len(_BROKER_LOG)
+                    _BROKER_LOG.extend(r.value for r in records)
+                else:
+                    base_offset = -1
+                conn.sendall(
+                    encode_produce_response(corr, topic, part, err, base_offset)
+                )
+
+
+@pytest.fixture(scope="module")
+def broker():
+    import socket as socket_mod
+
+    srv = socket_mod.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen()
+    t = threading.Thread(target=_fake_broker, args=(srv,), daemon=True)
+    t.start()
+    yield srv.getsockname()[1]
+    srv.close()
+
+
+@pytest.fixture(autouse=True)
+def _clean_broker_state():
+    _BROKER_LOG.clear()
+    _BROKER_ERRS.clear()
+
+
+def test_producer_acks_and_offsets(broker):
+    p = KafkaWireProducer("127.0.0.1", broker, "logs")
+    assert p.send([b"a", b"b"]) == 0
+    assert p.send([b"c"]) == 2  # broker-assigned base offset advances
+    p.close()
+    assert _BROKER_LOG == [b"a", b"b", b"c"]
+
+
+def test_producer_surfaces_broker_error(broker):
+    _BROKER_ERRS.append(7)  # REQUEST_TIMED_OUT
+    p = KafkaWireProducer("127.0.0.1", broker, "logs")
+    with pytest.raises(KafkaWireError, match="error_code=7"):
+        p.send([b"x"])
+    p.close()
+
+
+def test_spark_foreach_partition_to_broker(spark, broker):
+    """Reference kafkalog writer shape: every DataFrame row published as
+    one unkeyed message, through executor Python workers over real
+    sockets."""
+    port = broker
+
+    def publish(rows):
+        vals = [bytes(r["value"]) for r in rows]
+        if not vals:
+            return
+        p = KafkaWireProducer("127.0.0.1", port, "logs")
+        try:
+            p.send(vals)
+        finally:
+            p.close()
+
+    from grower_spark.sinks.kafka import frame_for_kafka
+
+    df = spark.range(12).selectExpr("concat('line-', id) AS value").repartition(3)
+    frame_for_kafka(df).foreachPartition(publish)
+    assert sorted(_BROKER_LOG) == sorted(
+        f"line-{i}".encode() for i in range(12)
+    )
