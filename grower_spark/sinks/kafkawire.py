@@ -21,11 +21,16 @@ Implemented surface:
 - ``KafkaWireProducer``: blocking single-connection producer speaking the
   above over a socket — enough to publish log lines to one topic-partition
   with acks, as the reference's writer does per batch.
+- Fetch API **v4** request/response + ``KafkaWireConsumer`` (single
+  partition, caller-owned offsets) and ``kafka_to_spool``: drains a
+  partition into ``.fbuf`` spool files, so the reference's kafkalog
+  topology (consume -> parse -> sink, server.go:117-152) runs end-to-end
+  through the same spool contract the gRPC/syslog transports use.
 
-Not implemented (documented non-goals): consumer groups / Fetch (S6 reads
-go through Spark's connector), compression codecs (attributes=0), SASL/TLS,
-idempotent producer ids.  The point is wire-format parity, not a client
-library.
+Not implemented (documented non-goals): consumer groups (offset tracking
+is the bridge's checkpoint; Spark's connector owns it on a real cluster),
+compression codecs (attributes=0), SASL/TLS, idempotent producer ids.
+The point is wire-format parity, not a client library.
 """
 
 from __future__ import annotations
@@ -311,3 +316,168 @@ class KafkaWireProducer:
 
     def close(self) -> None:
         self._sock.close()
+
+
+# -- Fetch API v4 (consumer side: reference S6's read path) -------------------
+
+FETCH_API_KEY = 1
+FETCH_API_VERSION = 4
+
+
+def encode_fetch_request(
+    topic: str,
+    partition: int,
+    fetch_offset: int,
+    correlation_id: int,
+    client_id: str = "grower-spark",
+    max_wait_ms: int = 500,
+    min_bytes: int = 1,
+    max_bytes: int = 1 << 20,
+) -> bytes:
+    """Size-prefixed FetchRequest v4 (header v1) for one topic-partition."""
+    header = struct.pack(">hhi", FETCH_API_KEY, FETCH_API_VERSION,
+                         correlation_id) + _string(client_id)
+    body = (
+        struct.pack(">iiiib", -1, max_wait_ms, min_bytes, max_bytes, 0)
+        + struct.pack(">i", 1) + _string(topic)
+        + struct.pack(">i", 1)
+        + struct.pack(">iqi", partition, fetch_offset, max_bytes)
+    )
+    payload = header + body
+    return struct.pack(">i", len(payload)) + payload
+
+
+def _decode_record_batches(buf: bytes) -> list[tuple[int, Record]]:
+    """A fetch record_set may concatenate several batches; returns
+    (offset, record) pairs in log order."""
+    out = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
+        end = pos + 12 + batch_len
+        if end > len(buf):
+            break  # torn tail batch (broker may truncate at max_bytes)
+        _, records = decode_record_batch(buf[pos:end])
+        out.extend((base_offset + i, r) for i, r in enumerate(records))
+        pos = end
+    return out
+
+
+def decode_fetch_response(payload: bytes) -> tuple[int, int, int, list[tuple[int, Record]]]:
+    """Returns (correlation_id, error_code, high_watermark,
+    [(offset, record), ...]) for the single topic-partition requested."""
+    (corr,) = struct.unpack_from(">i", payload, 0)
+    pos = 8  # correlation_id + throttle_time_ms
+    (n_topics,) = struct.unpack_from(">i", payload, pos)
+    pos += 4
+    if n_topics != 1:
+        raise KafkaWireError(f"expected 1 topic in response, got {n_topics}")
+    (tlen,) = struct.unpack_from(">h", payload, pos)
+    pos += 2 + tlen
+    (n_parts,) = struct.unpack_from(">i", payload, pos)
+    pos += 4
+    if n_parts != 1:
+        raise KafkaWireError(f"expected 1 partition in response, got {n_parts}")
+    _part, err, hw, _lso = struct.unpack_from(">ihqq", payload, pos)
+    pos += 22
+    (n_aborted,) = struct.unpack_from(">i", payload, pos)
+    pos += 4 + max(n_aborted, 0) * 12  # producer_id + first_offset each
+    (blen,) = struct.unpack_from(">i", payload, pos)
+    pos += 4
+    records = _decode_record_batches(payload[pos:pos + max(blen, 0)])
+    return corr, err, hw, records
+
+
+def encode_fetch_response(
+    correlation_id: int,
+    topic: str,
+    partition: int,
+    record_set: bytes,
+    high_watermark: int,
+    error_code: int = 0,
+) -> bytes:
+    """Size-prefixed FetchResponse v4 — the broker side, for tests/fakes."""
+    payload = (
+        struct.pack(">ii", correlation_id, 0)  # throttle_time_ms
+        + struct.pack(">i", 1) + _string(topic)
+        + struct.pack(">i", 1)
+        + struct.pack(">ihqq", partition, error_code, high_watermark, high_watermark)
+        + struct.pack(">i", 0)  # aborted_transactions: empty
+        + _bytes(record_set)
+    )
+    return struct.pack(">i", len(payload)) + payload
+
+
+class KafkaWireConsumer:
+    """Blocking single-partition consumer: ``poll`` fetches from an offset
+    and returns ((offset, Record) pairs, high_watermark).  No consumer
+    groups — offset tracking is the caller's (the spool bridge checkpoints
+    it; Spark's connector owns it on a real cluster)."""
+
+    def __init__(self, host: str, port: int, topic: str, partition: int = 0,
+                 timeout: float = 30.0, max_bytes: int = 1 << 20) -> None:
+        self.topic = topic
+        self.partition = partition
+        self.max_bytes = max_bytes
+        self._corr = 0
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+
+    def poll(self, offset: int) -> tuple[list[tuple[int, Record]], int]:
+        self._corr += 1
+        self._sock.sendall(encode_fetch_request(
+            self.topic, self.partition, offset, self._corr,
+            max_bytes=self.max_bytes,
+        ))
+        (size,) = struct.unpack(">i", self._recv_exact(4))
+        corr, err, hw, records = decode_fetch_response(self._recv_exact(size))
+        if corr != self._corr:
+            raise KafkaWireError(f"correlation mismatch {corr} != {self._corr}")
+        if err != 0:
+            raise KafkaWireError(f"broker error_code={err} on fetch")
+        return records, hw
+
+    _recv_exact = KafkaWireProducer._recv_exact
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+def kafka_to_spool(
+    consumer: KafkaWireConsumer,
+    spool_dir: str,
+    start_offset: int = 0,
+    max_polls: Optional[int] = None,
+) -> int:
+    """Drain a partition into ``.fbuf`` spool files (one file per
+    non-empty fetch, write-then-rename) until caught up to the high
+    watermark — the kafkalog ingest edge re-expressed on the spool
+    contract, so ``spark.read.format("filebuf")`` (batch or streaming)
+    picks the messages up exactly like the gRPC/syslog transports.
+
+    Returns the next offset to fetch (resume point; persist it alongside
+    the spool for at-least-once across restarts)."""
+    import os
+    import time as _time
+
+    from grower_spark.sources.filebuf import FRAME_SUFFIX, write_frames
+
+    os.makedirs(spool_dir, exist_ok=True)
+    offset = start_offset
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        polls += 1
+        records, hw = consumer.poll(offset)
+        if records:
+            offset = records[-1][0] + 1
+            now_ms = int(_time.time() * 1000)
+            final = os.path.join(
+                spool_dir,
+                f"{now_ms:015d}-{os.getpid():07d}-{offset:012d}{FRAME_SUFFIX}",
+            )
+            tmp = os.path.join(spool_dir, f".tmp-{os.getpid():07d}-{offset:012d}")
+            write_frames(tmp, [r.value.decode("utf-8", errors="replace")
+                               for _, r in records])
+            os.rename(tmp, final)
+        if offset >= hw:
+            break
+    return offset

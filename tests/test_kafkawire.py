@@ -270,3 +270,131 @@ def test_spark_foreach_partition_to_broker(spark, broker):
     assert sorted(_BROKER_LOG) == sorted(
         f"line-{i}".encode() for i in range(12)
     )
+
+
+# -- Fetch / consumer / spool bridge ------------------------------------------
+
+from grower_spark.sinks.kafkawire import (  # noqa: E402
+    KafkaWireConsumer,
+    decode_fetch_response,
+    encode_fetch_request,
+    encode_fetch_response,
+    kafka_to_spool,
+)
+
+_FETCH_LOG: list[Record] = []  # the fake fetch-broker's partition log
+
+
+def _fake_fetch_broker(srv):
+    while True:
+        try:
+            conn, _ = srv.accept()
+        except OSError:
+            return
+        with conn:
+            while True:
+                head = _recv_exact(conn, 4)
+                if head is None:
+                    break
+                (size,) = struct.unpack(">i", head)
+                payload = _recv_exact(conn, size)
+                _api, _ver, corr = struct.unpack_from(">hhi", payload, 0)
+                (cid_len,) = struct.unpack_from(">h", payload, 8)
+                pos = 10 + cid_len
+                pos += 17  # replica + max_wait + min_bytes + max_bytes + isolation
+                pos += 4  # topic count
+                (tlen,) = struct.unpack_from(">h", payload, pos)
+                pos += 2
+                topic = payload[pos:pos + tlen].decode()
+                pos += tlen + 4  # partition count
+                part, f_off, _pmax = struct.unpack_from(">iqi", payload, pos)
+                hw = len(_FETCH_LOG)
+                if f_off < hw:
+                    record_set = encode_record_batch(
+                        _FETCH_LOG[f_off:], base_offset=f_off
+                    )
+                else:
+                    record_set = b""
+                conn.sendall(encode_fetch_response(corr, topic, part,
+                                                   record_set, hw))
+
+
+@pytest.fixture(scope="module")
+def fetch_broker():
+    import socket as socket_mod
+
+    srv = socket_mod.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen()
+    threading.Thread(target=_fake_fetch_broker, args=(srv,), daemon=True).start()
+    yield srv.getsockname()[1]
+    srv.close()
+
+
+@pytest.fixture(autouse=True)
+def _clean_fetch_log():
+    _FETCH_LOG.clear()
+
+
+def test_fetch_request_layout():
+    req = encode_fetch_request("logs", 2, 17, correlation_id=5,
+                               client_id="cli", max_wait_ms=250,
+                               min_bytes=1, max_bytes=4096)
+    (size,) = struct.unpack_from(">i", req, 0)
+    assert size == len(req) - 4
+    api_key, api_ver, corr = struct.unpack_from(">hhi", req, 4)
+    assert (api_key, api_ver, corr) == (1, 4, 5)
+    (cid_len,) = struct.unpack_from(">h", req, 12)
+    pos = 14 + cid_len
+    replica, max_wait, min_b, max_b, iso = struct.unpack_from(">iiiib", req, pos)
+    assert (replica, max_wait, min_b, max_b, iso) == (-1, 250, 1, 4096, 0)
+    part, f_off, p_max = struct.unpack_from(">iqi", req, len(req) - 16)
+    assert (part, f_off, p_max) == (2, 17, 4096)
+
+
+def test_fetch_response_roundtrip():
+    batch = encode_record_batch(
+        [Record(value=b"a"), Record(value=b"b")], base_offset=5
+    )
+    wire = encode_fetch_response(11, "logs", 0, batch, high_watermark=7)
+    (size,) = struct.unpack_from(">i", wire, 0)
+    corr, err, hw, records = decode_fetch_response(wire[4:4 + size])
+    assert (corr, err, hw) == (11, 0, 7)
+    assert [(o, r.value) for o, r in records] == [(5, b"a"), (6, b"b")]
+
+
+def test_consumer_polls_from_offset(fetch_broker):
+    _FETCH_LOG.extend(Record(value=f"m{i}".encode()) for i in range(5))
+    c = KafkaWireConsumer("127.0.0.1", fetch_broker, "logs")
+    records, hw = c.poll(2)
+    c.close()
+    assert hw == 5
+    assert [(o, r.value) for o, r in records] == [
+        (2, b"m2"), (3, b"m3"), (4, b"m4")
+    ]
+
+
+def test_kafka_to_spool_to_spark(spark, fetch_broker, tmp_path):
+    """The reference kafkalog topology end-to-end: wire-level fetch ->
+    spool bridge -> filebuf DataFrame, with resume from the returned
+    offset."""
+    from grower_spark.sources.filebuf import FileBufDataSource
+
+    spark.dataSource.register(FileBufDataSource)
+    _FETCH_LOG.extend(Record(value=f"log line {i}".encode()) for i in range(8))
+    spool = str(tmp_path / "spool")
+    c = KafkaWireConsumer("127.0.0.1", fetch_broker, "logs")
+    nxt = kafka_to_spool(c, spool, start_offset=0)
+    assert nxt == 8
+    df = spark.read.format("filebuf").load(spool)
+    assert sorted(r["value"] for r in df.collect()) == sorted(
+        f"log line {i}" for i in range(8)
+    )
+    # new messages arrive; resuming from `nxt` picks up exactly the tail
+    _FETCH_LOG.append(Record(value=b"late arrival"))
+    nxt2 = kafka_to_spool(c, spool, start_offset=nxt)
+    c.close()
+    assert nxt2 == 9
+    df2 = spark.read.format("filebuf").load(spool)
+    assert df2.count() == 9
+    assert "late arrival" in {r["value"] for r in df2.collect()}
