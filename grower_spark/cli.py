@@ -6,6 +6,9 @@ Subcommands map to the reference's binaries:
 - ``batch``    — one-shot parse of a file/directory (the scan inside S1)
 - ``rotate``   — driver-side rotation + retention helper (S2/S4)
 - ``ddl``      — print the ClickHouse CREATE TABLE for a config (K1)
+- ``kafkalog`` — cmd/kafkalog: consume a topic, parse, land typed rows
+  (``--wire-spool`` uses the dependency-free wire consumer + spool bridge;
+  without it, Spark's Kafka connector is required on the classpath)
 
 Flag names keep the reference's spelling (buffer-size, scrape-interval,
 parallelism, ...) so operators can carry their runbooks over.
@@ -39,6 +42,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="liveness HTTP port (0 = off)")
     fl.add_argument("--available-now", action="store_true",
                     help="drain existing files and exit (backfill mode)")
+
+    kl = sub.add_parser("kafkalog", help="consume a Kafka topic, parse, land typed rows")
+    common(kl)
+    kl.add_argument("--brokers", required=True, help="host:port[,host:port...]")
+    kl.add_argument("--topic", required=True)
+    kl.add_argument("--partition", type=int, default=0)
+    kl.add_argument("--output", required=True)
+    kl.add_argument("--dead-letter", default=None)
+    kl.add_argument("--wire-spool", default=None, metavar="DIR",
+                    help="use the dependency-free wire consumer: drain the "
+                         "partition into this spool dir, then parse (one-shot; "
+                         "prints the resume offset).  Without this flag the "
+                         "spark-sql-kafka connector must be on the classpath.")
+    kl.add_argument("--start-offset", type=int, default=0,
+                    help="resume point for --wire-spool (from the last run's "
+                         "printed offset)")
+    kl.add_argument("--checkpoint", default=None,
+                    help="connector mode: streaming checkpoint dir")
 
     b = sub.add_parser("batch", help="one-shot parse of a log file/directory")
     common(b)
@@ -186,6 +207,53 @@ def main(argv: list[str] | None = None) -> int:
         if args.dead_letter:
             write_deadletter_batch(bad, args.dead_letter)
         print(f"wrote {args.output}")
+        return 0
+
+    if args.command == "kafkalog":
+        from grower_spark.plans.pipeline import LogPipeline
+        from grower_spark.sinks.deadletter import write_deadletter_batch
+        from grower_spark.sinks.files import pick_time_col, write_batch_files
+
+        pipeline = LogPipeline(cfg)
+        if args.wire_spool:
+            # dependency-free path: wire consumer -> spool -> filebuf scan
+            from grower_spark.sinks.kafkawire import (
+                KafkaWireConsumer,
+                kafka_to_spool,
+            )
+            from grower_spark.sources.filebuf import FileBufDataSource
+
+            host, _, port = args.brokers.split(",")[0].rpartition(":")
+            consumer = KafkaWireConsumer(
+                host, int(port), args.topic, args.partition
+            )
+            try:
+                next_offset = kafka_to_spool(
+                    consumer, args.wire_spool, start_offset=args.start_offset
+                )
+            finally:
+                consumer.close()
+            spark.dataSource.register(FileBufDataSource)
+            lines = spark.read.format("filebuf").load(args.wire_spool)
+            good, bad = pipeline.parse_with_deadletter(lines)
+            write_batch_files(good, args.output, time_col=pick_time_col(good))
+            if args.dead_letter:
+                write_deadletter_batch(bad, args.dead_letter)
+            print(f"wrote {args.output}; next offset {next_offset}")
+            return 0
+        # connector path: requires spark-sql-kafka on the classpath
+        from grower_spark.sources.kafka import kafka_line_stream
+
+        stream = kafka_line_stream(spark, brokers=args.brokers, topic=args.topic)
+        good, bad = pipeline.parse_with_deadletter(stream)
+        writer = (
+            good.writeStream.format("parquet")
+            .option("path", args.output)
+            .option("checkpointLocation",
+                    args.checkpoint or args.output + "/_checkpoint")
+        )
+        query = writer.start()
+        query.awaitTermination()
         return 0
 
     if args.command == "filelog":

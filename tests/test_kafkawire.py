@@ -398,3 +398,38 @@ def test_kafka_to_spool_to_spark(spark, fetch_broker, tmp_path):
     df2 = spark.read.format("filebuf").load(spool)
     assert df2.count() == 9
     assert "late arrival" in {r["value"] for r in df2.collect()}
+
+
+def test_cli_kafkalog_wire_mode_e2e(spark, fetch_broker, tmp_path, capsys):
+    """cmd/kafkalog parity: broker -> wire consumer -> spool -> parse ->
+    typed parquet, via the CLI, with the resume offset printed."""
+    import os
+
+    from conftest import FIXTURES
+    from test_template import SAMPLE_LINE
+
+    from grower_spark.cli import main
+
+    _FETCH_LOG.extend(
+        [Record(value=SAMPLE_LINE.encode())] * 3
+        + [Record(value=b"not a log line")]
+    )
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    dl = str(tmp_path / "dl")
+    rc = main([
+        "kafkalog",
+        "--config", os.path.join(FIXTURES, "sample_test.yaml"),
+        "--brokers", f"127.0.0.1:{fetch_broker}",
+        "--topic", "logs",
+        "--wire-spool", spool,
+        "--output", out,
+        "--dead-letter", dl,
+    ])
+    assert rc == 0
+    assert "next offset 4" in capsys.readouterr().out
+    good = spark.read.parquet(out)
+    assert good.count() == 3
+    assert set(good.select("status").distinct().toPandas()["status"]) == {444}
+    bad = spark.read.parquet(dl)
+    assert bad.count() == 1
