@@ -9,6 +9,8 @@ Subcommands map to the reference's binaries:
 - ``kafkalog`` — cmd/kafkalog: consume a topic, parse, land typed rows
   (``--wire-spool`` uses the dependency-free wire consumer + spool bridge;
   without it, Spark's Kafka connector is required on the classpath)
+- ``syslog``   — cmd/syslog: RFC3164 listeners (tcp/udp/unixgram) ->
+  envelope strip -> parse -> typed rows, one process
 
 Flag names keep the reference's spelling (buffer-size, scrape-interval,
 parallelism, ...) so operators can carry their runbooks over.
@@ -61,6 +63,28 @@ def build_parser() -> argparse.ArgumentParser:
     kl.add_argument("--checkpoint", default=None,
                     help="connector mode: streaming checkpoint dir")
 
+    sl = sub.add_parser(
+        "syslog",
+        help="RFC3164 syslog daemon: listen, strip envelope, parse, land rows",
+    )
+    common(sl)
+    sl.add_argument("--spool-dir", required=True,
+                    help="receiver spool the streaming source reads")
+    sl.add_argument("--tcp-port", type=int, default=None,
+                    help="RFC6587-style TCP listener (newline framing)")
+    sl.add_argument("--udp-port", type=int, default=None)
+    sl.add_argument("--datagram-path", default=None,
+                    help="unix datagram socket (the reference's unixgram mode)")
+    sl.add_argument("--output", required=True)
+    sl.add_argument("--checkpoint", required=True)
+    sl.add_argument("--dead-letter", default=None)
+    sl.add_argument("--scrape-interval", type=int, default=60)
+    sl.add_argument("--buffer-size", type=int, default=1000)
+    sl.add_argument("--no-envelope", action="store_true",
+                    help="messages are raw log lines (skip RFC3164 strip)")
+    sl.add_argument("--available-now", action="store_true",
+                    help="drain the existing spool and exit (no listeners)")
+
     b = sub.add_parser("batch", help="one-shot parse of a log file/directory")
     common(b)
     b.add_argument("--input", required=True)
@@ -99,8 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="UDP datagram listener (syslog udp mode)")
     rx.add_argument("--datagram-path", default=None,
                     help="unix datagram socket (syslog unixgram mode)")
-    rx.add_argument("--framing", choices=["frames", "lines"], default="frames",
-                    help="stream framing: length-prefixed or newline-delimited")
+    rx.add_argument("--framing", choices=["frames", "grpc", "lines"],
+                    default="frames",
+                    help="stream framing: length-prefixed, gRPC message "
+                         "frames (proto3 Request), or newline-delimited")
     rx.add_argument("--buffer-size", type=int, default=1000,
                     help="lines per spool file (reference buffer-size)")
     rx.add_argument("--flush-interval", type=float, default=0.25)
@@ -254,6 +280,55 @@ def main(argv: list[str] | None = None) -> int:
         )
         query = writer.start()
         query.awaitTermination()
+        return 0
+
+    if args.command == "syslog":
+        from grower_spark.sources.filebuf import FileBufDataSource
+        from grower_spark.sources.receiver import SpoolReceiver
+        from grower_spark.sources.syslog import rfc3164_extract
+        from grower_spark.streaming.filelog import FileLogRunner
+
+        rx = None
+        if not args.available_now:
+            if args.tcp_port is None and args.udp_port is None \
+                    and not args.datagram_path:
+                print("syslog: no listener configured (use --tcp-port / "
+                      "--udp-port / --datagram-path, or --available-now to "
+                      "drain an existing spool)", file=sys.stderr)
+                return 2
+            rx = SpoolReceiver(
+                args.spool_dir,
+                tcp_port=args.tcp_port,
+                udp_port=args.udp_port,
+                datagram_path=args.datagram_path,
+                framing="lines",
+                flush_max_lines=args.buffer_size,
+            ).start()
+            if args.tcp_port is not None:
+                print(f"tcp port {rx.tcp_port}", flush=True)
+            if args.udp_port is not None:
+                print(f"udp port {rx.udp_port}", flush=True)
+        spark.dataSource.register(FileBufDataSource)
+        lines = spark.readStream.format("filebuf").load(args.spool_dir)
+        if not args.no_envelope:
+            lines = rfc3164_extract(lines).select("value")
+        runner = FileLogRunner(
+            spark,
+            cfg,
+            logs_dir="",  # unused: lines_df overrides the text source
+            output_path=args.output,
+            checkpoint_root=args.checkpoint,
+            scrape_interval_seconds=args.scrape_interval,
+            deadletter_path=args.dead_letter,
+            available_now=args.available_now,
+            lines_df=lines,
+        ).start()
+        runner.install_signal_handlers()
+        try:
+            runner.await_termination()
+        finally:
+            if rx is not None:
+                rx.stop()
         return 0
 
     if args.command == "filelog":

@@ -22,7 +22,7 @@ import threading
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from grower_spark.config import PipelineConfig
 from grower_spark.plans.pipeline import LogPipeline
@@ -43,10 +43,15 @@ class FileLogRunner:
     deadletter_path: Optional[str] = None
     foreach_batch: Optional[Callable] = None  # e.g. ClickHouseSink.foreach_batch()
     available_now: bool = False  # drain-and-stop mode (tests / backfill)
+    # caller-supplied streaming DataFrame[value: string] overriding the
+    # text-directory source — the syslog/kafkalog topologies feed the SAME
+    # runner from a filebuf spool (cli.py), so trigger/checkpoint/deadletter
+    # wiring exists once
+    lines_df: Optional["DataFrame"] = None
     queries: list = field(default_factory=list)
 
     def start(self) -> "FileLogRunner":
-        lines = stream_lines(
+        lines = self.lines_df if self.lines_df is not None else stream_lines(
             self.spark,
             self.logs_dir,
             max_files_per_trigger=self.max_files_per_trigger,

@@ -381,3 +381,45 @@ def test_idempotent_foreach_batch(spark, tmp_path):
     wrapped(df, 7)  # crash-replay of the same micro-batch: must be a no-op
     wrapped(df, 8)
     assert calls == [7, 8]
+
+
+def test_cli_syslog_e2e(spark, tmp_path, capsys):
+    """cmd/syslog parity through the CLI: RFC3164 frames over a TCP socket
+    -> receiver spool -> envelope strip -> pipeline -> typed parquet."""
+    import os
+    import socket
+
+    from conftest import FIXTURES
+    from test_template import SAMPLE_LINE
+
+    from grower_spark.cli import main
+    from grower_spark.sources.receiver import SpoolReceiver
+
+    spool = str(tmp_path / "spool")
+    # ingest phase: the daemon's own receiver shape (lines framing), driven
+    # directly so the drain phase below can use --available-now
+    rx = SpoolReceiver(spool, tcp_port=0, framing="lines").start()
+    try:
+        with socket.create_connection(("127.0.0.1", rx.tcp_port), timeout=5) as s:
+            for i in range(3):
+                s.sendall(f"<190>Jul 20 21:30:43 web01 nginx: {SAMPLE_LINE}\n".encode())
+            s.sendall(b"<13>Jul 20 21:30:44 web01 other: not an access line\n")
+    finally:
+        rx.stop()
+
+    out = str(tmp_path / "out")
+    dl = str(tmp_path / "dl")
+    rc = main([
+        "syslog",
+        "--config", os.path.join(FIXTURES, "sample_test.yaml"),
+        "--spool-dir", spool,
+        "--output", out,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--dead-letter", dl,
+        "--available-now",
+    ])
+    assert rc == 0
+    good = spark.read.parquet(out)
+    assert good.count() == 3
+    assert {r["status"] for r in good.select("status").collect()} == {444}
+    assert spark.read.parquet(dl).count() == 1
