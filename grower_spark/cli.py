@@ -22,6 +22,18 @@ import argparse
 import sys
 
 
+def _parse_broker(entry: str) -> tuple[str, int]:
+    """Validate one ``host:port`` broker entry with a usable error message
+    (a bare ``rpartition(':')`` on a port-less entry yields host='' and an
+    opaque int() crash)."""
+    host, sep, port = entry.strip().rpartition(":")
+    if not sep or not host or not port.isdigit():
+        raise SystemExit(
+            f"kafkalog: invalid --brokers entry {entry!r} (expected host:port)"
+        )
+    return host, int(port)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="grower-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -249,9 +261,9 @@ def main(argv: list[str] | None = None) -> int:
             )
             from grower_spark.sources.filebuf import FileBufDataSource
 
-            host, _, port = args.brokers.split(",")[0].rpartition(":")
+            host, port = _parse_broker(args.brokers.split(",")[0])
             consumer = KafkaWireConsumer(
-                host, int(port), args.topic, args.partition
+                host, port, args.topic, args.partition
             )
             try:
                 next_offset = kafka_to_spool(
@@ -268,18 +280,30 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.output}; next offset {next_offset}")
             return 0
         # connector path: requires spark-sql-kafka on the classpath
+        from grower_spark.sinks.deadletter import deadletter_writer
         from grower_spark.sources.kafka import kafka_line_stream
 
+        for entry in args.brokers.split(","):
+            _parse_broker(entry)  # fail fast with a usable message
         stream = kafka_line_stream(spark, brokers=args.brokers, topic=args.topic)
         good, bad = pipeline.parse_with_deadletter(stream)
+        checkpoint = args.checkpoint or args.output + "/_checkpoint"
+        dlq = None
+        if args.dead_letter:
+            dlq = deadletter_writer(
+                bad, args.dead_letter, checkpoint + "_dlq", source="kafkalog"
+            ).start()
         writer = (
             good.writeStream.format("parquet")
             .option("path", args.output)
-            .option("checkpointLocation",
-                    args.checkpoint or args.output + "/_checkpoint")
+            .option("checkpointLocation", checkpoint)
         )
         query = writer.start()
-        query.awaitTermination()
+        try:
+            query.awaitTermination()
+        finally:
+            if dlq is not None:
+                dlq.stop()
         return 0
 
     if args.command == "syslog":

@@ -57,6 +57,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     if hit is not None:
         return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The MICROS branch below reinterprets a timestamp_ntz in the SESSION
+    # timezone; the ts/ts_ns contract is only value-preserving under UTC, so
+    # enforce it here rather than trusting the caller ran tune_session first.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         dt = dict(df.dtypes)["ts"]

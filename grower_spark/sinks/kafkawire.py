@@ -89,6 +89,10 @@ def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
         if shift > 63:
             raise KafkaWireError("varint exceeds 64 bits")
+    if result >= 1 << 64:
+        # 10th byte may only carry the single remaining bit (same guard as
+        # sources/protowire.py decode_varint — keep the codecs consistent).
+        raise KafkaWireError("varint exceeds 64 bits")
     return (result >> 1) ^ -(result & 1), pos
 
 
@@ -381,7 +385,7 @@ def decode_fetch_response(payload: bytes) -> tuple[int, int, int, list[tuple[int
     _part, err, hw, _lso = struct.unpack_from(">ihqq", payload, pos)
     pos += 22
     (n_aborted,) = struct.unpack_from(">i", payload, pos)
-    pos += 4 + max(n_aborted, 0) * 12  # producer_id + first_offset each
+    pos += 4 + max(n_aborted, 0) * 16  # producer_id(int64) + first_offset(int64)
     (blen,) = struct.unpack_from(">i", payload, pos)
     pos += 4
     records = _decode_record_batches(payload[pos:pos + max(blen, 0)])
@@ -464,9 +468,23 @@ def kafka_to_spool(
     os.makedirs(spool_dir, exist_ok=True)
     offset = start_offset
     polls = 0
+    empty_streak = 0
     while max_polls is None or polls < max_polls:
         polls += 1
         records, hw = consumer.poll(offset)
+        if not records and offset < hw:
+            # Not caught up yet the fetch returned nothing complete — a batch
+            # larger than max_bytes was torn at the tail.  Grow the window and
+            # retry a bounded number of times rather than busy-polling forever.
+            empty_streak += 1
+            consumer.max_bytes = min(consumer.max_bytes * 2, 1 << 30)
+            if empty_streak >= 8:
+                raise KafkaWireError(
+                    f"fetch stalled at offset {offset} (high_watermark {hw}): "
+                    f"8 consecutive empty polls, max_bytes={consumer.max_bytes}"
+                )
+            continue
+        empty_streak = 0
         if records:
             offset = records[-1][0] + 1
             now_ms = int(_time.time() * 1000)

@@ -92,3 +92,17 @@ def test_real_fixture_loads(spark):
     # micros fixture: exact equality; nanos fixture: ts truncated to micros
     assert row["agree"] >= 0
     clear_table_cache()
+
+
+def test_non_utc_session_tz_does_not_shift(spark, tmp_path):
+    """ADVICE r5: the MICROS branch reinterprets timestamp_ntz in the
+    SESSION timezone; load_table must enforce UTC itself rather than
+    trusting tune_session already ran."""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        _, us_rows = _load_synthetic(spark, tmp_path, "us")
+        for i, us in enumerate(_MICROS, start=1):
+            assert us_rows[i]["ts_ns"] == us * 1000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)

@@ -433,3 +433,66 @@ def test_cli_kafkalog_wire_mode_e2e(spark, fetch_broker, tmp_path, capsys):
     assert set(good.select("status").distinct().toPandas()["status"]) == {444}
     bad = spark.read.parquet(dl)
     assert bad.count() == 1
+
+# -- ADVICE r5 regression pins ------------------------------------------------
+
+
+def test_fetch_response_aborted_transactions_are_16_bytes_each():
+    """FetchResponse v4 AbortedTransaction = producer_id(int64) +
+    first_offset(int64) = 16 bytes; a 12-byte stride misparses any
+    response that carries one."""
+    batch = encode_record_batch([Record(value=b"a")], base_offset=3)
+    payload = (
+        struct.pack(">ii", 9, 0)                      # corr + throttle
+        + struct.pack(">i", 1) + b"\x00\x04logs"      # 1 topic, "logs"
+        + struct.pack(">i", 1)                        # 1 partition
+        + struct.pack(">ihqq", 0, 0, 4, 4)            # part/err/hw/lso
+        + struct.pack(">i", 1)                        # 1 aborted txn
+        + struct.pack(">qq", 77, 1)                   # producer_id, first_offset
+        + struct.pack(">i", len(batch)) + batch
+    )
+    corr, err, hw, records = decode_fetch_response(payload)
+    assert (corr, err, hw) == (9, 0, 4)
+    assert [(o, r.value) for o, r in records] == [(3, b"a")]
+
+
+def test_zigzag_decode_rejects_over_64_bit_tenth_byte():
+    """A 10th varint byte may only carry the single remaining bit — same
+    guard as sources/protowire.py decode_varint (ADVICE r5 consistency)."""
+    from grower_spark.sinks.kafkawire import zigzag_decode
+
+    # 9 * 7 = 63 one-bits, then a 10th byte with payload 0x02 -> 1 << 64
+    with pytest.raises(KafkaWireError, match="64 bits"):
+        zigzag_decode(b"\xff" * 9 + b"\x02", 0)
+    # payload 0x01 is the max legal continuation: decodes to int64 min
+    value, pos = zigzag_decode(b"\xff" * 9 + b"\x01", 0)
+    assert (value, pos) == (-(1 << 63), 10)
+
+
+def test_kafka_to_spool_bounds_empty_polls(tmp_path):
+    """A torn batch at max_bytes with offset unchanged must not busy-poll
+    forever: the bridge grows max_bytes and raises after a bound."""
+
+    class StallingConsumer:
+        max_bytes = 1 << 10
+        polls = 0
+
+        def poll(self, offset):
+            self.polls += 1
+            return [], 10  # never caught up, never any complete batch
+
+    c = StallingConsumer()
+    with pytest.raises(KafkaWireError, match="stalled at offset 0"):
+        kafka_to_spool(c, str(tmp_path / "spool"), start_offset=0)
+    assert c.polls == 8
+    assert c.max_bytes > (1 << 10)  # window grew while retrying
+
+
+def test_cli_parse_broker_validation():
+    from grower_spark.cli import _parse_broker
+
+    assert _parse_broker("kafka-1.internal:9092") == ("kafka-1.internal", 9092)
+    assert _parse_broker(" 127.0.0.1:19092 ") == ("127.0.0.1", 19092)
+    for bad in ("hostonly", ":9092", "host:", "host:port", ""):
+        with pytest.raises(SystemExit, match="invalid --brokers"):
+            _parse_broker(bad)
