@@ -639,6 +639,18 @@ def ngram_jaccard_pairs_prefix(
     posting volume, not shuffle count, is the bottleneck.  At production
     scale persist the sorted-array stage; here it is recomputed per
     consumer (linear map work).
+
+    WHEN TO USE WHICH (measured r6, sf0.1 documents, local[32], 5-run
+    medians): the prefix keeps only the first ``|d| - ceil(t*|d|) + 1``
+    shingles, so pruning scales with the threshold.  At the driver row's
+    t=0.12 it prunes ~12% of postings and the three extra fixed shuffles
+    dominate: 7.7s vs the base's 2.6s.  At near-dup thresholds (t >= 0.5,
+    the production setting for training-data dedup) pruning exceeds 1/3 of
+    posting volume plus every suffix-only pair, and the prefix variant is
+    the one that survives corpus scale.  The driver row therefore keeps
+    the base operator (its threshold is deliberately low to produce a
+    verifiable pair set at sf0.01); the SCALE.md rehearsal measures this
+    variant against the base at a production threshold as data grows.
     """
     arr = df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sharr")

@@ -16,6 +16,9 @@ options-wiring only.
 2026-08-13 r5: re-probed — filesystem-wide find for spark-sql-kafka* /
 kafka-clients*.jar empty, :9092 connection refused, no kafka CLI tools on
 PATH.  Unchanged.
+2026-08-13 r6: re-probed (find / for the jars, :9092 connect, kafka CLI on
+PATH, `import PIL`): all still absent.  Unchanged; the wire-codec path
+(sinks/kafkawire.py) remains the drivable stand-in.
 """
 
 from __future__ import annotations

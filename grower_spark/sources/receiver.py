@@ -43,6 +43,7 @@ Usage::
 from __future__ import annotations
 
 import asyncio
+import logging
 import os
 import socket
 import struct
@@ -52,6 +53,8 @@ from typing import Optional
 
 from grower_spark.sources.filebuf import FRAME_SUFFIX
 from grower_spark.sources.protowire import GRPC_HEADER, ProtoWireError, decode_request
+
+log = logging.getLogger(__name__)
 
 
 class SpoolReceiver:
@@ -294,7 +297,13 @@ class SpoolReceiver:
             try:
                 self._loop.run_until_complete(self._main())
             except BaseException:
-                pass  # surfaced via _startup_error
+                # Startup failures are re-raised to the caller through
+                # _startup_error; anything else is a mid-run crash of the
+                # receiver loop — warn instead of dying silently
+                # (reference warn-everything discipline, impl.go:179-181).
+                if self._startup_error is None:
+                    log.warning("spool receiver loop exited abnormally",
+                                exc_info=True)
             finally:
                 self._loop.close()
 

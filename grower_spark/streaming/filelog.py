@@ -16,6 +16,7 @@ dropper chain (C3/C5).  An optional liveness HTTP endpoint mirrors C4.
 from __future__ import annotations
 
 import http.server
+import logging
 import os
 import signal
 import threading
@@ -29,6 +30,8 @@ from grower_spark.plans.pipeline import LogPipeline
 from grower_spark.sinks.deadletter import deadletter_writer
 from grower_spark.sinks.files import file_stream_writer
 from grower_spark.sources.file import stream_lines
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -100,8 +103,15 @@ class FileLogRunner:
             q.awaitTermination(timeout)
 
     def stop(self) -> None:
+        # Warn-and-continue over a poisoned handle (reference discipline,
+        # impl.go:179-181): one query failing to stop must not leave the
+        # remaining queries running.
         for q in self.queries:
-            q.stop()
+            try:
+                q.stop()
+            except Exception:
+                log.warning("query %s failed to stop cleanly",
+                            getattr(q, "name", None) or q, exc_info=True)
 
     def install_signal_handlers(self) -> None:
         """SIGINT/SIGTERM -> graceful stop (reference pkg/signal/notify.go)."""

@@ -423,3 +423,53 @@ def test_cli_syslog_e2e(spark, tmp_path, capsys):
     assert good.count() == 3
     assert {r["status"] for r in good.select("status").collect()} == {444}
     assert spark.read.parquet(dl).count() == 1
+
+
+def test_stop_survives_poisoned_query_handle(caplog):
+    """VERDICT r5 item 7: one query handle raising on stop() must not leave
+    the remaining queries running, and the failure must be WARN-logged
+    (reference warn-and-continue discipline, impl.go:179-181)."""
+    import logging
+
+    class Poisoned:
+        name = "poisoned"
+
+        def stop(self):
+            raise RuntimeError("jvm handle gone")
+
+    class Recorder:
+        name = "ok"
+        stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    runner = object.__new__(FileLogRunner)
+    ok = Recorder()
+    runner.queries = [Poisoned(), ok]
+    with caplog.at_level(logging.WARNING, logger="grower_spark.streaming.filelog"):
+        runner.stop()  # must not raise
+    assert ok.stopped
+    assert any("poisoned" in r.getMessage() for r in caplog.records
+               if r.levelno == logging.WARNING)
+
+
+def test_receiver_midrun_crash_is_warn_logged(tmp_path, caplog):
+    """A receiver loop crash AFTER successful startup must be warn-logged,
+    not swallowed (previously `except BaseException: pass`)."""
+    import logging
+
+    from grower_spark.sources.receiver import SpoolReceiver
+
+    rx = SpoolReceiver(str(tmp_path / "spool"), tcp_port=0)
+
+    async def boom(self=rx):
+        self._ready.set()
+        raise RuntimeError("post-startup crash")
+
+    rx._main = boom
+    with caplog.at_level(logging.WARNING, logger="grower_spark.sources.receiver"):
+        rx.start()
+        rx._thread.join(timeout=10)
+    assert not rx._thread.is_alive()
+    assert any("abnormally" in r.getMessage() for r in caplog.records)

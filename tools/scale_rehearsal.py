@@ -1,0 +1,216 @@
+"""Scale rehearsal: measure the shuffle-heaviest dedup operators across a
+decade of data growth, turning the SCALE.md plan-shape arguments into
+measured evidence.
+
+Two subcommands:
+
+``gen``   — deterministically synthesize an N× corpus from the sf0.1
+            ``documents`` table: each base document gets N replicas with
+            ~10% token dropout keyed by xxhash64 (replica 0 is verbatim),
+            so near-dup cluster structure — the thing that stresses the
+            operators — scales WITH the data instead of being diluted by
+            it.  A second column ``text_par`` wraps the mutated text in
+            header/footer paragraphs drawn from a small boilerplate pool,
+            giving ``drop_common_paragraphs`` a realistic high-df target.
+            Generation is map-side only (explode over a sequence — no
+            join, no shuffle) and writes multi-file parquet.
+
+``run``   — time the three ops (``minhash_lsh_pairs``,
+            ``ngram_jaccard_pairs`` base AND prefix at a production
+            threshold, ``drop_common_paragraphs``) over the generated
+            corpora, median wall-clock of ``--runs`` with one discarded
+            warmup, plus total shuffle read/write bytes per run measured
+            from the Spark REST API (the UI is enabled for this session
+            only).  Emits one JSON document for SCALE.md.
+
+Usage:
+    python tools/scale_rehearsal.py gen --base /root/testdata/sf0.1 \
+        --out /tmp/scale --factors 1,3,10
+    python tools/scale_rehearsal.py run --out /tmp/scale --factors 1,3,10 \
+        --runs 3 > /tmp/scale_results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+BOILERPLATE = [
+    # a pool of corpus-wide common paragraphs (cookie banners, license
+    # headers, navigation crumbs) — every document draws a header and a
+    # footer from here, so each pool entry's document frequency is
+    # ~2*N_docs/pool, far above any min_df threshold
+    f"boilerplate paragraph {i}: this site uses cookies to improve your "
+    f"experience please accept our terms and conditions before continuing"
+    for i in range(24)
+]
+
+JACCARD_PROD_THRESHOLD = 0.5  # near-dup threshold a training-data run uses
+JACCARD_MAX_DF = 100
+PARA_MIN_DF = 24  # ~N_docs*2/24 instances per pool entry >> 24 at any factor
+
+
+def _session(name: str, ui: bool):
+    # Private builder rather than session.get_spark: the REST metrics need
+    # spark.ui.enabled, which the library session deliberately turns off.
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    return (
+        SparkSession.builder.appName(name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", str(ui).lower())
+        .config("spark.ui.port", "4049")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def generate(spark, base_dir: str, out_dir: str, factor: int) -> str:
+    from grower_spark.io_tables import load_table
+
+    docs = load_table(spark, base_dir, "documents")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    big = docs.select("doc_id", "text", "lang", "source", reps)
+    new_id = (F.col("doc_id") * factor + F.col("rep")).alias("doc_id")
+    toks = F.split("text", " ")
+    # replica 0 verbatim; others drop each token with p=1/10 keyed by
+    # (new doc_id, token position) — deterministic, no RNG state
+    mutated = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.filter(
+                toks,
+                lambda t, i: F.pmod(
+                    F.xxhash64(F.col("doc_id") * factor + F.col("rep"), i), F.lit(10)
+                ) != 0,
+            ),
+            " ",
+        )
+    )
+    pool = F.array(*[F.lit(s) for s in BOILERPLATE])
+    hdr = F.element_at(pool, (F.pmod(F.xxhash64(new_id, F.lit("h")), F.lit(24)) + 1).cast("int"))
+    ftr = F.element_at(pool, (F.pmod(F.xxhash64(new_id, F.lit("f")), F.lit(24)) + 1).cast("int"))
+    out = big.select(
+        new_id,
+        mutated.alias("text"),
+        F.concat(hdr, F.lit("\n\n"), mutated, F.lit("\n\n"), ftr).alias("text_par"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+    path = os.path.join(out_dir, f"x{factor}", "documents.parquet")
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _shuffle_totals(app_url: str) -> tuple[int, int]:
+    with urllib.request.urlopen(f"{app_url}/executors", timeout=10) as r:
+        execs = json.load(r)
+    return (
+        sum(e["totalShuffleRead"] for e in execs),
+        sum(e["totalShuffleWrite"] for e in execs),
+    )
+
+
+def _app_url(spark) -> str:
+    app_id = spark.sparkContext.applicationId
+    port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
+    return f"http://localhost:{port}/api/v1/applications/{app_id}"
+
+
+def run_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
+    from grower_spark.operators.dedup import (
+        drop_common_paragraphs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    app = _app_url(spark)
+    ops = {
+        "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(
+            d, num_perm=16, bands=4, shingle_n=3, hash_fn="xxhash"
+        ),
+        "ngram_jaccard_base": lambda d: ngram_jaccard_pairs(
+            d, threshold=JACCARD_PROD_THRESHOLD, max_shingle_df=JACCARD_MAX_DF
+        ),
+        "ngram_jaccard_prefix": lambda d: ngram_jaccard_pairs_prefix(
+            d, threshold=JACCARD_PROD_THRESHOLD, max_shingle_df=JACCARD_MAX_DF
+        ),
+        "drop_common_paragraphs": lambda d: drop_common_paragraphs(
+            d.select("doc_id", F.col("text_par").alias("text")),
+            min_df=PARA_MIN_DF,
+        ),
+    }
+    results: dict = {}
+    for factor in factors:
+        path = os.path.join(out_dir, f"x{factor}", "documents.parquet")
+        docs = spark.read.parquet(path)
+        n_docs = docs.count()
+        results[f"x{factor}"] = {"n_docs": n_docs, "ops": {}}
+        for name, mk in ops.items():
+            mk(docs).count()  # warmup discarded (JIT + file listing)
+            wall, sread, swrite, rows = [], [], [], 0
+            for _ in range(runs):
+                r0, w0 = _shuffle_totals(app)
+                t0 = time.monotonic()
+                rows = mk(docs).count()
+                wall.append(time.monotonic() - t0)
+                r1, w1 = _shuffle_totals(app)
+                sread.append(r1 - r0)
+                swrite.append(w1 - w0)
+            wall.sort()
+            med = wall[len(wall) // 2]
+            results[f"x{factor}"]["ops"][name] = {
+                "rows": rows,
+                "wall_median_s": round(med, 3),
+                "wall_all_s": [round(x, 3) for x in wall],
+                "shuffle_read_mb": round(max(sread) / 1e6, 2),
+                "shuffle_write_mb": round(max(swrite) / 1e6, 2),
+            }
+            print(f"  x{factor} {name}: {med:.2f}s rows={rows} "
+                  f"shw={max(swrite)/1e6:.1f}MB", file=sys.stderr)
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gen")
+    g.add_argument("--base", default="/root/testdata/sf0.1")
+    g.add_argument("--out", required=True)
+    g.add_argument("--factors", default="1,10")
+    r = sub.add_parser("run")
+    r.add_argument("--out", required=True)
+    r.add_argument("--factors", default="1,10")
+    r.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+    if args.cmd == "gen":
+        spark = _session("scale-gen", ui=False)
+        for f_ in factors:
+            p = generate(spark, args.base, args.out, f_)
+            print(f"wrote {p}", file=sys.stderr)
+        spark.stop()
+        return 0
+    spark = _session("scale-run", ui=True)
+    res = run_ops(spark, args.out, factors, args.runs)
+    spark.stop()
+    json.dump(res, sys.stdout, indent=2)
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
