@@ -93,21 +93,27 @@ def main() -> None:
 
     spark.range(0, cpus * 4, 1, cpus).mapInPandas(_noop_batch, "id long").count()
 
-    # Per query: ONE discarded warmup run (first-run JIT/codegen/file
-    # listing dominated r5's worst_max_over_min of 12.46), then n_runs
-    # timed runs; REPORT the median and the full run list.  A single-shot
-    # number is at the mercy of host noise (observed 3-6x outliers from VM
-    # contention; round 3 burned review time on three phantom
-    # "regressions") — the median of warm runs is the engine's cost, and
-    # the per-query run list makes residual noise visible in the artifact
-    # instead of inferred after the fact.
+    # Per query: TWO discarded warmup runs, then n_runs timed runs; REPORT
+    # the median and the full run list.  Two warmups, not one: queries with
+    # wide generated code (dedup_minhash_lsh's 16-permutation projection)
+    # show HotSpot tiered-compilation decay over the first ~3 executions
+    # (measured r6: 1.5, 1.1, 1.0, 0.95... monotonic — JIT tiering, not AQE
+    # flapping, which would be non-monotonic); r5's worst_max_over_min of
+    # 12.46 was all first-run JIT.  A single-shot number is additionally at
+    # the mercy of host noise (observed 3-6x outliers from VM contention;
+    # round 3 burned review time on three phantom "regressions") — the
+    # median of warm runs is the engine's cost, and the per-query run list
+    # makes residual noise visible in the artifact instead of inferred
+    # after the fact.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     total = 0.0
     for name, how in BENCH_QUERIES:
         fn = QUERIES[name]
-        materialize(fn(spark, sf_dir), how)  # warmup, discarded
+        for _ in range(n_warm):
+            materialize(fn(spark, sf_dir), how)  # warmup, discarded
         rs = []
         for _ in range(max(n_runs, 1)):
             t0 = time.time()
@@ -138,7 +144,7 @@ def main() -> None:
         "parse_lines_per_sec": lps,
         "runs": runs,
         "noise": noise,
-        "stat": f"median of {n_runs} warm runs (1 warmup discarded)",
+        "stat": f"median of {n_runs} warm runs ({n_warm} warmups discarded)",
     }
     print(json.dumps(summary))
     # Provenance: the driver records only the printed tail; a committed

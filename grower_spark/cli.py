@@ -72,6 +72,17 @@ def build_parser() -> argparse.ArgumentParser:
     kl.add_argument("--start-offset", type=int, default=0,
                     help="resume point for --wire-spool (from the last run's "
                          "printed offset)")
+    kl.add_argument("--partitions", default=None,
+                    help="wire-spool mode: comma-separated partition list "
+                         "drained in parallel (reference AsyncFactor, "
+                         "server.go:109-122); overrides --partition")
+    kl.add_argument("--start-offsets", default=None,
+                    help="wire-spool + --partitions: per-partition resume "
+                         "points as p=off[,p=off...] (from the last run's "
+                         "printed offsets)")
+    kl.add_argument("--async-factor", type=int, default=None,
+                    help="wire-spool + --partitions: max concurrent readers "
+                         "(default: one per partition)")
     kl.add_argument("--checkpoint", default=None,
                     help="connector mode: streaming checkpoint dir")
 
@@ -262,22 +273,40 @@ def main(argv: list[str] | None = None) -> int:
             from grower_spark.sources.filebuf import FileBufDataSource
 
             host, port = _parse_broker(args.brokers.split(",")[0])
-            consumer = KafkaWireConsumer(
-                host, port, args.topic, args.partition
-            )
-            try:
-                next_offset = kafka_to_spool(
-                    consumer, args.wire_spool, start_offset=args.start_offset
+            if args.partitions:
+                from grower_spark.sinks.kafkawire import kafka_to_spool_multi
+
+                parts = [int(p) for p in args.partitions.split(",")]
+                starts = {}
+                for kv in (args.start_offsets or "").split(","):
+                    if kv:
+                        p, _, off = kv.partition("=")
+                        starts[int(p)] = int(off)
+                offsets = kafka_to_spool_multi(
+                    host, port, args.topic, parts, args.wire_spool,
+                    start_offsets=starts, async_factor=args.async_factor,
                 )
-            finally:
-                consumer.close()
+                offsets_note = "next offsets " + ",".join(
+                    f"{p}={offsets[p]}" for p in sorted(offsets)
+                )
+            else:
+                consumer = KafkaWireConsumer(
+                    host, port, args.topic, args.partition
+                )
+                try:
+                    next_offset = kafka_to_spool(
+                        consumer, args.wire_spool, start_offset=args.start_offset
+                    )
+                finally:
+                    consumer.close()
+                offsets_note = f"next offset {next_offset}"
             spark.dataSource.register(FileBufDataSource)
             lines = spark.read.format("filebuf").load(args.wire_spool)
             good, bad = pipeline.parse_with_deadletter(lines)
             write_batch_files(good, args.output, time_col=pick_time_col(good))
             if args.dead_letter:
                 write_deadletter_batch(bad, args.dead_letter)
-            print(f"wrote {args.output}; next offset {next_offset}")
+            print(f"wrote {args.output}; {offsets_note}")
             return 0
         # connector path: requires spark-sql-kafka on the classpath
         from grower_spark.sinks.deadletter import deadletter_writer

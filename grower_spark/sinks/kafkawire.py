@@ -21,11 +21,14 @@ Implemented surface:
 - ``KafkaWireProducer``: blocking single-connection producer speaking the
   above over a socket — enough to publish log lines to one topic-partition
   with acks, as the reference's writer does per batch.
-- Fetch API **v4** request/response + ``KafkaWireConsumer`` (single
-  partition, caller-owned offsets) and ``kafka_to_spool``: drains a
-  partition into ``.fbuf`` spool files, so the reference's kafkalog
-  topology (consume -> parse -> sink, server.go:117-152) runs end-to-end
-  through the same spool contract the gRPC/syslog transports use.
+- Fetch API **v4** request/response + ``KafkaWireConsumer`` (one
+  partition per reader, caller-owned offsets) and ``kafka_to_spool``:
+  drains a partition into ``.fbuf`` spool files, so the reference's
+  kafkalog topology (consume -> parse -> sink, server.go:117-152) runs
+  end-to-end through the same spool contract the gRPC/syslog transports
+  use.  ``kafka_to_spool_multi`` drains a partition LIST with a bounded
+  reader pool and per-partition resume offsets — the reference's
+  ``AsyncFactor`` parallel readers (server.go:109-122).
 
 Not implemented (documented non-goals): consumer groups (offset tracking
 is the bridge's checkpoint; Spark's connector owns it on a real cluster),
@@ -488,14 +491,93 @@ def kafka_to_spool(
         if records:
             offset = records[-1][0] + 1
             now_ms = int(_time.time() * 1000)
+            # partition in the name: parallel per-partition drains (see
+            # kafka_to_spool_multi) may land the same offset in the same
+            # millisecond from the same pid
+            part = consumer.partition
             final = os.path.join(
                 spool_dir,
-                f"{now_ms:015d}-{os.getpid():07d}-{offset:012d}{FRAME_SUFFIX}",
+                f"{now_ms:015d}-{os.getpid():07d}-p{part:04d}-{offset:012d}{FRAME_SUFFIX}",
             )
-            tmp = os.path.join(spool_dir, f".tmp-{os.getpid():07d}-{offset:012d}")
+            tmp = os.path.join(
+                spool_dir, f".tmp-{os.getpid():07d}-p{part:04d}-{offset:012d}"
+            )
             write_frames(tmp, [r.value.decode("utf-8", errors="replace")
                                for _, r in records])
             os.rename(tmp, final)
         if offset >= hw:
             break
     return offset
+
+
+def kafka_to_spool_multi(
+    host: str,
+    port: int,
+    topic: str,
+    partitions: list[int],
+    spool_dir: str,
+    start_offsets: Optional[dict[int, int]] = None,
+    async_factor: Optional[int] = None,
+    max_polls: Optional[int] = None,
+) -> dict[int, int]:
+    """Drain a PARTITION LIST into one ``.fbuf`` spool directory with
+    per-partition resume offsets — the reference's ``AsyncFactor``
+    parallel readers (internal/services/kafkalog/server.go:109-122)
+    re-expressed on the spool contract.
+
+    ``async_factor`` bounds concurrent readers (reference default: one
+    per partition).  Each reader owns one connection and one partition at
+    a time, so the wire protocol stays single-partition per request, as
+    the reference's readers do.  Returns {partition: next_offset}; persist
+    it alongside the spool and pass it back as ``start_offsets`` to
+    resume (at-least-once across restarts, exactly like the
+    single-partition bridge).
+
+    Reader failures propagate: the first exception is re-raised after all
+    workers stop, with completed partitions' offsets lost for this call
+    only (their spooled frames are durable and re-fetching is idempotent
+    at the filebuf layer only if the caller resumes from the RETURNED
+    offsets — on error, resume from the previous checkpoint).
+    """
+    import queue as _queue
+    import threading as _threading
+
+    starts = start_offsets or {}
+    todo: _queue.Queue[int] = _queue.Queue()
+    for p in partitions:
+        todo.put(p)
+    results: dict[int, int] = {}
+    errors: list[BaseException] = []
+    lock = _threading.Lock()
+
+    def worker() -> None:
+        while True:
+            try:
+                p = todo.get_nowait()
+            except _queue.Empty:
+                return
+            try:
+                consumer = KafkaWireConsumer(host, port, topic, partition=p)
+                try:
+                    nxt = kafka_to_spool(
+                        consumer, spool_dir,
+                        start_offset=starts.get(p, 0), max_polls=max_polls,
+                    )
+                finally:
+                    consumer.close()
+                with lock:
+                    results[p] = nxt
+            except BaseException as exc:
+                with lock:
+                    errors.append(exc)
+                return
+
+    n = min(async_factor or len(partitions), len(partitions))
+    threads = [_threading.Thread(target=worker, daemon=True) for _ in range(max(n, 1))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results
