@@ -69,9 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "partition into this spool dir, then parse (one-shot; "
                          "prints the resume offset).  Without this flag the "
                          "spark-sql-kafka connector must be on the classpath.")
-    kl.add_argument("--start-offset", type=int, default=0,
-                    help="resume point for --wire-spool (from the last run's "
-                         "printed offset)")
+    kl.add_argument("--start-offset", default="0",
+                    help="resume point for --wire-spool: an offset, "
+                         "'earliest' or 'latest' (resolved via ListOffsets, "
+                         "kafka-go FirstOffset/LastOffset semantics)")
+    kl.add_argument("--offsets-file", default=None, metavar="PATH",
+                    help="wire-spool mode: durable per-partition resume "
+                         "offsets (JSON, written atomically after the "
+                         "drain) — the local stand-in for consumer-group "
+                         "offset commit.  Loaded offsets are overridden by "
+                         "explicit --start-offsets entries.")
     kl.add_argument("--partitions", default=None,
                     help="wire-spool mode: comma-separated partition list "
                          "drained in parallel (reference AsyncFactor, "
@@ -273,33 +280,51 @@ def main(argv: list[str] | None = None) -> int:
             from grower_spark.sources.filebuf import FileBufDataSource
 
             host, port = _parse_broker(args.brokers.split(",")[0])
+            default_start = (
+                args.start_offset if args.start_offset in ("earliest", "latest")
+                else int(args.start_offset)
+            )
+            ckpt = None
+            if args.offsets_file:
+                from grower_spark.sinks.kafkawire import OffsetCheckpoint
+
+                ckpt = OffsetCheckpoint(args.offsets_file)
             if args.partitions:
                 from grower_spark.sinks.kafkawire import kafka_to_spool_multi
 
                 parts = [int(p) for p in args.partitions.split(",")]
-                starts = {}
+                starts = ckpt.load() if ckpt else {}
                 for kv in (args.start_offsets or "").split(","):
-                    if kv:
+                    if kv:  # explicit flags win over checkpointed offsets
                         p, _, off = kv.partition("=")
                         starts[int(p)] = int(off)
                 offsets = kafka_to_spool_multi(
                     host, port, args.topic, parts, args.wire_spool,
                     start_offsets=starts, async_factor=args.async_factor,
+                    default_start=default_start,
                 )
                 offsets_note = "next offsets " + ",".join(
                     f"{p}={offsets[p]}" for p in sorted(offsets)
                 )
             else:
+                start = default_start
+                if ckpt:
+                    start = ckpt.load().get(args.partition, default_start)
                 consumer = KafkaWireConsumer(
                     host, port, args.topic, args.partition
                 )
                 try:
                     next_offset = kafka_to_spool(
-                        consumer, args.wire_spool, start_offset=args.start_offset
+                        consumer, args.wire_spool, start_offset=start
                     )
                 finally:
                     consumer.close()
+                offsets = {args.partition: next_offset}
                 offsets_note = f"next offset {next_offset}"
+            if ckpt:
+                saved = ckpt.load()
+                saved.update(offsets)
+                ckpt.save(saved)
             spark.dataSource.register(FileBufDataSource)
             lines = spark.read.format("filebuf").load(args.wire_spool)
             good, bad = pipeline.parse_with_deadletter(lines)

@@ -29,6 +29,13 @@ Implemented surface:
   use.  ``kafka_to_spool_multi`` drains a partition LIST with a bounded
   reader pool and per-partition resume offsets — the reference's
   ``AsyncFactor`` parallel readers (server.go:109-122).
+- ListOffsets API **v1** + ``KafkaWireConsumer.query_offset``: resolves
+  ``"earliest"``/``"latest"`` start positions (kafka-go
+  FirstOffset/LastOffset semantics — correct on retention-truncated
+  logs, where offset 0 no longer exists).
+- ``OffsetCheckpoint``: atomic JSON per-partition resume offsets — the
+  local stand-in for the reference's consumer-group offset commit
+  (GroupID, server.go:121).
 
 Not implemented (documented non-goals): consumer groups (offset tracking
 is the bridge's checkpoint; Spark's connector owns it on a real cluster),
@@ -415,6 +422,75 @@ def encode_fetch_response(
     return struct.pack(">i", len(payload)) + payload
 
 
+# -- ListOffsets API v1 (earliest/latest resolution) --------------------------
+
+LIST_OFFSETS_API_KEY = 2
+LIST_OFFSETS_API_VERSION = 1
+EARLIEST_TIMESTAMP = -2  # spec sentinel: log start offset
+LATEST_TIMESTAMP = -1    # spec sentinel: high watermark
+
+
+def encode_list_offsets_request(
+    topic: str,
+    partition: int,
+    timestamp: int,
+    correlation_id: int,
+    client_id: str = "grower-spark",
+) -> bytes:
+    """Size-prefixed ListOffsetsRequest v1 (header v1) for one
+    topic-partition; ``timestamp`` is an epoch-ms target or one of the
+    spec sentinels (-2 earliest, -1 latest)."""
+    header = struct.pack(">hhi", LIST_OFFSETS_API_KEY,
+                         LIST_OFFSETS_API_VERSION,
+                         correlation_id) + _string(client_id)
+    body = (
+        struct.pack(">i", -1)               # replica_id: consumer
+        + struct.pack(">i", 1) + _string(topic)
+        + struct.pack(">i", 1)
+        + struct.pack(">iq", partition, timestamp)
+    )
+    payload = header + body
+    return struct.pack(">i", len(payload)) + payload
+
+
+def decode_list_offsets_response(payload: bytes) -> tuple[int, int, int, int]:
+    """Returns (correlation_id, error_code, timestamp, offset) for the
+    single topic-partition requested.  (v1 has no throttle_time field —
+    that arrived in v2.)"""
+    (corr,) = struct.unpack_from(">i", payload, 0)
+    pos = 4
+    (n_topics,) = struct.unpack_from(">i", payload, pos)
+    pos += 4
+    if n_topics != 1:
+        raise KafkaWireError(f"expected 1 topic in response, got {n_topics}")
+    (tlen,) = struct.unpack_from(">h", payload, pos)
+    pos += 2 + tlen
+    (n_parts,) = struct.unpack_from(">i", payload, pos)
+    pos += 4
+    if n_parts != 1:
+        raise KafkaWireError(f"expected 1 partition in response, got {n_parts}")
+    _part, err, ts, offset = struct.unpack_from(">ihqq", payload, pos)
+    return corr, err, ts, offset
+
+
+def encode_list_offsets_response(
+    correlation_id: int,
+    topic: str,
+    partition: int,
+    offset: int,
+    timestamp: int = -1,
+    error_code: int = 0,
+) -> bytes:
+    """Size-prefixed ListOffsetsResponse v1 — broker side, for tests/fakes."""
+    payload = (
+        struct.pack(">i", correlation_id)
+        + struct.pack(">i", 1) + _string(topic)
+        + struct.pack(">i", 1)
+        + struct.pack(">ihqq", partition, error_code, timestamp, offset)
+    )
+    return struct.pack(">i", len(payload)) + payload
+
+
 class KafkaWireConsumer:
     """Blocking single-partition consumer: ``poll`` fetches from an offset
     and returns ((offset, Record) pairs, high_watermark).  No consumer
@@ -443,6 +519,25 @@ class KafkaWireConsumer:
             raise KafkaWireError(f"broker error_code={err} on fetch")
         return records, hw
 
+    def query_offset(self, timestamp: int) -> int:
+        """Resolve a timestamp (or EARLIEST_TIMESTAMP / LATEST_TIMESTAMP)
+        to an offset via ListOffsets v1.  kafka-go's reader does this for
+        StartOffset = FirstOffset/LastOffset; resuming from a literal 0 is
+        wrong on a retention-truncated log, where the log start has moved."""
+        self._corr += 1
+        self._sock.sendall(encode_list_offsets_request(
+            self.topic, self.partition, timestamp, self._corr,
+        ))
+        (size,) = struct.unpack(">i", self._recv_exact(4))
+        corr, err, _ts, offset = decode_list_offsets_response(
+            self._recv_exact(size)
+        )
+        if corr != self._corr:
+            raise KafkaWireError(f"correlation mismatch {corr} != {self._corr}")
+        if err != 0:
+            raise KafkaWireError(f"broker error_code={err} on list_offsets")
+        return offset
+
     _recv_exact = KafkaWireProducer._recv_exact
 
     def close(self) -> None:
@@ -452,7 +547,7 @@ class KafkaWireConsumer:
 def kafka_to_spool(
     consumer: KafkaWireConsumer,
     spool_dir: str,
-    start_offset: int = 0,
+    start_offset: "int | str" = 0,
     max_polls: Optional[int] = None,
 ) -> int:
     """Drain a partition into ``.fbuf`` spool files (one file per
@@ -461,14 +556,29 @@ def kafka_to_spool(
     contract, so ``spark.read.format("filebuf")`` (batch or streaming)
     picks the messages up exactly like the gRPC/syslog transports.
 
+    ``start_offset`` may be a literal offset or ``"earliest"`` /
+    ``"latest"``, resolved via ListOffsets v1 (kafka-go's
+    FirstOffset/LastOffset semantics — a literal 0 is wrong on a
+    retention-truncated log).
+
     Returns the next offset to fetch (resume point; persist it alongside
-    the spool for at-least-once across restarts)."""
+    the spool for at-least-once across restarts — or use
+    ``OffsetCheckpoint``)."""
     import os
     import time as _time
 
     from grower_spark.sources.filebuf import FRAME_SUFFIX, write_frames
 
     os.makedirs(spool_dir, exist_ok=True)
+    if start_offset == "earliest":
+        start_offset = consumer.query_offset(EARLIEST_TIMESTAMP)
+    elif start_offset == "latest":
+        start_offset = consumer.query_offset(LATEST_TIMESTAMP)
+    elif isinstance(start_offset, str):
+        raise KafkaWireError(
+            f"start_offset must be an int, 'earliest' or 'latest'; "
+            f"got {start_offset!r}"
+        )
     offset = start_offset
     polls = 0
     empty_streak = 0
@@ -519,6 +629,7 @@ def kafka_to_spool_multi(
     start_offsets: Optional[dict[int, int]] = None,
     async_factor: Optional[int] = None,
     max_polls: Optional[int] = None,
+    default_start: "int | str" = 0,
 ) -> dict[int, int]:
     """Drain a PARTITION LIST into one ``.fbuf`` spool directory with
     per-partition resume offsets — the reference's ``AsyncFactor``
@@ -528,10 +639,13 @@ def kafka_to_spool_multi(
     ``async_factor`` bounds concurrent readers (reference default: one
     per partition).  Each reader owns one connection and one partition at
     a time, so the wire protocol stays single-partition per request, as
-    the reference's readers do.  Returns {partition: next_offset}; persist
-    it alongside the spool and pass it back as ``start_offsets`` to
-    resume (at-least-once across restarts, exactly like the
-    single-partition bridge).
+    the reference's readers do.  Partitions absent from ``start_offsets``
+    begin at ``default_start`` (an offset, or ``"earliest"``/``"latest"``
+    resolved per partition via ListOffsets).  Returns
+    {partition: next_offset}; persist it alongside the spool and pass it
+    back as ``start_offsets`` to resume (at-least-once across restarts,
+    exactly like the single-partition bridge — ``OffsetCheckpoint`` does
+    the persisting).
 
     Reader failures propagate: the first exception is re-raised after all
     workers stop, with completed partitions' offsets lost for this call
@@ -561,7 +675,8 @@ def kafka_to_spool_multi(
                 try:
                     nxt = kafka_to_spool(
                         consumer, spool_dir,
-                        start_offset=starts.get(p, 0), max_polls=max_polls,
+                        start_offset=starts.get(p, default_start),
+                        max_polls=max_polls,
                     )
                 finally:
                     consumer.close()
@@ -581,3 +696,41 @@ def kafka_to_spool_multi(
     if errors:
         raise errors[0]
     return results
+
+
+class OffsetCheckpoint:
+    """Durable per-partition resume offsets for the spool bridge: a JSON
+    file written atomically (tmp + rename, same contract as the spool
+    files themselves).
+
+    This is the faithful local stand-in for the reference's consumer-group
+    offset commit (kafka.ReaderConfig.GroupID, server.go:117-122 — the
+    group coordinator persists offsets broker-side; here a file beside the
+    spool does).  Load-before/save-after a drain gives the same
+    at-least-once semantics: a crash between spooling and saving replays
+    the tail, never skips it.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def load(self) -> dict[int, int]:
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            raw = json.load(f)
+        return {int(k): int(v) for k, v in raw.items()}
+
+    def save(self, offsets: dict[int, int]) -> None:
+        import json
+        import os
+
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in offsets.items()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self.path)

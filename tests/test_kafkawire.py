@@ -501,9 +501,13 @@ def test_cli_parse_broker_validation():
 # -- multi-partition bridge (AsyncFactor parity, server.go:109-122) -----------
 
 _MP_LOGS: dict[int, list[Record]] = {}  # partition -> log
+_MP_LOG_START: dict[int, int] = {}      # partition -> log start offset
+                                        # (retention-truncated log simulation)
 
 
 def _fake_mp_broker(srv):
+    from grower_spark.sinks.kafkawire import encode_list_offsets_response
+
     while True:
         try:
             conn, _ = srv.accept()
@@ -516,19 +520,34 @@ def _fake_mp_broker(srv):
                     break
                 (size,) = struct.unpack(">i", head)
                 payload = _recv_exact(conn, size)
-                _api, _ver, corr = struct.unpack_from(">hhi", payload, 0)
+                api, _ver, corr = struct.unpack_from(">hhi", payload, 0)
                 (cid_len,) = struct.unpack_from(">h", payload, 8)
-                pos = 10 + cid_len + 17 + 4  # header + fetch opts + topic count
+                pos = 10 + cid_len
+                if api == 2:  # ListOffsets v1
+                    pos += 4 + 4  # replica_id + topic count
+                    (tlen,) = struct.unpack_from(">h", payload, pos)
+                    pos += 2
+                    topic = payload[pos:pos + tlen].decode()
+                    pos += tlen + 4
+                    part, ts = struct.unpack_from(">iq", payload, pos)
+                    base = _MP_LOG_START.get(part, 0)
+                    hw = base + len(_MP_LOGS.get(part, []))
+                    off = base if ts == -2 else hw
+                    conn.sendall(encode_list_offsets_response(
+                        corr, topic, part, off, timestamp=ts))
+                    continue
+                pos += 17 + 4  # fetch opts + topic count
                 (tlen,) = struct.unpack_from(">h", payload, pos)
                 pos += 2
                 topic = payload[pos:pos + tlen].decode()
                 pos += tlen + 4
                 part, f_off, _pmax = struct.unpack_from(">iqi", payload, pos)
+                base = _MP_LOG_START.get(part, 0)
                 plog = _MP_LOGS.get(part, [])
-                hw = len(plog)
+                hw = base + len(plog)
                 record_set = (
-                    encode_record_batch(plog[f_off:], base_offset=f_off)
-                    if f_off < hw else b""
+                    encode_record_batch(plog[f_off - base:], base_offset=f_off)
+                    if base <= f_off < hw else b""
                 )
                 conn.sendall(encode_fetch_response(corr, topic, part,
                                                    record_set, hw))
@@ -636,3 +655,114 @@ def test_cli_kafkalog_multi_partition_e2e(spark, mp_broker, tmp_path, capsys):
     assert "next offsets 0=2,1=2" in capsys.readouterr().out
     assert spark.read.parquet(out).count() == 3
     assert spark.read.parquet(dl).count() == 1
+
+
+# -- ListOffsets v1 + offset checkpoint ---------------------------------------
+
+
+def test_list_offsets_request_layout():
+    from grower_spark.sinks.kafkawire import encode_list_offsets_request
+
+    req = encode_list_offsets_request("logs", 3, -2, correlation_id=7,
+                                      client_id="cli")
+    (size,) = struct.unpack_from(">i", req, 0)
+    assert size == len(req) - 4
+    api_key, api_ver, corr = struct.unpack_from(">hhi", req, 4)
+    assert (api_key, api_ver, corr) == (2, 1, 7)
+    part, ts = struct.unpack_from(">iq", req, len(req) - 12)
+    assert (part, ts) == (3, -2)
+
+
+def test_list_offsets_response_roundtrip():
+    from grower_spark.sinks.kafkawire import (
+        decode_list_offsets_response,
+        encode_list_offsets_response,
+    )
+
+    wire = encode_list_offsets_response(9, "logs", 1, offset=42, timestamp=-1)
+    (size,) = struct.unpack_from(">i", wire, 0)
+    corr, err, ts, off = decode_list_offsets_response(wire[4:4 + size])
+    assert (corr, err, ts, off) == (9, 0, -1, 42)
+
+
+def test_earliest_resume_on_truncated_log(mp_broker, tmp_path):
+    """start_offset='earliest' must resolve the LOG START via ListOffsets,
+    not assume 0 — on a retention-truncated log a literal 0 fetch misses
+    (kafka-go FirstOffset semantics, reader defaults the reference uses)."""
+    from grower_spark.sinks.kafkawire import kafka_to_spool
+
+    _MP_LOGS.clear(); _MP_LOG_START.clear()
+    _MP_LOG_START[0] = 100
+    _MP_LOGS[0] = [Record(value=f"m{i}".encode()) for i in range(3)]
+    spool = str(tmp_path / "spool")
+    c = KafkaWireConsumer("127.0.0.1", mp_broker, "logs", partition=0)
+    assert c.query_offset(-2) == 100
+    assert c.query_offset(-1) == 103
+    nxt = kafka_to_spool(c, spool, start_offset="earliest")
+    assert nxt == 103
+    # 'latest' drains nothing new
+    assert kafka_to_spool(c, spool, start_offset="latest") == 103
+    c.close()
+    import glob
+
+    from grower_spark.sources.filebuf import read_frames
+
+    frames = [v for f in sorted(glob.glob(spool + "/*")) for v in read_frames(f)]
+    assert frames == ["m0", "m1", "m2"]
+
+
+def test_kafka_to_spool_rejects_bad_start_string(tmp_path):
+    from grower_spark.sinks.kafkawire import kafka_to_spool
+
+    with pytest.raises(KafkaWireError, match="earliest"):
+        kafka_to_spool(object(), str(tmp_path / "s"), start_offset="bogus")
+
+
+def test_offset_checkpoint_roundtrip(tmp_path):
+    from grower_spark.sinks.kafkawire import OffsetCheckpoint
+
+    ck = OffsetCheckpoint(str(tmp_path / "offsets.json"))
+    assert ck.load() == {}  # missing file -> empty
+    ck.save({0: 5, 3: 17})
+    assert ck.load() == {0: 5, 3: 17}
+    ck.save({0: 9})
+    assert ck.load() == {0: 9}
+    import os
+    assert not os.path.exists(ck.path + ".tmp")  # atomic rename, no litter
+
+
+def test_cli_offsets_file_resume_e2e(spark, mp_broker, tmp_path):
+    """Run the CLI twice with --offsets-file and no explicit offsets: the
+    second run resumes from the checkpoint and lands only the tail."""
+    import os
+
+    from conftest import FIXTURES
+    from test_template import SAMPLE_LINE
+
+    from grower_spark.cli import main
+
+    _MP_LOGS.clear(); _MP_LOG_START.clear()
+    _MP_LOGS[0] = [Record(value=SAMPLE_LINE.encode())] * 2
+    _MP_LOGS[1] = [Record(value=SAMPLE_LINE.encode())]
+    offsets_file = str(tmp_path / "offsets.json")
+    argv = [
+        "kafkalog",
+        "--config", os.path.join(FIXTURES, "sample_test.yaml"),
+        "--brokers", f"127.0.0.1:{mp_broker}",
+        "--topic", "logs",
+        "--partitions", "0,1",
+        "--wire-spool", str(tmp_path / "spool"),
+        "--output", str(tmp_path / "out"),
+        "--offsets-file", offsets_file,
+    ]
+    assert main(argv) == 0
+    from grower_spark.sinks.kafkawire import OffsetCheckpoint
+
+    assert OffsetCheckpoint(offsets_file).load() == {0: 2, 1: 1}
+    # tail arrives on partition 1 only; second run must re-spool nothing
+    # from partition 0 and exactly the tail from partition 1
+    _MP_LOGS[1].append(Record(value=SAMPLE_LINE.encode()))
+    assert main(argv) == 0
+    assert OffsetCheckpoint(offsets_file).load() == {0: 2, 1: 2}
+    spool_lines = spark.read.format("filebuf").load(str(tmp_path / "spool"))
+    assert spool_lines.count() == 4  # 3 first run + 1 tail, no re-reads
