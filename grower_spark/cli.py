@@ -90,6 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
     kl.add_argument("--async-factor", type=int, default=None,
                     help="wire-spool + --partitions: max concurrent readers "
                          "(default: one per partition)")
+    kl.add_argument("--follow", action="store_true",
+                    help="wire-spool mode: run continuously (the reference "
+                         "kafkalog server is an always-on process) — poll "
+                         "the broker on --poll-interval into the spool and "
+                         "stream-parse it, until SIGINT/SIGTERM")
+    kl.add_argument("--poll-interval", type=float, default=1.0,
+                    help="--follow: seconds between broker polls")
+    kl.add_argument("--scrape-interval", type=int, default=5,
+                    help="--follow: streaming trigger seconds")
     kl.add_argument("--checkpoint", default=None,
                     help="connector mode: streaming checkpoint dir")
 
@@ -289,6 +298,39 @@ def main(argv: list[str] | None = None) -> int:
                 from grower_spark.sinks.kafkawire import OffsetCheckpoint
 
                 ckpt = OffsetCheckpoint(args.offsets_file)
+            if args.follow:
+                # always-on mode: poller daemon feeds the spool, streaming
+                # parse drains it (reference kafkalog server topology)
+                from grower_spark.sinks.kafkawire import KafkaSpoolPoller
+                from grower_spark.streaming.filelog import FileLogRunner
+
+                parts = [int(p) for p in args.partitions.split(",")] \
+                    if args.partitions else [args.partition]
+                poller = KafkaSpoolPoller(
+                    host, port, args.topic, parts, args.wire_spool,
+                    checkpoint=ckpt, poll_interval=args.poll_interval,
+                    async_factor=args.async_factor,
+                    default_start=default_start,
+                ).start()
+                spark.dataSource.register(FileBufDataSource)
+                lines = spark.readStream.format("filebuf").load(args.wire_spool)
+                runner = FileLogRunner(
+                    spark,
+                    cfg,
+                    logs_dir="",  # unused: lines_df overrides the source
+                    output_path=args.output,
+                    checkpoint_root=args.checkpoint
+                    or args.output + "/_checkpoint",
+                    scrape_interval_seconds=args.scrape_interval,
+                    deadletter_path=args.dead_letter,
+                    lines_df=lines,
+                ).start()
+                runner.install_signal_handlers()
+                try:
+                    runner.await_termination()
+                finally:
+                    poller.stop()
+                return 0
             if args.partitions:
                 from grower_spark.sinks.kafkawire import kafka_to_spool_multi
 

@@ -734,3 +734,78 @@ class OffsetCheckpoint:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self.path)
+
+
+class KafkaSpoolPoller:
+    """Continuous kafkalog ingest daemon: drain the partition list into
+    the spool on an interval, checkpointing offsets after every catch-up —
+    the long-running counterpart of ``kafka_to_spool_multi`` (the
+    reference's kafkalog server is an always-on process,
+    server.go:109-152, not a one-shot drain).  Pair with
+    ``spark.readStream.format("filebuf")`` exactly like ``SpoolReceiver``
+    pairs for the syslog/gRPC transports.
+
+    Transient broker failures are warn-logged and retried next interval
+    (reference warn-and-continue, server.go:144-147); offsets only advance
+    past records that are durably spooled, so a crash anywhere replays,
+    never skips (at-least-once, same contract as the one-shot bridge).
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        partitions: list[int],
+        spool_dir: str,
+        checkpoint: "OffsetCheckpoint | None" = None,
+        poll_interval: float = 1.0,
+        async_factor: Optional[int] = None,
+        default_start: "int | str" = 0,
+    ) -> None:
+        import threading as _threading
+
+        self.host, self.port, self.topic = host, port, topic
+        self.partitions = partitions
+        self.spool_dir = spool_dir
+        self.checkpoint = checkpoint
+        self.poll_interval = poll_interval
+        self.async_factor = async_factor
+        self.default_start = default_start
+        self.offsets: dict[int, int] = checkpoint.load() if checkpoint else {}
+        self._stop = _threading.Event()
+        self._thread: "_threading.Thread | None" = None
+
+    def _loop(self) -> None:
+        import logging
+
+        log = logging.getLogger(__name__)
+        while not self._stop.is_set():
+            try:
+                nxt = kafka_to_spool_multi(
+                    self.host, self.port, self.topic, self.partitions,
+                    self.spool_dir, start_offsets=dict(self.offsets),
+                    async_factor=self.async_factor,
+                    default_start=self.default_start,
+                )
+                self.offsets.update(nxt)
+                if self.checkpoint is not None:
+                    self.checkpoint.save(self.offsets)
+            except Exception:
+                log.warning("kafka spool poll failed; retrying in %.1fs",
+                            self.poll_interval, exc_info=True)
+            self._stop.wait(self.poll_interval)
+
+    def start(self) -> "KafkaSpoolPoller":
+        import threading as _threading
+
+        self._thread = _threading.Thread(
+            target=self._loop, name="kafka-spool-poller", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 30.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)

@@ -52,6 +52,8 @@ class FileLogRunner:
     # wiring exists once
     lines_df: Optional["DataFrame"] = None
     queries: list = field(default_factory=list)
+    # set by install_signal_handlers; await_termination switches to polling
+    _stop_requested: Optional[threading.Event] = None
 
     def start(self) -> "FileLogRunner":
         lines = self.lines_df if self.lines_df is not None else stream_lines(
@@ -99,8 +101,30 @@ class FileLogRunner:
         return self
 
     def await_termination(self, timeout: Optional[int] = None) -> None:
-        for q in self.queries:
-            q.awaitTermination(timeout)
+        if self._stop_requested is None:
+            for q in self.queries:
+                q.awaitTermination(timeout)
+            return
+        # Signal-handler mode: POLL instead of blocking in one py4j call.
+        # The handler may only set a flag — a py4j call from inside a
+        # signal handler re-enters the per-thread connection the
+        # interrupted awaitTermination still holds and deadlocks (found by
+        # the --follow SIGTERM e2e: main thread stuck in send_command,
+        # handler's stop() never completes).
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        while True:
+            if self._stop_requested.is_set():
+                self.stop()
+                for q in self.queries:
+                    q.awaitTermination(30)
+                return
+            if all(not q.isActive for q in self.queries):
+                return
+            if deadline is not None and _time.monotonic() >= deadline:
+                return
+            _time.sleep(0.5)
 
     def stop(self) -> None:
         # Warn-and-continue over a poisoned handle (reference discipline,
@@ -114,10 +138,16 @@ class FileLogRunner:
                             getattr(q, "name", None) or q, exc_info=True)
 
     def install_signal_handlers(self) -> None:
-        """SIGINT/SIGTERM -> graceful stop (reference pkg/signal/notify.go)."""
+        """SIGINT/SIGTERM -> graceful stop (reference pkg/signal/notify.go).
+
+        The handler only SETS A FLAG: stopping the queries means py4j
+        calls, and the signal arrives on the main thread mid-py4j-call
+        (awaitTermination), whose connection is not re-entrant.
+        ``await_termination`` polls the flag and does the real stop."""
+        self._stop_requested = threading.Event()
 
         def _handler(signum, frame):
-            self.stop()
+            self._stop_requested.set()
 
         signal.signal(signal.SIGINT, _handler)
         signal.signal(signal.SIGTERM, _handler)

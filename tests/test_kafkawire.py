@@ -766,3 +766,124 @@ def test_cli_offsets_file_resume_e2e(spark, mp_broker, tmp_path):
     assert OffsetCheckpoint(offsets_file).load() == {0: 2, 1: 2}
     spool_lines = spark.read.format("filebuf").load(str(tmp_path / "spool"))
     assert spool_lines.count() == 4  # 3 first run + 1 tail, no re-reads
+
+
+# -- continuous poller daemon (--follow) --------------------------------------
+
+
+def test_spool_poller_follows_and_checkpoints(mp_broker, tmp_path):
+    """KafkaSpoolPoller keeps draining new records on its interval and
+    persists offsets after every catch-up (always-on kafkalog server
+    topology, server.go:109-152)."""
+    import glob
+    import time
+
+    from grower_spark.sinks.kafkawire import KafkaSpoolPoller, OffsetCheckpoint
+    from grower_spark.sources.filebuf import read_frames
+
+    _MP_LOGS.clear(); _MP_LOG_START.clear()
+    _MP_LOGS[0] = [Record(value=b"a0"), Record(value=b"a1")]
+    _MP_LOGS[1] = [Record(value=b"b0")]
+    spool = str(tmp_path / "spool")
+    ck = OffsetCheckpoint(str(tmp_path / "offsets.json"))
+    poller = KafkaSpoolPoller(
+        "127.0.0.1", mp_broker, "logs", [0, 1], spool,
+        checkpoint=ck, poll_interval=0.05,
+    ).start()
+    try:
+        def frames():
+            return sorted(
+                v for f in glob.glob(spool + "/*") for v in read_frames(f)
+            )
+
+        deadline = time.monotonic() + 10
+        while frames() != ["a0", "a1", "b0"] and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert frames() == ["a0", "a1", "b0"]
+        # tail arrives while the poller is live
+        _MP_LOGS[0].append(Record(value=b"a2"))
+        deadline = time.monotonic() + 10
+        while "a2" not in frames() and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert frames() == ["a0", "a1", "a2", "b0"]
+        deadline = time.monotonic() + 10
+        while ck.load() != {0: 3, 1: 1} and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert ck.load() == {0: 3, 1: 1}
+    finally:
+        poller.stop()
+    assert not poller._thread.is_alive()
+
+
+def test_spool_poller_survives_broker_outage(tmp_path, caplog):
+    """A dead broker is warn-logged and retried, not fatal — the poller
+    keeps running until stopped (warn-and-continue, server.go:144-147)."""
+    import logging
+    import time
+
+    from grower_spark.sinks.kafkawire import KafkaSpoolPoller
+
+    poller = KafkaSpoolPoller(
+        "127.0.0.1", 1, "logs", [0], str(tmp_path / "spool"),
+        poll_interval=0.05,
+    )
+    with caplog.at_level(logging.WARNING, logger="grower_spark.sinks.kafkawire"):
+        poller.start()
+        time.sleep(0.4)
+        assert poller._thread.is_alive()
+        poller.stop()
+    assert any("poll failed" in r.getMessage() for r in caplog.records)
+
+
+def test_cli_follow_daemon_e2e(spark, mp_broker, tmp_path):
+    """Full always-on topology in a real process: CLI --follow spawns the
+    poller + streaming parse; records published while it runs land as
+    typed parquet; SIGTERM drains and exits 0 (reference kafkalog server
+    lifecycle incl. graceful shutdown)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from conftest import FIXTURES
+    from test_template import SAMPLE_LINE
+
+    _MP_LOGS.clear(); _MP_LOG_START.clear()
+    _MP_LOGS[0] = [Record(value=SAMPLE_LINE.encode())] * 2
+    out = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "grower_spark.cli", "kafkalog",
+         "--config", os.path.join(FIXTURES, "sample_test.yaml"),
+         "--brokers", f"127.0.0.1:{mp_broker}",
+         "--topic", "logs", "--partitions", "0",
+         "--wire-spool", str(tmp_path / "spool"),
+         "--offsets-file", str(tmp_path / "offsets.json"),
+         "--output", out, "--follow",
+         "--poll-interval", "0.2", "--scrape-interval", "1"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        def rows():
+            try:
+                return spark.read.parquet(out).count()
+            except Exception:
+                return 0
+
+        deadline = time.monotonic() + 120
+        while rows() < 2 and time.monotonic() < deadline:
+            time.sleep(1)
+        assert rows() == 2, proc.stdout
+        # publish while the daemon is live
+        _MP_LOGS[0].append(Record(value=SAMPLE_LINE.encode()))
+        deadline = time.monotonic() + 60
+        while rows() < 3 and time.monotonic() < deadline:
+            time.sleep(1)
+        assert rows() == 3
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
