@@ -887,3 +887,56 @@ def test_cli_follow_daemon_e2e(spark, mp_broker, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+# -- property-based round-trips (hypothesis), protowire-suite pattern ---------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_records = st.lists(
+    st.builds(
+        Record,
+        value=st.binary(max_size=200),
+        key=st.one_of(st.none(), st.binary(max_size=50)),
+        timestamp_ms=st.integers(min_value=0, max_value=2**40),
+        headers=st.lists(
+            st.tuples(st.text(max_size=20), st.binary(max_size=30)),
+            max_size=3,
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(deadline=None, max_examples=60)
+@given(records=_records, base=st.integers(min_value=0, max_value=2**40))
+def test_record_batch_roundtrip_property(records, base):
+    """Any batch of records survives encode->decode bit-exact: values,
+    keys (None vs b'' preserved), per-record timestamps, headers, and
+    absolute offsets."""
+    got_base, got = decode_record_batch(encode_record_batch(records, base))
+    assert got_base == base
+    assert [(r.value, r.key, r.timestamp_ms, r.headers) for r in got] == [
+        (r.value, r.key, r.timestamp_ms, r.headers) for r in records
+    ]
+
+
+@settings(deadline=None, max_examples=60)
+@given(records=_records, base=st.integers(min_value=0, max_value=2**40))
+def test_fetch_record_set_concatenation_property(records, base):
+    """A record_set of several concatenated batches decodes to the full
+    log-ordered (offset, record) sequence — the shape a broker returns
+    when a fetch spans batch boundaries."""
+    from grower_spark.sinks.kafkawire import _decode_record_batches
+
+    mid = max(1, len(records) // 2)
+    wire = (
+        encode_record_batch(records[:mid], base_offset=base)
+        + (encode_record_batch(records[mid:], base_offset=base + mid)
+           if records[mid:] else b"")
+    )
+    out = _decode_record_batches(wire)
+    assert [o for o, _ in out] == list(range(base, base + len(records)))
+    assert [r.value for _, r in out] == [r.value for r in records]
