@@ -114,6 +114,85 @@ def generate(spark, base_dir: str, out_dir: str, factor: int) -> str:
     return path
 
 
+def generate_embeddings(spark, base_dir: str, out_dir: str, factor: int) -> str:
+    """×N the embeddings table: replicas with a deterministic ±5e-2
+    per-component jitter keyed by (new vec_id, component) — near-duplicate
+    vectors cluster with their base vector, so ANN bucket occupancy grows
+    with the corpus the way a real embedded corpus's does."""
+    from grower_spark.io_tables import load_table
+
+    emb = load_table(spark, base_dir, "embeddings")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    big = emb.select("vec_id", "embedding", "label", reps)
+    new_id = F.col("vec_id") * factor + F.col("rep")
+    jittered = F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
+        F.transform(
+            "embedding",
+            lambda x, i: x + (
+                F.pmod(F.xxhash64(new_id, i), F.lit(1000)).cast("double")
+                - 500.0
+            ) * F.lit(1e-4).cast("double"),
+        ).cast("array<float>")
+    )
+    out = big.select(
+        new_id.alias("vec_id"), jittered.alias("embedding"), "label"
+    )
+    path = os.path.join(out_dir, f"x{factor}", "embeddings.parquet")
+    out.repartition(16).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
+    """Fixed query set (first 64 base vectors), growing corpus: measures
+    the corpus-side scaling of each ANN strategy."""
+    from grower_spark.operators.similarity import (
+        cosine_topk_np,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    app = _app_url(spark)
+    ops = {
+        "ann_brute_np": lambda c, q: cosine_topk_np(c, q, k=10),
+        "ann_lsh": lambda c, q: lsh_ann_topk(c, q, k=10, n_planes=8, dim=64),
+        "ann_lsh_multiprobe": lambda c, q: lsh_ann_topk(
+            c, q, k=10, n_planes=8, dim=64, n_probes=2
+        ),
+        "ann_ivf": lambda c, q: ivf_ann_topk(
+            c, q, k=10, n_cells=16, n_probe=2, dim=64
+        ),
+    }
+    results: dict = {}
+    for factor in factors:
+        path = os.path.join(out_dir, f"x{factor}", "embeddings.parquet")
+        corpus = spark.read.parquet(path)
+        queries = corpus.where(
+            (F.col("vec_id") % factor == 0) & (F.col("vec_id") < 64 * factor)
+        ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        results[f"x{factor}"] = {"n_vecs": corpus.count(), "ops": {}}
+        for name, mk in ops.items():
+            mk(corpus, queries).count()  # warmup discarded
+            wall, swrite, rows = [], [], 0
+            for _ in range(runs):
+                _r0, w0 = _shuffle_totals(app)
+                t0 = time.monotonic()
+                rows = mk(corpus, queries).count()
+                wall.append(time.monotonic() - t0)
+                _r1, w1 = _shuffle_totals(app)
+                swrite.append(w1 - w0)
+            wall.sort()
+            med = wall[len(wall) // 2]
+            results[f"x{factor}"]["ops"][name] = {
+                "rows": rows,
+                "wall_median_s": round(med, 3),
+                "wall_all_s": [round(x, 3) for x in wall],
+                "shuffle_write_mb": round(max(swrite) / 1e6, 2),
+            }
+            print(f"  x{factor} {name}: {med:.2f}s rows={rows} "
+                  f"shw={max(swrite)/1e6:.1f}MB", file=sys.stderr)
+    return results
+
+
 def _shuffle_totals(app_url: str) -> tuple[int, int]:
     with urllib.request.urlopen(f"{app_url}/executors", timeout=10) as r:
         execs = json.load(r)
@@ -191,21 +270,27 @@ def main() -> int:
     g.add_argument("--base", default="/root/testdata/sf0.1")
     g.add_argument("--out", required=True)
     g.add_argument("--factors", default="1,10")
+    g.add_argument("--embeddings", action="store_true",
+                   help="grow the embeddings table instead of documents")
     r = sub.add_parser("run")
     r.add_argument("--out", required=True)
     r.add_argument("--factors", default="1,10")
     r.add_argument("--runs", type=int, default=3)
+    r.add_argument("--embeddings", action="store_true",
+                   help="measure the ANN ops instead of the dedup ops")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     if args.cmd == "gen":
         spark = _session("scale-gen", ui=False)
+        gen = generate_embeddings if args.embeddings else generate
         for f_ in factors:
-            p = generate(spark, args.base, args.out, f_)
+            p = gen(spark, args.base, args.out, f_)
             print(f"wrote {p}", file=sys.stderr)
         spark.stop()
         return 0
     spark = _session("scale-run", ui=True)
-    res = run_ops(spark, args.out, factors, args.runs)
+    run = run_ann_ops if args.embeddings else run_ops
+    res = run(spark, args.out, factors, args.runs)
     spark.stop()
     json.dump(res, sys.stdout, indent=2)
     print()
