@@ -148,6 +148,23 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--user", default=None)
     d.add_argument("--password", default=None)
 
+    pub = sub.add_parser(
+        "publish",
+        help="publish a log file/directory to a Kafka topic, one message "
+             "per line (the reference kafkalog CLIENT, cmd/kafkalog/client)",
+    )
+    pub.add_argument("--input", required=True, help="log file or directory")
+    pub.add_argument("--brokers", required=True, help="host:port[,host:port...]")
+    pub.add_argument("--topic", required=True)
+    pub.add_argument("--partitions", default="0",
+                    help="comma-separated topic-partitions, assigned "
+                         "round-robin across Spark tasks")
+    pub.add_argument("--batch-size", type=int, default=500,
+                    help="messages per Produce request (reference "
+                         "buffer-size)")
+    pub.add_argument("--parallelism", type=int, default=0,
+                    help="Spark input partitions (0 = source-sized)")
+
     rx = sub.add_parser(
         "receiver",
         help="socket-to-spool daemon (the filegrpc/syslog transport edge)",
@@ -196,6 +213,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         for path in deleted:
             print(f"deleted: {path}")
+        return 0
+
+    if args.command == "publish":
+        from grower_spark.session import get_spark
+        from grower_spark.sinks.kafka import publish_lines_wire
+
+        host, port = _parse_broker(args.brokers.split(",")[0])
+        parts = [int(p) for p in args.partitions.split(",")]
+        spark = get_spark("grower-spark-publish")
+        lines = spark.read.text(args.input)
+        if args.parallelism:
+            lines = lines.repartition(args.parallelism)
+        n = lines.count()
+        publish_lines_wire(
+            lines, host, port, args.topic,
+            partitions=parts, batch_size=args.batch_size,
+        )
+        print(f"published {n} lines to {args.topic}")
         return 0
 
     if args.command == "receiver":

@@ -44,3 +44,46 @@ def kafka_stream_writer(df: DataFrame, checkpoint_dir: str, **options):
     for k, v in kafka_writer_options(**options).items():
         writer = writer.option(k, v)
     return writer
+
+
+def publish_lines_wire(
+    df: DataFrame,
+    host: str,
+    port: int,
+    topic: str,
+    partitions: "list[int] | None" = None,
+    value_col: str = "value",
+    batch_size: int = 500,
+) -> None:
+    """Publish every row's ``value_col`` as one unkeyed message through the
+    dependency-free wire producer — the reference kafkalog CLIENT's write
+    path (client.go:92-98) driven from Spark executors.
+
+    One producer connection per Spark partition task; topic-partitions are
+    assigned round-robin by Spark partition id (the reference's
+    ``round_robin`` balancer; its default ``least_bytes`` needs broker
+    metadata the wire stand-in doesn't track).  Acks are awaited per batch,
+    so a task failure replays its partition — at-least-once, matching the
+    connector path's semantics.
+    """
+    parts = partitions or [0]
+
+    def send(rows) -> None:
+        from pyspark import TaskContext
+
+        from grower_spark.sinks.kafkawire import KafkaWireProducer
+
+        vals = [bytes(r["value"]) for r in rows]
+        if not vals:
+            return
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        producer = KafkaWireProducer(
+            host, port, topic, partition=parts[pid % len(parts)]
+        )
+        try:
+            for i in range(0, len(vals), batch_size):
+                producer.send(vals[i:i + batch_size])
+        finally:
+            producer.close()
+
+    frame_for_kafka(df, value_col=value_col).foreachPartition(send)

@@ -159,6 +159,7 @@ def test_produce_response_roundtrip():
 # -- fake broker e2e ----------------------------------------------------------
 
 _BROKER_LOG: list[bytes] = []  # values in arrival order
+_BROKER_PARTS: list[int] = []  # partition of each produce request
 _BROKER_ERRS: list[int] = []   # queue of error codes to inject
 
 
@@ -205,6 +206,7 @@ def _fake_broker(srv):
                 if err == 0:
                     base_offset = len(_BROKER_LOG)
                     _BROKER_LOG.extend(r.value for r in records)
+                    _BROKER_PARTS.append(part)
                 else:
                     base_offset = -1
                 conn.sendall(
@@ -229,6 +231,7 @@ def broker():
 def _clean_broker_state():
     _BROKER_LOG.clear()
     _BROKER_ERRS.clear()
+    _BROKER_PARTS.clear()
 
 
 def test_producer_acks_and_offsets(broker):
@@ -940,3 +943,38 @@ def test_fetch_record_set_concatenation_property(records, base):
     out = _decode_record_batches(wire)
     assert [o for o, _ in out] == list(range(base, base + len(records)))
     assert [r.value for _, r in out] == [r.value for r in records]
+
+
+# -- publish CLI (reference kafkalog CLIENT, cmd/kafkalog/client) -------------
+
+
+def test_cli_publish_file_to_broker(spark, broker, tmp_path, capsys):
+    """file -> one unkeyed message per line via the wire producer, driven
+    through Spark executors by the CLI."""
+    from grower_spark.cli import main
+
+    log = tmp_path / "access.log"
+    log.write_text("".join(f"line-{i}\n" for i in range(40)))
+    rc = main([
+        "publish",
+        "--input", str(log),
+        "--brokers", f"127.0.0.1:{broker}",
+        "--topic", "access-log",
+        "--partitions", "0,1",
+        "--batch-size", "7",
+        "--parallelism", "4",
+    ])
+    assert rc == 0
+    assert "published 40 lines" in capsys.readouterr().out
+    assert sorted(_BROKER_LOG) == sorted(f"line-{i}".encode() for i in range(40))
+
+
+def test_publish_lines_wire_round_robin_partitions(spark, broker):
+    """Topic-partitions are assigned round-robin by Spark partition id."""
+    from grower_spark.sinks.kafka import publish_lines_wire
+
+    df = spark.range(12).selectExpr("concat('m', id) AS value").repartition(4)
+    publish_lines_wire(df, "127.0.0.1", broker, "logs", partitions=[0, 1, 2])
+    assert sorted(_BROKER_LOG) == sorted(f"m{i}".encode() for i in range(12))
+    # tasks 0..3 -> partitions [0,1,2,0]: both partition sets exercised
+    assert set(_BROKER_PARTS) == {0, 1, 2}
