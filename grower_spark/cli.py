@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="--follow: seconds between broker polls")
     kl.add_argument("--scrape-interval", type=int, default=5,
                     help="--follow: streaming trigger seconds")
+    kl.add_argument("--live-addr-port", type=int, default=0,
+                    help="--follow: liveness HTTP port + /metrics (superset: "
+                         "the reference kafkalog server has no liveness "
+                         "endpoint; 0 = off)")
     kl.add_argument("--checkpoint", default=None,
                     help="connector mode: streaming checkpoint dir")
 
@@ -123,6 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="messages are raw log lines (skip RFC3164 strip)")
     sl.add_argument("--available-now", action="store_true",
                     help="drain the existing spool and exit (no listeners)")
+    sl.add_argument("--live-addr-port", type=int, default=0,
+                    help="liveness HTTP port (reference GET /live, "
+                         "cmd/syslog/main.go:199; 0 = off) + /metrics")
 
     b = sub.add_parser("batch", help="one-shot parse of a log file/directory")
     common(b)
@@ -337,8 +344,16 @@ def main(argv: list[str] | None = None) -> int:
                 # always-on mode: poller daemon feeds the spool, streaming
                 # parse drains it (reference kafkalog server topology)
                 from grower_spark.sinks.kafkawire import KafkaSpoolPoller
-                from grower_spark.streaming.filelog import FileLogRunner
+                from grower_spark.streaming.filelog import (
+                    FileLogRunner,
+                    StreamMetrics,
+                    start_liveness_server,
+                )
 
+                if args.live_addr_port:
+                    metrics = StreamMetrics()
+                    spark.streams.addListener(metrics.listener())
+                    start_liveness_server(args.live_addr_port, metrics)
                 parts = [int(p) for p in args.partitions.split(",")] \
                     if args.partitions else [args.partition]
                 poller = KafkaSpoolPoller(
@@ -441,8 +456,16 @@ def main(argv: list[str] | None = None) -> int:
         from grower_spark.sources.filebuf import FileBufDataSource
         from grower_spark.sources.receiver import SpoolReceiver
         from grower_spark.sources.syslog import rfc3164_extract
-        from grower_spark.streaming.filelog import FileLogRunner
+        from grower_spark.streaming.filelog import (
+            FileLogRunner,
+            StreamMetrics,
+            start_liveness_server,
+        )
 
+        if args.live_addr_port:
+            metrics = StreamMetrics()
+            spark.streams.addListener(metrics.listener())
+            start_liveness_server(args.live_addr_port, metrics)
         rx = None
         if not args.available_now:
             if args.tcp_port is None and args.udp_port is None \

@@ -473,3 +473,45 @@ def test_receiver_midrun_crash_is_warn_logged(tmp_path, caplog):
         rx._thread.join(timeout=10)
     assert not rx._thread.is_alive()
     assert any("abnormally" in r.getMessage() for r in caplog.records)
+
+
+def test_cli_syslog_liveness_endpoint(spark, tmp_path):
+    """Reference syslog parity: GET /live -> 200 'Alive'
+    (cmd/syslog/main.go:199-201), now wired through the syslog CLI."""
+    import os
+    import socket
+    import urllib.request
+
+    from conftest import FIXTURES
+    from test_template import SAMPLE_LINE
+
+    from grower_spark.cli import main
+    from grower_spark.sources.receiver import SpoolReceiver
+
+    spool = str(tmp_path / "spool")
+    rx = SpoolReceiver(spool, tcp_port=0, framing="lines").start()
+    try:
+        with socket.create_connection(("127.0.0.1", rx.tcp_port), timeout=5) as s:
+            s.sendall(f"<190>Jul 20 21:30:43 web01 nginx: {SAMPLE_LINE}\n".encode())
+    finally:
+        rx.stop()
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    rc = main([
+        "syslog",
+        "--config", os.path.join(FIXTURES, "sample_test.yaml"),
+        "--spool-dir", spool,
+        "--output", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--available-now",
+        "--live-addr-port", str(port),
+    ])
+    assert rc == 0
+    # the liveness daemon thread outlives the drain
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/live", timeout=5) as r:
+        assert r.read() == b"Alive"
+    body = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/metrics", timeout=5
+    ).read().decode()
+    assert "grower_stream_rows_total" in body
