@@ -69,10 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "partition into this spool dir, then parse (one-shot; "
                          "prints the resume offset).  Without this flag the "
                          "spark-sql-kafka connector must be on the classpath.")
-    kl.add_argument("--start-offset", default="0",
+    kl.add_argument("--start-offset", default=None,
                     help="resume point for --wire-spool: an offset, "
                          "'earliest' or 'latest' (resolved via ListOffsets, "
-                         "kafka-go FirstOffset/LastOffset semantics)")
+                         "kafka-go FirstOffset/LastOffset semantics).  An "
+                         "explicit value wins over --offsets-file; unset "
+                         "means checkpoint-then-0")
     kl.add_argument("--offsets-file", default=None, metavar="PATH",
                     help="wire-spool mode: durable per-partition resume "
                          "offsets (JSON, written atomically after the "
@@ -232,8 +234,7 @@ def main(argv: list[str] | None = None) -> int:
         lines = spark.read.text(args.input)
         if args.parallelism:
             lines = lines.repartition(args.parallelism)
-        n = lines.count()
-        publish_lines_wire(
+        n = publish_lines_wire(
             lines, host, port, args.topic,
             partitions=parts, batch_size=args.batch_size,
         )
@@ -322,6 +323,24 @@ def main(argv: list[str] | None = None) -> int:
         from grower_spark.sinks.files import pick_time_col, write_batch_files
 
         pipeline = LogPipeline(cfg)
+        if not args.wire_spool:
+            # fail fast: these flags only exist on the wire-spool path —
+            # silently falling through to the connector topology would run
+            # something entirely different from what was asked
+            wire_only = {
+                "--follow": args.follow,
+                "--offsets-file": args.offsets_file,
+                "--partitions": args.partitions,
+                "--start-offsets": args.start_offsets,
+                "--async-factor": args.async_factor,
+                "--start-offset": args.start_offset,
+            }
+            used = [flag for flag, v in wire_only.items() if v]
+            if used:
+                print(f"kafkalog: {', '.join(used)} require(s) --wire-spool "
+                      "(the connector path manages partitions and offsets "
+                      "itself)", file=sys.stderr)
+                return 2
         if args.wire_spool:
             # dependency-free path: wire consumer -> spool -> filebuf scan
             from grower_spark.sinks.kafkawire import (
@@ -331,10 +350,19 @@ def main(argv: list[str] | None = None) -> int:
             from grower_spark.sources.filebuf import FileBufDataSource
 
             host, port = _parse_broker(args.brokers.split(",")[0])
+            # --start-offset: None = not given (checkpoint, then 0);
+            # an explicit value always wins over the checkpoint
+            explicit_start = args.start_offset is not None
+            raw_start = args.start_offset if explicit_start else "0"
             default_start = (
-                args.start_offset if args.start_offset in ("earliest", "latest")
-                else int(args.start_offset)
+                raw_start if raw_start in ("earliest", "latest")
+                else int(raw_start)
             )
+            starts = {}
+            for kv in (args.start_offsets or "").split(","):
+                if kv:
+                    p, _, off = kv.partition("=")
+                    starts[int(p)] = int(off)
             ckpt = None
             if args.offsets_file:
                 from grower_spark.sinks.kafkawire import OffsetCheckpoint
@@ -361,6 +389,7 @@ def main(argv: list[str] | None = None) -> int:
                     checkpoint=ckpt, poll_interval=args.poll_interval,
                     async_factor=args.async_factor,
                     default_start=default_start,
+                    start_offsets=starts,
                 ).start()
                 spark.dataSource.register(FileBufDataSource)
                 lines = spark.readStream.format("filebuf").load(args.wire_spool)
@@ -385,22 +414,22 @@ def main(argv: list[str] | None = None) -> int:
                 from grower_spark.sinks.kafkawire import kafka_to_spool_multi
 
                 parts = [int(p) for p in args.partitions.split(",")]
-                starts = ckpt.load() if ckpt else {}
-                for kv in (args.start_offsets or "").split(","):
-                    if kv:  # explicit flags win over checkpointed offsets
-                        p, _, off = kv.partition("=")
-                        starts[int(p)] = int(off)
+                # precedence: explicit --start-offsets > checkpoint > default
+                merged = {**(ckpt.load() if ckpt else {}), **starts}
                 offsets = kafka_to_spool_multi(
                     host, port, args.topic, parts, args.wire_spool,
-                    start_offsets=starts, async_factor=args.async_factor,
+                    start_offsets=merged, async_factor=args.async_factor,
                     default_start=default_start,
                 )
                 offsets_note = "next offsets " + ",".join(
                     f"{p}={offsets[p]}" for p in sorted(offsets)
                 )
             else:
-                start = default_start
-                if ckpt:
+                # precedence mirrors the multi-partition path: an explicit
+                # --start-offset wins over the checkpointed offset
+                if explicit_start or ckpt is None:
+                    start = default_start
+                else:
                     start = ckpt.load().get(args.partition, default_start)
                 consumer = KafkaWireConsumer(
                     host, port, args.topic, args.partition

@@ -54,7 +54,7 @@ def publish_lines_wire(
     partitions: "list[int] | None" = None,
     value_col: str = "value",
     batch_size: int = 500,
-) -> None:
+) -> int:
     """Publish every row's ``value_col`` as one unkeyed message through the
     dependency-free wire producer — the reference kafkalog CLIENT's write
     path (client.go:92-98) driven from Spark executors.
@@ -64,26 +64,37 @@ def publish_lines_wire(
     ``round_robin`` balancer; its default ``least_bytes`` needs broker
     metadata the wire stand-in doesn't track).  Acks are awaited per batch,
     so a task failure replays its partition — at-least-once, matching the
-    connector path's semantics.
+    connector path's semantics.  Returns the number of acked messages
+    (accumulator-counted in the same pass — no second scan).
     """
     parts = partitions or [0]
+    sent = df.sparkSession.sparkContext.accumulator(0)
 
     def send(rows) -> None:
+        from itertools import islice
+
         from pyspark import TaskContext
 
         from grower_spark.sinks.kafkawire import KafkaWireProducer
 
-        vals = [bytes(r["value"]) for r in rows]
-        if not vals:
+        it = (bytes(r["value"]) for r in rows)
+        # stream in batch_size chunks: the iterator is never materialized,
+        # so executor memory is O(batch_size) regardless of partition size
+        first = list(islice(it, batch_size))
+        if not first:
             return
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         producer = KafkaWireProducer(
             host, port, topic, partition=parts[pid % len(parts)]
         )
         try:
-            for i in range(0, len(vals), batch_size):
-                producer.send(vals[i:i + batch_size])
+            chunk = first
+            while chunk:
+                producer.send(chunk)
+                sent.add(len(chunk))
+                chunk = list(islice(it, batch_size))
         finally:
             producer.close()
 
     frame_for_kafka(df, value_col=value_col).foreachPartition(send)
+    return sent.value

@@ -648,10 +648,11 @@ def kafka_to_spool_multi(
     the persisting).
 
     Reader failures propagate: the first exception is re-raised after all
-    workers stop, with completed partitions' offsets lost for this call
-    only (their spooled frames are durable and re-fetching is idempotent
-    at the filebuf layer only if the caller resumes from the RETURNED
-    offsets — on error, resume from the previous checkpoint).
+    workers stop, with the successfully drained partitions' next offsets
+    attached as ``exc.partial_offsets`` — callers that retry (the poller)
+    MUST fold those in before re-polling, or every retry re-spools the
+    healthy partitions' records as duplicates for as long as one
+    partition stays broken.
     """
     import queue as _queue
     import threading as _threading
@@ -694,6 +695,7 @@ def kafka_to_spool_multi(
     for t in threads:
         t.join()
     if errors:
+        errors[0].partial_offsets = dict(results)  # type: ignore[attr-defined]
         raise errors[0]
     return results
 
@@ -762,6 +764,7 @@ class KafkaSpoolPoller:
         poll_interval: float = 1.0,
         async_factor: Optional[int] = None,
         default_start: "int | str" = 0,
+        start_offsets: Optional[dict[int, int]] = None,
     ) -> None:
         import threading as _threading
 
@@ -772,7 +775,12 @@ class KafkaSpoolPoller:
         self.poll_interval = poll_interval
         self.async_factor = async_factor
         self.default_start = default_start
-        self.offsets: dict[int, int] = checkpoint.load() if checkpoint else {}
+        # explicit start_offsets win over checkpointed values (same
+        # precedence as the one-shot CLI path)
+        self.offsets: dict[int, int] = {
+            **(checkpoint.load() if checkpoint else {}),
+            **(start_offsets or {}),
+        }
         self._stop = _threading.Event()
         self._thread: "_threading.Thread | None" = None
 
@@ -791,7 +799,19 @@ class KafkaSpoolPoller:
                 self.offsets.update(nxt)
                 if self.checkpoint is not None:
                     self.checkpoint.save(self.offsets)
-            except Exception:
+            except Exception as exc:
+                # Fold in the partitions that DID drain before the failure:
+                # without this, every retry re-fetches and re-spools their
+                # records as duplicates while one partition stays broken.
+                partial = getattr(exc, "partial_offsets", None)
+                if partial:
+                    self.offsets.update(partial)
+                    if self.checkpoint is not None:
+                        try:
+                            self.checkpoint.save(self.offsets)
+                        except OSError:
+                            log.warning("offset checkpoint save failed",
+                                        exc_info=True)
                 log.warning("kafka spool poll failed; retrying in %.1fs",
                             self.poll_interval, exc_info=True)
             self._stop.wait(self.poll_interval)

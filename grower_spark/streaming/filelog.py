@@ -120,6 +120,15 @@ class FileLogRunner:
                 for q in self.queries:
                     q.awaitTermination(30)
                 return
+            # A query that died with an error must RAISE here, exactly as
+            # the blocking awaitTermination would — otherwise a crashed
+            # pipeline exits 0 (and a dead main query beside a live
+            # dead-letter query would spin forever).
+            for q in self.queries:
+                if not q.isActive:
+                    exc = q.exception()
+                    if exc is not None:
+                        raise exc
             if all(not q.isActive for q in self.queries):
                 return
             if deadline is not None and _time.monotonic() >= deadline:

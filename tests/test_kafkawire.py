@@ -506,6 +506,7 @@ def test_cli_parse_broker_validation():
 _MP_LOGS: dict[int, list[Record]] = {}  # partition -> log
 _MP_LOG_START: dict[int, int] = {}      # partition -> log start offset
                                         # (retention-truncated log simulation)
+_MP_ERR_PARTS: set[int] = set()         # partitions that fetch-error
 
 
 def _fake_mp_broker(srv):
@@ -545,6 +546,10 @@ def _fake_mp_broker(srv):
                 topic = payload[pos:pos + tlen].decode()
                 pos += tlen + 4
                 part, f_off, _pmax = struct.unpack_from(">iqi", payload, pos)
+                if part in _MP_ERR_PARTS:
+                    conn.sendall(encode_fetch_response(
+                        corr, topic, part, b"", 0, error_code=3))
+                    continue
                 base = _MP_LOG_START.get(part, 0)
                 plog = _MP_LOGS.get(part, [])
                 hw = base + len(plog)
@@ -856,6 +861,9 @@ def test_cli_follow_daemon_e2e(spark, mp_broker, tmp_path):
     _MP_LOGS[0] = [Record(value=SAMPLE_LINE.encode())] * 2
     out = str(tmp_path / "out")
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    # log to a FILE, not a pipe: an undrained pipe fills at ~64KB of Spark
+    # log spew and blocks the child mid-write
+    child_log = open(tmp_path / "daemon.log", "wb")
     proc = subprocess.Popen(
         [sys.executable, "-m", "grower_spark.cli", "kafkalog",
          "--config", os.path.join(FIXTURES, "sample_test.yaml"),
@@ -866,7 +874,7 @@ def test_cli_follow_daemon_e2e(spark, mp_broker, tmp_path):
          "--output", out, "--follow",
          "--poll-interval", "0.2", "--scrape-interval", "1"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=env, stdout=child_log, stderr=subprocess.STDOUT,
     )
     try:
         def rows():
@@ -875,10 +883,14 @@ def test_cli_follow_daemon_e2e(spark, mp_broker, tmp_path):
             except Exception:
                 return 0
 
+        def log_tail():
+            child_log.flush()
+            return (tmp_path / "daemon.log").read_bytes()[-4000:]
+
         deadline = time.monotonic() + 120
         while rows() < 2 and time.monotonic() < deadline:
             time.sleep(1)
-        assert rows() == 2, proc.stdout
+        assert rows() == 2, log_tail()
         # publish while the daemon is live
         _MP_LOGS[0].append(Record(value=SAMPLE_LINE.encode()))
         deadline = time.monotonic() + 60
@@ -890,6 +902,7 @@ def test_cli_follow_daemon_e2e(spark, mp_broker, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+        child_log.close()
 
 
 # -- property-based round-trips (hypothesis), protowire-suite pattern ---------
@@ -978,3 +991,140 @@ def test_publish_lines_wire_round_robin_partitions(spark, broker):
     assert sorted(_BROKER_LOG) == sorted(f"m{i}".encode() for i in range(12))
     # tasks 0..3 -> partitions [0,1,2,0]: both partition sets exercised
     assert set(_BROKER_PARTS) == {0, 1, 2}
+
+
+# -- review regression pins (r6 code-review findings) -------------------------
+
+
+def test_await_termination_raises_on_crashed_query():
+    """Poll-mode await_termination must RAISE a dead query's exception,
+    exactly as blocking awaitTermination would — a crashed pipeline
+    exiting 0 is the failure mode this pins."""
+    import threading as _threading
+
+    from grower_spark.streaming.filelog import FileLogRunner
+
+    class Dead:
+        name = "main"
+        isActive = False
+
+        def exception(self):
+            return RuntimeError("sink exploded")
+
+    class Live:
+        name = "deadletter"
+        isActive = True
+
+        def exception(self):
+            return None
+
+    runner = object.__new__(FileLogRunner)
+    runner.queries = [Dead(), Live()]
+    runner._stop_requested = _threading.Event()  # poll mode, no signal yet
+    with pytest.raises(RuntimeError, match="sink exploded"):
+        runner.await_termination(timeout=10)
+
+
+def test_multi_partition_partial_offsets_on_error(mp_broker, tmp_path):
+    """When one partition errors, the exception carries the healthy
+    partitions' drained offsets so a retrying caller doesn't re-spool
+    their records."""
+    from grower_spark.sinks.kafkawire import kafka_to_spool_multi
+
+    _MP_LOGS.clear(); _MP_LOG_START.clear(); _MP_ERR_PARTS.clear()
+    _MP_LOGS[0] = [Record(value=b"ok0"), Record(value=b"ok1")]
+    _MP_LOGS[1] = [Record(value=b"never")]
+    _MP_ERR_PARTS.add(1)
+    try:
+        with pytest.raises(KafkaWireError, match="error_code=3") as ei:
+            kafka_to_spool_multi(
+                "127.0.0.1", mp_broker, "logs", [0, 1],
+                str(tmp_path / "spool"),
+            )
+        assert ei.value.partial_offsets == {0: 2}
+    finally:
+        _MP_ERR_PARTS.clear()
+
+
+def test_poller_folds_partial_offsets_no_duplicate_respool(mp_broker, tmp_path):
+    """With one partition persistently broken, the poller must NOT
+    re-spool the healthy partition's records on every retry."""
+    import glob
+    import time
+
+    from grower_spark.sinks.kafkawire import KafkaSpoolPoller
+    from grower_spark.sources.filebuf import read_frames
+
+    _MP_LOGS.clear(); _MP_LOG_START.clear(); _MP_ERR_PARTS.clear()
+    _MP_LOGS[0] = [Record(value=b"healthy")]
+    _MP_LOGS[1] = [Record(value=b"broken")]
+    _MP_ERR_PARTS.add(1)
+    spool = str(tmp_path / "spool")
+    poller = KafkaSpoolPoller(
+        "127.0.0.1", mp_broker, "logs", [0, 1], spool, poll_interval=0.05,
+    ).start()
+    try:
+        time.sleep(1.0)  # ~20 polls, every one failing on partition 1
+    finally:
+        poller.stop()
+        _MP_ERR_PARTS.clear()
+    frames = [v for f in glob.glob(spool + "/*") for v in read_frames(f)]
+    assert frames == ["healthy"]  # spooled exactly once, not per retry
+    assert poller.offsets[0] == 1
+
+
+def test_cli_wire_flags_require_wire_spool(tmp_path, capsys):
+    """--follow/--partitions/--offsets-file without --wire-spool must fail
+    fast, not silently run the connector topology."""
+    import os
+
+    from conftest import FIXTURES
+
+    from grower_spark.cli import main
+
+    rc = main([
+        "kafkalog",
+        "--config", os.path.join(FIXTURES, "sample_test.yaml"),
+        "--brokers", "127.0.0.1:9092",
+        "--topic", "logs",
+        "--output", str(tmp_path / "out"),
+        "--follow", "--partitions", "0,1",
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "--follow" in err and "--wire-spool" in err
+
+
+def test_cli_explicit_start_offset_overrides_checkpoint(mp_broker, tmp_path, capsys):
+    """Single-partition path: an explicit --start-offset wins over the
+    offsets-file (same precedence as the multi-partition path)."""
+    import json
+    import os
+
+    from conftest import FIXTURES
+    from test_template import SAMPLE_LINE
+
+    from grower_spark.cli import main
+
+    _MP_LOGS.clear(); _MP_LOG_START.clear(); _MP_ERR_PARTS.clear()
+    _MP_LOGS[0] = [Record(value=SAMPLE_LINE.encode())] * 3
+    offsets_file = tmp_path / "offsets.json"
+    offsets_file.write_text(json.dumps({"0": 3}))  # checkpoint: caught up
+    argv = [
+        "kafkalog",
+        "--config", os.path.join(FIXTURES, "sample_test.yaml"),
+        "--brokers", f"127.0.0.1:{mp_broker}",
+        "--topic", "logs",
+        "--wire-spool", str(tmp_path / "spool"),
+        "--offsets-file", str(offsets_file),
+        "--output", str(tmp_path / "out"),
+    ]
+    # no explicit offset: checkpoint wins, nothing drained
+    assert main(argv) == 0
+    assert "next offset 3" in capsys.readouterr().out
+    import glob
+    assert glob.glob(str(tmp_path / "spool") + "/*") == []
+    # explicit --start-offset 0: re-drain from the beginning
+    assert main(argv + ["--start-offset", "0"]) == 0
+    assert "next offset 3" in capsys.readouterr().out
+    assert len(glob.glob(str(tmp_path / "spool") + "/*")) == 1

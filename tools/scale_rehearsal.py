@@ -23,11 +23,17 @@ Two subcommands:
             from the Spark REST API (the UI is enabled for this session
             only).  Emits one JSON document for SCALE.md.
 
+``--embeddings`` on both subcommands switches to the ANN leg: grow the
+embeddings table (jittered replicas) and measure
+brute/LSH/multiprobe/IVF top-k against a fixed query set.
+
 Usage:
     python tools/scale_rehearsal.py gen --base /root/testdata/sf0.1 \
         --out /tmp/scale --factors 1,3,10
     python tools/scale_rehearsal.py run --out /tmp/scale --factors 1,3,10 \
         --runs 3 > /tmp/scale_results.json
+    python tools/scale_rehearsal.py gen --out /tmp/se --factors 1,10,30 --embeddings
+    python tools/scale_rehearsal.py run --out /tmp/se --factors 1,10,30 --embeddings
 """
 
 from __future__ import annotations
