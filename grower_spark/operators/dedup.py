@@ -640,17 +640,24 @@ def ngram_jaccard_pairs_prefix(
     scale persist the sorted-array stage; here it is recomputed per
     consumer (linear map work).
 
-    WHEN TO USE WHICH (measured r6, sf0.1 documents, local[32], 5-run
-    medians): the prefix keeps only the first ``|d| - ceil(t*|d|) + 1``
-    shingles, so pruning scales with the threshold.  At the driver row's
-    t=0.12 it prunes ~12% of postings and the three extra fixed shuffles
-    dominate: 7.7s vs the base's 2.6s.  At near-dup thresholds (t >= 0.5,
-    the production setting for training-data dedup) pruning exceeds 1/3 of
-    posting volume plus every suffix-only pair, and the prefix variant is
-    the one that survives corpus scale.  The driver row therefore keeps
-    the base operator (its threshold is deliberately low to produce a
-    verifiable pair set at sf0.01); the SCALE.md rehearsal measures this
-    variant against the base at a production threshold as data grows.
+    WHEN TO USE WHICH (measured r6, sf0.1 documents ×{1,3,10,30},
+    local[32] — full numbers in SCALE.md "Scale rehearsal"): the prefix
+    keeps only the first ``|d| - ceil(t*|d|) + 1`` shingles, so pruning
+    scales with the threshold.  At the driver row's t=0.12 it prunes ~12%
+    of postings and the three extra fixed shuffles dominate (7.7s vs the
+    base's 2.6s); the driver row keeps the base operator.  At production
+    thresholds (t >= 0.5) candidate volume is measurably smaller (0.37×
+    the base's pair rows at ×10) and shuffle scales sublinearly (exp 0.82
+    vs 1.49) — BUT the verify step ships per-doc rare-shingle ARRAYS
+    through the candidate joins, so when duplicate DENSITY is extreme
+    (replica families, mirrored boilerplate corpora) verification volume
+    ≈ candidates × array width and the base operator wins outright
+    (measured ×30: base 166s/12.9GB, prefix >80GB spill, aborted).  Use
+    the prefix variant where near-dup pairs are sparse relative to the
+    corpus — the realistic web-dedup regime — and the base with a
+    cluster-size-scaled ``max_shingle_df`` when density is high.  A fixed
+    cap silently destroys recall as duplication grows (×30 at cap=100:
+    zero qualifying pairs survive); scale it with expected cluster size.
     """
     arr = df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sharr")
@@ -660,7 +667,9 @@ def ngram_jaccard_pairs_prefix(
     shdf = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
     if max_shingle_df is not None:
         shdf = shdf.where(F.col("df_") <= max_shingle_df)
-    ranked = inv.join(shdf, "sh")
+    # shdf (distinct shingle -> document frequency) is also corpus-sized;
+    # same no-broadcast protection as rare_arr below
+    ranked = inv.join(shdf.hint("shuffle_hash"), "sh")
     docs_sorted = ranked.groupBy("_id", "sz").agg(
         F.array_sort(F.collect_list(F.struct("df_", "sh"))).alias("rs")
     )
@@ -701,9 +710,15 @@ def ngram_jaccard_pairs_prefix(
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # rare_arr carries every doc's full rare-shingle ARRAY — it grows
+    # linearly with the corpus and must NEVER be the build side of a
+    # broadcast join: AQE's post-filter estimate undershoots badly here
+    # (measured at 30× sf0.1: AQE picked broadcast and the driver died on
+    # maxResultSize collecting a 1.1 GiB build side).  shuffle_hash pins a
+    # big-big equi-join strategy; output is unchanged.
     rare_arr = docs_sorted.select(
         "_id", F.transform("rs", lambda s: s["sh"]).alias("ra")
-    )
+    ).hint("shuffle_hash")
     j = cands.join(
         rare_arr.select(F.col("_id").alias("id_a"), F.col("ra").alias("_ra_a")), "id_a"
     ).join(

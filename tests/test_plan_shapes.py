@@ -181,3 +181,24 @@ def test_distinct_plus_percentile_no_expand(spark, qname):
 
     phys = QUERIES[qname](spark, SF_SMALL)._jdf.queryExecution().sparkPlan().toString()
     assert "Expand" not in phys, f"{qname} regressed to a distinct-agg Expand plan"
+
+
+def test_jaccard_prefix_verify_joins_never_broadcast(spark):
+    """The prefix variant's df-rank and verification joins build against
+    corpus-sized sides (per-doc rare-shingle arrays); AQE's post-filter
+    estimate undershoots and picked broadcast at 30x sf0.1, killing the
+    driver on maxResultSize.  The shuffle_hash hints must pin every such
+    join away from broadcast regardless of estimates."""
+    import re
+
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.dedup import ngram_jaccard_pairs_prefix
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = ngram_jaccard_pairs_prefix(docs, threshold=0.4, max_shingle_df=100)
+    phys = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in phys, re.findall(
+        r"BroadcastHashJoin \[\w+", phys
+    )
+    assert "ShuffledHashJoin" in phys  # the pinned strategy is in effect
