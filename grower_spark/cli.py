@@ -162,7 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="publish a log file/directory to a Kafka topic, one message "
              "per line (the reference kafkalog CLIENT, cmd/kafkalog/client)",
     )
-    pub.add_argument("--input", required=True, help="log file or directory")
+    pub.add_argument("--input", default=None,
+                     help="log file or directory (one-shot mode)")
+    pub.add_argument("--logs-dir", default=None,
+                     help="rotation directory to STREAM (the reference "
+                          "client's rotate->scan->produce loop); pair with "
+                          "--checkpoint; --available-now drains and exits")
     pub.add_argument("--brokers", required=True, help="host:port[,host:port...]")
     pub.add_argument("--topic", required=True)
     pub.add_argument("--partitions", default="0",
@@ -173,6 +178,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "buffer-size)")
     pub.add_argument("--parallelism", type=int, default=0,
                     help="Spark input partitions (0 = source-sized)")
+    pub.add_argument("--checkpoint", default=None,
+                     help="--logs-dir mode: streaming checkpoint (the "
+                          "at-least-once resume point)")
+    pub.add_argument("--scrape-interval", type=int, default=5,
+                     help="--logs-dir mode: trigger seconds (reference "
+                          "scrape ticker)")
+    pub.add_argument("--available-now", action="store_true",
+                     help="--logs-dir mode: drain existing files and exit")
 
     rx = sub.add_parser(
         "receiver",
@@ -228,9 +241,48 @@ def main(argv: list[str] | None = None) -> int:
         from grower_spark.session import get_spark
         from grower_spark.sinks.kafka import publish_lines_wire
 
+        if bool(args.input) == bool(args.logs_dir):
+            print("publish: exactly one of --input (one-shot) or "
+                  "--logs-dir (streaming) is required", file=sys.stderr)
+            return 2
         host, port = _parse_broker(args.brokers.split(",")[0])
         parts = [int(p) for p in args.partitions.split(",")]
         spark = get_spark("grower-spark-publish")
+        if args.logs_dir:
+            # the reference client's full loop: rotation dir stream ->
+            # wire producer, one micro-batch per scrape tick; the
+            # checkpoint makes redelivery at-least-once across restarts
+            if not args.checkpoint:
+                print("publish: --logs-dir requires --checkpoint",
+                      file=sys.stderr)
+                return 2
+            from grower_spark.sources.file import stream_lines
+            from grower_spark.streaming.filelog import FileLogRunner
+
+            lines = stream_lines(spark, args.logs_dir)
+
+            def ship(batch_df, _batch_id):
+                publish_lines_wire(
+                    batch_df, host, port, args.topic,
+                    partitions=parts, batch_size=args.batch_size,
+                )
+
+            writer = (
+                lines.writeStream.foreachBatch(ship)
+                .option("checkpointLocation", args.checkpoint)
+            )
+            if args.available_now:
+                writer = writer.trigger(availableNow=True)
+            else:
+                writer = writer.trigger(
+                    processingTime=f"{args.scrape_interval} seconds"
+                )
+            runner = FileLogRunner.for_queries([writer.start()])
+            if not args.available_now:
+                runner.install_signal_handlers()
+            runner.await_termination()
+            print(f"published stream from {args.logs_dir} to {args.topic}")
+            return 0
         lines = spark.read.text(args.input)
         if args.parallelism:
             lines = lines.repartition(args.parallelism)

@@ -100,6 +100,18 @@ class FileLogRunner:
             self.queries.append(dl.queryName("filelog-deadletter").start())
         return self
 
+    @classmethod
+    def for_queries(cls, queries: list) -> "FileLogRunner":
+        """A runner wrapping externally built streaming queries — reuses
+        the signal-safe stop/await machinery (poll-the-flag handlers,
+        dead-query exception surfacing) without the parse pipeline.
+        Used by CLI modes whose query isn't a LogPipeline (e.g.
+        ``publish --logs-dir``)."""
+        runner = cls.__new__(cls)
+        runner.queries = list(queries)
+        runner._stop_requested = None
+        return runner
+
     def await_termination(self, timeout: Optional[int] = None) -> None:
         if self._stop_requested is None:
             for q in self.queries:

@@ -1128,3 +1128,35 @@ def test_cli_explicit_start_offset_overrides_checkpoint(mp_broker, tmp_path, cap
     assert main(argv + ["--start-offset", "0"]) == 0
     assert "next offset 3" in capsys.readouterr().out
     assert len(glob.glob(str(tmp_path / "spool") + "/*")) == 1
+
+
+def test_cli_publish_streaming_logs_dir(spark, broker, tmp_path, capsys):
+    """The reference client's full loop: rotation-directory STREAM ->
+    wire producer, checkpointed.  A second drain after new files arrive
+    publishes only the tail (at-least-once resume)."""
+    from grower_spark.cli import main
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_text("a1\na2\n")
+    argv = [
+        "publish",
+        "--logs-dir", str(logs),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--brokers", f"127.0.0.1:{broker}",
+        "--topic", "access-log",
+        "--available-now",
+    ]
+    assert main(argv) == 0
+    assert sorted(_BROKER_LOG) == [b"a1", b"a2"]
+    (logs / "b.log").write_text("b1\n")
+    assert main(argv) == 0
+    assert sorted(_BROKER_LOG) == [b"a1", b"a2", b"b1"]  # tail only, no replay
+
+
+def test_cli_publish_requires_one_input_mode(capsys):
+    from grower_spark.cli import main
+
+    rc = main(["publish", "--brokers", "h:1", "--topic", "t"])
+    assert rc == 2
+    assert "exactly one of" in capsys.readouterr().err
