@@ -186,6 +186,9 @@ def build_parser() -> argparse.ArgumentParser:
                           "scrape ticker)")
     pub.add_argument("--available-now", action="store_true",
                      help="--logs-dir mode: drain existing files and exit")
+    pub.add_argument("--async", dest="kafka_async", action="store_true",
+                     help="acks=0 fire-and-forget (reference kafka-async; "
+                          "at-most-once)")
 
     rx = sub.add_parser(
         "receiver",
@@ -265,6 +268,7 @@ def main(argv: list[str] | None = None) -> int:
                 publish_lines_wire(
                     batch_df, host, port, args.topic,
                     partitions=parts, batch_size=args.batch_size,
+                    acks=0 if args.kafka_async else -1,
                 )
 
             writer = (
@@ -289,6 +293,7 @@ def main(argv: list[str] | None = None) -> int:
         n = publish_lines_wire(
             lines, host, port, args.topic,
             partitions=parts, batch_size=args.batch_size,
+            acks=0 if args.kafka_async else -1,
         )
         print(f"published {n} lines to {args.topic}")
         return 0

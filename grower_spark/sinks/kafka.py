@@ -54,6 +54,7 @@ def publish_lines_wire(
     partitions: "list[int] | None" = None,
     value_col: str = "value",
     batch_size: int = 500,
+    acks: int = -1,
 ) -> int:
     """Publish every row's ``value_col`` as one unkeyed message through the
     dependency-free wire producer — the reference kafkalog CLIENT's write
@@ -62,10 +63,13 @@ def publish_lines_wire(
     One producer connection per Spark partition task; topic-partitions are
     assigned round-robin by Spark partition id (the reference's
     ``round_robin`` balancer; its default ``least_bytes`` needs broker
-    metadata the wire stand-in doesn't track).  Acks are awaited per batch,
-    so a task failure replays its partition — at-least-once, matching the
-    connector path's semantics.  Returns the number of acked messages
-    (accumulator-counted in the same pass — no second scan).
+    metadata the wire stand-in doesn't track).  With the default
+    ``acks=-1`` every batch is awaited, so a task failure replays its
+    partition — at-least-once, matching the connector path's semantics.
+    ``acks=0`` is the reference's ``kafka-async`` fire-and-forget mode
+    (kafka-go ``Async``, client.go:66): no broker errors are surfaced and
+    delivery degrades to at-most-once.  Returns the number of messages
+    sent (accumulator-counted in the same pass — no second scan).
     """
     parts = partitions or [0]
     sent = df.sparkSession.sparkContext.accumulator(0)
@@ -85,7 +89,7 @@ def publish_lines_wire(
             return
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         producer = KafkaWireProducer(
-            host, port, topic, partition=parts[pid % len(parts)]
+            host, port, topic, partition=parts[pid % len(parts)], acks=acks
         )
         try:
             chunk = first

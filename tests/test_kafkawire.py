@@ -1160,3 +1160,19 @@ def test_cli_publish_requires_one_input_mode(capsys):
     rc = main(["publish", "--brokers", "h:1", "--topic", "t"])
     assert rc == 2
     assert "exactly one of" in capsys.readouterr().err
+
+
+def test_publish_async_fire_and_forget(spark, broker):
+    """--async (reference kafka-async): acks=0, no response awaited; the
+    messages still land on the broker."""
+    import time
+
+    from grower_spark.sinks.kafka import publish_lines_wire
+
+    df = spark.range(5).selectExpr("concat('f', id) AS value").coalesce(1)
+    n = publish_lines_wire(df, "127.0.0.1", broker, "logs", acks=0)
+    assert n == 5
+    deadline = time.monotonic() + 5
+    while len(_BROKER_LOG) < 5 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert sorted(_BROKER_LOG) == sorted(f"f{i}".encode() for i in range(5))
