@@ -189,6 +189,10 @@ def build_parser() -> argparse.ArgumentParser:
     pub.add_argument("--async", dest="kafka_async", action="store_true",
                      help="acks=0 fire-and-forget (reference kafka-async; "
                           "at-most-once)")
+    pub.add_argument("--balancer", default="round_robin",
+                     choices=["round_robin", "crc32", "least_bytes"],
+                     help="partition balancer (reference opt.go:47-61; "
+                          "its default is least_bytes)")
 
     rx = sub.add_parser(
         "receiver",
@@ -269,6 +273,7 @@ def main(argv: list[str] | None = None) -> int:
                     batch_df, host, port, args.topic,
                     partitions=parts, batch_size=args.batch_size,
                     acks=0 if args.kafka_async else -1,
+                    balancer=args.balancer,
                 )
 
             writer = (
@@ -294,6 +299,7 @@ def main(argv: list[str] | None = None) -> int:
             lines, host, port, args.topic,
             partitions=parts, batch_size=args.batch_size,
             acks=0 if args.kafka_async else -1,
+            balancer=args.balancer,
         )
         print(f"published {n} lines to {args.topic}")
         return 0

@@ -55,15 +55,25 @@ def publish_lines_wire(
     value_col: str = "value",
     batch_size: int = 500,
     acks: int = -1,
+    balancer: str = "round_robin",
 ) -> int:
     """Publish every row's ``value_col`` as one unkeyed message through the
     dependency-free wire producer — the reference kafkalog CLIENT's write
     path (client.go:92-98) driven from Spark executors.
 
-    One producer connection per Spark partition task; topic-partitions are
-    assigned round-robin by Spark partition id (the reference's
-    ``round_robin`` balancer; its default ``least_bytes`` needs broker
-    metadata the wire stand-in doesn't track).  With the default
+    ``balancer`` selects the topic-partition per message, mirroring the
+    reference's balancer map (opt.go:47-61):
+
+    - ``round_robin``: one partition per Spark task, rotating by task id
+      (one connection per task — the cheapest shape);
+    - ``crc32``: kafka-go's ``Hash``-family keyed balancing, keyed on the
+      message value via CRC32 (stable across runs and workers);
+    - ``least_bytes``: the reference DEFAULT — each message goes to the
+      task-locally least-loaded partition by bytes sent (kafka-go tracks
+      this per writer; per-task tracking is the honest equivalent here).
+
+    Keyed/least-bytes modes hold one open producer per target partition
+    and one ``batch_size``-bounded buffer each.  With the default
     ``acks=-1`` every batch is awaited, so a task failure replays its
     partition — at-least-once, matching the connector path's semantics.
     ``acks=0`` is the reference's ``kafka-async`` fire-and-forget mode
@@ -71,10 +81,13 @@ def publish_lines_wire(
     delivery degrades to at-most-once.  Returns the number of messages
     sent (accumulator-counted in the same pass — no second scan).
     """
+    if balancer not in ("round_robin", "crc32", "least_bytes"):
+        raise ValueError(f"unknown balancer {balancer!r}")
     parts = partitions or [0]
     sent = df.sparkSession.sparkContext.accumulator(0)
 
     def send(rows) -> None:
+        import zlib
         from itertools import islice
 
         from pyspark import TaskContext
@@ -82,23 +95,57 @@ def publish_lines_wire(
         from grower_spark.sinks.kafkawire import KafkaWireProducer
 
         it = (bytes(r["value"]) for r in rows)
-        # stream in batch_size chunks: the iterator is never materialized,
-        # so executor memory is O(batch_size) regardless of partition size
-        first = list(islice(it, batch_size))
-        if not first:
+        if balancer == "round_robin":
+            # one partition per task: single connection, streamed chunks
+            first = list(islice(it, batch_size))
+            if not first:
+                return
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            producer = KafkaWireProducer(
+                host, port, topic,
+                partition=parts[pid % len(parts)], acks=acks,
+            )
+            try:
+                chunk = first
+                while chunk:
+                    producer.send(chunk)
+                    sent.add(len(chunk))
+                    chunk = list(islice(it, batch_size))
+            finally:
+                producer.close()
             return
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        producer = KafkaWireProducer(
-            host, port, topic, partition=parts[pid % len(parts)], acks=acks
-        )
+        # keyed / least-bytes: one lazily opened producer + bounded buffer
+        # per target partition; memory O(len(parts) * batch_size)
+        producers: dict[int, KafkaWireProducer] = {}
+        buffers: dict[int, list[bytes]] = {p: [] for p in parts}
+        loads: dict[int, int] = {p: 0 for p in parts}
+
+        def flush(p: int) -> None:
+            if not buffers[p]:
+                return
+            if p not in producers:
+                producers[p] = KafkaWireProducer(
+                    host, port, topic, partition=p, acks=acks
+                )
+            producers[p].send(buffers[p])
+            sent.add(len(buffers[p]))
+            buffers[p].clear()
+
         try:
-            chunk = first
-            while chunk:
-                producer.send(chunk)
-                sent.add(len(chunk))
-                chunk = list(islice(it, batch_size))
+            for v in it:
+                if balancer == "crc32":
+                    p = parts[zlib.crc32(v) % len(parts)]
+                else:  # least_bytes: task-local byte loads
+                    p = min(parts, key=lambda q: loads[q])
+                buffers[p].append(v)
+                loads[p] += len(v)
+                if len(buffers[p]) >= batch_size:
+                    flush(p)
+            for p in parts:
+                flush(p)
         finally:
-            producer.close()
+            for producer in producers.values():
+                producer.close()
 
     frame_for_kafka(df, value_col=value_col).foreachPartition(send)
     return sent.value
