@@ -193,6 +193,12 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["round_robin", "crc32", "least_bytes"],
                      help="partition balancer (reference opt.go:47-61; "
                           "its default is least_bytes)")
+    pub.add_argument("--create-topic", action="store_true",
+                     help="create the topic if absent via CreateTopics v0 "
+                          "(idempotent; the reference flag kafka-create-topic "
+                          "is an unimplemented todo there, client.go:86-88)")
+    pub.add_argument("--replication-factor", type=int, default=1,
+                     help="--create-topic: replication factor")
 
     rx = sub.add_parser(
         "receiver",
@@ -254,6 +260,16 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         host, port = _parse_broker(args.brokers.split(",")[0])
         parts = [int(p) for p in args.partitions.split(",")]
+        if args.create_topic:
+            from grower_spark.sinks.kafkawire import create_topic
+
+            created = create_topic(
+                host, port, args.topic,
+                num_partitions=max(parts) + 1,
+                replication_factor=args.replication_factor,
+            )
+            print(f"topic {args.topic}: "
+                  f"{'created' if created else 'already exists'}")
         spark = get_spark("grower-spark-publish")
         if args.logs_dir:
             # the reference client's full loop: rotation dir stream ->

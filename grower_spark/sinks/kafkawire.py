@@ -829,3 +829,103 @@ class KafkaSpoolPoller:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
+
+
+# -- CreateTopics API v0 (reference client's kafka-create-topic flag — a
+# literal `// todo` in the reference, client.go:86-88; implemented here as
+# the superset-of-TODO pattern used for gzip rotation and /metrics) ----------
+
+CREATE_TOPICS_API_KEY = 19
+CREATE_TOPICS_API_VERSION = 0
+TOPIC_ALREADY_EXISTS = 36
+
+
+def encode_create_topics_request(
+    topic: str,
+    num_partitions: int,
+    replication_factor: int,
+    correlation_id: int,
+    client_id: str = "grower-spark",
+    timeout_ms: int = 30000,
+) -> bytes:
+    """Size-prefixed CreateTopicsRequest v0 (header v1) for one topic,
+    broker-assigned replica placement, no config overrides."""
+    header = struct.pack(">hhi", CREATE_TOPICS_API_KEY,
+                         CREATE_TOPICS_API_VERSION,
+                         correlation_id) + _string(client_id)
+    body = (
+        struct.pack(">i", 1) + _string(topic)
+        + struct.pack(">ih", num_partitions, replication_factor)
+        + struct.pack(">i", 0)  # replica_assignments: broker decides
+        + struct.pack(">i", 0)  # config_entries: defaults
+        + struct.pack(">i", timeout_ms)
+    )
+    payload = header + body
+    return struct.pack(">i", len(payload)) + payload
+
+
+def decode_create_topics_response(payload: bytes) -> tuple[int, int]:
+    """Returns (correlation_id, error_code) for the single topic."""
+    (corr,) = struct.unpack_from(">i", payload, 0)
+    pos = 4
+    (n_topics,) = struct.unpack_from(">i", payload, pos)
+    pos += 4
+    if n_topics != 1:
+        raise KafkaWireError(f"expected 1 topic in response, got {n_topics}")
+    (tlen,) = struct.unpack_from(">h", payload, pos)
+    pos += 2 + tlen
+    (err,) = struct.unpack_from(">h", payload, pos)
+    return corr, err
+
+
+def encode_create_topics_response(
+    correlation_id: int, topic: str, error_code: int = 0
+) -> bytes:
+    """Size-prefixed CreateTopicsResponse v0 — broker side, for fakes."""
+    payload = (
+        struct.pack(">i", correlation_id)
+        + struct.pack(">i", 1) + _string(topic)
+        + struct.pack(">h", error_code)
+    )
+    return struct.pack(">i", len(payload)) + payload
+
+
+def create_topic(
+    host: str,
+    port: int,
+    topic: str,
+    num_partitions: int = 1,
+    replication_factor: int = 1,
+    timeout: float = 30.0,
+) -> bool:
+    """Create ``topic`` if absent; returns True if created, False if it
+    already existed (error 36 — idempotent by design, so the publish
+    CLI's --create-topic is safe to leave on)."""
+    sock = socket.create_connection((host, port), timeout=timeout)
+    try:
+        sock.sendall(encode_create_topics_request(
+            topic, num_partitions, replication_factor, correlation_id=1,
+        ))
+        buf = b""
+        while len(buf) < 4:
+            chunk = sock.recv(4 - len(buf))
+            if not chunk:
+                raise KafkaWireError("connection closed mid-response")
+            buf += chunk
+        (size,) = struct.unpack(">i", buf)
+        payload = b""
+        while len(payload) < size:
+            chunk = sock.recv(size - len(payload))
+            if not chunk:
+                raise KafkaWireError("connection closed mid-response")
+            payload += chunk
+        corr, err = decode_create_topics_response(payload)
+        if corr != 1:
+            raise KafkaWireError(f"correlation mismatch {corr} != 1")
+        if err == 0:
+            return True
+        if err == TOPIC_ALREADY_EXISTS:
+            return False
+        raise KafkaWireError(f"broker error_code={err} on create_topics")
+    finally:
+        sock.close()

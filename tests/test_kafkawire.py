@@ -1243,3 +1243,81 @@ def test_publish_balancer_least_bytes_spreads_load(spark, broker):
                            partitions=[0, 1, 2], balancer="least_bytes")
     assert n == 30
     assert set(_BROKER_PARTS) == {0, 1, 2}  # all partitions took load
+
+
+# -- CreateTopics v0 (reference kafka-create-topic: a `// todo` there) --------
+
+
+def test_create_topics_request_layout():
+    from grower_spark.sinks.kafkawire import encode_create_topics_request
+
+    req = encode_create_topics_request("logs", 3, 2, correlation_id=5,
+                                       client_id="cli", timeout_ms=1000)
+    (size,) = struct.unpack_from(">i", req, 0)
+    assert size == len(req) - 4
+    api_key, api_ver, corr = struct.unpack_from(">hhi", req, 4)
+    assert (api_key, api_ver, corr) == (19, 0, 5)
+    # tail: assignments(0) configs(0) timeout
+    a, c, t = struct.unpack_from(">iii", req, len(req) - 12)
+    assert (a, c, t) == (0, 0, 1000)
+    np, rf = struct.unpack_from(">ih", req, len(req) - 18)
+    assert (np, rf) == (3, 2)
+
+
+def test_create_topic_idempotent(tmp_path):
+    """First call creates (True), second sees error 36 and returns False,
+    a real broker error raises."""
+    import socket as socket_mod
+
+    from grower_spark.sinks.kafkawire import (
+        create_topic,
+        decode_create_topics_response,
+        encode_create_topics_response,
+    )
+
+    created: set[str] = set()
+    errs: list[int] = []
+
+    def serve(srv):
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            with conn:
+                head = _recv_exact(conn, 4)
+                if head is None:
+                    continue
+                (size,) = struct.unpack(">i", head)
+                payload = _recv_exact(conn, size)
+                _, _, corr = struct.unpack_from(">hhi", payload, 0)
+                (cl,) = struct.unpack_from(">h", payload, 8)
+                pos = 10 + cl + 4
+                (tl,) = struct.unpack_from(">h", payload, pos)
+                topic = payload[pos + 2:pos + 2 + tl].decode()
+                if errs:
+                    err = errs.pop()
+                elif topic in created:
+                    err = 36
+                else:
+                    created.add(topic)
+                    err = 0
+                conn.sendall(encode_create_topics_response(corr, topic, err))
+
+    srv = socket_mod.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen()
+    threading.Thread(target=serve, args=(srv,), daemon=True).start()
+    port = srv.getsockname()[1]
+    try:
+        assert create_topic("127.0.0.1", port, "logs", 2, 1) is True
+        assert create_topic("127.0.0.1", port, "logs", 2, 1) is False
+        errs.append(41)  # NOT_CONTROLLER
+        with pytest.raises(KafkaWireError, match="error_code=41"):
+            create_topic("127.0.0.1", port, "logs", 2, 1)
+    finally:
+        srv.close()
+    # codec roundtrip sanity
+    wire = encode_create_topics_response(7, "t", 36)
+    (size,) = struct.unpack_from(">i", wire, 0)
+    assert decode_create_topics_response(wire[4:4 + size]) == (7, 36)
