@@ -36,6 +36,12 @@ Implemented surface:
 - ``OffsetCheckpoint``: atomic JSON per-partition resume offsets — the
   local stand-in for the reference's consumer-group offset commit
   (GroupID, server.go:121).
+- ``KafkaSpoolPoller``: the always-on drain loop (reference kafkalog
+  server lifecycle) with partial-progress offset folding on reader
+  failures.
+- CreateTopics API **v0** + idempotent ``create_topic`` — the reference's
+  ``kafka-create-topic`` flag is a literal ``// todo`` there
+  (client.go:86-88); implemented as the superset-of-TODO pattern.
 
 Not implemented (documented non-goals): consumer groups (offset tracking
 is the bridge's checkpoint; Spark's connector owns it on a real cluster),
