@@ -44,6 +44,7 @@ import os
 import sys
 import time
 import urllib.request
+from typing import Optional
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -214,7 +215,14 @@ def _app_url(spark) -> str:
     return f"http://localhost:{port}/api/v1/applications/{app_id}"
 
 
-def run_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
+def run_ops(spark, out_dir: str, factors: list[int], runs: int,
+            jaccard_cap: Optional[int] = None,
+            only: Optional[list[str]] = None) -> dict:
+    """``jaccard_cap`` overrides the fixed stop-shingle cap — pass
+    ``100 * factor`` to reproduce the SCALE.md ×30 stress run (a FIXED
+    cap collapses recall as duplicate-cluster size grows).  ``only``
+    restricts to a subset of op names (the base-vs-prefix stress
+    comparison is far slower than the rest)."""
     from grower_spark.operators.dedup import (
         drop_common_paragraphs,
         minhash_lsh_pairs,
@@ -223,21 +231,24 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
     )
 
     app = _app_url(spark)
+    cap = JACCARD_MAX_DF if jaccard_cap is None else jaccard_cap
     ops = {
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(
             d, num_perm=16, bands=4, shingle_n=3, hash_fn="xxhash"
         ),
         "ngram_jaccard_base": lambda d: ngram_jaccard_pairs(
-            d, threshold=JACCARD_PROD_THRESHOLD, max_shingle_df=JACCARD_MAX_DF
+            d, threshold=JACCARD_PROD_THRESHOLD, max_shingle_df=cap
         ),
         "ngram_jaccard_prefix": lambda d: ngram_jaccard_pairs_prefix(
-            d, threshold=JACCARD_PROD_THRESHOLD, max_shingle_df=JACCARD_MAX_DF
+            d, threshold=JACCARD_PROD_THRESHOLD, max_shingle_df=cap
         ),
         "drop_common_paragraphs": lambda d: drop_common_paragraphs(
             d.select("doc_id", F.col("text_par").alias("text")),
             min_df=PARA_MIN_DF,
         ),
     }
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only}
     results: dict = {}
     for factor in factors:
         path = os.path.join(out_dir, f"x{factor}", "documents.parquet")
@@ -284,6 +295,11 @@ def main() -> int:
     r.add_argument("--runs", type=int, default=3)
     r.add_argument("--embeddings", action="store_true",
                    help="measure the ANN ops instead of the dedup ops")
+    r.add_argument("--jaccard-cap", type=int, default=None,
+                   help="override the stop-shingle cap (pass 100*factor to "
+                        "reproduce the SCALE.md x30 stress run)")
+    r.add_argument("--ops", default=None,
+                   help="comma-separated subset of dedup op names")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     if args.cmd == "gen":
@@ -295,8 +311,12 @@ def main() -> int:
         spark.stop()
         return 0
     spark = _session("scale-run", ui=True)
-    run = run_ann_ops if args.embeddings else run_ops
-    res = run(spark, args.out, factors, args.runs)
+    if args.embeddings:
+        res = run_ann_ops(spark, args.out, factors, args.runs)
+    else:
+        res = run_ops(spark, args.out, factors, args.runs,
+                      jaccard_cap=args.jaccard_cap,
+                      only=args.ops.split(",") if args.ops else None)
     spark.stop()
     json.dump(res, sys.stdout, indent=2)
     print()
