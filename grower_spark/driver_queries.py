@@ -2359,6 +2359,76 @@ FROM agg
 """
 
 
+_SUBSTR_K = 8
+_SUBSTR_MIN_DF = 2
+_SUBSTR_MAX_DF = 1000
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (suffix-array-pipeline semantics,
+    Spark-first): per-document duplicated-span statistics from rolling
+    k-token gram hashes — the training-data dedup that document-level
+    exact/near dedup cannot see.  See ``operators/substring.py`` for the
+    plan-shape story (one gram shuffle, one doc-windowed merge)."""
+    from grower_spark.operators.substring import substring_dup_stats
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return substring_dup_stats(
+        docs, k=_SUBSTR_K, min_df=_SUBSTR_MIN_DF, max_gram_df=_SUBSTR_MAX_DF
+    )
+
+
+def oracle_dedup_substring() -> str:
+    # Same 60-bit md5 gram key, same [min_df, max_df] retention, same
+    # gaps-and-islands merge (new span when the gap exceeds k).
+    k, lo, hi = _SUBSTR_K, _SUBSTR_MIN_DF, _SUBSTR_MAX_DF
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, unnest(range(1, len(toks) - {k} + 2)) AS pos, toks
+  FROM t WHERE len(toks) >= {k}
+),
+h AS (
+  SELECT doc_id, pos,
+    CAST(('0x' || substr(md5(array_to_string(toks[pos : pos + {k} - 1], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM g
+),
+dup AS (
+  SELECT h FROM h GROUP BY h HAVING count(*) >= {lo} AND count(*) <= {hi}
+),
+hits AS (SELECT h.doc_id, h.pos FROM h JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+         THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {k} - 1 AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  (coalesce(p.dup_tokens, 0) * 10000) // len(string_split(d.text, ' ')) AS dup_ratio_bp
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.text IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -2414,6 +2484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontaminate": q_doc_decontaminate,
     "events_sample_stratified": q_events_sample_stratified,
     "text_repetition": q_text_repetition,
+    "dedup_substring": q_dedup_substring,
 }
 
 ORACLES: dict[str, str] = {
@@ -2469,4 +2540,5 @@ ORACLES: dict[str, str] = {
     "doc_decontaminate": oracle_doc_decontaminate(),
     "events_sample_stratified": oracle_events_sample_stratified(),
     "text_repetition": oracle_text_repetition(),
+    "dedup_substring": oracle_dedup_substring(),
 }
