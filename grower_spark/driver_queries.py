@@ -2429,6 +2429,54 @@ WHERE d.text IS NOT NULL
 """
 
 
+_SEMDEDUP_T = 0.4
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (embedding-space semantic dedup): coarse-quantize to IVF
+    cells map-side, compare pairs within a cell only, keep the first-by-id
+    member of every duplicate group.  The synthetic embeddings are
+    near-orthogonal (max within-cell cosine 0.47), so the driver row runs
+    the mechanism at threshold 0.4; a production corpus uses 0.95+.  See
+    ``operators/semdedup.py``."""
+    from grower_spark.operators.semdedup import semdedup
+
+    emb = _cpu_spread(spark, load_table(spark, sf_dir, "embeddings"))
+    return semdedup(emb, n_cells=IVF_CELLS, dim=EMB_DIM, threshold=_SEMDEDUP_T)
+
+
+def oracle_semdedup() -> str:
+    from grower_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(IVF_CELLS, EMB_DIM)
+    ranked_terms = ", ".join(
+        f"{{'m': -list_dot_product(vec, CAST([{', '.join(repr(v) for v in cent)}] AS DOUBLE[])), "
+        f"'i': CAST({i} AS INTEGER)}}"
+        for i, cent in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+c AS (SELECT vec_id, vec,
+        list_transform(list_sort([{ranked_terms}]), s -> s.i)[1] AS cell
+      FROM v),
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+    round(list_dot_product(a.vec, b.vec)
+      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 4) AS sim_r4
+  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id > b.vec_id
+),
+hits AS (SELECT * FROM pairs WHERE sim_r4 >= {_SEMDEDUP_T}),
+best AS (
+  SELECT ida, idb AS dup_of, sim_r4 AS max_sim_r4,
+    row_number() OVER (PARTITION BY ida ORDER BY sim_r4 DESC, idb ASC) AS rn
+  FROM hits
+)
+SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+  (b.dup_of IS NULL) AS keep, b.dup_of, b.max_sim_r4
+FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON c.vec_id = b.ida
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -2485,6 +2533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sample_stratified": q_events_sample_stratified,
     "text_repetition": q_text_repetition,
     "dedup_substring": q_dedup_substring,
+    "semdedup": q_semdedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2541,4 +2590,5 @@ ORACLES: dict[str, str] = {
     "events_sample_stratified": oracle_events_sample_stratified(),
     "text_repetition": oracle_text_repetition(),
     "dedup_substring": oracle_dedup_substring(),
+    "semdedup": oracle_semdedup(),
 }
