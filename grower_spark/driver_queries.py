@@ -2477,6 +2477,56 @@ FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON c.vec_id = b.ida
 """
 
 
+# Deterministic PII injection: the synthetic documents text contains no
+# PII, so the driver row plants class-typed strings keyed off doc_id (same
+# expression in both engines) and then runs the real detection/redaction
+# operators over the result.  Residue-class gating means rows carry
+# different subsets (including none).
+_PII_SYNTH_SQL = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact u', CAST(doc_id AS {s}),"
+    "   '@ex', CAST(doc_id % 7 AS {s}), '.org') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 1 THEN concat(' from 10.', CAST(doc_id % 256 AS {s}),"
+    "   '.0.', CAST(doc_id % 100 AS {s})) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 2 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS {s}), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 3 THEN concat(' ssn 123-45-', lpad(CAST(doc_id % 10000 AS {s}), 4, '0')) ELSE '' END)"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-class regex match counts + class-token redaction
+    (``operators/pii.py``) — per-row JVM expressions, zero shuffles."""
+    from grower_spark.operators.pii import pii_signals, redact_pii
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    docs = docs.withColumn("pii_text", F.expr(_PII_SYNTH_SQL.format(s="string")))
+    out = redact_pii(pii_signals(docs, "pii_text"), "pii_text")
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii", "text_redacted"
+    )
+
+
+def oracle_pii_redact() -> str:
+    from grower_spark.operators.pii import PII_PATTERNS
+
+    synth = _PII_SYNTH_SQL.format(s="VARCHAR")
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(pii_text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "pii_text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+WITH t AS (SELECT doc_id, {synth} AS pii_text FROM documents),
+c AS (SELECT doc_id, pii_text, {counts}, {red} AS text_redacted FROM t)
+SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+       CAST({total} AS INTEGER) AS n_pii, text_redacted
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -2534,6 +2584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "dedup_substring": q_dedup_substring,
     "semdedup": q_semdedup,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLES: dict[str, str] = {
@@ -2591,4 +2642,5 @@ ORACLES: dict[str, str] = {
     "text_repetition": oracle_text_repetition(),
     "dedup_substring": oracle_dedup_substring(),
     "semdedup": oracle_semdedup(),
+    "pii_redact": oracle_pii_redact(),
 }
