@@ -2527,6 +2527,35 @@ FROM c
 """
 
 
+_VOCAB_K = 20
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: tf + document frequency + IDF, Expand-free
+    two-phase aggregation and a TakeOrdered top-k (``text.vocab_topk``)."""
+    from grower_spark.operators.text import vocab_topk
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return vocab_topk(docs, k=_VOCAB_K)
+
+
+def oracle_corpus_vocab() -> str:
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+pd AS (SELECT token, doc_id, count(*) AS c FROM ex GROUP BY 1, 2),
+v AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf,
+        CAST(count(*) AS BIGINT) AS doc_freq
+      FROM pd GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL)
+SELECT token, tf, doc_freq, round(ln(n / doc_freq), 4) AS idf_r4,
+  CAST(row_number() OVER (ORDER BY tf DESC, token) AS INTEGER) AS rank
+FROM v, n ORDER BY tf DESC, token LIMIT {_VOCAB_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -2585,6 +2614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
+    "corpus_vocab": q_corpus_vocab,
 }
 
 ORACLES: dict[str, str] = {
@@ -2643,4 +2673,5 @@ ORACLES: dict[str, str] = {
     "dedup_substring": oracle_dedup_substring(),
     "semdedup": oracle_semdedup(),
     "pii_redact": oracle_pii_redact(),
+    "corpus_vocab": oracle_corpus_vocab(),
 }

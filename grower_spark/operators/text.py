@@ -7,7 +7,7 @@ language ID, quality scoring, and a 60-bit content fingerprint.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 from grower_spark.functions.hashing import md5_60
@@ -175,6 +175,54 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         F.expr("_top_w * 10000 div n_tokens").alias("top_word_bp"),
         F.expr("_top_g * 10000 div _n_bigrams").alias("top_bigram_bp"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary statistics: the k most frequent tokens with
+    term frequency, document frequency, and 4-decimal IDF.
+
+    (token, tf, doc_freq, idf_r4, rank) ordered by tf desc, token asc
+    (deterministic ties).
+
+    Plan shape — the round-5 Expand lesson applied: ``count`` +
+    ``count_distinct`` in ONE aggregate would plan an Expand that doubles
+    the exploded input, so this aggregates twice instead: (token, doc) —
+    whose shuffle carries one row per *distinct* token per doc thanks to
+    map-side partial aggregation — then (token), both Expand-free.  The
+    global top-k is ``orderBy().limit(k)`` (TakeOrderedAndProject:
+    per-partition heads merged on one reducer — k rows, not the vocab),
+    and the rank window runs on those k rows only.
+    """
+    toks = _tokens(F.col(text_col))
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_doc"), F.explode(toks).alias("token"))
+    )
+    per_doc = ex.groupBy("token", "_doc").agg(F.count(F.lit(1)).alias("c"))
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("c").alias("tf"), F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = df.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    top = (
+        vocab.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "tf",
+            "doc_freq",
+            F.round(F.log(F.col("_n") / F.col("doc_freq")), 4).alias("idf_r4"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def normalize_text(df: DataFrame, text_col: str = "text",
