@@ -2556,6 +2556,144 @@ FROM v, n ORDER BY tf DESC, token LIMIT {_VOCAB_K}
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): orders with at least one
+    qualifying lineitem, counted per priority.  The testdata lineitem has
+    no commit/receipt dates, so the EXISTS predicate is adapted to
+    ``l_shipdate > o_orderdate`` (shipped after ordering) — the pattern
+    under test is the LEFT SEMI join with a non-equi conjunct: Spark plans
+    it as one semi join, never materializing the multiplicity of matches."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sel = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def oracle_tpch_q4() -> str:
+    return """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10): revenue lost to returns per
+    customer, top 20.  Fact⋈fact (lineitem⋈orders) stays unhinted for AQE;
+    customer/nation broadcast as true dimensions; top-20 via
+    TakeOrderedAndProject with a deterministic (revenue desc, custkey)
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(rev).alias("revenue_10000")
+    )
+    return agg.orderBy(F.desc("revenue_10000"), F.asc("c_custkey")).limit(20)
+
+
+def oracle_tpch_q10() -> str:
+    return """
+SELECT c_custkey, c_name, n_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+    AS revenue_10000
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_10000 DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13): LEFT OUTER join with
+    the filter INSIDE the join condition (zero-order customers must
+    survive), then a two-level aggregation — per-customer count, then the
+    histogram of counts.  The priority exclusion stands in for Q13's
+    comment-pattern exclusion (the testdata has no o_comment)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    per = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def oracle_tpch_q13() -> str:
+    return """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+_Q18_QTY = 250
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18): groupBy-HAVING over the fact
+    producing a small key set, then joins back — Spark turns the HAVING
+    output into the build side of the orders join under AQE.  Quantities
+    are rounded to bigint so the HAVING threshold is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"))
+        .where(F.col("sum_qty") > _Q18_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return j.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_100"),
+        "sum_qty",
+    )
+
+
+def oracle_tpch_q18() -> str:
+    return f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+  CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_100, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(round(sum(l_quantity)) AS BIGINT) > {_Q18_QTY}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -2575,8 +2713,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -2632,8 +2774,12 @@ ORACLES: dict[str, str] = {
     "tpch_q1": oracle_tpch_q1(),
     "tpch_q3": oracle_tpch_q3(),
     "tpch_q5": oracle_tpch_q5(),
+    "tpch_q4": oracle_tpch_q4(),
     "tpch_q6": oracle_tpch_q6(),
+    "tpch_q10": oracle_tpch_q10(),
+    "tpch_q13": oracle_tpch_q13(),
     "tpch_q14": oracle_tpch_q14(),
+    "tpch_q18": oracle_tpch_q18(),
     "salted_agg_users": oracle_salted_agg_users(),
     "dedup_exact": oracle_dedup_exact(),
     "text_stats": oracle_text_stats(),

@@ -202,3 +202,23 @@ def test_jaccard_prefix_verify_joins_never_broadcast(spark):
         r"BroadcastHashJoin \[\w+", phys
     )
     assert "ShuffledHashJoin" in phys  # the pinned strategy is in effect
+
+
+def test_tpch_q4_plans_semi_join_unforced(no_auto_broadcast):
+    from grower_spark.driver_queries import q_tpch_q4
+
+    phys = q_tpch_q4(no_auto_broadcast, SF_SMALL)._jdf.queryExecution().sparkPlan().toString()
+    # EXISTS compiles to ONE semi join (no match-multiplicity blowup), and
+    # with size-based broadcast off it degrades to a shuffle strategy:
+    # nothing forces a fact-scale broadcast
+    assert "LeftSemi" in phys
+    assert "BroadcastHashJoin" not in phys
+
+
+def test_tpch_q10_fact_join_not_forced_broadcast(no_auto_broadcast):
+    from grower_spark.driver_queries import q_tpch_q10
+
+    joins = _join_strategies(q_tpch_q10(no_auto_broadcast, SF_SMALL))
+    assert joins["l_orderkey"] in ("SortMergeJoin", "ShuffledHashJoin")
+    for dim_key in ("o_custkey", "c_nationkey"):
+        assert joins[dim_key] == "BroadcastHashJoin", dim_key
