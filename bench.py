@@ -63,6 +63,14 @@ BENCH_QUERIES = [
     ("json_fields", "noop"),
     ("doc_decontaminate", "noop"),
     ("text_repetition", "noop"),
+    ("dedup_substring", "noop"),
+    ("semdedup", "noop"),
+    ("pii_redact", "noop"),
+    ("corpus_vocab", "collect"),
+    ("tpch_q4", "collect"),
+    ("tpch_q10", "collect"),
+    ("tpch_q13", "collect"),
+    ("tpch_q18", "collect"),
 ]
 
 
