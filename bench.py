@@ -71,6 +71,19 @@ BENCH_QUERIES = [
     ("tpch_q10", "collect"),
     ("tpch_q13", "collect"),
     ("tpch_q18", "collect"),
+    ("tpch_q2", "collect"),
+    ("tpch_q7", "collect"),
+    ("tpch_q8", "collect"),
+    ("tpch_q9", "collect"),
+    ("tpch_q11", "collect"),
+    ("tpch_q12", "collect"),
+    ("tpch_q15", "collect"),
+    ("tpch_q16", "collect"),
+    ("tpch_q17", "collect"),
+    ("tpch_q19", "collect"),
+    ("tpch_q20", "collect"),
+    ("tpch_q21", "collect"),
+    ("tpch_q22", "collect"),
 ]
 
 

@@ -2695,6 +2695,695 @@ JOIN customer ON o_custkey = c_custkey
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion set (q2/q7/q8/q9/q11/q12/q15/q16/q17/q19/q20/q21/q22).
+#
+# The testdata schema is a cut-down TPC-H (no partsupp, no ship/commit/
+# receipt-date triple, no comment columns) — each query below keeps the
+# *query pattern* the original exercises (correlated scalar-min subquery,
+# disjunctive join predicates, nested semi/anti joins, HAVING vs a scalar
+# subquery, ...) and documents its schema adaptation.  Where the original
+# needs partsupp, the part–supplier relation is derived from lineitem
+# (groupBy l_partkey, l_suppkey), which is the natural Spark-first move:
+# one reusable shuffle instead of a missing table.
+# ---------------------------------------------------------------------------
+
+
+def _derived_partsupp(li: DataFrame) -> DataFrame:
+    """partsupp stand-in: per (l_partkey, l_suppkey) min unit price in cents.
+
+    Rounding happens per row BEFORE the min so both engines take min over
+    identical bigints (double division is IEEE-deterministic; min over
+    post-round longs is order-free)."""
+    unit_100 = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_100).alias("unit_cost_100")
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): correlated scalar-min
+    subquery per part.  Spark plans it as groupBy-min over the eligible
+    set joined back on (partkey, min) — one extra shuffle over a tiny
+    derived table, with AQE free to broadcast the min side.  partsupp is
+    derived from lineitem (see _derived_partsupp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(li)
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    elig = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            "unit_cost_100",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("s_acctbal_100"),
+        )
+    )
+    best = elig.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost_100").alias("best_cost_100")
+    )
+    return elig.join(
+        best,
+        (elig.p_partkey == best.b_partkey)
+        & (elig.unit_cost_100 == best.best_cost_100),
+    ).select("p_partkey", "s_name", "n_name", "unit_cost_100", "s_acctbal_100")
+
+
+def oracle_tpch_q2() -> str:
+    return """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS BIGINT) AS unit_cost_100
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), elig AS (
+  SELECT p_partkey, s_name, n_name, unit_cost_100,
+    CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_100
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 15
+)
+SELECT p_partkey, s_name, n_name, unit_cost_100, s_acctbal_100
+FROM elig e
+WHERE unit_cost_100 = (SELECT min(unit_cost_100) FROM elig e2 WHERE e2.p_partkey = e.p_partkey)
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7): double nation join
+    (supplier side + customer side aliases) with a symmetric pair filter.
+    lineitem⋈orders stays unhinted for AQE; all dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(F.sum(rev).alias("revenue_10000"), F.count(F.lit(1)).alias("n_rows"))
+
+
+def oracle_tpch_q7() -> str:
+    return """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_10000,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8): seven-table join, conditional
+    numerator over the supplier nation, share emitted in integer basis
+    points so the division is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    supp = load_table(spark, sf_dir, "supplier")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
+        ).alias("nation_10000"),
+        F.sum(rev).alias("total_10000"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_10000",
+        "total_10000",
+        F.floor(F.col("nation_10000") * 10000 / F.col("total_10000"))
+        .cast("long")
+        .alias("mkt_share_bp"),
+    )
+
+
+def oracle_tpch_q8() -> str:
+    return """
+WITH allrows AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev,
+    sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT) AS nation_10000,
+  CAST(sum(rev) AS BIGINT) AS total_10000,
+  CAST(floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) * 10000.0 / sum(rev)) AS BIGINT) AS mkt_share_bp
+FROM allrows GROUP BY o_year
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9): LIKE-filtered part name, profit per
+    supplier nation per year.  ps_supplycost doesn't exist in the cut-down
+    schema — cost is modeled as half the part's retail price per unit,
+    which preserves the pattern (per-row arithmetic across three tables'
+    columns inside one aggregate).  All arithmetic is per-row-rounded
+    bigints so the group sums are order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    profit = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    ) - F.round(F.col("p_retailprice") * 50).cast("long") * F.round(
+        F.col("l_quantity")
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return j.groupBy(
+        "n_name", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(F.sum(profit).alias("profit_100"))
+
+
+def oracle_tpch_q9() -> str:
+    return """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         - CAST(round(p_retailprice * 50) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS profit_100
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (TPC-H Q11): per-part value with a
+    HAVING against a scalar subquery (fraction of the grand total).  The
+    threshold compare is integer-exact (value*1000 > total) instead of
+    multiplying the total by 0.001.  The single-row total is joined back
+    with a broadcast nested-loop — one row, free.  Supplier region filter
+    stands in for Q11's single-nation filter (100 suppliers / 25 nations
+    would make single-nation too thin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    elig_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    filtered = li.join(F.broadcast(elig_supp), li.l_suppkey == F.col("s_suppkey"))
+    per = filtered.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("value_100")
+    )
+    total = per.agg(F.sum("value_100").alias("total_100"))
+    return (
+        per.join(F.broadcast(total))
+        .where(F.col("value_100") * 1000 > F.col("total_100"))
+        .select("p_partkey", "value_100")
+    )
+
+
+def oracle_tpch_q11() -> str:
+    return """
+WITH v AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_100
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value_100 FROM v
+WHERE value_100 * 1000 > (SELECT sum(value_100) FROM v)
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority counts (TPC-H Q12 shape): fact⋈fact join with
+    two conditional counts by priority class.  The schema has no
+    l_shipmode — l_linestatus plays the grouping column, and the
+    commit/receipt-date lateness predicate becomes shipped-after-ordering
+    inside a one-year ship window."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+def oracle_tpch_q12() -> str:
+    return """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15): the revenue "view"
+    plus a scalar-max subquery.  The per-supplier aggregate is computed
+    once, its single-row max joined back broadcast-nested-loop, and the
+    winners equality-filtered — no second scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+        ).alias("total_rev_10000")
+    )
+    mx = rev.agg(F.max("total_rev_10000").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev_10000") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_10000")
+    )
+
+
+def oracle_tpch_q15() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_rev_10000
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_10000
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_10000 = (SELECT max(total_rev_10000) FROM rev)
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-supplier relationship count (TPC-H Q16): distinct part-supplier
+    pairs (derived from lineitem), a NOT-IN supplier exclusion planned as
+    a broadcast LEFT ANTI join (keys are non-null so the semantics
+    coincide), and count(DISTINCT) per part attribute group.  The
+    acctbal<0 exclusion stands in for Q16's complaint-comment scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    kept = pairs.join(
+        F.broadcast(bad), pairs.l_suppkey == F.col("s_suppkey"), "left_anti"
+    )
+    j = kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def oracle_tpch_q16() -> str:
+    return """
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17): correlated per-part
+    average-quantity subquery.  Spark computes per-part (sum_qty, cnt)
+    once and joins it back broadcast; the 20%-of-average compare is done
+    in cross-multiplied integers (qty*5*cnt < sum_qty) so both engines
+    decide identical boundaries — quantities are integral doubles, so the
+    sums are exact.  p_size<5 stands in for Q17's container filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") < 5)
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).join(
+        F.broadcast(stats), li.l_partkey == F.col("sp_partkey")
+    )
+    small = j.where(
+        F.round(F.col("l_quantity")).cast("long") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "total_extprice_100"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def oracle_tpch_q17() -> str:
+    return """
+SELECT
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_extprice_100,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#4' AND p_size < 5
+  AND CAST(round(l_quantity) AS BIGINT) * 5 *
+      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    < (SELECT CAST(round(sum(l_quantity)) AS BIGINT) FROM lineitem l3 WHERE l3.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under disjunctive predicates (TPC-H Q19): the
+    OR-of-ANDs mixes part columns and lineitem columns, so it can only be
+    evaluated as a join filter — Spark keeps the equi-key (partkey) for
+    the hash join and applies the disjunction post-probe, with the
+    brand/size legs pushed to the part scan via constraint propagation.
+    Size ranges stand in for Q19's container lists, p_size for shipmode."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).where(
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(11, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(26, 50)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return j.agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+        ).alias("revenue_10000"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def oracle_tpch_q19() -> str:
+    return """
+SELECT
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_10000,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-stock suppliers (TPC-H Q20): nested IN subqueries with a
+    correlated half-threshold.  Availability and the year's shipments are
+    both derived from lineitem per (part, supplier); a supplier qualifies
+    when total quantity exceeds twice the 1996 shipments of a LIKE-named
+    part.  Spark plans the chain as two grouped aggregates, each hash-
+    partitioned on (l_partkey, l_suppkey), so their equi-join adds no
+    third shuffle; the supplier side is broadcast semi joins only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avail = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_quantity")).cast("long").alias("qty_all")
+    )
+    li96 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li96.groupBy(
+        F.col("l_partkey").alias("s96_partkey"), F.col("l_suppkey").alias("s96_suppkey")
+    ).agg(F.round(F.sum("l_quantity")).cast("long").alias("qty_96"))
+    bolts = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    cand = (
+        avail.join(
+            shipped,
+            (avail.l_partkey == F.col("s96_partkey"))
+            & (avail.l_suppkey == F.col("s96_suppkey")),
+        )
+        .join(F.broadcast(bolts), avail.l_partkey == F.col("p_partkey"), "left_semi")
+        .where(F.col("qty_all") > 2 * F.col("qty_96"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(F.broadcast(cand), supp.s_suppkey == cand.l_suppkey, "left_semi")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("s_acctbal_100"),
+        )
+    )
+
+
+def oracle_tpch_q20() -> str:
+    return """
+WITH avail AS (
+  SELECT l_partkey, l_suppkey, CAST(round(sum(l_quantity)) AS BIGINT) AS qty_all
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), shipped96 AS (
+  SELECT l_partkey, l_suppkey, CAST(round(sum(l_quantity)) AS BIGINT) AS qty_96
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_100
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT a.l_suppkey FROM avail a
+    JOIN shipped96 s ON a.l_partkey = s.l_partkey AND a.l_suppkey = s.l_suppkey
+    WHERE a.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      AND a.qty_all > 2 * s.qty_96
+  )
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21): EXISTS + NOT EXISTS
+    against the same fact — a left-semi then a left-anti self-join with a
+    supplier-inequality conjunct.  "Late" is shipped more than 90 days
+    after ordering (the schema has no commit/receipt dates).  The late
+    set is computed once and reused on both sides of the anti join."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    late = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waited = late.join(
+        other,
+        (late.l_orderkey == F.col("o2_orderkey"))
+        & (late.l_suppkey != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        other_late,
+        (late.l_orderkey == F.col("o3_orderkey"))
+        & (late.l_suppkey != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def oracle_tpch_q21() -> str:
+    return """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
+_Q22_NATIONS = (0, 3, 7, 11, 14, 18, 21)
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22): above-average-balance
+    customers with no recent orders — a scalar-average subquery plus an
+    anti join.  Every synthetic customer has *some* order, so "no orders"
+    is adapted to "no orders since 2000-01-01" (lapsed customers), which
+    keeps the anti join non-degenerate.  The average compare is
+    cross-multiplied on cent-scaled bigints (acctbal_100 * cnt > sum_100)
+    so the boundary is engine-exact; nationkey-list stands in for the
+    phone-prefix list."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(*_Q22_NATIONS)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_100"),
+    )
+    pos = cust.where(F.col("acctbal_100") > 0).agg(
+        F.sum("acctbal_100").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    sel = (
+        cust.join(F.broadcast(pos))
+        .where(F.col("acctbal_100") * F.col("c") > F.col("s"))
+        .join(F.broadcast(recent), cust.c_custkey == F.col("o_custkey"), "left_anti")
+    )
+    return sel.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("acctbal_100").alias("totacctbal_100"),
+    )
+
+
+def oracle_tpch_q22() -> str:
+    return f"""
+WITH key_cust AS (
+  SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_100
+  FROM customer WHERE c_nationkey IN {_Q22_NATIONS}
+), pos AS (
+  SELECT CAST(sum(acctbal_100) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM key_cust WHERE acctbal_100 > 0
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+  CAST(sum(acctbal_100) AS BIGINT) AS totacctbal_100
+FROM key_cust, pos
+WHERE acctbal_100 * c > s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
 
@@ -2719,6 +3408,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -2780,6 +3482,19 @@ ORACLES: dict[str, str] = {
     "tpch_q13": oracle_tpch_q13(),
     "tpch_q14": oracle_tpch_q14(),
     "tpch_q18": oracle_tpch_q18(),
+    "tpch_q2": oracle_tpch_q2(),
+    "tpch_q7": oracle_tpch_q7(),
+    "tpch_q8": oracle_tpch_q8(),
+    "tpch_q9": oracle_tpch_q9(),
+    "tpch_q11": oracle_tpch_q11(),
+    "tpch_q12": oracle_tpch_q12(),
+    "tpch_q15": oracle_tpch_q15(),
+    "tpch_q16": oracle_tpch_q16(),
+    "tpch_q17": oracle_tpch_q17(),
+    "tpch_q19": oracle_tpch_q19(),
+    "tpch_q20": oracle_tpch_q20(),
+    "tpch_q21": oracle_tpch_q21(),
+    "tpch_q22": oracle_tpch_q22(),
     "salted_agg_users": oracle_salted_agg_users(),
     "dedup_exact": oracle_dedup_exact(),
     "text_stats": oracle_text_stats(),

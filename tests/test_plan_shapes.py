@@ -222,3 +222,65 @@ def test_tpch_q10_fact_join_not_forced_broadcast(no_auto_broadcast):
     assert joins["l_orderkey"] in ("SortMergeJoin", "ShuffledHashJoin")
     for dim_key in ("o_custkey", "c_nationkey"):
         assert joins[dim_key] == "BroadcastHashJoin", dim_key
+
+
+@pytest.mark.parametrize("qname", ["tpch_q7", "tpch_q8", "tpch_q12"])
+def test_tpch_new_fact_joins_not_forced_broadcast(no_auto_broadcast, qname):
+    """Round-6 TPC-H completion set: lineitem⋈orders is the only fact⋈fact
+    join in q7/q8/q12 and must stay unhinted — with size-based broadcast
+    off it has to degrade to a shuffle strategy (nothing forces a
+    fact-scale broadcast relation onto the driver)."""
+    from grower_spark.driver_queries import QUERIES
+
+    joins = _join_strategies(QUERIES[qname](no_auto_broadcast, SF_SMALL))
+    # the regex captures the left side's key: o_orderkey when orders is left
+    key = "l_orderkey" if "l_orderkey" in joins else "o_orderkey"
+    assert joins[key] in ("SortMergeJoin", "ShuffledHashJoin"), joins
+
+
+def test_tpch_q21_semi_anti_self_joins_unforced(no_auto_broadcast):
+    """Q21's EXISTS/NOT-EXISTS pair must compile to exactly one LeftSemi and
+    one LeftAnti against the fact — both shuffle joins when size-based
+    broadcast is off (the 'other lineitem of the order' side is itself
+    fact-scale, so a forced broadcast would be the q3 hazard again)."""
+    from grower_spark.driver_queries import q_tpch_q21
+
+    phys = (
+        q_tpch_q21(no_auto_broadcast, SF_SMALL)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "LeftSemi" in phys
+    assert "LeftAnti" in phys
+    semi_anti = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*(?:LeftSemi|LeftAnti)", phys)
+    for node in semi_anti:
+        assert node != "BroadcastHashJoin", phys
+
+
+def test_tpch_q19_single_join_with_disjunctive_filter(spark):
+    """Q19's OR-of-ANDs must NOT multiply joins: one equi hash join on
+    partkey carrying the disjunction as a post-probe condition (no
+    BroadcastNestedLoopJoin / CartesianProduct fallback)."""
+    from grower_spark.driver_queries import q_tpch_q19
+    from tools.explain_all import plan_stats
+
+    df = q_tpch_q19(spark, SF_SMALL)
+    phys = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert phys.count("Join") >= 1
+    stats = plan_stats(df)
+    assert stats["codegen_stages"] >= 1, stats
+
+
+def test_tpch_q11_scalar_total_is_single_row_side(spark):
+    """Q11's grand-total compare must reach the per-part rows as a 1-row
+    broadcast (nested-loop over one row is free), never by re-shuffling
+    the per-part aggregate."""
+    from grower_spark.driver_queries import q_tpch_q11
+
+    phys = (
+        q_tpch_q11(spark, SF_SMALL)._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in phys
