@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     ("tpch_q20", "collect"),
     ("tpch_q21", "collect"),
     ("tpch_q22", "collect"),
+    ("tokenize_ids", "noop"),
+    ("shard_shuffle", "noop"),
 ]
 
 

@@ -3383,6 +3383,71 @@ GROUP BY c_nationkey
 """
 
 
+_VOCAB_K = 64
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization to id sequences: top-64 vocabulary fitted on the
+    corpus (one bounded collect — model, not data), then a zero-shuffle
+    per-row encode against the vocab map literal.  Unknown tokens → id 0.
+    The id sequence is emitted comma-joined so the contract stays flat."""
+    from grower_spark.operators.text import collect_vocab, tokenize_to_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = collect_vocab(docs, k=_VOCAB_K)
+    return tokenize_to_ids(docs, vocab)
+
+
+def oracle_tokenize_ids() -> str:
+    return f"""
+WITH exploded AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT) AS id
+  FROM exploded GROUP BY tok
+  ORDER BY count(*) DESC, tok LIMIT {_VOCAB_K}
+), toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS ord,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_ids,
+  CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+  string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), ',' ORDER BY t.ord) AS ids_csv
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
+_N_SHARDS = 16
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shard-shuffle: hash-keyed shard assignment plus
+    in-shard rank — the reproducible example-order randomization before a
+    training write.  One shuffle (per-shard rank window)."""
+    from grower_spark.operators.sampling import shard_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_shuffle(docs, "doc_id", _N_SHARDS, salt="s42").select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+def oracle_shard_shuffle() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+FROM (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -3459,6 +3524,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
     "corpus_vocab": q_corpus_vocab,
+    "tokenize_ids": q_tokenize_ids,
+    "shard_shuffle": q_shard_shuffle,
 }
 
 ORACLES: dict[str, str] = {
@@ -3535,4 +3602,6 @@ ORACLES: dict[str, str] = {
     "semdedup": oracle_semdedup(),
     "pii_redact": oracle_pii_redact(),
     "corpus_vocab": oracle_corpus_vocab(),
+    "tokenize_ids": oracle_tokenize_ids(),
+    "shard_shuffle": oracle_shard_shuffle(),
 }

@@ -82,3 +82,32 @@ def split_column(key: Column, holdout_permille: int, salt: str = "",
     return F.when(
         hash_permille(key, salt) < F.lit(holdout_permille), F.lit(holdout)
     ).otherwise(F.lit(train))
+
+
+def shard_shuffle(df: DataFrame, key_col: str, n_shards: int,
+                  salt: str = "") -> DataFrame:
+    """Deterministic global shuffle into training shards — the "randomize
+    example order" step before writing tokenized data, reproducible under
+    replay because the permutation is a pure function of (key, salt).
+
+    Each row gets ``shard`` = hash % n_shards and ``shard_pos`` = its rank
+    inside the shard by (hash, key) — the key tie-break makes the order
+    total even on a 60-bit hash collision.  One shuffle (the per-shard
+    rank window).  At cluster scale, follow with
+    ``.repartition(n_shards, "shard")`` + ``sortWithinPartitions`` and a
+    partitioned write so each shard lands as one sorted file; the rank
+    column itself is only needed when downstream wants explicit positions.
+    Shards are hash-uniform (no skew), so per-shard sorts are balanced.
+    """
+    from pyspark.sql import Window
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = md5_60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    out = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key_col))
+    return out.withColumn(
+        "shard_pos", F.row_number().over(w).cast("long")
+    ).drop("_h")

@@ -318,3 +318,76 @@ def rolling_fingerprint61(df: DataFrame, text_col: str = "text",
     hashes = F.transform(toks, lambda t: md5_60(t).bitwiseAND(F.lit(_LIMB31 - 1)))
     rolled = F.aggregate(hashes, F.lit(0).cast("long"), _roll61_step)
     return df.withColumn(out_col, rolled)
+
+
+def collect_vocab(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 256) -> list[tuple[str, int]]:
+    """Materialize the top-k vocabulary as (token, id) pairs, id = 1..k by
+    (tf desc, token asc) rank.  k is bounded by contract (a tokenizer
+    vocabulary is 32k-256k entries — driver-collectable at any corpus
+    size, same precedent as IVF centroids / LSH planes: the *corpus* is
+    never collected, only the fitted model)."""
+    rows = vocab_topk(df, id_col=id_col, text_col=text_col, k=k).select(
+        "token", "rank"
+    ).collect()
+    return [(r.token, r.rank) for r in rows]
+
+
+def tokenize_to_ids(df: DataFrame, vocab: list[tuple[str, int]],
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Encode documents to token-id sequences against a fixed vocabulary —
+    the step between text cleaning and sequence packing in a training
+    pipeline.  Unknown tokens map to id 0.
+
+    The vocabulary enters the plan as a map literal, so the encode itself
+    is a per-row JVM expression: zero shuffles, scan-speed, and the map
+    lookup is O(1) per token.  This is the right shape up to ~256k vocab
+    entries (a few MB of literal, shipped once per executor inside the
+    plan); beyond that, explode + broadcast-join the vocab table and
+    reassemble with collect_list over a position sort — one shuffle,
+    unbounded vocab (see tests for the equivalence pin).
+
+    Output: (id_col, n_ids, n_unk, ids_csv) — the id sequence is emitted
+    as a comma-joined string so the driver contract stays flat-scalar.
+    """
+    vmap = F.map_from_arrays(
+        F.array(*[F.lit(t) for t, _ in vocab]),
+        F.array(*[F.lit(i).cast("long") for _, i in vocab]),
+    )
+    toks = _tokens(F.col(text_col))
+    ids = F.transform(toks, lambda t: F.coalesce(F.element_at(vmap, t), F.lit(0).cast("long")))
+    return df.select(
+        id_col,
+        F.size(ids).cast("long").alias("n_ids"),
+        F.size(F.filter(ids, lambda i: i == 0)).cast("long").alias("n_unk"),
+        F.array_join(F.transform(ids, lambda i: i.cast("string")), ",").alias("ids_csv"),
+    )
+
+
+def tokenize_to_ids_join(df: DataFrame, vocab_df: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Unbounded-vocabulary variant of tokenize_to_ids: posexplode the
+    tokens, broadcast-join the (token, id) vocab table, and reassemble the
+    sequence ordered by position.  One shuffle (the reassembly groupBy);
+    use when the vocab is too large for a plan literal.  vocab_df must
+    have columns (token, rank)."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(_tokens(F.col(text_col))).alias("_pos", "_tok")
+    )
+    joined = ex.join(F.broadcast(vocab_df), ex._tok == vocab_df.token, "left").select(
+        id_col,
+        "_pos",
+        F.coalesce(F.col("rank").cast("long"), F.lit(0).cast("long")).alias("_id"),
+    )
+    # aggregate ONCE, derive the three outputs from the materialized array
+    # (three agg expressions would each build their own collect_list)
+    agg = joined.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("_pos", "_id"))).alias("_seq")
+    )
+    seq = F.col("_seq")
+    return agg.select(
+        id_col,
+        F.size(seq).cast("long").alias("n_ids"),
+        F.size(F.filter(seq, lambda s: s._id == 0)).cast("long").alias("n_unk"),
+        F.array_join(F.transform(seq, lambda s: s._id.cast("string")), ",").alias("ids_csv"),
+    )

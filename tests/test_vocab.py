@@ -36,3 +36,60 @@ def test_vocab_no_expand_in_plan(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     plan = vocab_topk(df)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan  # two-phase agg, not count+count_distinct
+
+
+def test_tokenize_to_ids_basic(spark):
+    from grower_spark.operators.text import tokenize_to_ids
+
+    df = spark.createDataFrame(
+        [(1, "a b z a"), (2, "z z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in tokenize_to_ids(df, [("a", 1), ("b", 2)]).collect()}
+    assert out[1].ids_csv == "1,2,0,1"
+    assert (out[1].n_ids, out[1].n_unk) == (4, 1)
+    assert out[2].ids_csv == "0,0"
+    assert (out[2].n_ids, out[2].n_unk) == (2, 2)
+
+
+def test_tokenize_join_variant_matches_literal(spark):
+    """The unbounded-vocab join path must reproduce the map-literal path
+    bit-for-bit on the real corpus (same contract, different plan)."""
+    from grower_spark.operators.text import (
+        collect_vocab,
+        tokenize_to_ids,
+        tokenize_to_ids_join,
+        vocab_topk,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    vocab = collect_vocab(docs, k=32)
+    lit_rows = sorted(
+        (r.doc_id, r.n_ids, r.n_unk, r.ids_csv)
+        for r in tokenize_to_ids(docs, vocab).collect()
+    )
+    vdf = vocab_topk(docs, k=32).select("token", "rank")
+    join_rows = sorted(
+        (r.doc_id, r.n_ids, r.n_unk, r.ids_csv)
+        for r in tokenize_to_ids_join(docs, vdf).collect()
+    )
+    assert lit_rows == join_rows
+
+
+def test_shard_shuffle_deterministic_and_dense(spark):
+    from grower_spark.operators.sampling import shard_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = shard_shuffle(df, "doc_id", 8, salt="t").collect()
+    again = shard_shuffle(df, "doc_id", 8, salt="t").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # replay-stable
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, positions in by_shard.items():
+        # ranks are dense 1..n within every shard
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+    # a different salt produces a different permutation
+    other = shard_shuffle(df, "doc_id", 8, salt="u").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
