@@ -115,3 +115,86 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- transformWithState (Spark 4 native stateful API) -----------------------
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_centis", T.LongType()),
+    ]
+)
+
+
+def _make_profile_processor(ttl_ms: int | None):
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningProfileProcessor(StatefulProcessor):
+        """Per-user running profile (event count + cent-scaled value sum).
+
+        Spark-4 ``transformWithState`` processor: typed ValueState handle,
+        optional state TTL (idle keys age out of the store — the unbounded-
+        key-cardinality guard applyInPandasWithState lacks), one emitted
+        row per key per batch that saw the key.  Cent-scaling keeps the
+        running sum an exact bigint under any accumulation order.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n LONG, total_centis LONG", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get()
+            n, total = (prev[0], prev[1]) if prev is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += int(pdf["value_centis"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value_centis": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningProfileProcessor()
+
+
+def running_profile(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Streaming per-user running totals via ``transformWithStateInPandas``.
+
+    ``events`` needs ``user_id`` and ``value`` (double); emits the updated
+    (n_events, sum_value_centis) for each user touched by the batch.
+    Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — transformWithState
+    is implemented only there; the caller's session must set it before the
+    query starts.  State per key is O(1); the only shuffle is on user_id.
+
+    Env note (2026-08-14 r6): PySpark's transformWithState driver worker
+    speaks protobuf to the JVM state server, and ``google.protobuf`` is
+    not installed in this container (``ModuleNotFoundError: google``), so
+    the query crashes at init here — the operator is correct Spark-4 API
+    usage and the e2e test auto-skips until protobuf appears (same class
+    of env block as PIL and the Kafka connector jar).  The
+    applyInPandasWithState sessionizer above is the runnable stateful
+    path in this environment.
+    """
+    prepared = events.withColumn(
+        "value_centis", F.round(F.col("value") * 100).cast("long")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_profile_processor(ttl_ms),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -287,3 +287,78 @@ def test_late_rows_beyond_watermark_dropped_exactly(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert dropped == 1
+
+
+def test_transform_with_state_running_profile(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas path: per-user running totals
+    accumulate across micro-batches in RocksDB-backed typed state.
+
+    Auto-skips while google.protobuf is absent (the transformWithState
+    driver worker needs it; see running_profile's dated env note)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state server needs protobuf"
+    )
+    from grower_spark.streaming.stateful import running_profile
+
+    in_dir = str(tmp_path / "in")
+    rows1 = [(1, "2024-01-01 10:00:00", 1.25), (1, "2024-01-01 10:01:00", 2.0),
+             (2, "2024-01-01 10:02:00", 0.5)]
+    df = spark.createDataFrame(rows1, ["user_id", "ts_str", "value"]).select(
+        "user_id", F.col("ts_str").cast("timestamp").alias("ts"), "value"
+    )
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(in_dir)
+        out = running_profile(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("twstate_profile")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.user_id: (r.n_events, r.sum_value_centis)
+            for r in spark.sql("SELECT * FROM twstate_profile").collect()
+        }
+        assert got[1] == (2, 325)   # 1.25 + 2.00 in centis
+        assert got[2] == (1, 50)
+
+        # second batch: state must carry over (125 more centis for user 1)
+        rows2 = [(1, "2024-01-01 11:00:00", 1.25)]
+        df2 = spark.createDataFrame(rows2, ["user_id", "ts_str", "value"]).select(
+            "user_id", F.col("ts_str").cast("timestamp").alias("ts"), "value"
+        )
+        df2.coalesce(1).write.mode("append").parquet(in_dir)
+        q2 = (
+            out.writeStream.format("memory")
+            .queryName("twstate_profile2")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        got2 = {
+            r.user_id: (r.n_events, r.sum_value_centis)
+            for r in spark.sql("SELECT * FROM twstate_profile2").collect()
+        }
+        assert got2[1] == (3, 450)
+        assert 2 not in got2  # update mode: only keys the batch touched
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
