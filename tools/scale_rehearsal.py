@@ -255,6 +255,28 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
         docs = spark.read.parquet(path)
         n_docs = docs.count()
         results[f"x{factor}"] = {"n_docs": n_docs, "ops": {}}
+        # opt-in legs (named via --ops only): the r6 training-prep operators.
+        # tokenize fits the vocab per factor OUTSIDE the timed loop — the
+        # timed op is the encode, the fit is the model step.
+        # Both legs put the op's output on the row-count path (a filter over
+        # it): the harness materializes with .count(), under which Catalyst
+        # column-prunes anything count doesn't need — an unreferenced
+        # window/encode disappears entirely (measured: 0 shuffle bytes,
+        # flat walls).  A filter can't be pruned, so the encode / the rank
+        # window actually runs.
+        if only and "tokenize_ids" in only:
+            from grower_spark.operators.text import collect_vocab, tokenize_to_ids
+
+            vocab = collect_vocab(docs, k=256)
+            ops["tokenize_ids"] = lambda d, v=vocab: tokenize_to_ids(d, v).where(
+                F.length("ids_csv") >= 0
+            )
+        if only and "shard_shuffle" in only:
+            from grower_spark.operators.sampling import shard_shuffle
+
+            ops["shard_shuffle"] = lambda d: shard_shuffle(
+                d.select("doc_id"), "doc_id", 64, salt="sr"
+            ).where(F.col("shard_pos") >= 1)
         for name, mk in ops.items():
             mk(docs).count()  # warmup discarded (JIT + file listing)
             wall, sread, swrite, rows = [], [], [], 0
