@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     ("tpch_q22", "collect"),
     ("tokenize_ids", "noop"),
     ("shard_shuffle", "noop"),
+    ("dedup_minhash_incremental", "noop"),
 ]
 
 

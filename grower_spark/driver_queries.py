@@ -3383,6 +3383,40 @@ GROUP BY c_nationkey
 """
 
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: the corpus split into an 'already ingested'
+    side (doc_id % 3 != 0, persisted as a band index) and a 'new batch'
+    (doc_id % 3 == 0); the incremental emitter produces exactly the batch
+    run's pairs that touch a new doc, without re-pairing old↔old.  The
+    oracle runs the full banded-LSH join and applies the same restriction."""
+    from grower_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    index = minhash_band_index(
+        old, num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N, hash_fn="md5",
+    )
+    return minhash_lsh_pairs_incremental(
+        new, index, num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N, hash_fn="md5",
+    )
+
+
+def oracle_dedup_minhash_incremental() -> str:
+    base = oracle_dedup_minhash_lsh().rstrip()
+    assert base.endswith("GROUP BY a.doc_id, b.doc_id")
+    return base.replace(
+        "GROUP BY a.doc_id, b.doc_id",
+        "   AND (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)\n"
+        "GROUP BY a.doc_id, b.doc_id",
+    )
+
+
 _VOCAB_K = 64
 
 
@@ -3526,6 +3560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab": q_corpus_vocab,
     "tokenize_ids": q_tokenize_ids,
     "shard_shuffle": q_shard_shuffle,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -3604,4 +3639,5 @@ ORACLES: dict[str, str] = {
     "corpus_vocab": oracle_corpus_vocab(),
     "tokenize_ids": oracle_tokenize_ids(),
     "shard_shuffle": oracle_shard_shuffle(),
+    "dedup_minhash_incremental": oracle_dedup_minhash_incremental(),
 }

@@ -137,6 +137,24 @@ def minhash_signature(
     return df.withColumn("sig", sig).drop("_bh")
 
 
+def _band_bucket_cols(num_perm: int, bands: int) -> list[Column]:
+    """One bucket-string column per band: band id + that band's signature
+    slots, concatenated.  Shared by the batch pair emitter and the
+    persistable band index so both derive identical bucket keys."""
+    rows_per_band = num_perm // bands
+    return [
+        F.concat_ws(
+            "_",
+            F.lit(str(b)),
+            *[
+                F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                for r in range(rows_per_band)
+            ],
+        ).alias("bucket")
+        for b in range(bands)
+    ]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -162,22 +180,12 @@ def minhash_lsh_pairs(
     at corpus scale set it to a few thousand; ``None`` keeps exact
     all-collisions semantics for oracle checks.
     """
-    rows_per_band = num_perm // bands
     sigs = minhash_signature(df, text_col, num_perm, shingle_n, hash_fn).select(
         F.col(id_col).alias("_id"), "sig"
     )
-    band_cols = [
-        F.concat_ws(
-            "_",
-            F.lit(str(b)),
-            *[
-                F.col("sig").getItem(b * rows_per_band + r).cast("string")
-                for r in range(rows_per_band)
-            ],
-        ).alias("bucket")
-        for b in range(bands)
-    ]
-    buckets = sigs.select("_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    buckets = sigs.select(
+        "_id", F.explode(F.array(*_band_bucket_cols(num_perm, bands))).alias("bucket")
+    )
     postings = (
         buckets.groupBy("bucket")
         .agg(F.array_sort(F.collect_list("_id")).alias("ds"))
@@ -203,6 +211,85 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, bucket) band-bucket index of a corpus — the persistable state
+    for INCREMENTAL dedup: write this once (partitioned/bucketed by
+    ``bucket`` at scale), then dedup each new ingest batch against it with
+    minhash_lsh_pairs_incremental instead of re-pairing the whole corpus.
+    Map-side only (signature + band explode), no shuffle."""
+    sigs = minhash_signature(df, text_col, num_perm, shingle_n, hash_fn).select(
+        F.col(id_col), "sig"
+    )
+    return sigs.select(
+        id_col, F.explode(F.array(*_band_bucket_cols(num_perm, bands))).alias("bucket")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+    max_bucket_width: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs for a NEW ingest batch against an existing
+    corpus: new↔old via one equi-join on the stored band index plus
+    new↔new via the batch emitter — old↔old pairs are never recomputed,
+    so per-batch work is O(new batch + bucket collisions), not O(corpus²).
+    This is the continuous-ingest shape: at 100 TB the corpus index is a
+    bucket-partitioned table and each batch's join prunes to the buckets
+    the batch actually touches.
+
+    Contract: ``index_df`` is ``minhash_band_index`` output (same
+    num_perm/bands/shingle/hash params) and its ids are disjoint from the
+    batch ids — the two pair sets are then disjoint and the result equals
+    ``minhash_lsh_pairs(old ∪ new)`` restricted to pairs touching a new
+    doc (pinned by test_dedup_incremental).  ``max_bucket_width`` drops
+    degenerate buckets on BOTH sides (old side needs a width count — one
+    extra aggregation on the index); batch-vs-incremental equality holds
+    exactly when the cap is None.
+    """
+    new_b = minhash_band_index(
+        new_df, id_col, text_col, num_perm, bands, shingle_n, hash_fn
+    ).select(F.col(id_col).alias("_nid"), "bucket")
+    old_b = index_df.select(F.col(id_col).alias("_oid"), "bucket")
+    if max_bucket_width is not None:
+        wide = (
+            old_b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .where(F.col("_w") > max_bucket_width)
+            .select("bucket")
+        )
+        old_b = old_b.join(wide, "bucket", "left_anti")
+    new_old = (
+        new_b.join(old_b, "bucket")
+        .select(
+            F.least("_nid", "_oid").alias("id_a"),
+            F.greatest("_nid", "_oid").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    new_new = minhash_lsh_pairs(
+        new_df, id_col, text_col, num_perm, bands, shingle_n, hash_fn,
+        max_bucket_width,
+    )
+    # disjoint by the id-disjointness contract: plain union, no re-group
+    return new_old.unionByName(new_new)
 
 
 def duplicate_clusters_star(
