@@ -37,3 +37,63 @@ def test_keep_drop_composition(spark):
     assert 3 in dropped and dropped[3][1] == "near-dup" and dropped[3][0] == 0
     assert set(kept) | set(dropped) == {0, 1, 2, 3, 4}
     assert set(kept) & set(dropped) == set()
+
+
+def test_append_keep_drop_incremental(spark, tmp_path):
+    """Continuous-ingest dedup: append batches against persisted state —
+    all four drop reasons exercised, and batch 2 is deduped against
+    batch 1's survivors (the state update), not just the initial corpus."""
+    from tools.dedup_corpus import append_keep_drop, write_dedup_state
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    corpus = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, base + " ending"),
+    ], "doc_id long, text string")
+    state = str(tmp_path / "state")
+    write_dedup_state(corpus, state)
+
+    batch1 = spark.createDataFrame([
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11, "brand new content eleven twelve thirteen fourteen fifteen"),
+        (12, "brand new content eleven twelve thirteen fourteen fifteen"),
+        (13, base + " changed"),
+        (14, " ".join(f"z{i}" for i in range(40)) + " endone"),
+        (15, " ".join(f"z{i}" for i in range(40)) + " endtwo"),
+    ], "doc_id long, text string")
+    keep, drops = append_keep_drop(spark, batch1, state, min_shared_bands=1)
+    assert sorted(r.doc_id for r in keep.collect()) == [11, 14]
+    assert sorted((r.doc_id, r.kept_id, r.reason) for r in drops.collect()) == [
+        (10, 1, "exact-vs-corpus"),
+        (12, 11, "exact"),
+        (13, 2, "near-dup-vs-corpus"),
+        (15, 14, "near-dup"),
+    ]
+
+    batch2 = spark.createDataFrame(
+        [(20, "brand new content eleven twelve thirteen fourteen fifteen")],
+        "doc_id long, text string",
+    )
+    keep2, drops2 = append_keep_drop(spark, batch2, state, min_shared_bands=1)
+    assert [r.doc_id for r in keep2.collect()] == []
+    assert [(r.doc_id, r.kept_id, r.reason) for r in drops2.collect()] == [
+        (20, 11, "exact-vs-corpus")
+    ]
+
+
+def test_append_without_state_update_leaves_state_alone(spark, tmp_path):
+    from tools.dedup_corpus import append_keep_drop, write_dedup_state
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "state")
+    write_dedup_state(corpus, state)
+    batch = spark.createDataFrame(
+        [(10, "completely different content here")], "doc_id long, text string"
+    )
+    keep, _ = append_keep_drop(spark, batch, state, update_state=False)
+    assert [r.doc_id for r in keep.collect()] == [10]
+    # state unchanged: the same batch appended again still survives
+    keep2, _ = append_keep_drop(spark, batch, state, update_state=False)
+    assert [r.doc_id for r in keep2.collect()] == [10]

@@ -75,6 +75,147 @@ def build_keep_drop(docs, id_col: str = "doc_id", text_col: str = "text",
     return keep, drops
 
 
+def write_dedup_state(docs_kept, state_dir: str, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 16,
+                      bands: int = 4, mode: str = "overwrite") -> None:
+    """Persist the dedup state of a (kept) corpus for later appends:
+
+        <state>/exact_hashes/  (h60, keep_id)  canonical-form content hash
+        <state>/band_index/    (doc_id, bucket) MinHash band buckets
+
+    Both derive from the NORMALIZED text, matching build_keep_drop.  At
+    100 TB, bucket-partition band_index on ``bucket`` so an append's join
+    prunes to touched buckets; here it's plain parquet.  ``mode="append"``
+    is what append_keep_drop uses to fold a new batch's survivors in.
+    """
+    from grower_spark.functions.hashing import md5_60
+    from grower_spark.operators.dedup import minhash_band_index
+    from grower_spark.operators.text import normalize_text
+
+    norm = normalize_text(docs_kept, text_col=text_col)
+    hashes = norm.select(
+        md5_60(F.col("text_norm")).alias("h60"), F.col(id_col).alias("keep_id")
+    ).dropDuplicates(["h60"])
+    hashes.write.mode(mode).parquet(os.path.join(state_dir, "exact_hashes"))
+    index = minhash_band_index(
+        norm, id_col=id_col, text_col="text_norm", num_perm=num_perm, bands=bands
+    )
+    index.write.mode(mode).parquet(os.path.join(state_dir, "band_index"))
+
+
+def append_keep_drop(spark, new_docs, state_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text", num_perm: int = 16,
+                     bands: int = 4, min_shared_bands: int = 2,
+                     max_bucket_width: int = 2000, update_state: bool = True):
+    """Dedup a NEW ingest batch against the persisted corpus state —
+    old↔old work never recurs, per-batch cost is O(batch + collisions).
+
+    Returns (keep_df[doc_id], drops_df[doc_id, kept_id, reason]); reasons:
+    ``exact`` (in-batch), ``exact-vs-corpus``, ``near-dup`` (in-batch
+    cluster), ``near-dup-vs-corpus``.  Policy note vs a monolithic rerun:
+    corpus matches are dropped first and clustering runs among the
+    *remaining* batch docs, so a batch doc chained to the corpus only
+    through another (already dropped) batch doc survives — transitive
+    chains across batch boundaries resolve per-batch, the standard
+    trade of incremental dedup.  With ``update_state`` the surviving
+    batch docs' hashes and band buckets are appended to the state, so
+    the next batch dedups against old ∪ this batch.
+    """
+    from grower_spark.functions.hashing import md5_60
+    from grower_spark.operators.dedup import (
+        duplicate_clusters,
+        exact_dedup,
+        minhash_lsh_pairs_incremental,
+    )
+    from grower_spark.operators.text import normalize_text
+
+    hashes = spark.read.parquet(os.path.join(state_dir, "exact_hashes"))
+    index = spark.read.parquet(os.path.join(state_dir, "band_index"))
+
+    norm = normalize_text(new_docs, text_col=text_col).cache()
+    keyed = norm.select(F.col(id_col), md5_60(F.col("text_norm")).alias("h60"))
+
+    # 1. in-batch exact
+    exact = exact_dedup(norm, text_col="text_norm", id_col=id_col)
+    exact_map = keyed.join(
+        exact.select(F.col("text_h60").alias("h60"), "keep_id"), "h60"
+    ).select(id_col, "h60", "keep_id")
+    exact_drops = exact_map.where(F.col(id_col) != F.col("keep_id")).select(
+        F.col(id_col), F.col("keep_id").alias("kept_id"),
+        F.lit("exact").alias("reason"),
+    )
+    survivors = exact_map.where(F.col(id_col) == F.col("keep_id")).select(
+        id_col, "h60"
+    )
+
+    # 2. exact vs corpus (hash join against the stored hashes)
+    corpus_exact = survivors.join(
+        hashes.select("h60", F.col("keep_id").alias("_cid")), "h60"
+    ).select(
+        F.col(id_col), F.col("_cid").alias("kept_id"),
+        F.lit("exact-vs-corpus").alias("reason"),
+    )
+    pool_ids = survivors.select(id_col).join(
+        corpus_exact.select(id_col), id_col, "left_anti"
+    )
+    pool = norm.join(pool_ids, id_col)
+
+    # 3. near-dup, incremental: one join against the stored band index
+    pairs = minhash_lsh_pairs_incremental(
+        pool, index, id_col=id_col, text_col="text_norm", num_perm=num_perm,
+        bands=bands, max_bucket_width=max_bucket_width,
+    ).where(F.col("n_bands") >= min_shared_bands)
+    batch_ids = pool.select(F.col(id_col).alias("_bid"))
+    # classify each pair side: a pair is vs-corpus when one id is not in
+    # the batch
+    p = (
+        pairs.join(batch_ids, pairs.id_a == F.col("_bid"), "left")
+        .withColumnRenamed("_bid", "_a_in")
+        .join(batch_ids, pairs.id_b == F.col("_bid"), "left")
+        .withColumnRenamed("_bid", "_b_in")
+    )
+    vs_corpus = p.where(F.col("_a_in").isNull() | F.col("_b_in").isNull()).select(
+        F.when(F.col("_a_in").isNull(), F.col("id_b")).otherwise(F.col("id_a")).alias(id_col),
+        F.when(F.col("_a_in").isNull(), F.col("id_a")).otherwise(F.col("id_b")).alias("_old"),
+    )
+    near_corpus_drops = vs_corpus.groupBy(id_col).agg(
+        F.min("_old").alias("kept_id")
+    ).select(id_col, "kept_id", F.lit("near-dup-vs-corpus").alias("reason"))
+
+    # 4. in-batch near-dup clusters among docs NOT already dropped
+    in_batch_pairs = p.where(
+        F.col("_a_in").isNotNull() & F.col("_b_in").isNotNull()
+    ).select("id_a", "id_b")
+    dropped_so_far = near_corpus_drops.select(id_col)
+    in_batch_pairs = (
+        in_batch_pairs.join(
+            dropped_so_far, in_batch_pairs.id_a == dropped_so_far[id_col], "left_anti"
+        ).join(
+            dropped_so_far, F.col("id_b") == dropped_so_far[id_col], "left_anti"
+        )
+    )
+    clusters = duplicate_clusters(in_batch_pairs, id_a="id_a", id_b="id_b")
+    near_drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("kept_id"),
+        F.lit("near-dup").alias("reason"),
+    )
+
+    drops = (
+        exact_drops.unionByName(corpus_exact)
+        .unionByName(near_corpus_drops)
+        .unionByName(near_drops)
+    )
+    keep = new_docs.select(id_col).join(drops.select(id_col), id_col, "left_anti")
+
+    if update_state:
+        kept_docs = new_docs.join(keep, id_col)
+        write_dedup_state(
+            kept_docs, state_dir, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, bands=bands, mode="append",
+        )
+    return keep, drops
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
@@ -83,18 +224,38 @@ def main() -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--threshold-bands", type=int, default=2,
                     help="min shared LSH bands to call a near-dup")
+    ap.add_argument("--state-dir", default=None,
+                    help="persist/consume dedup state (exact hashes + band "
+                         "index) for incremental appends")
+    ap.add_argument("--append", action="store_true",
+                    help="treat input as a NEW batch and dedup it against "
+                         "--state-dir instead of rebuilding from scratch")
     args = ap.parse_args()
+    if args.append and not args.state_dir:
+        ap.error("--append requires --state-dir")
 
     from grower_spark.session import get_spark
 
     spark = get_spark("dedup-corpus")
     docs = spark.read.parquet(args.input)
-    keep, drops = build_keep_drop(
-        docs, id_col=args.id_col, text_col=args.text_col,
-        min_shared_bands=args.threshold_bands,
-    )
+    if args.append:
+        keep, drops = append_keep_drop(
+            spark, docs, args.state_dir, id_col=args.id_col,
+            text_col=args.text_col, min_shared_bands=args.threshold_bands,
+        )
+    else:
+        keep, drops = build_keep_drop(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            min_shared_bands=args.threshold_bands,
+        )
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep_list"))
     drops.write.mode("overwrite").parquet(os.path.join(args.out, "drop_list"))
+    if args.state_dir and not args.append:
+        kept_docs = docs.join(keep.select(args.id_col), args.id_col)
+        write_dedup_state(
+            kept_docs, args.state_dir, id_col=args.id_col,
+            text_col=args.text_col,
+        )
     n_in = docs.count()
     n_keep = keep.count()
     print(f"input={n_in} keep={n_keep} dropped={n_in - n_keep}")
