@@ -5,10 +5,13 @@ Design for 100TB media corpora: image/audio/video bytes live in a
 metadata; per-item decode/feature work runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
-The container has no image/audio codecs, so the decode kernel is STUBBED:
-it tries the real library (PIL) and otherwise produces a deterministic
-fake decode derived from the bytes — the Spark-side plumbing (schema,
-batch shape, partitioning) is real and tested either way.
+The container has no image/audio codec libraries; the decode kernel
+degrades honestly: PIL when importable, a REAL pure-stdlib PNG decoder
+(zlib inflate + full scanline unfiltering, `_png_one`) for PNG payloads,
+and a deterministic byte-statistics stub for everything else — the
+Spark-side plumbing (schema, batch shape, partitioning) is identical
+across all three.  Oracle-checked callers pin ``decoder="stub"`` so
+results can't drift with the environment.
 """
 
 from __future__ import annotations
@@ -60,6 +63,81 @@ def _stub_one(b: bytes):
     return ((s % 1024) + 1, (n % 1024) + 1, 3, float((s + n) % 256), "stub")
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# (n_channels, luma weights) per supported IHDR color type, 8-bit only
+_PNG_COLOR_TYPES = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_one(b: bytes):
+    """Pure-stdlib PNG decode (zlib + struct): 8-bit depth, color types
+    greyscale/RGB/grey+alpha/RGBA, non-interlaced — the common case a
+    training corpus's thumbnails actually are.  Real pixels, real
+    unfiltering (all five PNG filter types), no external codec: this is
+    the honest middle ground between the PIL path (env-absent) and the
+    deterministic stub.  Raises ValueError on anything else so callers
+    fall through explicitly rather than get fake numbers."""
+    import struct
+    import zlib
+
+    if not b.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, width, height, channels, idat = len(_PNG_MAGIC), 0, 0, 0, []
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack_from(">I", b, pos), b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_COLOR_TYPES:
+                raise ValueError(f"unsupported PNG (depth={depth}, color={color})")
+            channels = _PNG_COLOR_TYPES[color]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    prev = bytearray(stride)
+    total_luma = 0.0
+    n_px = width * height
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else prev[i] if pb <= pc else c
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        for x in range(0, stride, channels):
+            if channels >= 3:
+                total_luma += (
+                    0.299 * line[x] + 0.587 * line[x + 1] + 0.114 * line[x + 2]
+                )
+            else:  # grey / grey+alpha
+                total_luma += line[x]
+        prev = line
+    return width, height, channels, float(total_luma / max(n_px, 1)), "png"
+
+
 def _pil_one_factory():  # pragma: no cover - PIL absent in this container
     import io
 
@@ -86,15 +164,20 @@ def _decode_batch(batch: pd.DataFrame, decoder: str = "auto") -> pd.DataFrame:
     """
     if decoder == "stub":
         one = _stub_one
+    elif decoder == "png":
+        one = _png_one
     elif decoder == "pil":  # pragma: no cover
         one = _pil_one_factory()
     elif decoder == "auto":
         try:  # pragma: no cover
             one = _pil_one_factory()
         except ImportError:
-            one = _stub_one
+            # no codec library: REAL decode for PNG payloads (pure-stdlib
+            # kernel), deterministic stub for everything else
+            def one(b: bytes):
+                return _png_one(b) if b.startswith(_PNG_MAGIC) else _stub_one(b)
     else:
-        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|pil)")
+        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|png|pil)")
 
     rows = [one(bytes(b)) for b in batch["media_bytes"]]
     out = pd.DataFrame(
