@@ -5,13 +5,14 @@ Design for 100TB media corpora: image/audio/video bytes live in a
 metadata; per-item decode/feature work runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
-The container has no image/audio codec libraries; the decode kernel
-degrades honestly: PIL when importable, a REAL pure-stdlib PNG decoder
-(zlib inflate + full scanline unfiltering, `_png_one`) for PNG payloads,
-and a deterministic byte-statistics stub for everything else — the
-Spark-side plumbing (schema, batch shape, partitioning) is identical
-across all three.  Oracle-checked callers pin ``decoder="stub"`` so
-results can't drift with the environment.
+The container has no image/audio codec libraries; the decode kernels
+degrade honestly: PIL when importable, REAL pure-stdlib decoders for the
+formats the stdlib can handle — PNG (zlib inflate + full scanline
+unfiltering, `_png_one`) and PCM WAV (`wave` module, `_wav_one`) — and a
+deterministic byte-statistics stub for everything else.  The Spark-side
+plumbing (schema, batch shape, partitioning) is identical across all
+paths.  Oracle-checked callers pin ``decoder="stub"`` so results can't
+drift with the environment.
 """
 
 from __future__ import annotations
@@ -353,3 +354,88 @@ def decode_images(df: DataFrame, id_col: str = "doc_id",
             yield _decode_batch(batch, decoder)
 
     return src.mapInPandas(run, DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_milli", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _wav_one(b: bytes):
+    """Real audio decode for PCM WAV via the stdlib ``wave`` module:
+    format metadata plus RMS amplitude (scaled to milli-units of full
+    scale, integer-exact).  8/16/32-bit integer PCM; anything else (float
+    PCM, compressed formats) raises so callers fall through explicitly."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(b)) as w:
+        nch = w.getnchannels()
+        rate = w.getframerate()
+        nframes = w.getnframes()
+        width = w.getsampwidth()
+        frames = w.readframes(nframes)
+    if width == 1:  # unsigned 8-bit
+        samples = [s - 128 for s in frames]
+        full = 128.0
+    elif width == 2:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        full = 32768.0
+    elif width == 4:
+        samples = struct.unpack(f"<{len(frames) // 4}i", frames)
+        full = 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    n = len(samples)
+    rms = (sum(s * s for s in samples) / n) ** 0.5 / full if n else 0.0
+    duration_ms = int(nframes * 1000 // rate) if rate else 0
+    return rate, nch, nframes, duration_ms, int(round(rms * 1000)), "wav"
+
+
+def _audio_stub_one(b: bytes):
+    n = len(b)
+    s = sum(b[:256])
+    return (8000 + s % 40000, 1 + n % 2, n, (n * 1000) // 8000, s % 1000, "stub")
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id",
+                 bin_col: str = "media_bytes",
+                 decoder: str = "auto") -> DataFrame:
+    """Audio feature extraction over opaque bytes: Arrow-batched
+    mapInPandas, same plumbing contract as the image path.  ``"wav"``
+    pins the real stdlib PCM kernel, ``"stub"`` the deterministic fake;
+    ``"auto"`` routes RIFF/WAVE payloads to the real kernel and the rest
+    to the stub.  WAV needs no external codec — the honest real-decode
+    counterpart to the PNG kernel."""
+    if decoder not in ("auto", "wav", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r} (want auto|wav|stub)")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["media_bytes"]):
+                b = bytes(payload)
+                if decoder == "wav" or (
+                    decoder == "auto" and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                ):
+                    rec = _wav_one(b)
+                else:
+                    rec = _audio_stub_one(b)
+                rows.append((int(doc_id),) + rec)
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_channels", "n_frames",
+                         "duration_ms", "rms_milli", "decoder"],
+            )
+
+    return src.mapInPandas(run, AUDIO_SCHEMA)

@@ -121,3 +121,47 @@ def test_auto_decoder_uses_png_kernel_in_spark(spark):
     assert by_id[1].decoder == "png"
     assert (by_id[1].width, by_id[1].height, by_id[1].n_channels) == (5, 4, 3)
     assert by_id[2].decoder == "stub"
+
+
+def _make_wav(rate=16000, nch=1, width=2, n=1000, amp=10000):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        samples = [int(amp * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)]
+        if width == 2:
+            data = b"".join(struct.pack("<h", s) for s in samples for _ in range(nch))
+        else:
+            data = bytes(((s >> 8) + 128) & 0xFF for s in samples for _ in range(nch))
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def test_wav_kernel_features():
+    import math
+
+    from grower_spark.operators.multimodal import _wav_one
+
+    rate, nch, nframes, dur_ms, rms_milli, dec = _wav_one(_make_wav())
+    assert (rate, nch, nframes, dec) == (16000, 1, 1000, "wav")
+    assert dur_ms == 62  # 1000 frames / 16 kHz
+    # a 10000-amplitude sine's RMS ~ 10000/sqrt(2)/32768 ~ 0.2158
+    assert abs(rms_milli - round(10000 / math.sqrt(2) / 32768 * 1000)) <= 2
+
+
+def test_decode_audio_auto_routes_by_magic(spark):
+    from grower_spark.operators.multimodal import decode_audio
+
+    src = spark.createDataFrame(
+        [(1, bytearray(_make_wav(nch=2))), (2, bytearray(b"not audio at all"))],
+        "doc_id long, media_bytes binary",
+    )
+    out = {r.doc_id: r for r in decode_audio(src).collect()}
+    assert out[1].decoder == "wav" and out[1].n_channels == 2
+    assert out[2].decoder == "stub"
