@@ -139,6 +139,42 @@ def _png_one(b: bytes):
     return width, height, channels, float(total_luma / max(n_px, 1)), "png"
 
 
+def _jpeg_meta_one(b: bytes):
+    """JPEG dimensions/channels from the SOF marker — pure stdlib, no
+    pixel decode (that genuinely needs a DCT codec), so ``mean_luma`` is
+    None: real metadata honestly separated from unavailable content."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", b, pos + 2)
+        # SOF0..SOF15 except DHT(C4)/DAC(CC)/JPG(C8) carry the frame header
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", b, pos + 4)
+            return int(width), int(height), int(ncomp), None, "jpeg-meta"
+        pos += 2 + seg_len
+    raise ValueError("JPEG SOF marker not found")
+
+
+def _gif_meta_one(b: bytes):
+    """GIF logical-screen dimensions from the fixed header (stdlib)."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack_from("<HH", b, 6)
+    return int(width), int(height), 3, None, "gif-meta"
+
+
 def _pil_one_factory():  # pragma: no cover - PIL absent in this container
     import io
 
@@ -173,10 +209,17 @@ def _decode_batch(batch: pd.DataFrame, decoder: str = "auto") -> pd.DataFrame:
         try:  # pragma: no cover
             one = _pil_one_factory()
         except ImportError:
-            # no codec library: REAL decode for PNG payloads (pure-stdlib
-            # kernel), deterministic stub for everything else
+            # no codec library: REAL decode for PNG, REAL metadata for
+            # JPEG/GIF (dimensions need no codec; luma stays None),
+            # deterministic stub for everything else
             def one(b: bytes):
-                return _png_one(b) if b.startswith(_PNG_MAGIC) else _stub_one(b)
+                if b.startswith(_PNG_MAGIC):
+                    return _png_one(b)
+                if b[:2] == b"\xff\xd8":
+                    return _jpeg_meta_one(b)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    return _gif_meta_one(b)
+                return _stub_one(b)
     else:
         raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|png|pil)")
 

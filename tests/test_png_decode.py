@@ -165,3 +165,43 @@ def test_decode_audio_auto_routes_by_magic(spark):
     out = {r.doc_id: r for r in decode_audio(src).collect()}
     assert out[1].decoder == "wav" and out[1].n_channels == 2
     assert out[2].decoder == "stub"
+
+
+def test_jpeg_and_gif_meta_kernels():
+    import struct
+
+    from grower_spark.operators.multimodal import _gif_meta_one, _jpeg_meta_one
+
+    # minimal JPEG: SOI + APP0 + a progressive SOF2 frame header
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof = b"\xff\xc2" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 480, 640, 3) + bytes(2)
+    jpeg = b"\xff\xd8" + app0 + sof
+    assert _jpeg_meta_one(jpeg) == (640, 480, 3, None, "jpeg-meta")
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(3)
+    assert _gif_meta_one(gif) == (320, 200, 3, None, "gif-meta")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _jpeg_meta_one(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
+def test_auto_decoder_routes_jpeg_gif(spark):
+    import math
+    import struct
+
+    from grower_spark.operators.multimodal import DECODED_SCHEMA, _decode_batch
+
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 2, 3, 1) + bytes(2)
+    jpeg = b"\xff\xd8" + sof
+    gif = b"GIF87a" + struct.pack("<HH", 7, 5) + bytes(3)
+    src = spark.createDataFrame(
+        [(1, bytearray(jpeg)), (2, bytearray(gif))],
+        "doc_id long, media_bytes binary",
+    )
+    out = {r.doc_id: r for r in src.mapInPandas(
+        lambda it: (_decode_batch(b, "auto") for b in it), DECODED_SCHEMA
+    ).collect()}
+    assert (out[1].width, out[1].height, out[1].decoder) == (3, 2, "jpeg-meta")
+    assert out[1].mean_luma is None or math.isnan(out[1].mean_luma)
+    assert (out[2].width, out[2].height, out[2].decoder) == (7, 5, "gif-meta")
