@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     ("tokenize_ids", "noop"),
     ("shard_shuffle", "noop"),
     ("dedup_minhash_incremental", "noop"),
+    ("events_outliers", "noop"),
 ]
 
 

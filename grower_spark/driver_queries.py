@@ -3417,6 +3417,51 @@ def oracle_dedup_minhash_incremental() -> str:
     )
 
 
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier counts: events more than 2 population-sigmas from
+    the user's mean value.  The whole comparison is integer-exact —
+    values in cents, and |v-mean| > 2*sigma cross-multiplied to
+    (v*n - sum)^2 > 4*(n*sumsq - sum^2) in DECIMAL(38,0) so no engine
+    ever divides or touches a float (sum-of-squares of cent values
+    overflows int64 at large n; decimal128 does not).  Plan: one
+    two-phase agg on user_id, stats joined back (broadcast — user
+    cardinality is the small side), one more agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("decimal(38,0)").alias("vc")
+    )
+    stats = ev.groupBy(F.col("user_id").alias("s_uid")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vc").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).cast("decimal(38,0)").alias("ss"),
+    )
+    j = ev.join(F.broadcast(stats), ev.user_id == F.col("s_uid"))
+    dev = F.col("vc") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    is_out = (dev * dev) > (F.lit(4).cast("decimal(38,0)") * var_n2)
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    )
+
+
+def oracle_events_outliers() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS vc
+  FROM events
+), stats AS (
+  SELECT user_id AS s_uid, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(vc) AS HUGEINT) AS s, CAST(sum(vc * vc) AS HUGEINT) AS ss
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN (vc * n - s) * (vc * n - s) > 4 * (n * ss - s * s)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM ev JOIN stats ON user_id = s_uid
+GROUP BY user_id
+"""
+
+
 _VOCAB_K = 64
 
 
@@ -3561,6 +3606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_ids": q_tokenize_ids,
     "shard_shuffle": q_shard_shuffle,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "events_outliers": q_events_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -3640,4 +3686,5 @@ ORACLES: dict[str, str] = {
     "tokenize_ids": oracle_tokenize_ids(),
     "shard_shuffle": oracle_shard_shuffle(),
     "dedup_minhash_incremental": oracle_dedup_minhash_incremental(),
+    "events_outliers": oracle_events_outliers(),
 }
