@@ -482,3 +482,109 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id",
             )
 
     return src.mapInPandas(run, AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _mp4_meta_one(b: bytes):
+    """MP4/ISO-BMFF container metadata — pure struct box walking, no
+    codec: duration from ``moov/mvhd`` (timescale-normalized), visual
+    dimensions from the first non-degenerate ``tkhd`` (16.16 fixed
+    point), track count.  Raises on non-MP4 so auto callers fall
+    through."""
+    import struct
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an MP4")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", b, pos)
+            btype = b[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", b, pos + 8)
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError("malformed MP4 box")
+            yield btype, body, pos + size
+            pos += size
+
+    duration_ms, width, height, n_tracks = 0, 0, 0, 0
+    for btype, body, end in walk(0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in walk(body, end):
+            if ctype == b"mvhd":
+                version = b[cbody]
+                if version == 1:
+                    timescale, duration = struct.unpack_from(">IQ", b, cbody + 20)
+                else:
+                    timescale, duration = struct.unpack_from(">II", b, cbody + 12)
+                if timescale:
+                    duration_ms = int(duration * 1000 // timescale)
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, tbody, _tend in walk(cbody, cend):
+                    if ttype == b"tkhd" and not (width or height):
+                        version = b[tbody]
+                        # width sits after fullbox(4) + times/id/dur
+                        # (20 v0 / 32 v1) + reserved+layer+volume (16) +
+                        # matrix (36): offset 76 (v0) / 88 (v1)
+                        off = tbody + (88 if version == 1 else 76)
+                        w_fp, h_fp = struct.unpack_from(">II", b, off)
+                        if w_fp and h_fp:
+                            width, height = w_fp >> 16, h_fp >> 16
+    return duration_ms, width, height, n_tracks, "mp4-meta"
+
+
+def _video_stub_one(b: bytes):
+    n = len(b)
+    s = sum(b[:256])
+    return ((n * 1000) // 30, (s % 1920) + 1, (n % 1080) + 1, 1, "stub")
+
+
+def video_meta(df: DataFrame, id_col: str = "doc_id",
+               bin_col: str = "media_bytes",
+               decoder: str = "auto") -> DataFrame:
+    """Video container metadata over opaque bytes (mapInPandas): real
+    MP4 box parsing when the payload is ISO-BMFF, deterministic stub
+    otherwise — completing the image/audio/video honest-kernel family.
+    Frame extraction genuinely needs a codec; see sample_frames for the
+    byte-stride plumbing stand-in."""
+    if decoder not in ("auto", "mp4", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r} (want auto|mp4|stub)")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["media_bytes"]):
+                b = bytes(payload)
+                if decoder == "mp4" or (
+                    decoder == "auto" and len(b) >= 8 and b[4:8] == b"ftyp"
+                ):
+                    rec = _mp4_meta_one(b)
+                else:
+                    rec = _video_stub_one(b)
+                rows.append((int(doc_id),) + rec)
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "duration_ms", "width", "height",
+                         "n_tracks", "decoder"],
+            )
+
+    return src.mapInPandas(run, VIDEO_SCHEMA)

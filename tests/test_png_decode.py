@@ -205,3 +205,57 @@ def test_auto_decoder_routes_jpeg_gif(spark):
     assert (out[1].width, out[1].height, out[1].decoder) == (3, 2, "jpeg-meta")
     assert out[1].mean_luma is None or math.isnan(out[1].mean_luma)
     assert (out[2].width, out[2].height, out[2].decoder) == (7, 5, "gif-meta")
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _make_mp4(duration_s=7, timescale=1000, w=640, h=360, version=0):
+    import struct
+
+    # tkhd width offset per ISO-BMFF: fullbox(4) + times/id/dur
+    # (20 v0 / 32 v1) + reserved+layer+volume(16) + matrix(36)
+    if version == 1:
+        mvhd = bytes([1, 0, 0, 0]) + bytes(16) + struct.pack(
+            ">IQ", timescale, duration_s * timescale
+        ) + bytes(80)
+        tkhd_head = bytes([1, 0, 0, 0]) + bytes(88 - 4)
+    else:
+        mvhd = bytes(4) + bytes(8) + struct.pack(
+            ">II", timescale, duration_s * timescale
+        ) + bytes(80)
+        tkhd_head = bytes(4) + bytes(76 - 4)
+    tkhd = tkhd_head + struct.pack(">II", w << 16, h << 16)
+    trak = _box(b"trak", _box(b"tkhd", tkhd))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    ftyp = _box(b"ftyp", b"isom" + bytes(8))
+    return ftyp + moov
+
+
+def test_mp4_meta_kernel():
+    from grower_spark.operators.multimodal import _mp4_meta_one
+
+    assert _mp4_meta_one(_make_mp4()) == (7000, 640, 360, 1, "mp4-meta")
+    assert _mp4_meta_one(_make_mp4(duration_s=3, timescale=90000, w=1920,
+                                   h=1080, version=1)) == (
+        3000, 1920, 1080, 1, "mp4-meta"
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _mp4_meta_one(b"RIFF1234WEBP")
+
+
+def test_video_meta_auto_routes(spark):
+    from grower_spark.operators.multimodal import video_meta
+
+    src = spark.createDataFrame(
+        [(1, bytearray(_make_mp4())), (2, bytearray(b"x" * 90))],
+        "doc_id long, media_bytes binary",
+    )
+    out = {r.doc_id: r for r in video_meta(src).collect()}
+    assert (out[1].duration_ms, out[1].width, out[1].height, out[1].decoder) == (
+        7000, 640, 360, "mp4-meta"
+    )
+    assert out[2].decoder == "stub"
