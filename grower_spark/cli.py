@@ -504,12 +504,19 @@ def main(argv: list[str] | None = None) -> int:
                     f"{p}={offsets[p]}" for p in sorted(offsets)
                 )
             else:
-                # precedence mirrors the multi-partition path: an explicit
-                # --start-offset wins over the checkpointed offset
-                if explicit_start or ckpt is None:
+                # precedence mirrors the multi-partition path: explicit
+                # --start-offset, then a --start-offsets entry for this
+                # partition (previously parsed-but-ignored here: pasting
+                # the printed "next offsets 0=N" without --partitions
+                # silently restarted from 0), then the checkpoint
+                if explicit_start:
                     start = default_start
-                else:
+                elif args.partition in starts:
+                    start = starts[args.partition]
+                elif ckpt is not None:
                     start = ckpt.load().get(args.partition, default_start)
+                else:
+                    start = default_start
                 consumer = KafkaWireConsumer(
                     host, port, args.topic, args.partition
                 )

@@ -3462,7 +3462,7 @@ GROUP BY user_id
 """
 
 
-_VOCAB_K = 64
+_TOKENIZE_VOCAB_K = 64
 
 
 def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3473,7 +3473,7 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grower_spark.operators.text import collect_vocab, tokenize_to_ids
 
     docs = load_table(spark, sf_dir, "documents")
-    vocab = collect_vocab(docs, k=_VOCAB_K)
+    vocab = collect_vocab(docs, k=_TOKENIZE_VOCAB_K)
     return tokenize_to_ids(docs, vocab)
 
 
@@ -3484,7 +3484,7 @@ WITH exploded AS (
 ), vocab AS (
   SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT) AS id
   FROM exploded GROUP BY tok
-  ORDER BY count(*) DESC, tok LIMIT {_VOCAB_K}
+  ORDER BY count(*) DESC, tok LIMIT {_TOKENIZE_VOCAB_K}
 ), toks AS (
   SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS ord,
          unnest(string_split(text, ' ')) AS tok

@@ -263,18 +263,24 @@ def minhash_lsh_pairs_incremental(
     extra aggregation on the index); batch-vs-incremental equality holds
     exactly when the cap is None.
     """
+    def _cap_width(b_df):
+        wide = (
+            b_df.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .where(F.col("_w") > max_bucket_width)
+            .select("bucket")
+        )
+        return b_df.join(wide, "bucket", "left_anti")
+
     new_b = minhash_band_index(
         new_df, id_col, text_col, num_perm, bands, shingle_n, hash_fn
     ).select(F.col(id_col).alias("_nid"), "bucket")
     old_b = index_df.select(F.col(id_col).alias("_oid"), "bucket")
     if max_bucket_width is not None:
-        wide = (
-            old_b.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("_w"))
-            .where(F.col("_w") > max_bucket_width)
-            .select("bucket")
-        )
-        old_b = old_b.join(wide, "bucket", "left_anti")
+        # cap BOTH join sides: a degenerate bucket in the batch would
+        # otherwise emit new_width x old_width pairs uncapped
+        old_b = _cap_width(old_b)
+        new_b = _cap_width(new_b)
     new_old = (
         new_b.join(old_b, "bucket")
         .select(

@@ -153,9 +153,16 @@ def _jpeg_meta_one(b: bytes):
             pos += 1
             continue
         marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (spec-permitted)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             pos += 2
             continue
+        if marker in (0xD9, 0xDA):
+            # EOI, or SOS (entropy-coded data follows — marker scanning
+            # is invalid past it); SOF precedes SOS in any decodable file
+            break
         (seg_len,) = struct.unpack_from(">H", b, pos + 2)
         # SOF0..SOF15 except DHT(C4)/DAC(CC)/JPG(C8) carry the frame header
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
@@ -211,14 +218,21 @@ def _decode_batch(batch: pd.DataFrame, decoder: str = "auto") -> pd.DataFrame:
         except ImportError:
             # no codec library: REAL decode for PNG, REAL metadata for
             # JPEG/GIF (dimensions need no codec; luma stays None),
-            # deterministic stub for everything else
+            # deterministic stub for everything else.  A corrupt or
+            # unsupported variant (palette/16-bit PNG, truncated stream)
+            # degrades to the stub instead of failing the task: at corpus
+            # scale one bad file must never abort the job — pin the
+            # specific decoder to get strict errors instead.
             def one(b: bytes):
-                if b.startswith(_PNG_MAGIC):
-                    return _png_one(b)
-                if b[:2] == b"\xff\xd8":
-                    return _jpeg_meta_one(b)
-                if b[:6] in (b"GIF87a", b"GIF89a"):
-                    return _gif_meta_one(b)
+                try:
+                    if b.startswith(_PNG_MAGIC):
+                        return _png_one(b)
+                    if b[:2] == b"\xff\xd8":
+                        return _jpeg_meta_one(b)
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        return _gif_meta_one(b)
+                except Exception:
+                    pass
                 return _stub_one(b)
     else:
         raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|png|pil)")
@@ -468,10 +482,13 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id",
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["media_bytes"]):
                 b = bytes(payload)
-                if decoder == "wav" or (
-                    decoder == "auto" and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
-                ):
-                    rec = _wav_one(b)
+                if decoder == "wav":
+                    rec = _wav_one(b)  # pinned: strict errors
+                elif decoder == "auto" and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    try:  # corrupt/float-PCM WAV degrades to stub, not a
+                        rec = _wav_one(b)  # task failure (corpus-scale rule)
+                    except Exception:
+                        rec = _audio_stub_one(b)
                 else:
                     rec = _audio_stub_one(b)
                 rows.append((int(doc_id),) + rec)
@@ -574,10 +591,13 @@ def video_meta(df: DataFrame, id_col: str = "doc_id",
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["media_bytes"]):
                 b = bytes(payload)
-                if decoder == "mp4" or (
-                    decoder == "auto" and len(b) >= 8 and b[4:8] == b"ftyp"
-                ):
-                    rec = _mp4_meta_one(b)
+                if decoder == "mp4":
+                    rec = _mp4_meta_one(b)  # pinned: strict errors
+                elif decoder == "auto" and len(b) >= 8 and b[4:8] == b"ftyp":
+                    try:  # malformed boxes degrade to stub, not a task
+                        rec = _mp4_meta_one(b)  # failure (corpus-scale rule)
+                    except Exception:
+                        rec = _video_stub_one(b)
                 else:
                     rec = _video_stub_one(b)
                 rows.append((int(doc_id),) + rec)

@@ -228,9 +228,15 @@ def remove_duplicate_substrings(
 
     A token position is removed iff it is covered by >= 1 duplicated gram
     occurrence that is NOT the gram's canonical owner (first (id, pos) in
-    the sorted posting list) — so exactly one copy of each duplicated run
+    the sorted posting list) AND is not covered by any owner occurrence
+    in the same document — so exactly one copy of each duplicated run
     survives, at its first occurrence, like the suffix-array pipeline's
-    keep-one policy.  Surviving tokens are reassembled in order.
+    keep-one policy.  The owner-cover protection is what makes keep-one
+    hold under SELF-OVERLAPPING duplicates (periodic text, e.g. the same
+    token repeated: the gram at pos 1 owns, the gram at pos 2 is a
+    non-owner whose span covers most of the owner's copy — without the
+    protection the kept first occurrence itself gets shredded).
+    Surviving tokens are reassembled in order.
 
     Output: (id, text, out_col, n_tokens, n_removed).  Shuffles: the gram
     group-by, one per-doc aggregation of removed positions, one id-keyed
@@ -240,11 +246,19 @@ def remove_duplicate_substrings(
     hits = duplicate_gram_hits(
         df, id_col, text_col, k=k, min_df=min_df, max_gram_df=max_gram_df, hash_fn=hash_fn
     )
-    covered = (
-        hits.where(~F.col("is_owner"))
-        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("t"))
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_set("t")).alias("_drop"))
+    # one aggregation computes both cover sets; drop = non-owner \ owner
+    pos_cover = hits.select(
+        id_col,
+        "is_owner",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("t"),
+    )
+    covered = pos_cover.groupBy(id_col).agg(
+        F.array_sort(
+            F.array_except(
+                F.collect_set(F.when(~F.col("is_owner"), F.col("t"))),
+                F.collect_set(F.when(F.col("is_owner"), F.col("t"))),
+            )
+        ).alias("_drop")
     )
     base = df.where(F.col(text_col).isNotNull())
     j = base.join(covered, on=id_col, how="left")

@@ -354,7 +354,9 @@ def tokenize_to_ids(df: DataFrame, vocab: list[tuple[str, int]],
         F.array(*[F.lit(t) for t, _ in vocab]),
         F.array(*[F.lit(i).cast("long") for _, i in vocab]),
     )
-    toks = _tokens(F.col(text_col))
+    # NULL text encodes to an empty sequence (not size(NULL) = -1), matching
+    # the join variant's contract
+    toks = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
     ids = F.transform(toks, lambda t: F.coalesce(F.element_at(vmap, t), F.lit(0).cast("long")))
     return df.select(
         id_col,
@@ -371,7 +373,16 @@ def tokenize_to_ids_join(df: DataFrame, vocab_df: DataFrame,
     sequence ordered by position.  One shuffle (the reassembly groupBy);
     use when the vocab is too large for a plan literal.  vocab_df must
     have columns (token, rank)."""
-    ex = df.select(
+    # NULL-text docs posexplode to zero rows and would vanish from the
+    # groupBy; route them around the join as empty sequences so both
+    # variants keep every input row (equivalence test pins this)
+    null_rows = df.where(F.col(text_col).isNull()).select(
+        id_col,
+        F.lit(0).cast("long").alias("n_ids"),
+        F.lit(0).cast("long").alias("n_unk"),
+        F.lit("").alias("ids_csv"),
+    )
+    ex = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.posexplode(_tokens(F.col(text_col))).alias("_pos", "_tok")
     )
     joined = ex.join(F.broadcast(vocab_df), ex._tok == vocab_df.token, "left").select(
@@ -385,9 +396,10 @@ def tokenize_to_ids_join(df: DataFrame, vocab_df: DataFrame,
         F.sort_array(F.collect_list(F.struct("_pos", "_id"))).alias("_seq")
     )
     seq = F.col("_seq")
-    return agg.select(
+    encoded = agg.select(
         id_col,
         F.size(seq).cast("long").alias("n_ids"),
         F.size(F.filter(seq, lambda s: s._id == 0)).cast("long").alias("n_unk"),
         F.array_join(F.transform(seq, lambda s: s._id.cast("string")), ",").alias("ids_csv"),
     )
+    return encoded.unionByName(null_rows)

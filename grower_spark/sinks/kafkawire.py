@@ -291,6 +291,19 @@ def encode_produce_response(
 # -- minimal producer ---------------------------------------------------------
 
 
+def _recv_exact_from(sock, n: int) -> bytes:
+    """Read exactly n bytes from a socket (shared by producer, consumer,
+    and the one-shot admin calls — one place to fix partial-read
+    handling)."""
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise KafkaWireError("connection closed mid-response")
+        buf += chunk
+    return buf
+
+
 class KafkaWireProducer:
     """Blocking single-connection producer: one Produce request per
     ``send`` call, acks awaited.  One instance per executor-partition task
@@ -326,13 +339,7 @@ class KafkaWireProducer:
         return base_off
 
     def _recv_exact(self, n: int) -> bytes:
-        buf = b""
-        while len(buf) < n:
-            chunk = self._sock.recv(n - len(buf))
-            if not chunk:
-                raise KafkaWireError("connection closed mid-response")
-            buf += chunk
-        return buf
+        return _recv_exact_from(self._sock, n)
 
     def close(self) -> None:
         self._sock.close()
@@ -692,7 +699,11 @@ def kafka_to_spool_multi(
             except BaseException as exc:
                 with lock:
                     errors.append(exc)
-                return
+                # keep draining the remaining queued partitions: with
+                # async_factor < len(partitions) a worker returning here
+                # would starve every partition still in the queue behind
+                # one broken one (the exact starvation partial_offsets
+                # exists to avoid)
 
     n = min(async_factor or len(partitions), len(partitions))
     threads = [_threading.Thread(target=worker, daemon=True) for _ in range(max(n, 1))]
@@ -805,7 +816,12 @@ class KafkaSpoolPoller:
                 self.offsets.update(nxt)
                 if self.checkpoint is not None:
                     self.checkpoint.save(self.offsets)
-            except Exception as exc:
+            except BaseException as exc:
+                # BaseException, not Exception: the workers re-raise
+                # whatever killed them (incl. MemoryError/SystemExit) —
+                # an uncaught one here would kill this daemon thread
+                # SILENTLY and the --follow CLI would stream an idle
+                # spool forever looking healthy.
                 # Fold in the partitions that DID drain before the failure:
                 # without this, every retry re-fetches and re-spools their
                 # records as duplicates while one partition stays broken.
@@ -818,6 +834,12 @@ class KafkaSpoolPoller:
                         except OSError:
                             log.warning("offset checkpoint save failed",
                                         exc_info=True)
+                if not isinstance(exc, Exception):
+                    # fatal class: log LOUDLY and stop polling rather than
+                    # retry into the same wall
+                    log.error("kafka spool poller stopping on fatal %s",
+                              type(exc).__name__, exc_info=True)
+                    return
                 log.warning("kafka spool poll failed; retrying in %.1fs",
                             self.poll_interval, exc_info=True)
             self._stop.wait(self.poll_interval)
@@ -912,20 +934,8 @@ def create_topic(
         sock.sendall(encode_create_topics_request(
             topic, num_partitions, replication_factor, correlation_id=1,
         ))
-        buf = b""
-        while len(buf) < 4:
-            chunk = sock.recv(4 - len(buf))
-            if not chunk:
-                raise KafkaWireError("connection closed mid-response")
-            buf += chunk
-        (size,) = struct.unpack(">i", buf)
-        payload = b""
-        while len(payload) < size:
-            chunk = sock.recv(size - len(payload))
-            if not chunk:
-                raise KafkaWireError("connection closed mid-response")
-            payload += chunk
-        corr, err = decode_create_topics_response(payload)
+        (size,) = struct.unpack(">i", _recv_exact_from(sock, 4))
+        corr, err = decode_create_topics_response(_recv_exact_from(sock, size))
         if corr != 1:
             raise KafkaWireError(f"correlation mismatch {corr} != 1")
         if err == 0:

@@ -64,3 +64,20 @@ def test_bucket_width_cap_filters_old_side(spark):
     # drops the degenerate buckets entirely
     assert len(_pairs_set(uncapped)) == 8
     assert len(_pairs_set(capped)) == 0
+
+
+def test_bucket_width_cap_filters_new_side_too(spark):
+    """A degenerate bucket in the BATCH must also be capped — otherwise
+    the new-old join emits new_width x old_width pairs uncapped."""
+    old = spark.createDataFrame(
+        [(1, "common text shared by every doc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, "common text shared by every doc") for i in range(8)],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(old)
+    uncapped = minhash_lsh_pairs_incremental(new, index)
+    capped = minhash_lsh_pairs_incremental(new, index, max_bucket_width=4)
+    assert len(_pairs_set(uncapped)) > 0
+    assert len(_pairs_set(capped)) == 0

@@ -1321,3 +1321,28 @@ def test_create_topic_idempotent(tmp_path):
     wire = encode_create_topics_response(7, "t", 36)
     (size,) = struct.unpack_from(">i", wire, 0)
     assert decode_create_topics_response(wire[4:4 + size]) == (7, 36)
+
+
+def test_multi_partition_error_does_not_starve_queued_partitions(
+    mp_broker, tmp_path
+):
+    """async_factor=1 with the FIRST partition broken: the single worker
+    must keep draining the rest of the queue (returning on error would
+    starve every healthy partition behind the broken one forever)."""
+    from grower_spark.sinks.kafkawire import kafka_to_spool_multi
+
+    _MP_LOGS.clear(); _MP_LOG_START.clear(); _MP_ERR_PARTS.clear()
+    _MP_LOGS[0] = [Record(value=b"never")]
+    _MP_LOGS[1] = [Record(value=b"ok0"), Record(value=b"ok1")]
+    _MP_LOGS[2] = [Record(value=b"ok2")]
+    _MP_ERR_PARTS.add(0)
+    try:
+        with pytest.raises(KafkaWireError) as ei:
+            kafka_to_spool_multi(
+                "127.0.0.1", mp_broker, "logs", [0, 1, 2],
+                str(tmp_path / "spool"), async_factor=1,
+            )
+        # both healthy partitions drained despite partition 0 failing first
+        assert ei.value.partial_offsets == {1: 2, 2: 1}
+    finally:
+        _MP_ERR_PARTS.clear()

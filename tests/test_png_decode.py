@@ -259,3 +259,30 @@ def test_video_meta_auto_routes(spark):
         7000, 640, 360, "mp4-meta"
     )
     assert out[2].decoder == "stub"
+
+
+def test_auto_mode_degrades_corrupt_media_to_stub():
+    """Corpus-scale rule: one bad file must never abort the job — auto
+    mode stubs anything the real kernels reject."""
+    from grower_spark.operators.multimodal import _decode_batch
+    import pandas as pd
+
+    png = encode_png(GRADIENT_RGB, 3, 0)
+    truncated = png[: len(png) // 2]
+    batch = pd.DataFrame({"doc_id": [1, 2], "media_bytes": [truncated, b"\xff\xd8\xff\xd9"]})
+    out = _decode_batch(batch, "auto")
+    assert list(out["decoder"]) == ["stub", "stub"]
+    # pinned decoder stays strict
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        _decode_batch(pd.DataFrame({"doc_id": [1], "media_bytes": [truncated]}), "png")
+
+
+def test_jpeg_fill_bytes_before_marker():
+    import struct
+
+    from grower_spark.operators.multimodal import _jpeg_meta_one
+
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 10, 20, 3) + bytes(2)
+    jpeg = b"\xff\xd8" + b"\xff\xff\xff" + sof  # spec-permitted fill bytes
+    assert _jpeg_meta_one(jpeg) == (20, 10, 3, None, "jpeg-meta")

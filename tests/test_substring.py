@@ -148,3 +148,20 @@ def test_removal_then_redetect_finds_nothing_cross_doc(spark, corpus):
         .count()
     )
     assert cross == 0
+
+
+def test_removal_keeps_first_copy_under_self_overlap(spark):
+    """Periodic text (same token repeated): the non-owner gram at pos 2
+    overlaps the owner's span — keep-one must still leave the first
+    k-token copy intact, not shred it down to a single token."""
+    from grower_spark.operators.substring import remove_duplicate_substrings
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 9)), (2, "x " * 0 + "completely different words entirely here today friend ok")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_substrings(
+        df, k=8, min_df=2
+    ).collect()}
+    assert out[1].text_clean == " ".join(["w"] * 8)
+    assert out[1].n_removed == 1

@@ -93,3 +93,24 @@ def test_shard_shuffle_deterministic_and_dense(spark):
     # a different salt produces a different permutation
     other = shard_shuffle(df, "doc_id", 8, salt="u").collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_tokenize_variants_agree_on_null_text(spark):
+    """NULL text must encode to an empty sequence in BOTH variants (the
+    literal path used to emit size(NULL) = -1; the join path dropped the
+    row entirely)."""
+    from grower_spark.operators.text import tokenize_to_ids, tokenize_to_ids_join
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    lit_rows = sorted(
+        (r.doc_id, r.n_ids, r.n_unk, r.ids_csv)
+        for r in tokenize_to_ids(df, [("a", 1)]).collect()
+    )
+    vdf = spark.createDataFrame([("a", 1)], "token string, rank int")
+    join_rows = sorted(
+        (r.doc_id, r.n_ids, r.n_unk, r.ids_csv)
+        for r in tokenize_to_ids_join(df, vdf).collect()
+    )
+    assert lit_rows == join_rows == [(1, 2, 1, "1,0"), (2, 0, 0, "")]
