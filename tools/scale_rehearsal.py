@@ -277,6 +277,25 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
             ops["shard_shuffle"] = lambda d: shard_shuffle(
                 d.select("doc_id"), "doc_id", 64, salt="sr"
             ).where(F.col("shard_pos") >= 1)
+        if only and "minhash_incremental" in only:
+            # continuous-ingest measurement: a FIXED-SIZE batch (the x1
+            # corpus's row count) deduped against the rest as a band
+            # index — wall/shuffle should stay ~flat as the corpus
+            # grows, unlike the full-batch pair emit over old ∪ new
+            from grower_spark.operators.dedup import (
+                minhash_band_index,
+                minhash_lsh_pairs_incremental,
+            )
+
+            batch_n = 5000
+            batch = docs.where(F.col("doc_id") % (max(n_docs // batch_n, 1)) == 0)
+            index = minhash_band_index(
+                docs.join(batch.select("doc_id"), "doc_id", "left_anti"),
+                num_perm=16, bands=4,
+            )
+            ops["minhash_incremental"] = lambda d, b=batch, ix=index: (
+                minhash_lsh_pairs_incremental(b, ix, num_perm=16, bands=4)
+            )
         for name, mk in ops.items():
             mk(docs).count()  # warmup discarded (JIT + file listing)
             wall, sread, swrite, rows = [], [], [], 0
