@@ -19,6 +19,8 @@ PATH.  Unchanged.
 2026-08-13 r6: re-probed (find / for the jars, :9092 connect, kafka CLI on
 PATH, `import PIL`): all still absent.  Unchanged; the wire-codec path
 (sinks/kafkawire.py) remains the drivable stand-in.
+2026-08-14 r6 (second session): re-probed jars / :9092 / PIL /
+google.protobuf (the transformWithState dependency): all still absent.
 """
 
 from __future__ import annotations
