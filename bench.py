@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     ("shard_shuffle", "noop"),
     ("dedup_minhash_incremental", "noop"),
     ("events_outliers", "noop"),
+    ("source_mix", "collect"),
 ]
 
 

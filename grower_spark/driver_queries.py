@@ -3462,6 +3462,53 @@ GROUP BY user_id
 """
 
 
+_MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: integer water-filling keep rates per
+    source (bounded fit — domain cardinality is model-sized), then a pure
+    deterministic hash-permille filter.  Emits the per-source audit:
+    total, fitted rate, kept count."""
+    from grower_spark.operators.sampling import hash_permille, source_mix_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = source_mix_rates(docs, "source", _MIX_WEIGHTS)
+    rate = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(s) for s in rates]),
+            F.array(*[F.lit(r) for r in rates.values()]),
+        ),
+        F.col("source"),
+    )
+    kept = hash_permille(F.col("doc_id"), "mix") < F.coalesce(rate, F.lit(0))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.max(F.coalesce(rate, F.lit(0))).cast("long").alias("rate_permille"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+
+
+def oracle_source_mix() -> str:
+    values = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+WITH w(source, wt) AS (VALUES {values}),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+j AS (SELECT c.source, n, wt FROM c JOIN w USING (source)),
+b AS (SELECT n AS bn, wt AS bw FROM j
+      ORDER BY CAST(n AS DOUBLE) / wt, source LIMIT 1),
+r AS (SELECT source, least(1000, (1000 * wt * bn) // (bw * n)) AS rate
+      FROM j, b)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_total,
+  CAST(max(coalesce(r.rate, 0)) AS BIGINT) AS rate_permille,
+  CAST(sum(CASE WHEN
+    CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+      < coalesce(r.rate, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN r USING (source)
+GROUP BY d.source
+"""
+
+
 _TOKENIZE_VOCAB_K = 64
 
 
@@ -3607,6 +3654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_shuffle": q_shard_shuffle,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "events_outliers": q_events_outliers,
+    "source_mix": q_source_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -3687,4 +3735,5 @@ ORACLES: dict[str, str] = {
     "shard_shuffle": oracle_shard_shuffle(),
     "dedup_minhash_incremental": oracle_dedup_minhash_incremental(),
     "events_outliers": oracle_events_outliers(),
+    "source_mix": oracle_source_mix(),
 }

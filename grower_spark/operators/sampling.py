@@ -111,3 +111,51 @@ def shard_shuffle(df: DataFrame, key_col: str, n_shards: int,
     return out.withColumn(
         "shard_pos", F.row_number().over(w).cast("long")
     ).drop("_h")
+
+
+def source_mix_rates(df: DataFrame, source_col: str,
+                     weights: dict[str, int]) -> dict[str, int]:
+    """Per-source keep rates (permille) that rebalance a corpus to target
+    domain proportions — the data-mixture step of a training pipeline.
+
+    Water-filling with exact integer math: the bottleneck domain b is the
+    one with the largest weight-to-count ratio (ties by name); it keeps
+    (close to) everything, and every other domain s keeps
+    ``floor(1000 * w_s * n_b / (w_b * n_s))`` permille, so kept counts are
+    proportional to the weights without upsampling anything.  Sources
+    absent from ``weights`` get rate 0 (dropped).  One bounded collect:
+    domain cardinality is model-sized, never corpus-sized.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive ints")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] in weights
+    }
+    if not counts:
+        return {}
+    b = min(counts, key=lambda s: (counts[s] / weights[s], s))
+    return {
+        s: min(1000, (1000 * weights[s] * counts[b]) // (weights[b] * counts[s]))
+        for s in counts
+    }
+
+
+def source_mix(df: DataFrame, source_col: str, weights: dict[str, int],
+               key_col: str, salt: str = "mix") -> DataFrame:
+    """Filter ``df`` to the source_mix_rates mixture: deterministic
+    hash-permille per row against its domain's keep rate.  Pure map-side
+    filter after the bounded rate fit — reproducible under replay and
+    partition-layout-independent, like every sampler here."""
+    rates = source_mix_rates(df, source_col, weights)
+    if not rates:
+        return df.where(F.lit(False))
+    rate = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(s) for s in rates]),
+            F.array(*[F.lit(r) for r in rates.values()]),
+        ),
+        F.col(source_col),
+    )
+    return df.where(hash_permille(F.col(key_col), salt) < F.coalesce(rate, F.lit(0)))

@@ -184,3 +184,32 @@ def test_contamination_reports_matching_grams(corpus, bench):
         for r in contamination_hits(corpus, bench, n=3, return_grams=True).collect()
     }
     assert got == {1: ["the quick brown"], 3: ["the quick brown"]}
+
+
+def test_source_mix_water_filling(spark):
+    """Non-uniform counts: the bottleneck (largest weight/count) keeps
+    ~everything; other domains keep proportionally; unlisted domains drop;
+    nothing is upsampled (rates capped at 1000)."""
+    from grower_spark.operators.sampling import source_mix, source_mix_rates
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(100 + i, "b") for i in range(50)]
+        + [(150 + i, "c") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = source_mix_rates(df, "source", {"a": 1, "b": 1})
+    # b has the larger weight/count ratio -> bottleneck at 1000; a keeps
+    # 50/100 of its rows' permille space
+    assert rates == {"a": 500, "b": 1000}
+    out = source_mix(df, "source", {"a": 1, "b": 1}, "doc_id")
+    kept = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in kept}
+    assert "c" not in by_src            # unlisted domain dropped
+    assert by_src["b"] == 50            # bottleneck keeps everything
+    assert 35 <= by_src["a"] <= 65      # ~50% of 100, hash-binomial
+    # deterministic under replay
+    again = {r.source: r["count"]
+             for r in source_mix(df, "source", {"a": 1, "b": 1}, "doc_id")
+             .groupBy("source").count().collect()}
+    assert again == by_src
