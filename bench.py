@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     ("dedup_minhash_incremental", "noop"),
     ("events_outliers", "noop"),
     ("source_mix", "collect"),
+    ("semantic_decontam", "noop"),
 ]
 
 

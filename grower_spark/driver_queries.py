@@ -3462,6 +3462,59 @@ GROUP BY user_id
 """
 
 
+_SEMDECON_BENCH_N = 8
+_SEMDECON_T = 0.4
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors scored against a
+    benchmark set (vec_id < 8 stands in for an eval set's embeddings).
+    The benchmark enters the plan as array literals (model-sized, same
+    precedent as LSH planes / the n-gram decontam broadcast), so the scan
+    is one zero-shuffle map pass: per-row fold of max cosine over the
+    benchmark — the corpus is never shuffled OR joined.  Emits every
+    corpus row's max similarity plus the drop flag."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id") < _SEMDECON_BENCH_N)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    bench_arr = F.array(
+        *[F.array(*[F.lit(x) for x in vec]) for vec in bench]
+    )
+    sim_max = F.aggregate(
+        bench_arr,
+        F.lit(-1.0),
+        lambda acc, bv: F.greatest(acc, _cosine(bv, F.col("embedding"))),
+    )
+    corpus = emb.where(F.col("vec_id") >= _SEMDECON_BENCH_N)
+    return corpus.select(
+        "vec_id",
+        F.round(sim_max, 4).alias("max_sim_r4"),
+        (sim_max > _SEMDECON_T).cast("int").alias("contaminated"),
+    )
+
+
+def oracle_semantic_decontam() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+b AS (SELECT vec FROM v WHERE vec_id < {_SEMDECON_BENCH_N}),
+c AS (SELECT * FROM v WHERE vec_id >= {_SEMDECON_BENCH_N}),
+s AS (
+  SELECT c.vec_id,
+    max(list_dot_product(c.vec, b.vec)
+        / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(b.vec, b.vec))))
+      AS m
+  FROM c, b GROUP BY c.vec_id
+)
+SELECT vec_id, round(m, 4) AS max_sim_r4,
+  CAST(m > {_SEMDECON_T} AS INTEGER) AS contaminated
+FROM s
+"""
+
+
 _MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
 
 
@@ -3655,6 +3708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "events_outliers": q_events_outliers,
     "source_mix": q_source_mix,
+    "semantic_decontam": q_semantic_decontam,
 }
 
 ORACLES: dict[str, str] = {
@@ -3736,4 +3790,5 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_incremental": oracle_dedup_minhash_incremental(),
     "events_outliers": oracle_events_outliers(),
     "source_mix": oracle_source_mix(),
+    "semantic_decontam": oracle_semantic_decontam(),
 }

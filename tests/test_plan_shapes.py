@@ -284,3 +284,15 @@ def test_tpch_q11_scalar_total_is_single_row_side(spark):
         q_tpch_q11(spark, SF_SMALL)._jdf.queryExecution().sparkPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in phys
+
+
+def test_semantic_decontam_zero_shuffles(spark):
+    """The benchmark is plan literals; the corpus scan must be ONE
+    map-side pass — no join, no Exchange (beyond the documented
+    _cpu_spread-free scan)."""
+    from grower_spark.driver_queries import q_semantic_decontam
+    from tools.explain_all import plan_stats
+
+    stats = plan_stats(q_semantic_decontam(spark, SF_SMALL))
+    assert stats["shuffles"] == 0, stats
+    assert stats["codegen_stages"] >= 1, stats
