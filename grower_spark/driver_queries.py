@@ -3474,6 +3474,8 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one zero-shuffle map pass: per-row fold of max cosine over the
     benchmark — the corpus is never shuffled OR joined.  Emits every
     corpus row's max similarity plus the drop flag."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
     bench = [
         [float(x) for x in r.embedding]
@@ -3481,15 +3483,48 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
+    # benchmark norms are plan-time constants; Python's left-to-right
+    # float64 sum + correctly-rounded sqrt is bit-identical to the
+    # _cosine fold the oracle mirrors, so hoisting preserves hash equality
+    items = [(vec, math.sqrt(sum(x * x for x in vec))) for vec in bench]
     bench_arr = F.array(
-        *[F.array(*[F.lit(x) for x in vec]) for vec in bench]
-    )
-    sim_max = F.aggregate(
-        bench_arr,
-        F.lit(-1.0),
-        lambda acc, bv: F.greatest(acc, _cosine(bv, F.col("embedding"))),
+        *[
+            F.struct(
+                F.array(*[F.lit(x) for x in vec]).alias("v"),
+                F.lit(norm).alias("n"),
+            )
+            for vec, norm in items
+        ]
     )
     corpus = emb.where(F.col("vec_id") >= _SEMDECON_BENCH_N)
+    # row norm computed ONCE as a named column (non-cheap multi-use expr:
+    # CollapseProject keeps it materialized — the minhash `_bh` pattern)
+    row_norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    corpus = corpus.withColumn("_rn", row_norm)
+
+    def sim(s):
+        dot = F.aggregate(
+            F.zip_with(s.v, F.col("embedding"), lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # zero-norm vectors: under ANSI the division THROWS (divide by
+        # zero kills the whole query); non-ANSI it yields NaN, which
+        # compares greater than any threshold — either way a poisoned
+        # result.  try_divide -> NULL -> similarity 0 (a zero vector
+        # forces dot = 0 too, so the oracle's isnan CASE is the same
+        # guard: only the 0/0 case exists)
+        return F.coalesce(F.try_divide(dot, s.n * F.col("_rn")), F.lit(0.0))
+
+    sim_max = F.aggregate(
+        bench_arr, F.lit(-1.0), lambda acc, s: F.greatest(acc, sim(s))
+    )
     return corpus.select(
         "vec_id",
         F.round(sim_max, 4).alias("max_sim_r4"),
@@ -3504,9 +3539,13 @@ b AS (SELECT vec FROM v WHERE vec_id < {_SEMDECON_BENCH_N}),
 c AS (SELECT * FROM v WHERE vec_id >= {_SEMDECON_BENCH_N}),
 s AS (
   SELECT c.vec_id,
-    max(list_dot_product(c.vec, b.vec)
-        / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(b.vec, b.vec))))
-      AS m
+    max(CASE WHEN isnan(
+          list_dot_product(c.vec, b.vec)
+          / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.vec, c.vec))))
+        THEN 0.0
+        ELSE list_dot_product(c.vec, b.vec)
+          / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.vec, c.vec)))
+        END) AS m
   FROM c, b GROUP BY c.vec_id
 )
 SELECT vec_id, round(m, 4) AS max_sim_r4,
@@ -3523,21 +3562,19 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (bounded fit — domain cardinality is model-sized), then a pure
     deterministic hash-permille filter.  Emits the per-source audit:
     total, fitted rate, kept count."""
-    from grower_spark.operators.sampling import hash_permille, source_mix_rates
+    from grower_spark.operators.sampling import (
+        hash_permille,
+        source_mix_rates,
+        stratum_rate_column,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     rates = source_mix_rates(docs, "source", _MIX_WEIGHTS)
-    rate = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(s) for s in rates]),
-            F.array(*[F.lit(r) for r in rates.values()]),
-        ),
-        F.col("source"),
-    )
-    kept = hash_permille(F.col("doc_id"), "mix") < F.coalesce(rate, F.lit(0))
+    rate = stratum_rate_column("source", rates)
+    kept = hash_permille(F.col("doc_id"), "mix") < rate
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
-        F.max(F.coalesce(rate, F.lit(0))).cast("long").alias("rate_permille"),
+        F.max(rate).cast("long").alias("rate_permille"),
         F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
     )
 

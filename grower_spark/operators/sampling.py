@@ -68,10 +68,18 @@ def sample_stratified(df: DataFrame, strata_col: str, rates: dict[str, int],
     for k, v in rates.items():
         _check_permille(v, f"rates[{k!r}]")
     u = hash_permille(F.col(key_col), salt)
+    return df.where(u < stratum_rate_column(strata_col, rates, default_permille))
+
+
+def stratum_rate_column(strata_col: str, rates: dict[str, int],
+                        default_permille: int = 0) -> Column:
+    """Permille rate as a column of the stratum value (when-chain; NULL or
+    unlisted strata get the default).  Shared by sample_stratified and the
+    mixture audit queries so the lookup semantics live in one place."""
     rate: Column = F.lit(default_permille)
     for value in sorted(rates):
         rate = F.when(F.col(strata_col) == value, F.lit(rates[value])).otherwise(rate)
-    return df.where(u < rate)
+    return rate
 
 
 def split_column(key: Column, holdout_permille: int, salt: str = "",
@@ -149,13 +157,5 @@ def source_mix(df: DataFrame, source_col: str, weights: dict[str, int],
     filter after the bounded rate fit — reproducible under replay and
     partition-layout-independent, like every sampler here."""
     rates = source_mix_rates(df, source_col, weights)
-    if not rates:
-        return df.where(F.lit(False))
-    rate = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(s) for s in rates]),
-            F.array(*[F.lit(r) for r in rates.values()]),
-        ),
-        F.col(source_col),
-    )
-    return df.where(hash_permille(F.col(key_col), salt) < F.coalesce(rate, F.lit(0)))
+    # empty rates -> every stratum takes the default 0 -> all dropped
+    return sample_stratified(df, source_col, rates, key_col, salt)

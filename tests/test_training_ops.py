@@ -213,3 +213,22 @@ def test_source_mix_water_filling(spark):
              for r in source_mix(df, "source", {"a": 1, "b": 1}, "doc_id")
              .groupBy("source").count().collect()}
     assert again == by_src
+
+
+def test_semantic_decontam_zero_norm_guard(spark, tmp_path, monkeypatch):
+    """A zero-norm vector must score similarity 0, not NaN (NaN compares
+    greater than any threshold under Spark's ordering — a silent
+    full-corpus drop)."""
+    import grower_spark.driver_queries as dq
+    import pyspark.sql.functions as F
+
+    # benchmark vec_id 0 is all-zeros; corpus row 100 is normal
+    rows = [(0, [0.0] * 4, 0), (100, [1.0, 0.0, 0.0, 0.0], 1),
+            (101, [0.0] * 4, 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/embeddings.parquet")
+    monkeypatch.setattr(dq, "_SEMDECON_BENCH_N", 1)
+    out = {r.vec_id: r for r in dq.q_semantic_decontam(spark, d).collect()}
+    assert out[100].max_sim_r4 == 0.0 and out[100].contaminated == 0
+    assert out[101].max_sim_r4 == 0.0 and out[101].contaminated == 0
