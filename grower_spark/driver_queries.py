@@ -1987,6 +1987,89 @@ JOIN frames f USING (doc_id)
 """
 
 
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, driver-certified (r6 verdict item 3): synthesize a
+    deterministic grayscale PNG per document (pixels are an integer formula
+    of doc_id; scanline y uses filter type y % 5, so the decode exercises
+    all five PNG filter reconstructions), run the pure-stdlib `_png_one`
+    kernel via decode_images(decoder="png") — zlib inflate + full
+    unfiltering, real pixels — and emit the decoded metadata.  The oracle
+    recomputes width/height/mean-luma from the pixel formula in SQL, so a
+    hash match proves the decoder reconstructed every pixel exactly.
+    Plan: two chained mapInPandas over one scan, zero shuffles beyond the
+    cpu-spread repartition."""
+    from grower_spark.operators.multimodal import decode_images, synthesize_media
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    media = synthesize_media(docs, "png")
+    return decode_images(media, decoder="png").select(
+        "doc_id", "width", "height", "n_channels", "mean_luma", "decoder"
+    )
+
+
+def oracle_multimodal_decode_png() -> str:
+    # The synth formula re-derived in SQL: pixel[k] = (id*31 + k*17) % 256
+    # over w*h pixels; integer sums are exact in float64, so the double
+    # quotient (then REAL cast) is bit-identical to the decoder's
+    # accumulate/divide.
+    return """
+WITH p AS (
+  SELECT doc_id, doc_id % 8 + 4 AS w, (doc_id * 7) % 8 + 4 AS h
+  FROM documents
+)
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_channels,
+  CAST(CAST(list_sum(list_transform(range(0, w * h),
+         k -> (doc_id * 31 + k * 17) % 256)) AS DOUBLE) / (w * h)
+       AS REAL) AS mean_luma,
+  'png' AS decoder
+FROM p
+"""
+
+
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode, driver-certified: synthesize a deterministic
+    16-bit mono 8 kHz WAV per document (samples are an integer formula of
+    doc_id), run the stdlib `wave` kernel via decode_audio(decoder="wav"),
+    emit format metadata + integer-exact RMS.  The oracle recomputes the
+    RMS from the sample formula in SQL — a hash match proves the kernel
+    read back every sample."""
+    from grower_spark.operators.multimodal import decode_audio, synthesize_media
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    media = synthesize_media(docs, "wav")
+    return decode_audio(media, decoder="wav").select(
+        "doc_id", "sample_rate", "n_channels", "n_frames", "duration_ms",
+        "rms_milli", "decoder"
+    )
+
+
+def oracle_multimodal_decode_wav() -> str:
+    # sample[k] = (id*131 + k*977) % 65536 - 32768 over n = id%40+5 frames;
+    # sum of squares is exact in float64 (< 2^53), sqrt/divide are both
+    # correctly rounded, so the doubles agree bitwise before rounding.
+    return """
+WITH p AS (SELECT doc_id, doc_id % 40 + 5 AS n FROM documents),
+s AS (
+  SELECT doc_id, n,
+    list_transform(range(0, n),
+                   k -> (doc_id * 131 + k * 977) % 65536 - 32768) AS smp
+  FROM p
+)
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(1 AS INTEGER) AS n_channels,
+  CAST(n AS BIGINT) AS n_frames,
+  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(round(sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
+                  / n) / 32768 * 1000) AS BIGINT) AS rms_milli,
+  'wav' AS decoder
+FROM s
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text form + its fingerprint — the dedup preprocessor."""
     from grower_spark.operators.text import normalize_text
@@ -3668,57 +3751,39 @@ FROM (
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
 
+# Registry order matters: the driver's correctness gate hashes only the
+# FIRST 50 rows of queries() against their DuckDB oracles each round.
+# Window layout (r7, per VERDICT r6 item 1):
+#   1-6   : the §2 core surface (five nginx_* rows + syslog_extract) —
+#           always in-window so the reference-parity queries stay certified.
+#   7-16  : the 10 rows that had never had an official driver check
+#           (registered past position 50 in r5/r6).
+#   17-33 : the 17 rows last certified in r5 that r6's TPC-H additions
+#           pushed out of the window.
+#   34-50 : this round's new rows + a representative flagship sample of
+#           r6-certified rows (one TPC-H heavy hitter, windows, dedup, ANN).
+#   51+   : everything already driver-certified green in CORRECTNESS_r06
+#           (the rest of TPC-H 22/22, event windows, simhash, LSH ANN).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- 1-6: §2 core, keep certified every round ---
     "nginx_parse_agg": q_nginx_parse_agg,
     "nginx_parse_rows": q_nginx_parse_rows,
     "nginx_deadletter": q_nginx_deadletter,
     "nginx_parse_json": q_nginx_parse_json,
     "nginx_custom_casts": q_nginx_custom_casts,
-    "events_window_agg": q_events_window_agg,
-    "events_sessionize": q_events_sessionize,
-    "events_session_window": q_events_session_window,
-    "events_sliding_window": q_events_sliding_window,
-    "events_topk_per_user": q_events_topk_per_user,
     "syslog_extract": q_syslog_extract,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "salted_agg_users": q_salted_agg_users,
-    "dedup_exact": q_dedup_exact,
-    "text_stats": q_text_stats,
-    "doc_fingerprint": q_doc_fingerprint,
-    "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "events_rollup": q_events_rollup,
-    "events_exact_stats": q_events_exact_stats,
-    "events_sketches": q_events_sketches,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "ann_cosine_topk_np": q_ann_cosine_topk_np,
-    "ann_lsh": q_ann_lsh,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    # --- 7-16: never driver-checked before r7 ---
+    "dedup_substring": q_dedup_substring,
+    "semdedup": q_semdedup,
+    "pii_redact": q_pii_redact,
+    "corpus_vocab": q_corpus_vocab,
+    "tokenize_ids": q_tokenize_ids,
+    "shard_shuffle": q_shard_shuffle,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "events_outliers": q_events_outliers,
+    "source_mix": q_source_mix,
+    "semantic_decontam": q_semantic_decontam,
+    # --- 17-33: last certified r5, out of window in r6 ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -3736,16 +3801,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontaminate": q_doc_decontaminate,
     "events_sample_stratified": q_events_sample_stratified,
     "text_repetition": q_text_repetition,
-    "dedup_substring": q_dedup_substring,
-    "semdedup": q_semdedup,
-    "pii_redact": q_pii_redact,
-    "corpus_vocab": q_corpus_vocab,
-    "tokenize_ids": q_tokenize_ids,
-    "shard_shuffle": q_shard_shuffle,
-    "dedup_minhash_incremental": q_dedup_minhash_incremental,
-    "events_outliers": q_events_outliers,
-    "source_mix": q_source_mix,
-    "semantic_decontam": q_semantic_decontam,
+    # --- 34-50: flagship r6-green sample (rotation keeps them honest) ---
+    "tpch_q1": q_tpch_q1,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q21": q_tpch_q21,
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "events_topk_per_user": q_events_topk_per_user,
+    "salted_agg_users": q_salted_agg_users,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "ann_cosine_topk_np": q_ann_cosine_topk_np,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    # new r7 rows: real stdlib PNG/WAV decode, driver-certified
+    "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
+    # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
+    "tpch_q2": q_tpch_q2,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q22": q_tpch_q22,
+    "events_session_window": q_events_session_window,
+    "events_sliding_window": q_events_sliding_window,
+    "events_rollup": q_events_rollup,
+    "events_exact_stats": q_events_exact_stats,
+    "events_sketches": q_events_sketches,
+    "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_neardup": q_embedding_neardup,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
 }
 
 ORACLES: dict[str, str] = {
@@ -3810,6 +3914,8 @@ ORACLES: dict[str, str] = {
     "text_bpe_tokens": oracle_text_bpe_tokens(),
     "text_normalize": oracle_text_normalize(),
     "multimodal_pipeline": oracle_multimodal_pipeline(),
+    "multimodal_decode_png": oracle_multimodal_decode_png(),
+    "multimodal_decode_wav": oracle_multimodal_decode_wav(),
     "pack_documents": oracle_pack_documents(),
     "chunk_documents": oracle_chunk_documents(),
     "doc_rolling_hash61": oracle_doc_rolling_hash61(),

@@ -363,8 +363,8 @@ def multimodal_features(df: DataFrame, id_col: str = "doc_id",
 
     import numpy as np
 
-    if decoder not in ("auto", "stub", "pil"):
-        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|pil)")
+    if decoder not in ("auto", "stub", "png", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|png|pil)")
     src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -402,8 +402,8 @@ def decode_images(df: DataFrame, id_col: str = "doc_id",
     real resize/feature-extract kernel would use.  ``decoder`` pins the
     kernel (see ``_decode_batch``); oracle-checked callers pass ``"stub"``.
     """
-    if decoder not in ("auto", "stub", "pil"):
-        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|pil)")
+    if decoder not in ("auto", "stub", "png", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|png|pil)")
     src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -608,3 +608,116 @@ def video_meta(df: DataFrame, id_col: str = "doc_id",
             )
 
     return src.mapInPandas(run, VIDEO_SCHEMA)
+
+
+# --- deterministic media synthesis (fixture generators) -------------------
+#
+# The container ships no image/audio ENCODER libraries either, so driver
+# rows that exercise the REAL decode kernels (`_png_one`, `_wav_one`)
+# synthesize their inputs from table columns with pure-stdlib encoders.
+# Every pixel/sample is an integer formula of (doc_id, position), which
+# makes the decoded statistics (mean luma, RMS) derivable in ANSI SQL —
+# the oracle never needs to decode bytes, it recomputes the formula.
+
+
+def synth_png_bytes(doc_id: int) -> bytes:
+    """Grayscale 8-bit PNG whose pixels are a formula of ``doc_id``:
+    ``w = doc_id % 8 + 4``, ``h = (doc_id * 7) % 8 + 4``,
+    ``pixel[k] = (doc_id * 31 + k * 17) % 256`` in row-major order.
+    Scanline ``y`` is encoded with filter type ``y % 5``, so a full decode
+    exercises ALL FIVE PNG filter reconstructions (None/Sub/Up/Average/
+    Paeth) — unfiltering is exact, so the decoded pixels equal the
+    formula regardless of which filter encoded each line."""
+    import struct
+    import zlib
+
+    w = int(doc_id) % 8 + 4
+    h = (int(doc_id) * 7) % 8 + 4
+    px = [(int(doc_id) * 31 + k * 17) % 256 for k in range(w * h)]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    raw = bytearray()
+    prev = bytes(w)  # raw (unfiltered) previous scanline
+    for y in range(h):
+        line = bytes(px[y * w:(y + 1) * w])
+        ftype = y % 5
+        raw.append(ftype)
+        if ftype == 0:
+            raw += line
+        elif ftype == 1:  # Sub (channels=1 -> left neighbor at i-1)
+            raw += bytes((line[i] - (line[i - 1] if i else 0)) & 0xFF
+                         for i in range(w))
+        elif ftype == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(w))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - 1] if i else 0) + prev[i]) // 2) & 0xFF
+                for i in range(w)
+            )
+        else:  # Paeth
+            out = bytearray()
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                b_ = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b_ if pb <= pc else c
+                out.append((line[i] - pred) & 0xFF)
+            raw += out
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit greyscale
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def synth_wav_bytes(doc_id: int) -> bytes:
+    """16-bit mono PCM WAV at 8 kHz whose samples are a formula of
+    ``doc_id``: ``n = doc_id % 40 + 5`` frames,
+    ``sample[k] = (doc_id * 131 + k * 977) % 65536 - 32768``."""
+    import io
+    import struct
+    import wave
+
+    n = int(doc_id) % 40 + 5
+    samples = [(int(doc_id) * 131 + k * 977) % 65536 - 32768 for k in range(n)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def synthesize_media(df: DataFrame, kind: str,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Attach synthesized media bytes (``media_bytes``) derived from the id
+    column — the binary-column fixture for driver rows and tests that
+    exercise the real decode kernels.  Pure map-side (mapInPandas, no
+    shuffle); at corpus scale the same shape holds for any
+    column-to-binary render kernel."""
+    makers = {"png": synth_png_bytes, "wav": synth_wav_bytes}
+    if kind not in makers:
+        raise ValueError(f"unknown media kind {kind!r} (want png|wav)")
+    make = makers[kind]
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].values,
+                    "media_bytes": [make(int(i)) for i in batch["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("media_bytes", T.BinaryType())]
+    )
+    return src.mapInPandas(run, schema)
