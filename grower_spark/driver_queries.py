@@ -3637,6 +3637,32 @@ FROM s
 """
 
 
+def q_semantic_decontam_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape semantic decontamination (r6 verdict item 4): the
+    same corpus/benchmark split and scoring as q_semantic_decontam, but
+    the benchmark ships as ONE broadcast collect_list row instead of
+    Catalyst plan literals — the shape that holds at real eval-set sizes
+    (10^3-10^5 embeddings), where a literal array would blow up plan
+    compile time.  Bit-identical output to the literal fold
+    (equivalence-pinned in tests/test_operators.py); shares the literal
+    row's oracle."""
+    from grower_spark.operators.decontam import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_contamination(
+        emb.where(F.col("vec_id") >= _SEMDECON_BENCH_N),
+        emb.where(F.col("vec_id") < _SEMDECON_BENCH_N),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_SEMDECON_T,
+    )
+    return out.select(
+        "vec_id",
+        F.round(F.col("max_sim"), 4).alias("max_sim_r4"),
+        "contaminated",
+    )
+
+
 _MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
 
 
@@ -3819,6 +3845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
+    "semantic_decontam_bcast": q_semantic_decontam_bcast,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -3934,4 +3961,6 @@ ORACLES: dict[str, str] = {
     "events_outliers": oracle_events_outliers(),
     "source_mix": oracle_source_mix(),
     "semantic_decontam": oracle_semantic_decontam(),
+    # broadcast variant computes the identical contract; same oracle
+    "semantic_decontam_bcast": oracle_semantic_decontam(),
 }

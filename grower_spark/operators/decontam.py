@@ -82,6 +82,89 @@ def contamination_hits(docs: DataFrame, bench: DataFrame,
     return hits.where(F.col("n_hit") >= min_hits)
 
 
+def semantic_contamination(corpus: DataFrame, bench: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bench_vec_col: str | None = None,
+                           threshold: float = 0.8) -> DataFrame:
+    """Embedding-space decontamination at production benchmark sizes:
+    per corpus row, the max cosine similarity against every benchmark
+    vector, plus the over-threshold flag.
+
+    Plan shape (the 100 TB story): the benchmark rows are collected into
+    ONE array-of-structs row (``collect_list`` of (vec, norm)), which is
+    **broadcast** and attached to every corpus partition via a
+    single-row cross join — a BroadcastNestedLoopJoin whose inner side is
+    exactly one row, i.e. a constant-attach, not a pairwise blow-up.  The
+    corpus is then scored in one zero-shuffle map pass (fold over the
+    bench array), exactly like the plan-literal variant — but the
+    benchmark travels as broadcast DATA instead of Catalyst plan
+    literals, so eval sets of 10^3-10^5 embeddings don't blow up plan
+    size/compile time.  Guidance: plan literals stop being sensible at
+    ~10^2 vectors (every executor re-parses the plan); this variant is
+    the shape for real eval suites.  Beyond ~10^6 bench vectors the
+    per-row fold cost dominates and LSH-prune the bench first (see
+    operators/similarity.py planes machinery).
+
+    Each pairwise cosine is an order-fixed left-to-right float64 fold and
+    max is order-insensitive, so results are bit-identical to the
+    plan-literal fold (equivalence-pinned in tests/test_operators.py).
+    Zero-norm vectors score 0 (try_divide -> NULL -> 0), and an EMPTY
+    benchmark yields the -1.0 fold sentinel for max_sim with nothing
+    flagged.
+
+    Output: ``(id_col, max_sim double, contaminated int)``.
+    """
+    bench_vec_col = bench_vec_col or vec_col
+
+    def sq_norm(col: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    bench_one = bench.select(
+        F.struct(
+            F.transform(F.col(bench_vec_col), lambda x: x.cast("double")).alias("v"),
+            sq_norm(F.col(bench_vec_col)).alias("n"),
+        ).alias("s")
+    ).agg(F.collect_list("s").alias("_bench"))
+
+    # crossJoin against a ONE-row broadcast side: this is a constant
+    # attach (inner side cardinality == 1 by construction), not an
+    # all-pairs join — the scale-killer grep should read it as the
+    # broadcast-small pattern.
+    scored = corpus.withColumn("_rn", sq_norm(F.col(vec_col))).crossJoin(
+        F.broadcast(bench_one)
+    )
+
+    def sim(s):
+        dot = F.aggregate(
+            F.zip_with(
+                s.v,
+                F.col(vec_col),
+                lambda x, y: x * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # 0/0 is the only divide hazard (zero vector forces dot = 0 too):
+        # try_divide -> NULL -> similarity 0, mirroring the oracle's isnan
+        return F.coalesce(F.try_divide(dot, s.n * F.col("_rn")), F.lit(0.0))
+
+    max_sim = F.aggregate(
+        F.col("_bench"), F.lit(-1.0), lambda acc, s: F.greatest(acc, sim(s))
+    )
+    return scored.select(
+        id_col,
+        max_sim.alias("max_sim"),
+        (max_sim > F.lit(threshold)).cast("int").alias("contaminated"),
+    )
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 8, min_hits: int = 1,

@@ -463,3 +463,43 @@ def test_drop_common_paragraphs_order_stability(spark):
     out = {r["doc_id"]: r for r in drop_common_paragraphs(df, min_df=2).collect()}
     assert out[0]["text_clean"] == text  # nothing common, order intact
     assert out[1]["text_clean"] == "" and out[2]["text_clean"] == ""
+
+
+def test_semantic_contamination_bcast_equals_literal(spark):
+    """The broadcast-DataFrame semantic-decontam variant must be
+    bit-identical to the plan-literal fold on the driver fixture (same
+    corpus/bench split, same threshold): per-pair cosine is an order-fixed
+    left-to-right float64 fold either way and max is order-insensitive,
+    so even the unrounded doubles must agree."""
+    from grower_spark.driver_queries import (
+        q_semantic_decontam,
+        q_semantic_decontam_bcast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lit = {r["vec_id"]: (r["max_sim_r4"], r["contaminated"])
+           for r in q_semantic_decontam(spark, sf).collect()}
+    bc = {r["vec_id"]: (r["max_sim_r4"], r["contaminated"])
+          for r in q_semantic_decontam_bcast(spark, sf).collect()}
+    assert lit == bc and len(lit) > 0
+
+
+def test_semantic_contamination_empty_bench_and_zero_norm(spark):
+    from grower_spark.operators.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: (r["max_sim"], r["contaminated"])
+            for r in semantic_contamination(corpus, bench).collect()}
+    # empty benchmark: fold sentinel -1.0, nothing flagged
+    assert rows == {1: (-1.0, 0), 2: (-1.0, 0)}
+
+    bench2 = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows2 = {r["vec_id"]: (r["max_sim"], r["contaminated"])
+             for r in semantic_contamination(corpus, bench2).collect()}
+    # zero-norm pairs score 0 on both sides, never NaN/throw
+    assert rows2 == {1: (0.0, 0), 2: (0.0, 0)}
