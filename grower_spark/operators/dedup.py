@@ -186,6 +186,15 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "_id", F.explode(F.array(*_band_bucket_cols(num_perm, bands))).alias("bucket")
     )
+    return _postings_pairs(buckets, max_bucket_width)
+
+
+def _postings_pairs(buckets: DataFrame,
+                    max_bucket_width: Optional[int]) -> DataFrame:
+    """``(_id, bucket)`` -> ``(id_a, id_b, n_bands)``: the shared
+    posting-list pair emitter behind both the batch and incremental LSH
+    paths — one bucket shuffle, ordered pairs out of each posting array,
+    band count per pair."""
     postings = (
         buckets.groupBy("bucket")
         .agg(F.array_sort(F.collect_list("_id")).alias("ds"))
@@ -258,29 +267,30 @@ def minhash_lsh_pairs_incremental(
     num_perm/bands/shingle/hash params) and its ids are disjoint from the
     batch ids — the two pair sets are then disjoint and the result equals
     ``minhash_lsh_pairs(old ∪ new)`` restricted to pairs touching a new
-    doc (pinned by test_dedup_incremental).  ``max_bucket_width`` drops
-    degenerate buckets on BOTH sides (old side needs a width count — one
-    extra aggregation on the index); batch-vs-incremental equality holds
-    exactly when the cap is None.
+    doc (pinned by test_dedup_incremental).  ``max_bucket_width`` is
+    computed on the COMBINED old+new per-bucket width, exactly like the
+    monolithic run would see it — capping each side independently would
+    silently keep a bucket whose union exceeds the cap (r6 advice) — so
+    batch-vs-incremental equality holds for any cap, not just None.
     """
-    def _cap_width(b_df):
-        wide = (
-            b_df.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("_w"))
-            .where(F.col("_w") > max_bucket_width)
-            .select("bucket")
-        )
-        return b_df.join(wide, "bucket", "left_anti")
-
     new_b = minhash_band_index(
         new_df, id_col, text_col, num_perm, bands, shingle_n, hash_fn
     ).select(F.col(id_col).alias("_nid"), "bucket")
     old_b = index_df.select(F.col(id_col).alias("_oid"), "bucket")
     if max_bucket_width is not None:
-        # cap BOTH join sides: a degenerate bucket in the batch would
-        # otherwise emit new_width x old_width pairs uncapped
-        old_b = _cap_width(old_b)
-        new_b = _cap_width(new_b)
+        # combined width per bucket (old + new), matching what
+        # minhash_lsh_pairs(old ∪ new) would count; over-cap buckets are
+        # excluded from BOTH the cross join and the new↔new emitter
+        wide = (
+            new_b.select("bucket")
+            .unionByName(old_b.select("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .where(F.col("_w") > max_bucket_width)
+            .select("bucket")
+        )
+        old_b = old_b.join(wide, "bucket", "left_anti")
+        new_b = new_b.join(wide, "bucket", "left_anti")
     new_old = (
         new_b.join(old_b, "bucket")
         .select(
@@ -290,9 +300,11 @@ def minhash_lsh_pairs_incremental(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    new_new = minhash_lsh_pairs(
-        new_df, id_col, text_col, num_perm, bands, shingle_n, hash_fn,
-        max_bucket_width,
+    # new↔new pairs reuse the SAME (already capped) band index — no
+    # second signature computation, and no per-side re-cap: a bucket
+    # surviving the combined cap emits all its in-batch pairs
+    new_new = _postings_pairs(
+        new_b.select(F.col("_nid").alias("_id"), "bucket"), None
     )
     # disjoint by the id-disjointness contract: plain union, no re-group
     return new_old.unionByName(new_new)

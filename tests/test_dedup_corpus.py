@@ -97,3 +97,56 @@ def test_append_without_state_update_leaves_state_alone(spark, tmp_path):
     # state unchanged: the same batch appended again still survives
     keep2, _ = append_keep_drop(spark, batch, state, update_state=False)
     assert [r.doc_id for r in keep2.collect()] == [10]
+
+
+def test_exact_drop_repoints_to_corpus_canonical(spark, tmp_path):
+    """An in-batch exact drop whose keeper is itself dropped
+    exact-vs-corpus must point at the SURVIVING corpus doc, not the
+    non-surviving in-batch keeper (r6 advice)."""
+    from tools.dedup_corpus import append_keep_drop, write_dedup_state
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "state")
+    write_dedup_state(corpus, state)
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    _, drops = append_keep_drop(spark, batch, state, update_state=False)
+    got = {(r.doc_id, r.kept_id, r.reason) for r in drops.collect()}
+    assert got == {(10, 1, "exact-vs-corpus"), (11, 1, "exact")}
+
+
+def test_retried_append_is_idempotent(spark, tmp_path):
+    """Re-running the SAME batch append (a retry after a failure) must not
+    double-append survivors to the persisted state: the batch's state
+    partition is overwritten, not appended (r6 advice)."""
+    from tools.dedup_corpus import append_keep_drop, write_dedup_state
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "state")
+    write_dedup_state(corpus, state)
+    batch = spark.createDataFrame(
+        [(10, "completely different content here today")],
+        "doc_id long, text string",
+    )
+    for _ in range(2):  # the second run simulates a retry of the same batch
+        keep, _ = append_keep_drop(spark, batch, state, min_shared_bands=1)
+        assert [r.doc_id for r in keep.collect()] == [10]
+    hashes = spark.read.parquet(str(tmp_path / "state" / "exact_hashes"))
+    assert hashes.count() == hashes.select("h60").distinct().count() == 2
+    # and the state still dedups a later duplicate of the batch doc
+    batch2 = spark.createDataFrame(
+        [(20, "completely different content here today")],
+        "doc_id long, text string",
+    )
+    keep2, drops2 = append_keep_drop(spark, batch2, state, update_state=False)
+    assert [r.doc_id for r in keep2.collect()] == []
+    assert [(r.doc_id, r.kept_id, r.reason) for r in drops2.collect()] == [
+        (20, 10, "exact-vs-corpus")
+    ]

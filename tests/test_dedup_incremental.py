@@ -81,3 +81,32 @@ def test_bucket_width_cap_filters_new_side_too(spark):
     capped = minhash_lsh_pairs_incremental(new, index, max_bucket_width=4)
     assert len(_pairs_set(uncapped)) > 0
     assert len(_pairs_set(capped)) == 0
+
+
+def test_bucket_width_cap_is_combined_width(spark):
+    """The cap must act on the UNION's per-bucket width (r6 advice): 3 old
+    + 3 new identical docs with cap=4 — neither side alone exceeds the
+    cap, but the monolithic run sees width 6 and drops the bucket, so the
+    incremental run must too (capped batch == capped incremental,
+    restricted to new-touching pairs)."""
+    old = spark.createDataFrame(
+        [(i, "common text shared by every doc") for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, "common text shared by every doc") for i in range(3)],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(old)
+    capped = minhash_lsh_pairs_incremental(new, index, max_bucket_width=4)
+    batch = minhash_lsh_pairs(old.unionByName(new), max_bucket_width=4)
+    assert _pairs_set(capped) == _pairs_set(batch) == set()
+    # and with a cap the combined width fits under, full parity holds
+    loose_inc = minhash_lsh_pairs_incremental(new, index, max_bucket_width=6)
+    loose_batch = minhash_lsh_pairs(old.unionByName(new), max_bucket_width=6)
+    new_ids = {100, 101, 102}
+    expected = {
+        t for t in _pairs_set(loose_batch)
+        if t[0] in new_ids or t[1] in new_ids
+    }
+    assert _pairs_set(loose_inc) == expected and expected

@@ -77,16 +77,23 @@ def build_keep_drop(docs, id_col: str = "doc_id", text_col: str = "text",
 
 def write_dedup_state(docs_kept, state_dir: str, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 16,
-                      bands: int = 4, mode: str = "overwrite") -> None:
+                      bands: int = 4, batch_id: str = "base") -> None:
     """Persist the dedup state of a (kept) corpus for later appends:
 
-        <state>/exact_hashes/  (h60, keep_id)  canonical-form content hash
+        <state>/exact_hashes/  (h60, keep_id)   canonical-form content hash
         <state>/band_index/    (doc_id, bucket) MinHash band buckets
 
     Both derive from the NORMALIZED text, matching build_keep_drop.  At
-    100 TB, bucket-partition band_index on ``bucket`` so an append's join
-    prunes to touched buckets; here it's plain parquet.  ``mode="append"``
-    is what append_keep_drop uses to fold a new batch's survivors in.
+    100 TB, additionally bucket-partition band_index on ``bucket`` so an
+    append's join prunes to touched buckets; here it's plain parquet.
+
+    Idempotent appends (r6 advice): both tables are partitioned by
+    ``batch_id`` and written with DYNAMIC partition overwrite, so a
+    RETRIED append replaces its own partition instead of double-appending
+    the batch's survivors, and a crash between the two writes is healed
+    by the retry (each table's partition is rewritten whole).  The caller
+    must pass a batch_id that is stable across retries of the same batch
+    (append_keep_drop derives one from the batch's content hashes).
     """
     from grower_spark.functions.hashing import md5_60
     from grower_spark.operators.dedup import minhash_band_index
@@ -96,23 +103,35 @@ def write_dedup_state(docs_kept, state_dir: str, id_col: str = "doc_id",
     hashes = norm.select(
         md5_60(F.col("text_norm")).alias("h60"), F.col(id_col).alias("keep_id")
     ).dropDuplicates(["h60"])
-    hashes.write.mode(mode).parquet(os.path.join(state_dir, "exact_hashes"))
     index = minhash_band_index(
         norm, id_col=id_col, text_col="text_norm", num_perm=num_perm, bands=bands
     )
-    index.write.mode(mode).parquet(os.path.join(state_dir, "band_index"))
+    for name, df in (("exact_hashes", hashes), ("band_index", index)):
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(state_dir, name))
+        )
 
 
 def append_keep_drop(spark, new_docs, state_dir: str, id_col: str = "doc_id",
                      text_col: str = "text", num_perm: int = 16,
                      bands: int = 4, min_shared_bands: int = 2,
-                     max_bucket_width: int = 2000, update_state: bool = True):
+                     max_bucket_width: int = 2000, update_state: bool = True,
+                     batch_id: str | None = None):
     """Dedup a NEW ingest batch against the persisted corpus state —
     old↔old work never recurs, per-batch cost is O(batch + collisions).
 
     Returns (keep_df[doc_id], drops_df[doc_id, kept_id, reason]); reasons:
     ``exact`` (in-batch), ``exact-vs-corpus``, ``near-dup`` (in-batch
-    cluster), ``near-dup-vs-corpus``.  Policy note vs a monolithic rerun:
+    cluster), ``near-dup-vs-corpus``.  ``batch_id`` names this batch's
+    partition in the persisted state (stable across retries ->
+    idempotent append); by default it is derived from the batch's content
+    hashes, so retrying the same batch overwrites its own partition
+    instead of double-appending survivors.  Policy note vs a monolithic
+    rerun:
     corpus matches are dropped first and clustering runs among the
     *remaining* batch docs, so a batch doc chained to the corpus only
     through another (already dropped) batch doc survives — transitive
@@ -129,11 +148,32 @@ def append_keep_drop(spark, new_docs, state_dir: str, id_col: str = "doc_id",
     )
     from grower_spark.operators.text import normalize_text
 
-    hashes = spark.read.parquet(os.path.join(state_dir, "exact_hashes"))
-    index = spark.read.parquet(os.path.join(state_dir, "band_index"))
-
     norm = normalize_text(new_docs, text_col=text_col).cache()
     keyed = norm.select(F.col(id_col), md5_60(F.col("text_norm")).alias("h60"))
+
+    if batch_id is None:
+        # stable across retries: derived from the batch's content hashes
+        # + id span, never from wall clock or job id.  (Two DIFFERENT
+        # batches colliding would need identical count, id span, and
+        # mod-p hash sum — in practice only a retry reproduces it.)
+        sig = keyed.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("h60") % F.lit(1000000007)).alias("s"),
+            F.min(F.col(id_col)).alias("mn"),
+            F.max(F.col(id_col)).alias("mx"),
+        ).collect()[0]
+        batch_id = f"b{sig['c']}_{sig['s']}_{sig['mn']}_{sig['mx']}"
+
+    # Exclude THIS batch's own state partition: a retry after a crashed
+    # or completed previous attempt must dedup against exactly the state
+    # the first attempt saw, not against its own survivors (otherwise
+    # every retried doc "matches the corpus" — itself — and drops).
+    hashes = spark.read.parquet(os.path.join(state_dir, "exact_hashes"))
+    index = spark.read.parquet(os.path.join(state_dir, "band_index"))
+    if "batch_id" in hashes.columns:
+        hashes = hashes.where(F.col("batch_id") != batch_id)
+    if "batch_id" in index.columns:
+        index = index.where(F.col("batch_id") != batch_id)
 
     # 1. in-batch exact
     exact = exact_dedup(norm, text_col="text_norm", id_col=id_col)
@@ -154,6 +194,21 @@ def append_keep_drop(spark, new_docs, state_dir: str, id_col: str = "doc_id",
     ).select(
         F.col(id_col), F.col("_cid").alias("kept_id"),
         F.lit("exact-vs-corpus").alias("reason"),
+    )
+    # re-point in-batch exact drops whose keeper is itself dropped as
+    # exact-vs-corpus (r6 advice): every kept_id in the drop list must
+    # reference a SURVIVING doc, so those drops inherit the corpus
+    # canonical instead of a non-surviving in-batch keeper
+    repoint = corpus_exact.select(
+        F.col(id_col).alias("_gone"), F.col("kept_id").alias("_canon")
+    )
+    exact_drops = (
+        exact_drops.join(repoint, exact_drops.kept_id == F.col("_gone"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_canon"), F.col("kept_id")).alias("kept_id"),
+            "reason",
+        )
     )
     pool_ids = survivors.select(id_col).join(
         corpus_exact.select(id_col), id_col, "left_anti"
@@ -205,13 +260,21 @@ def append_keep_drop(spark, new_docs, state_dir: str, id_col: str = "doc_id",
         .unionByName(near_corpus_drops)
         .unionByName(near_drops)
     )
+    # Materialize the decision ONCE (eager localCheckpoint): the caller's
+    # keep/drop writes and the state update below would otherwise each
+    # re-run the whole dedup DAG, and the norm cache could never be
+    # released (r6 advice: repeated appends in one long-lived session
+    # accumulated cached blocks).  After the checkpoint the lineage no
+    # longer references norm, so unpersist is safe immediately.
+    drops = drops.localCheckpoint(eager=True)
+    norm.unpersist()
     keep = new_docs.select(id_col).join(drops.select(id_col), id_col, "left_anti")
 
     if update_state:
         kept_docs = new_docs.join(keep, id_col)
         write_dedup_state(
             kept_docs, state_dir, id_col=id_col, text_col=text_col,
-            num_perm=num_perm, bands=bands, mode="append",
+            num_perm=num_perm, bands=bands, batch_id=batch_id,
         )
     return keep, drops
 
