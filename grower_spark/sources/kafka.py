@@ -21,6 +21,9 @@ PATH, `import PIL`): all still absent.  Unchanged; the wire-codec path
 (sinks/kafkawire.py) remains the drivable stand-in.
 2026-08-14 r6 (second session): re-probed jars / :9092 / PIL /
 google.protobuf (the transformWithState dependency): all still absent.
+2026-08-14 r7: re-probed (filesystem-wide find for spark-sql-kafka* /
+kafka-clients*.jar, `import PIL`, `import google.protobuf`, kafka-python):
+all still absent.  Unchanged.
 """
 
 from __future__ import annotations

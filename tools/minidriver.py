@@ -3,11 +3,17 @@
 sf dir, compare row count, column names, and an order-insensitive value hash.
 
 Usage: python tools/minidriver.py [sf_dir] [query ...]
+       MINIDRIVER_JSON=path python tools/minidriver.py [sf_dir]
+
+With MINIDRIVER_JSON set, per-query results are also written as a JSON
+artifact in the driver's CORRECTNESS_r{N}.json shape — the full-registry
+complement to the driver's 50-row window.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -58,6 +64,16 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows_match=False, schema_match=False,
+               hash_match=False, spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,11 +84,13 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record(name, err=f"spark: {e}")
             failures.append(name)
             continue
         t1 = time.time()
         if name not in oracles:
             print(f"SKIP-ORACLE {name}: rows={len(srows)} ({t1-t0:.1f}s)")
+            record(name, spark_rows=len(srows), err="no oracle (rows-only)")
             continue
         try:
             res = con.execute(oracles[name])
@@ -80,6 +98,7 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record(name, spark_rows=len(srows), err=f"duckdb: {e}")
             failures.append(name)
             continue
         t2 = time.time()
@@ -123,12 +142,27 @@ def main():
                     print(f"    spark-only: {x}")
                 for x in list(set_d - set_s)[:3]:
                     print(f"    duck-only:  {x}")
+        record(
+            name,
+            rows_match=len(srows) == len(drows),
+            schema_match=sorted(scols) == sorted(dcols),
+            hash_match=not problems,
+            spark_rows=len(srows),
+            oracle_rows=len(drows),
+            err="; ".join(problems) or None,
+        )
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
         else:
             print(f"OK   {name}: rows={len(srows)} spark={t1-t0:.1f}s duck={t2-t1:.1f}s")
     spark.stop()
+    out = os.environ.get("MINIDRIVER_JSON")
+    if out:
+        with open(out, "w") as f:
+            json.dump(report, f, indent=2)
+            f.write("\n")
+        print(f"wrote {out} ({len(report)} queries)")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
