@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     ("events_outliers", "noop"),
     ("source_mix", "collect"),
     ("semantic_decontam", "noop"),
+    ("semantic_decontam_bcast", "noop"),
+    ("multimodal_decode_png", "noop"),
+    ("multimodal_decode_wav", "noop"),
+    ("lm_perplexity", "noop"),
 ]
 
 

@@ -3663,6 +3663,78 @@ def q_semantic_decontam_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_VOCAB_K = 128
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: fit an add-one-smoothed unigram LM
+    on a trusted split (even doc_ids — the model step, bounded top-k
+    vocab + OOV bucket), then score EVERY document's cross-entropy under
+    it in one zero-shuffle map pass (model as plan map literal, the
+    tokenize_to_ids shape).  Odd documents exercise the OOV path.
+    Integer micro-nat contract end-to-end, so per-doc sums are
+    order-insensitive and engine-exact."""
+    from grower_spark.operators.text import fit_unigram_lm, lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_unigram_lm(
+        docs.where(F.col("doc_id") % 2 == 0), vocab_k=_LM_VOCAB_K, alpha=1.0
+    )
+    return lm_score(docs, model)
+
+
+def oracle_lm_perplexity() -> str:
+    # Same fit re-derived in SQL: top-k tokens by (tf desc, token asc) on
+    # the even split, add-one smoothing over V+1 outcomes, per-token cost
+    # floor(-ln p * 1e6) — float ops happen once per VOCAB entry (not per
+    # token), and the per-doc aggregation is integer, so GROUP BY sums
+    # need no ordering guarantees.
+    return f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM train WHERE text IS NOT NULL
+),
+v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1),
+topv AS (SELECT token, tf FROM v ORDER BY tf DESC, token LIMIT {_LM_VOCAB_K}),
+n AS (
+  SELECT CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS n_total
+  FROM train WHERE text IS NOT NULL
+),
+params AS (
+  SELECT n.n_total + 1.0 * ((SELECT count(*) FROM topv) + 1) AS denom,
+         n.n_total - (SELECT coalesce(sum(tf), 0) FROM topv) AS c_oov
+  FROM n
+),
+lm AS (
+  SELECT token,
+    CAST(floor(-ln((tf + 1.0) / (SELECT denom FROM params)) * 1e6) AS BIGINT) AS nll
+  FROM topv
+),
+oov AS (
+  SELECT CAST(floor(-ln((c_oov + 1.0) / denom) * 1e6) AS BIGINT) AS nll
+  FROM params
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT t.doc_id,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(coalesce(lm.nll, (SELECT nll FROM oov))) AS BIGINT) AS s
+  FROM tok t LEFT JOIN lm ON lm.token = t.token
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(s.s, 0) AS BIGINT) AS nll_micro_sum,
+  CAST(CASE WHEN coalesce(s.n, 0) > 0 THEN s.s // s.n ELSE 0 END AS BIGINT)
+    AS xent_micro
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 _MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
 
 
@@ -3831,7 +3903,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q9": q_tpch_q9,
     "tpch_q18": q_tpch_q18,
-    "tpch_q21": q_tpch_q21,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_topk_per_user": q_events_topk_per_user,
@@ -3846,8 +3917,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "semantic_decontam_bcast": q_semantic_decontam_bcast,
+    "lm_perplexity": q_lm_perplexity,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
+    "tpch_q21": q_tpch_q21,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
@@ -3963,4 +4036,5 @@ ORACLES: dict[str, str] = {
     "semantic_decontam": oracle_semantic_decontam(),
     # broadcast variant computes the identical contract; same oracle
     "semantic_decontam_bcast": oracle_semantic_decontam(),
+    "lm_perplexity": oracle_lm_perplexity(),
 }

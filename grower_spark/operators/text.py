@@ -403,3 +403,86 @@ def tokenize_to_ids_join(df: DataFrame, vocab_df: DataFrame,
         F.array_join(F.transform(seq, lambda s: s._id.cast("string")), ",").alias("ids_csv"),
     )
     return encoded.unionByName(null_rows)
+
+
+def fit_unigram_lm(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", vocab_k: int = 256,
+                   alpha: float = 1.0) -> dict:
+    """Fit an add-alpha-smoothed unigram language model on a corpus —
+    the model step of CCNet-style perplexity filtering (train the LM on a
+    trusted split, score the raw corpus, drop the high-perplexity tail).
+
+    The model is bounded by contract (top ``vocab_k`` tokens + one OOV
+    bucket — driver-collectable at any corpus size, the collect_vocab /
+    IVF-centroid precedent); the corpus is never collected.  Probabilities
+    use add-alpha smoothing over V+1 outcomes (vocab + OOV):
+
+        p(t)   = (tf(t) + alpha)   / (N + alpha * (V + 1))
+        p(oov) = (c_oov + alpha)   / (N + alpha * (V + 1))
+
+    Per-token costs are quantized to integer micro-nats
+    (``floor(-ln p * 1e6)``) so downstream per-document sums are
+    order-insensitive and exact across engines — the entropy_milli /
+    rms_milli precedent.
+
+    Returns ``{"vocab": [(token, nll_micro)], "oov_nll_micro": int,
+    "n_train_tokens": int}``.
+    """
+    import math
+
+    top = vocab_topk(df, id_col=id_col, text_col=text_col, k=vocab_k).select(
+        "token", "tf"
+    ).collect()
+    n_total = df.select(
+        F.sum(F.size(_tokens(F.col(text_col)))).alias("n")
+    ).collect()[0]["n"] or 0
+    denom = n_total + alpha * (len(top) + 1)
+
+    def nll_micro(count: float) -> int:
+        return int(math.floor(-math.log((count + alpha) / denom) * 1e6))
+
+    vocab = [(r["token"], nll_micro(r["tf"])) for r in top]
+    c_oov = n_total - sum(r["tf"] for r in top)
+    return {
+        "vocab": vocab,
+        "oov_nll_micro": nll_micro(c_oov),
+        "n_train_tokens": int(n_total),
+    }
+
+
+def lm_score(df: DataFrame, model: dict, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Score documents under a fitted unigram LM (``fit_unigram_lm``):
+    per-document token count, total negative log-likelihood, and mean
+    cross-entropy, all in integer micro-nats.
+
+    The model enters the plan as a map literal (token -> nll_micro), so
+    scoring is one zero-shuffle map pass at scan speed — the
+    tokenize_to_ids shape; unknown tokens cost the OOV bucket.  Integer
+    sums make the result bit-stable regardless of evaluation order.
+    Perplexity is ``exp(xent_micro / 1e6)`` downstream when a float is
+    wanted; the operator's contract stays integer-exact.
+
+    Output: ``(id_col, n_tokens, nll_micro_sum, xent_micro)`` with
+    ``xent_micro = nll_micro_sum div n_tokens`` (0 for empty/NULL text).
+    """
+    nll_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t, _ in model["vocab"]]),
+        F.array(*[F.lit(c).cast("long") for _, c in model["vocab"]]),
+    )
+    oov = F.lit(int(model["oov_nll_micro"])).cast("long")
+    toks = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
+    terms = F.transform(toks, lambda t: F.coalesce(F.element_at(nll_map, t), oov))
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = df.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        total.alias("nll_micro_sum"),
+    )
+    return scored.withColumn(
+        "xent_micro",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("nll_micro_sum div n_tokens"),
+        ).otherwise(F.lit(0)).cast("long"),
+    )

@@ -114,3 +114,34 @@ def test_tokenize_variants_agree_on_null_text(spark):
         for r in tokenize_to_ids_join(df, vdf).collect()
     )
     assert lit_rows == join_rows == [(1, 2, 1, "1,0"), (2, 0, 0, "")]
+
+
+def test_unigram_lm_hand_computed(spark):
+    """Add-one unigram LM against hand-computed micro-nat costs."""
+    import math
+
+    from grower_spark.operators.text import fit_unigram_lm, lm_score
+
+    train = spark.createDataFrame(
+        [(0, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    model = fit_unigram_lm(train, vocab_k=2, alpha=1.0)
+    # tf: a=3 b=1 c=1 -> top2 by (tf desc, token asc) = [a, b]; N=5, V=2,
+    # denom = 5 + 1*(2+1) = 8; p(a)=4/8, p(b)=2/8, c_oov=1 -> p(oov)=2/8
+    nll = {t: c for t, c in model["vocab"]}
+    assert nll["a"] == int(math.floor(-math.log(0.5) * 1e6)) == 693147
+    assert nll["b"] == model["oov_nll_micro"] == 1386294
+    assert model["n_train_tokens"] == 5
+
+    docs = spark.createDataFrame(
+        [(1, "a b d"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in lm_score(docs, model).collect()}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["nll_micro_sum"] == 693147 + 1386294 + 1386294
+    assert rows[1]["xent_micro"] == rows[1]["nll_micro_sum"] // 3
+    # empty string is ONE empty token (split semantics) costed as OOV
+    assert rows[3]["n_tokens"] == 1 and rows[3]["nll_micro_sum"] == 1386294
+    # NULL text scores as an empty sequence
+    assert rows[4] == {"doc_id": 4, "n_tokens": 0, "nll_micro_sum": 0,
+                       "xent_micro": 0}
