@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     ("multimodal_decode_png", "noop"),
     ("multimodal_decode_wav", "noop"),
     ("lm_perplexity", "noop"),
+    ("dsir_weights", "noop"),
 ]
 
 

@@ -3684,37 +3684,12 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_lm_perplexity() -> str:
-    # Same fit re-derived in SQL: top-k tokens by (tf desc, token asc) on
-    # the even split, add-one smoothing over V+1 outcomes, per-token cost
-    # floor(-ln p * 1e6) — float ops happen once per VOCAB entry (not per
-    # token), and the per-doc aggregation is integer, so GROUP BY sums
-    # need no ordering guarantees.
+    # Same fit re-derived in SQL (shared CTEs: _lm_cte_sql): float ops
+    # happen once per VOCAB entry (not per token), and the per-doc
+    # aggregation is integer, so GROUP BY sums need no ordering
+    # guarantees.
     return f"""
-WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-ex AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-  FROM train WHERE text IS NOT NULL
-),
-v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1),
-topv AS (SELECT token, tf FROM v ORDER BY tf DESC, token LIMIT {_LM_VOCAB_K}),
-n AS (
-  SELECT CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS n_total
-  FROM train WHERE text IS NOT NULL
-),
-params AS (
-  SELECT n.n_total + 1.0 * ((SELECT count(*) FROM topv) + 1) AS denom,
-         n.n_total - (SELECT coalesce(sum(tf), 0) FROM topv) AS c_oov
-  FROM n
-),
-lm AS (
-  SELECT token,
-    CAST(floor(-ln((tf + 1.0) / (SELECT denom FROM params)) * 1e6) AS BIGINT) AS nll
-  FROM topv
-),
-oov AS (
-  SELECT CAST(floor(-ln((c_oov + 1.0) / denom) * 1e6) AS BIGINT) AS nll
-  FROM params
-),
+WITH {_lm_cte_sql("m", "doc_id % 2 = 0", _LM_VOCAB_K)},
 tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token
   FROM documents WHERE text IS NOT NULL
@@ -3722,8 +3697,8 @@ tok AS (
 scored AS (
   SELECT t.doc_id,
     CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(coalesce(lm.nll, (SELECT nll FROM oov))) AS BIGINT) AS s
-  FROM tok t LEFT JOIN lm ON lm.token = t.token
+    CAST(sum(coalesce(m_lm.nll, (SELECT nll FROM m_oov))) AS BIGINT) AS s
+  FROM tok t LEFT JOIN m_lm ON m_lm.token = t.token
   GROUP BY t.doc_id
 )
 SELECT d.doc_id,
@@ -3731,6 +3706,85 @@ SELECT d.doc_id,
   CAST(coalesce(s.s, 0) AS BIGINT) AS nll_micro_sum,
   CAST(CASE WHEN coalesce(s.n, 0) > 0 THEN s.s // s.n ELSE 0 END AS BIGINT)
     AS xent_micro
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def _lm_cte_sql(prefix: str, where: str, k: int) -> str:
+    """The add-one unigram-LM fit as DuckDB CTEs (shared by the
+    lm_perplexity and dsir_weights oracles): top-k vocab by (tf desc,
+    token asc) over the split selected by ``where``, per-token cost
+    floor(-ln p * 1e6) as BIGINT."""
+    return f"""
+{prefix}_ex AS (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE ({where}) AND text IS NOT NULL
+),
+{prefix}_v AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM {prefix}_ex GROUP BY 1
+),
+{prefix}_top AS (
+  SELECT token, tf FROM {prefix}_v ORDER BY tf DESC, token LIMIT {k}
+),
+{prefix}_n AS (
+  SELECT CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+    AS n_total
+  FROM documents WHERE ({where}) AND text IS NOT NULL
+),
+{prefix}_params AS (
+  SELECT n_total + 1.0 * ((SELECT count(*) FROM {prefix}_top) + 1) AS denom,
+         n_total - (SELECT coalesce(sum(tf), 0) FROM {prefix}_top) AS c_oov
+  FROM {prefix}_n
+),
+{prefix}_lm AS (
+  SELECT token,
+    CAST(floor(-ln((tf + 1.0) / (SELECT denom FROM {prefix}_params)) * 1e6)
+      AS BIGINT) AS nll
+  FROM {prefix}_top
+),
+{prefix}_oov AS (
+  SELECT CAST(floor(-ln((c_oov + 1.0) / denom) * 1e6) AS BIGINT) AS nll
+  FROM {prefix}_params
+)"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: target LM fit on the English split, raw
+    LM fit on the whole corpus, every document scored with the
+    log-likelihood ratio in ONE zero-shuffle map pass (both models as
+    plan map literals, two integer accumulators over the same token
+    array).  Positive logw_micro = looks like the target domain."""
+    from grower_spark.operators.text import fit_unigram_lm, importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = fit_unigram_lm(
+        docs.where(F.col("lang") == "en"), vocab_k=_LM_VOCAB_K, alpha=1.0
+    )
+    raw = fit_unigram_lm(docs, vocab_k=_LM_VOCAB_K, alpha=1.0)
+    return importance_weights(docs, target, raw)
+
+
+def oracle_dsir_weights() -> str:
+    return f"""
+WITH {_lm_cte_sql("t", "lang = 'en'", _LM_VOCAB_K)},
+{_lm_cte_sql("r", "1 = 1", _LM_VOCAB_K)},
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT k.doc_id,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(coalesce(r_lm.nll, (SELECT nll FROM r_oov)))
+         - sum(coalesce(t_lm.nll, (SELECT nll FROM t_oov))) AS BIGINT) AS w
+  FROM tok k
+  LEFT JOIN t_lm ON t_lm.token = k.token
+  LEFT JOIN r_lm ON r_lm.token = k.token
+  GROUP BY k.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(s.w, 0) AS BIGINT) AS logw_micro
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
@@ -3902,7 +3956,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 34-50: flagship r6-green sample (rotation keeps them honest) ---
     "tpch_q1": q_tpch_q1,
     "tpch_q9": q_tpch_q9,
-    "tpch_q18": q_tpch_q18,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_topk_per_user": q_events_topk_per_user,
@@ -3918,8 +3971,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "semantic_decontam_bcast": q_semantic_decontam_bcast,
     "lm_perplexity": q_lm_perplexity,
+    "dsir_weights": q_dsir_weights,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
+    "tpch_q18": q_tpch_q18,
     "tpch_q21": q_tpch_q21,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
@@ -4037,4 +4092,5 @@ ORACLES: dict[str, str] = {
     # broadcast variant computes the identical contract; same oracle
     "semantic_decontam_bcast": oracle_semantic_decontam(),
     "lm_perplexity": oracle_lm_perplexity(),
+    "dsir_weights": oracle_dsir_weights(),
 }

@@ -486,3 +486,49 @@ def lm_score(df: DataFrame, model: dict, id_col: str = "doc_id",
             F.expr("nll_micro_sum div n_tokens"),
         ).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def importance_weights(df: DataFrame, target_model: dict, raw_model: dict,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): per
+    document, the log-likelihood ratio between a TARGET-domain LM and a
+    RAW-corpus LM —
+
+        log w(doc) = log p_target(doc) - log p_raw(doc)
+                   = nll_raw(doc) - nll_target(doc)
+
+    positive when the document looks more like the target domain.
+    Downstream, resample keeping docs with probability proportional to
+    exp(log w) (or take the top tail for a deterministic pipeline).
+
+    Both models ride the plan as map literals (bounded vocab + OOV, the
+    lm_score shape), and BOTH folds run in the same zero-shuffle map
+    pass — one scan, two integer accumulators.  The micro-nat contract
+    makes the weight integer-exact: ``logw_micro = nll_raw_micro_sum -
+    nll_target_micro_sum`` (0 for empty/NULL text).
+
+    Output: ``(id_col, n_tokens, logw_micro)``.
+    """
+    def terms(model: dict):
+        m = F.map_from_arrays(
+            F.array(*[F.lit(t) for t, _ in model["vocab"]]),
+            F.array(*[F.lit(c).cast("long") for _, c in model["vocab"]]),
+        )
+        oov = F.lit(int(model["oov_nll_micro"])).cast("long")
+        toks = F.coalesce(
+            _tokens(F.col(text_col)), F.array().cast("array<string>")
+        )
+        return F.aggregate(
+            F.transform(toks, lambda t: F.coalesce(F.element_at(m, t), oov)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    toks = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
+    return df.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        (terms(raw_model) - terms(target_model)).alias("logw_micro"),
+    )

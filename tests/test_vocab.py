@@ -145,3 +145,27 @@ def test_unigram_lm_hand_computed(spark):
     # NULL text scores as an empty sequence
     assert rows[4] == {"doc_id": 4, "n_tokens": 0, "nll_micro_sum": 0,
                        "xent_micro": 0}
+
+
+def test_importance_weights_sign(spark):
+    """DSIR log-ratio: target-looking docs weigh positive, off-target
+    docs negative, empty/NULL zero."""
+    from grower_spark.operators.text import fit_unigram_lm, importance_weights
+
+    target_train = spark.createDataFrame(
+        [(0, "aa aa aa aa")], "doc_id long, text string"
+    )
+    raw_train = spark.createDataFrame(
+        [(0, "aa aa aa aa"), (1, "bb bb bb bb"), (2, "cc cc cc cc")],
+        "doc_id long, text string",
+    )
+    t = fit_unigram_lm(target_train, vocab_k=8, alpha=1.0)
+    r = fit_unigram_lm(raw_train, vocab_k=8, alpha=1.0)
+    docs = spark.createDataFrame(
+        [(10, "aa aa aa"), (11, "bb bb bb"), (12, None)],
+        "doc_id long, text string",
+    )
+    rows = {x["doc_id"]: x.asDict() for x in importance_weights(docs, t, r).collect()}
+    assert rows[10]["logw_micro"] > 0          # looks like the target
+    assert rows[11]["logw_micro"] < 0          # off-target
+    assert rows[12] == {"doc_id": 12, "n_tokens": 0, "logw_micro": 0}
