@@ -150,3 +150,47 @@ def test_corpus_build_with_boilerplate_scrub(spark):
         assert boiler not in kept[i]
         assert f"w{50 + i}x0" in kept[i]
     assert report["dropped_boilerplate_only"] == 1
+
+
+def test_corpus_build_perplexity_stage(spark, raw_docs):
+    """With the LM stage on, the doc whose tokens the pool LM assigns
+    the least mass drops as 'perplexity'; the stopword-rich docs survive.
+    Stage off (default) -> no perplexity reason at all."""
+    # Outlier design note: in a tiny self-fit corpus the aggregate OOV
+    # bucket is CHEAP (it absorbs every one-off content word), so an
+    # all-OOV doc is not the high-xent tail — rare IN-VOCAB tokens are.
+    # With vocab_k=16 the vocab is ~10 stopwords plus the outlier's six
+    # tf=4 gibberish tokens (one-off words all pool into cheap OOV), so
+    # the outlier — every token in-vocab at p=5/N — is the strict max.
+    # Repeating 6 distinct tokens 4x clears the repetition gate
+    # (top_word_bp = 1667 < 4000) and quality-ok on length/mean-len/alpha.
+    gibberish = " ".join(["bzqxv chjkw dlmnp fprst gvwxz hqrtk"] * 4)
+    rows = raw_docs.union(
+        spark.createDataFrame([(400, gibberish)], ["doc_id", "text"])
+    )
+    # threshold chosen between the healthy docs' xent and the outlier's:
+    # measure the pool's own scores to keep the test robust to fixture edits
+    from grower_spark.operators.text import fit_unigram_lm, lm_score
+
+    _, _, report = build_corpus(
+        spark, rows, None, min_quality=2, max_xent_micro=0
+    )
+    assert "dropped_perplexity" not in report
+
+    # replicate the stage's own pool (post quality+repetition: 100 and 101
+    # are gone) so the fitted model — and therefore the scores the
+    # threshold is derived from — matches what build_corpus computes
+    pool = rows.where(~F.col("doc_id").isin(100, 101))
+    model = fit_unigram_lm(pool, vocab_k=16)
+    scores = {r["doc_id"]: r["xent_micro"]
+              for r in lm_score(pool, model).collect()}
+    others_max = max(v for k, v in scores.items() if k != 400)
+    assert scores[400] > others_max
+    corpus, drops, report = build_corpus(
+        spark, rows, None, min_quality=2, lm_vocab_k=16,
+        max_xent_micro=(scores[400] + others_max) // 2,
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in drops.collect()}
+    assert reasons.get(400) == "perplexity"
+    assert report["dropped_perplexity"] == 1
+    assert not any(d < 100 and r == "perplexity" for d, r in reasons.items())

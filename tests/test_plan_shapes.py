@@ -296,3 +296,41 @@ def test_semantic_decontam_zero_shuffles(spark):
     stats = plan_stats(q_semantic_decontam(spark, SF_SMALL))
     assert stats["shuffles"] == 0, stats
     assert stats["codegen_stages"] >= 1, stats
+
+
+def test_semantic_decontam_bcast_corpus_zero_shuffle(spark):
+    """Broadcast variant: the only exchanges allowed are on the bench
+    side building the ONE-row broadcast (collect_list agg); the corpus
+    must reach the BroadcastNestedLoopJoin from its scan with no
+    Exchange of its own, and the join's build side must be broadcast."""
+    from grower_spark.driver_queries import q_semantic_decontam_bcast
+    from tools.explain_all import plan_stats
+
+    df = q_semantic_decontam_bcast(spark, SF_SMALL)
+    stats = plan_stats(df)
+    assert stats["broadcasts"] == 1, stats
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in phys:
+        phys = phys.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in phys
+    # corpus side: the plan segment between the BNLJ and the broadcast
+    # build side is the streamed side — it must contain a parquet scan
+    # and no Exchange (the bench-side agg exchanges come after)
+    streamed = phys.split("BroadcastNestedLoopJoin")[1].split("BroadcastExchange")[0]
+    assert "Scan parquet" in streamed
+    assert "Exchange" not in streamed, streamed
+
+
+@pytest.mark.parametrize("qname", ["lm_perplexity", "dsir_weights"])
+def test_lm_scoring_zero_shuffles(spark, qname):
+    """LM scoring / DSIR weighting must be a single zero-shuffle map pass
+    over the corpus (models are plan map literals).  The bounded fits run
+    at build time (driver-side collect of top-k vocab) — the SCORING plan
+    itself carries no Exchange and stays in codegen."""
+    from grower_spark.driver_queries import QUERIES
+    from tools.explain_all import plan_stats
+
+    stats = plan_stats(QUERIES[qname](spark, SF_SMALL))
+    assert stats["shuffles"] == 0, stats
+    assert stats["joins"] == 0, stats
+    assert stats["codegen_stages"] >= 1, stats

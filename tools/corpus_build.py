@@ -3,6 +3,7 @@ training-data team runs to turn a raw document table into packed,
 training-ready sequences.
 
     quality filter (signals + repetition) ->
+    [optional] LM perplexity filter (self-fit unigram LM, drop the tail) ->
     benchmark decontamination (n-gram overlap) ->
     [optional] boilerplate scrub (corpus-level common-paragraph removal) ->
     dedup keep-list (normalize -> exact -> MinHash-LSH -> clusters) ->
@@ -52,6 +53,8 @@ def build_corpus(
     text_col: str = "text",
     min_quality: int = 2,
     max_top_word_bp: int = 4000,
+    max_xent_micro: int = 0,
+    lm_vocab_k: int = 4096,
     decontam_n: int = 8,
     para_min_df: int = 0,
     para_sep: str = "\n\n",
@@ -111,6 +114,24 @@ def build_corpus(
     )
     drops.append(bad_rep)
     pool = pool.join(F.broadcast(bad_rep.select(id_col)), id_col, "left_anti")
+
+    # 1c. LM perplexity filter (optional): fit a unigram LM on the pool
+    # itself (bounded top-k vocab fit — the model step), score every doc
+    # at scan speed (model as plan map literal), drop the
+    # high-cross-entropy tail.  Self-perplexity is the standard
+    # outlier-pruning shape; pass a trusted split through
+    # fit_unigram_lm/lm_score directly for CCNet-style target filtering.
+    if max_xent_micro:
+        from grower_spark.operators.text import fit_unigram_lm, lm_score
+
+        model = fit_unigram_lm(
+            pool, id_col=id_col, text_col=text_col, vocab_k=lm_vocab_k
+        )
+        bad_lm = lm_score(pool, model, id_col=id_col, text_col=text_col).where(
+            F.col("xent_micro") > max_xent_micro
+        ).select(F.col(id_col), F.lit("perplexity").alias("reason"))
+        drops.append(bad_lm)
+        pool = pool.join(F.broadcast(bad_lm.select(id_col)), id_col, "left_anti")
 
     # 2. benchmark decontamination (broadcast benchmark grams)
     if benchmark is not None:
@@ -205,6 +226,10 @@ def main() -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-quality", type=int, default=2)
     ap.add_argument("--max-top-word-bp", type=int, default=4000)
+    ap.add_argument("--max-xent-micro", type=int, default=0,
+                    help="drop docs with unigram-LM cross-entropy above "
+                         "this many micro-nats (0 = off)")
+    ap.add_argument("--lm-vocab-k", type=int, default=4096)
     ap.add_argument("--decontam-n", type=int, default=8)
     ap.add_argument("--para-min-df", type=int, default=0,
                     help="drop paragraphs occurring in >= this many places "
@@ -226,6 +251,7 @@ def main() -> int:
         spark, docs, bench,
         id_col=args.id_col, text_col=args.text_col,
         min_quality=args.min_quality, max_top_word_bp=args.max_top_word_bp,
+        max_xent_micro=args.max_xent_micro, lm_vocab_k=args.lm_vocab_k,
         decontam_n=args.decontam_n,
         para_min_df=args.para_min_df, para_sep=args.para_sep,
         sample_permille=args.sample_permille,
