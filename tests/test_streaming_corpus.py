@@ -90,3 +90,55 @@ def test_streaming_sample_is_deterministic_across_restart(spark, tmp_path):
         return {r["doc_id"] for r in _drain(out, tmp_path, name).collect()}
 
     assert run("sample_a") == run("sample_b")
+
+
+def test_lm_scoring_streaming_equals_batch(spark, tmp_path):
+    """lm_score / importance_weights are stateless per-row transforms with
+    map-literal models, so the SAME fitted model must score an ingest
+    stream identically to the batch pass — the deployment shape where the
+    LM is fit offline on a trusted split and applied in the ingest
+    pipeline."""
+    from grower_spark.operators.text import (
+        fit_unigram_lm,
+        importance_weights,
+        lm_score,
+    )
+
+    rows1 = [(i, "the quick brown fox and the lazy dog", "web")
+             for i in range(0, 10)]
+    rows2 = [(i, f"unseen tok{i} words beyond the vocab", "web")
+             for i in range(10, 20)]
+    _write_docs(spark, str(tmp_path / "lm_in" / "b1"), rows1)
+    _write_docs(spark, str(tmp_path / "lm_in" / "b2"), rows2)
+
+    schema = "doc_id long, text string, source string"
+    batch_df = spark.read.schema(schema).parquet(str(tmp_path / "lm_in" / "*"))
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "lm_in" / "*"))
+    )
+
+    target = fit_unigram_lm(batch_df.where(F.col("doc_id") < 10), vocab_k=16)
+    raw = fit_unigram_lm(batch_df, vocab_k=16)
+
+    def pipeline(df):
+        return lm_score(df, target).join(
+            importance_weights(df, target, raw).select("doc_id", "logw_micro"),
+            "doc_id",
+        )
+
+    want = {tuple(r) for r in pipeline(batch_df).collect()}
+    # the stream side keeps the join batch-free: score only (per-row ops)
+    scored_stream = lm_score(stream_df, target)
+    got_df = _drain(scored_stream, tmp_path, "lm_stream")
+    got = {tuple(r) for r in got_df.collect()}
+    want_scores = {
+        (r["doc_id"], r["n_tokens"], r["nll_micro_sum"], r["xent_micro"])
+        for r in lm_score(batch_df, target).collect()
+    }
+    assert got == want_scores and len(got) == 20
+    # and the batch-side join sanity: target-split docs weigh higher
+    w = {r["doc_id"]: r["logw_micro"] for r in pipeline(batch_df).collect()}
+    assert min(w[d] for d in range(10)) > max(w[d] for d in range(10, 20))
+    assert len(want) == 20
