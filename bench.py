@@ -187,9 +187,12 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "cpus": os.cpu_count(),
     }
+    snap_name = (
+        "bench_summary.json" if sf == "0.1" else f"bench_summary_sf{sf}.json"
+    )
     drift = None
     try:
-        with open(os.path.join(here, "bench_summary.json")) as f:
+        with open(os.path.join(here, snap_name)) as f:
             prev = json.load(f).get("queries", {})
         common = [q for q in timings if q in prev and prev[q] > 0]
         if common:
@@ -221,10 +224,12 @@ def main() -> None:
     # Provenance: the driver records only the printed tail; a committed
     # copy at a stable path makes round-over-round comparison independent
     # of tail parsing (VERDICT r5 item 8).  Subset runs (BENCH_ONLY) never
-    # overwrite the committed full snapshot.
+    # overwrite the committed full snapshot, and non-default scale factors
+    # write a suffixed file — an sf0.01 verify drive must not masquerade
+    # as the sf0.1 snapshot (r7: exactly that corrupted the drift check).
     if not only:
         try:
-            with open(os.path.join(here, "bench_summary.json"), "w") as f:
+            with open(os.path.join(here, snap_name), "w") as f:
                 json.dump(summary, f, indent=2)
                 f.write("\n")
         except OSError:

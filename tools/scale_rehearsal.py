@@ -271,6 +271,19 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
             ops["tokenize_ids"] = lambda d, v=vocab: tokenize_to_ids(d, v).where(
                 F.length("ids_csv") >= 0
             )
+        if only and "lm_score" in only:
+            # LM scoring leg: the unigram fit runs OUTSIDE the timed loop
+            # (the model step); the timed op is the map-literal scoring
+            # pass, which like tokenize should show ~zero shuffle bytes
+            # and flat walls across the decade.  The filter keeps the
+            # scoring on the count path (Catalyst would prune an
+            # unreferenced projection entirely).
+            from grower_spark.operators.text import fit_unigram_lm, lm_score
+
+            lm = fit_unigram_lm(docs, vocab_k=4096)
+            ops["lm_score"] = lambda d, m=lm: lm_score(d, m).where(
+                F.col("xent_micro") >= 0
+            )
         if only and "shard_shuffle" in only:
             from grower_spark.operators.sampling import shard_shuffle
 
