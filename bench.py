@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     ("multimodal_decode_wav", "noop"),
     ("lm_perplexity", "noop"),
     ("dsir_weights", "noop"),
+    ("multimodal_fused", "noop"),
 ]
 
 

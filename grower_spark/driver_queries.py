@@ -1987,6 +1987,77 @@ JOIN frames f USING (doc_id)
 """
 
 
+def q_multimodal_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED one-pass multimodal kernel (`multimodal_features`) as its
+    own driver row (r7): decode metadata AND byte-histogram features in a
+    single mapInPandas — bytes cross the Arrow boundary once, no doc_id
+    re-join.  Previously pytest-pinned equal to decode ⋈ histogram; this
+    row gives the production path its own oracle (stub decode + nibble
+    histogram/entropy re-derived in SQL)."""
+    from grower_spark.operators.multimodal import attach_binary, multimodal_features
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    fused = multimodal_features(attach_binary(docs), decoder="stub")
+    return fused.select(
+        "doc_id", "width", "height", "n_channels", "mean_luma", "decoder",
+        "n_bytes",
+        F.array_join(F.transform("hist16", lambda x: x.cast("string")), ",").alias(
+            "hist16_csv"
+        ),
+        "entropy_milli",
+    )
+
+
+def oracle_multimodal_fused() -> str:
+    # stub-decode metadata + nibble histogram/entropy, same derivations as
+    # the pipeline oracle minus the binary-meta and frame legs
+    return """
+WITH b AS (
+  SELECT doc_id,
+    octet_length(encode(text)) AS n,
+    list_sum(list_transform(range(1, least(length(text), 256) + 1),
+                            i -> unicode(substr(text, i, 1)))) AS s
+  FROM documents
+),
+meta AS (
+  SELECT doc_id,
+    CAST((s % 1024) + 1 AS INTEGER) AS width,
+    CAST((n % 1024) + 1 AS INTEGER) AS height,
+    CAST(3 AS INTEGER) AS n_channels,
+    CAST((s + n) % 256 AS REAL) AS mean_luma,
+    'stub' AS decoder
+  FROM b
+),
+pre AS (
+  SELECT doc_id,
+    list_transform(range(1, least(length(text), 256) + 1),
+                   i -> unicode(substr(text, i, 1)) // 16) AS nib
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), b -> len(list_filter(nib, x -> x = b))) AS hl,
+    len(nib) AS hn
+  FROM pre
+),
+hist AS (
+  SELECT doc_id,
+    CAST(hn AS INTEGER) AS n_bytes,
+    array_to_string(hl, ',') AS hist16_csv,
+    CAST(floor(1000 * list_reduce(
+        list_prepend(CAST(0 AS DOUBLE),
+          list_transform(hl, k -> CASE WHEN k > 0
+            THEN -(k / CAST(hn AS DOUBLE)) * log2(k / CAST(hn AS DOUBLE))
+            ELSE 0.0 END)),
+        (a, b) -> a + b)) AS BIGINT) AS entropy_milli
+  FROM h
+)
+SELECT m.doc_id, m.width, m.height, m.n_channels, m.mean_luma, m.decoder,
+       hi.n_bytes, hi.hist16_csv, hi.entropy_milli
+FROM meta m JOIN hist hi USING (doc_id)
+"""
+
+
 def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode, driver-certified (r6 verdict item 3): synthesize a
     deterministic grayscale PNG per document (pixels are an integer formula
@@ -3957,7 +4028,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q9": q_tpch_q9,
     "events_window_agg": q_events_window_agg,
-    "events_sessionize": q_events_sessionize,
     "events_topk_per_user": q_events_topk_per_user,
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
@@ -3972,6 +4042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontam_bcast": q_semantic_decontam_bcast,
     "lm_perplexity": q_lm_perplexity,
     "dsir_weights": q_dsir_weights,
+    "multimodal_fused": q_multimodal_fused,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
     "tpch_q18": q_tpch_q18,
@@ -3993,6 +4064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19": q_tpch_q19,
     "tpch_q20": q_tpch_q20,
     "tpch_q22": q_tpch_q22,
+    "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
     "events_sliding_window": q_events_sliding_window,
     "events_rollup": q_events_rollup,
@@ -4093,4 +4165,5 @@ ORACLES: dict[str, str] = {
     "semantic_decontam_bcast": oracle_semantic_decontam(),
     "lm_perplexity": oracle_lm_perplexity(),
     "dsir_weights": oracle_dsir_weights(),
+    "multimodal_fused": oracle_multimodal_fused(),
 }
