@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     ("lm_perplexity", "noop"),
     ("dsir_weights", "noop"),
     ("multimodal_fused", "noop"),
+    ("bigram_lm_perplexity", "noop"),
 ]
 
 

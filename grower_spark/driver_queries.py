@@ -3819,6 +3819,89 @@ def _lm_cte_sql(prefix: str, where: str, k: int) -> str:
 )"""
 
 
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy (the CCNet n-gram construction, one order
+    up from the unigram row): fit on even doc_ids (top-k vocab + UNK
+    mapping, add-one smoothing over per-context counts), score every
+    document's consecutive mapped pairs in one zero-shuffle map pass —
+    the observed-bigram and per-context-unseen costs ride as plan map
+    literals.  Integer micro-nat contract throughout."""
+    from grower_spark.operators.text import bigram_lm_score, fit_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_bigram_lm(
+        docs.where(F.col("doc_id") % 2 == 0), vocab_k=_LM_VOCAB_K, alpha=1.0
+    )
+    return bigram_lm_score(docs, model)
+
+
+def oracle_bigram_lm_perplexity() -> str:
+    # Fit re-derived in SQL: mapped token sequences (top-k vocab else
+    # chr(1) UNK) via positional struct-unnest + lag(), per-context
+    # add-one bigram costs as integer micro-nats, GROUP BY integer sums.
+    return f"""
+WITH v_ex AS (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+),
+v_cnt AS (SELECT token, count(*) AS tf FROM v_ex GROUP BY 1),
+topv AS (SELECT token FROM v_cnt ORDER BY tf DESC, token LIMIT {_LM_VOCAB_K}),
+tokp AS (
+  SELECT doc_id, doc_id % 2 = 0 AS is_train,
+    unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+           i -> {{'pos': i, 'tok': string_split(text, ' ')[i]}})) AS u
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT t.doc_id, t.is_train, t.u.pos AS pos,
+    CASE WHEN v.token IS NULL THEN chr(1) ELSE t.u.tok END AS mt
+  FROM tokp t LEFT JOIN topv v ON v.token = t.u.tok
+),
+pairs AS (
+  SELECT doc_id, is_train,
+    lag(mt) OVER (PARTITION BY doc_id ORDER BY pos) AS p, mt AS c
+  FROM m
+),
+bp AS (SELECT * FROM pairs WHERE p IS NOT NULL),
+nv AS (SELECT count(*) + 1 AS v1 FROM topv),
+bc AS (SELECT p, c, count(*) AS pc FROM bp WHERE is_train GROUP BY 1, 2),
+ctx AS (SELECT p, count(*) AS pn FROM bp WHERE is_train GROUP BY 1),
+costs AS (
+  SELECT bc.p, bc.c,
+    CAST(floor(-ln((bc.pc + 1.0) / (ctx.pn + 1.0 * (SELECT v1 FROM nv)))
+               * 1e6) AS BIGINT) AS nll
+  FROM bc JOIN ctx ON ctx.p = bc.p
+),
+unseen AS (
+  SELECT p,
+    CAST(floor(-ln(1.0 / (pn + 1.0 * (SELECT v1 FROM nv))) * 1e6)
+      AS BIGINT) AS nll
+  FROM ctx
+),
+uni AS (
+  -- same op order as the Python fit (-ln(alpha / (alpha*v1)) * 1e6):
+  -- ln(v1) directly could differ by an ulp at the floor boundary
+  SELECT CAST(floor(-ln(1.0 / (1.0 * v1)) * 1e6) AS BIGINT) AS nll FROM nv
+),
+scored AS (
+  SELECT b.doc_id,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(coalesce(costs.nll, unseen.nll, (SELECT nll FROM uni)))
+      AS BIGINT) AS s
+  FROM bp b
+  LEFT JOIN costs ON costs.p = b.p AND costs.c = b.c
+  LEFT JOIN unseen ON unseen.p = b.p
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(s.s, 0) AS BIGINT) AS nll_micro_sum,
+  CAST(CASE WHEN coalesce(s.n, 0) > 0 THEN s.s // s.n ELSE 0 END AS BIGINT)
+    AS xent_micro
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights: target LM fit on the English split, raw
     LM fit on the whole corpus, every document scored with the
@@ -4026,7 +4109,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     # --- 34-50: flagship r6-green sample (rotation keeps them honest) ---
     "tpch_q1": q_tpch_q1,
-    "tpch_q9": q_tpch_q9,
     "events_window_agg": q_events_window_agg,
     "events_topk_per_user": q_events_topk_per_user,
     "salted_agg_users": q_salted_agg_users,
@@ -4043,8 +4125,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "dsir_weights": q_dsir_weights,
     "multimodal_fused": q_multimodal_fused,
+    "bigram_lm_perplexity": q_bigram_lm_perplexity,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
     "tpch_q18": q_tpch_q18,
     "tpch_q21": q_tpch_q21,
     "tpch_q3": q_tpch_q3,
@@ -4166,4 +4250,5 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": oracle_lm_perplexity(),
     "dsir_weights": oracle_dsir_weights(),
     "multimodal_fused": oracle_multimodal_fused(),
+    "bigram_lm_perplexity": oracle_bigram_lm_perplexity(),
 }

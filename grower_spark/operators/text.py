@@ -532,3 +532,133 @@ def importance_weights(df: DataFrame, target_model: dict, raw_model: dict,
         F.size(toks).cast("long").alias("n_tokens"),
         (terms(raw_model) - terms(target_model)).alias("logw_micro"),
     )
+
+
+# Unknown-token sentinel for the bigram LM's mapped sequences: \x01 cannot
+# be produced by whitespace tokenization of normal text (and both engines
+# compare it as an ordinary one-char string).
+LM_UNK = "\x01"
+_LM_SEP = "\x1f"
+
+
+def fit_bigram_lm(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", vocab_k: int = 128,
+                  alpha: float = 1.0) -> dict:
+    """Fit an add-alpha bigram language model — one step closer to the
+    CCNet deployment (KenLM is a 5-gram of the same construction) than
+    the unigram fit, while staying bounded and engine-exact.
+
+    Tokens outside the top ``vocab_k`` vocabulary map to ``LM_UNK``;
+    bigrams are consecutive mapped pairs WITHIN a document (no BOS/EOS,
+    no cross-document pairs), and
+
+        p(c | p) = (count(p,c) + alpha) / (ctx(p) + alpha * (V + 1))
+
+    over V+1 outcomes (vocab + UNK), where ``ctx(p)`` counts p as a
+    bigram CONTEXT (occurrences excluding each doc's last token).  The
+    model is bounded by contract: observed bigrams <= (V+1)^2 regardless
+    of corpus size (the mapped alphabet is finite), so the count
+    collection is a model fit, not a corpus collect.  Costs are integer
+    micro-nats (floor(-ln p * 1e6)); an unseen (p, c) costs the per-
+    context add-alpha floor, and a never-seen context costs the uniform
+    ln(V+1).
+
+    Returns ``{"vocab": [tokens], "bigram": {(p, c): nll_micro},
+    "unseen": {p: nll_micro}, "uniform_nll_micro": int}``.
+    """
+    import math
+
+    top = vocab_topk(df, id_col=id_col, text_col=text_col, k=vocab_k).select(
+        "token"
+    ).collect()
+    vocab = [r["token"] for r in top]
+    ident = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]), F.array(*[F.lit(t) for t in vocab])
+    )
+    toks = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
+    mapped = F.transform(
+        toks, lambda t: F.coalesce(F.element_at(ident, t), F.lit(LM_UNK))
+    )
+    n = F.size(mapped)
+    pair_structs = F.zip_with(
+        F.slice(mapped, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(mapped, 2, F.greatest(n - 1, F.lit(0))),
+        lambda p, c: F.struct(p.alias("p"), c.alias("c")),
+    )
+    counts = (
+        df.select(F.explode(pair_structs).alias("pr"))
+        .groupBy("pr.p", "pr.c")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .collect()
+    )
+    ctx: dict[str, int] = {}
+    for r in counts:
+        ctx[r["p"]] = ctx.get(r["p"], 0) + r["pc"]
+    v1 = len(vocab) + 1
+
+    def nll(num: float, den: float) -> int:
+        return int(math.floor(-math.log(num / den) * 1e6))
+
+    bigram = {
+        (r["p"], r["c"]): nll(r["pc"] + alpha, ctx[r["p"]] + alpha * v1)
+        for r in counts
+    }
+    unseen = {p: nll(alpha, pn + alpha * v1) for p, pn in ctx.items()}
+    return {
+        "vocab": vocab,
+        "bigram": bigram,
+        "unseen": unseen,
+        "uniform_nll_micro": nll(alpha, alpha * v1),
+    }
+
+
+def bigram_lm_score(df: DataFrame, model: dict, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Score documents under a fitted bigram LM: per-doc bigram count,
+    total NLL, and mean cross-entropy in integer micro-nats — one
+    zero-shuffle map pass, the model as plan map literals (observed
+    bigrams keyed ``p + \\x1f + c``, plus the per-context unseen floor).
+    Documents with fewer than two tokens score 0.
+
+    Output: ``(id_col, n_bigrams, nll_micro_sum, xent_micro)``.
+    """
+    vocab = model["vocab"]
+    ident = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]), F.array(*[F.lit(t) for t in vocab])
+    )
+    bmap = F.map_from_arrays(
+        F.array(*[F.lit(p + _LM_SEP + c) for p, c in model["bigram"]]),
+        F.array(*[F.lit(v).cast("long") for v in model["bigram"].values()]),
+    )
+    umap = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in model["unseen"]]),
+        F.array(*[F.lit(v).cast("long") for v in model["unseen"].values()]),
+    )
+    uniform = F.lit(int(model["uniform_nll_micro"])).cast("long")
+    toks = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
+    mapped = F.transform(
+        toks, lambda t: F.coalesce(F.element_at(ident, t), F.lit(LM_UNK))
+    )
+    n = F.size(mapped)
+    terms = F.zip_with(
+        F.slice(mapped, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(mapped, 2, F.greatest(n - 1, F.lit(0))),
+        lambda p, c: F.coalesce(
+            F.element_at(bmap, F.concat(p, F.lit(_LM_SEP), c)),
+            F.element_at(umap, p),
+            uniform,
+        ),
+    )
+    scored = df.select(
+        id_col,
+        F.greatest(n - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("nll_micro_sum"),
+    )
+    return scored.withColumn(
+        "xent_micro",
+        F.when(
+            F.col("n_bigrams") > 0, F.expr("nll_micro_sum div n_bigrams")
+        ).otherwise(F.lit(0)).cast("long"),
+    )

@@ -169,3 +169,41 @@ def test_importance_weights_sign(spark):
     assert rows[10]["logw_micro"] > 0          # looks like the target
     assert rows[11]["logw_micro"] < 0          # off-target
     assert rows[12] == {"doc_id": 12, "n_tokens": 0, "logw_micro": 0}
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Add-one bigram LM against hand-computed micro-nat costs, including
+    the per-context unseen floor and the uniform never-seen-context
+    fallback."""
+    import math
+
+    from grower_spark.operators.text import bigram_lm_score, fit_bigram_lm
+
+    train = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x")], "doc_id long, text string"
+    )
+    m = fit_bigram_lm(train, vocab_k=3, alpha=1.0)
+    # tf: a=3 b=3 c=1 x=1 -> top3 (tf desc, token asc) = [a, b, c]; x -> UNK
+    # train pairs: (a,b)x3, (b,a), (b,c), (b,UNK); ctx: a=3, b=3; V+1=4
+    assert m["vocab"] == ["a", "b", "c"]
+    assert m["bigram"][("a", "b")] == int(math.floor(-math.log(4 / 7) * 1e6))
+    assert m["bigram"][("b", "c")] == int(math.floor(-math.log(2 / 7) * 1e6))
+    assert m["unseen"]["a"] == int(math.floor(-math.log(1 / 7) * 1e6))
+    assert m["uniform_nll_micro"] == int(math.floor(-math.log(1 / 4) * 1e6))
+
+    docs = spark.createDataFrame(
+        [(9, "a b q"), (10, "z"), (11, None), (12, "q q")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in bigram_lm_score(docs, m).collect()}
+    # doc9 maps to [a b UNK]: observed (a,b) + observed (b,UNK)
+    assert rows[9]["n_bigrams"] == 2
+    assert rows[9]["nll_micro_sum"] == (
+        m["bigram"][("a", "b")] + m["bigram"][("b", "\x01")]
+    )
+    # short / NULL docs: no bigrams, all-zero contract
+    assert rows[10] == {"doc_id": 10, "n_bigrams": 0, "nll_micro_sum": 0,
+                        "xent_micro": 0}
+    assert rows[11]["n_bigrams"] == 0
+    # (UNK, UNK): UNK never appeared as a context -> uniform fallback
+    assert rows[12]["nll_micro_sum"] == m["uniform_nll_micro"]
