@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     ("dsir_weights", "noop"),
     ("multimodal_fused", "noop"),
     ("bigram_lm_perplexity", "noop"),
+    ("cluster_split", "noop"),
 ]
 
 

@@ -945,6 +945,56 @@ FROM reach GROUP BY n
 """
 
 
+_SPLIT_SALT = "cs"
+_SPLIT_HOLDOUT = 200
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split (r7): documents are split by the
+    hash of their near-dup CLUSTER representative (connected components
+    over the ngram-jaccard pair graph, singletons self-representing), so
+    paraphrase families can never straddle the split boundary.  The
+    oracle closes the same pair set with a recursive CTE and applies the
+    identical md5-permille label."""
+    from grower_spark.operators.dedup import ngram_jaccard_pairs
+    from grower_spark.operators.sampling import cluster_safe_split
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_df=JACCARD_MAX_DF,
+    )
+    return cluster_safe_split(
+        docs, pairs, _SPLIT_HOLDOUT, salt=_SPLIT_SALT, backend="star"
+    )
+
+
+def oracle_cluster_split() -> str:
+    bucket = _DUCK_MD5_60.format(
+        x=f"'{_SPLIT_SALT}|' || CAST(split_key AS VARCHAR)"
+    )
+    return f"""
+WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ({oracle_dedup_ngram_jaccard()}) p),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp
+          UNION SELECT id_b AS a, id_a AS b FROM jp),
+reach(n, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n
+),
+cl AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+k AS (
+  SELECT d.doc_id,
+    CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS split_key
+  FROM documents d LEFT JOIN cl USING (doc_id)
+)
+SELECT doc_id, split_key,
+  CASE WHEN {bucket} % 1000 < {_SPLIT_HOLDOUT} THEN 'holdout'
+       ELSE 'train' END AS split
+FROM k
+"""
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1h window, 15m slide): each event lands
     in window_len/slide = 4 overlapping windows — F.window handles the
@@ -4109,7 +4159,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     # --- 34-50: flagship r6-green sample (rotation keeps them honest) ---
     "tpch_q1": q_tpch_q1,
-    "events_window_agg": q_events_window_agg,
     "events_topk_per_user": q_events_topk_per_user,
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
@@ -4126,6 +4175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "multimodal_fused": q_multimodal_fused,
     "bigram_lm_perplexity": q_bigram_lm_perplexity,
+    "cluster_split": q_cluster_split,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -4148,6 +4198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19": q_tpch_q19,
     "tpch_q20": q_tpch_q20,
     "tpch_q22": q_tpch_q22,
+    "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
     "events_sliding_window": q_events_sliding_window,
@@ -4251,4 +4302,5 @@ ORACLES: dict[str, str] = {
     "dsir_weights": oracle_dsir_weights(),
     "multimodal_fused": oracle_multimodal_fused(),
     "bigram_lm_perplexity": oracle_bigram_lm_perplexity(),
+    "cluster_split": oracle_cluster_split(),
 }

@@ -159,3 +159,40 @@ def source_mix(df: DataFrame, source_col: str, weights: dict[str, int],
     rates = source_mix_rates(df, source_col, weights)
     # empty rates -> every stratum takes the default 0 -> all dropped
     return sample_stratified(df, source_col, rates, key_col, salt)
+
+
+def cluster_safe_split(docs: DataFrame, pairs: DataFrame,
+                       holdout_permille: int, id_col: str = "doc_id",
+                       id_a: str = "id_a", id_b: str = "id_b",
+                       salt: str = "",
+                       out_values: tuple[str, str] = ("train", "holdout"),
+                       backend: str = "label_prop") -> DataFrame:
+    """Leakage-safe train/holdout split: near-duplicate documents must
+    land in the SAME split, or the holdout evaluates on paraphrases of
+    the training set.  Split assignment hashes the duplicate-CLUSTER
+    representative (connected-component min id over the near-dup pair
+    graph; singletons represent themselves), so an entire cluster moves
+    together and the split stays reproducible under any re-partitioning
+    — a per-doc hash split silently leaks every cross-split duplicate
+    pair.
+
+    Plan: the cluster resolution is the iterative ``duplicate_clusters``
+    pass over the PAIR graph only (pairs ≪ corpus); the corpus-side work
+    is one left join against that (doc ∈ pairs) table — broadcastable
+    whenever the duplicate population fits, AQE decides — and a pure
+    map-side hash label.  Output: ``(id_col, split_key, split)``.
+    """
+    from grower_spark.operators.dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b, backend=backend)
+    withc = docs.select(id_col).join(
+        clusters.select(F.col("doc_id").alias(id_col), "cluster_id"),
+        id_col,
+        "left",
+    )
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return withc.select(
+        F.col(id_col),
+        rep.cast("long").alias("split_key"),
+        split_column(rep, holdout_permille, salt, out_values).alias("split"),
+    )

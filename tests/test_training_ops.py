@@ -232,3 +232,37 @@ def test_semantic_decontam_zero_norm_guard(spark, tmp_path, monkeypatch):
     out = {r.vec_id: r for r in dq.q_semantic_decontam(spark, d).collect()}
     assert out[100].max_sim_r4 == 0.0 and out[100].contaminated == 0
     assert out[101].max_sim_r4 == 0.0 and out[101].contaminated == 0
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """The leakage property itself: every near-dup pair lands in ONE
+    split; the whole cluster carries its representative's label, and
+    singletons split by their own id (identical to a plain hash split)."""
+    import pyspark.sql.functions as F
+
+    from grower_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_permille,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # pair graph: chain {0,1,2}, pair {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = cluster_safe_split(docs, pairs, holdout_permille=500, salt="t")
+    rows = {r["doc_id"]: (r["split_key"], r["split"]) for r in out.collect()}
+    assert len(rows) == 40
+    # clusters move together, keyed by the min id
+    assert rows[0] == rows[1] == rows[2] and rows[0][0] == 0
+    assert rows[10] == rows[11] and rows[10][0] == 10
+    # singletons: same label a plain per-doc hash split would give
+    perm = docs.select(
+        "doc_id", hash_permille(F.col("doc_id"), "t").alias("b")
+    ).collect()
+    for r in perm:
+        if r["doc_id"] not in (0, 1, 2, 10, 11):
+            want = "holdout" if r["b"] < 500 else "train"
+            assert rows[r["doc_id"]][1] == want, r["doc_id"]
