@@ -150,3 +150,48 @@ def test_retried_append_is_idempotent(spark, tmp_path):
     assert [(r.doc_id, r.kept_id, r.reason) for r in drops2.collect()] == [
         (20, 10, "exact-vs-corpus")
     ]
+
+
+def test_stream_append_dedups_across_epochs(spark, tmp_path):
+    """Streaming continuous-ingest: micro-batch 2 must dedup against
+    batch 1's survivors folded into the state by the foreachBatch sink,
+    and the streaming epoch tags every decision."""
+    from tools.dedup_corpus import stream_append, write_dedup_state
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "state")
+    write_dedup_state(corpus, state)
+
+    def put(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / "in" / name))
+
+    put("b1", [(10, "completely fresh content about rivers and lakes"),
+               (11, "alpha beta gamma delta epsilon zeta")])
+    put("b2", [(20, "completely fresh content about rivers and lakes"),
+               (21, "another unique document body here today")])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = stream_append(stream, state, str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ck"),
+                      min_shared_bands=1)
+    q.awaitTermination(180)
+
+    keep = spark.read.parquet(str(tmp_path / "out" / "keep_list"))
+    drops = spark.read.parquet(str(tmp_path / "out" / "drop_list"))
+    kept = {r["doc_id"] for r in keep.collect()}
+    reasons = {r["doc_id"]: r["reason"] for r in drops.collect()}
+    # batch order under maxFilesPerTrigger=1 is directory order (b1, b2):
+    # 11 is exact-vs-initial-corpus; 20 duplicates batch 1's survivor 10
+    # THROUGH THE STATE UPDATE; 21 is fresh
+    assert kept == {10, 21}
+    assert reasons[11] == "exact-vs-corpus"
+    assert reasons[20] == "exact-vs-corpus"
+    # epochs recorded per decision, and two distinct epochs ran
+    assert keep.select("epoch").distinct().count() == 2

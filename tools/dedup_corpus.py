@@ -279,6 +279,45 @@ def append_keep_drop(spark, new_docs, state_dir: str, id_col: str = "doc_id",
     return keep, drops
 
 
+def stream_append(stream_docs, state_dir: str, out_dir: str,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  checkpoint_dir: str | None = None, **kw):
+    """Continuous-ingest dedup as a Structured Streaming sink: each
+    micro-batch runs ``append_keep_drop`` against the persisted state via
+    ``foreachBatch`` and appends its keep/drop decisions (tagged with the
+    epoch) under ``out_dir``.
+
+    Exactly-once story: the streaming epoch id IS the state batch_id
+    (``sb{epoch}``), so a replayed epoch — after a crash between the
+    output write and the checkpoint commit — overwrites its own state
+    partition instead of double-appending, and dedups against exactly
+    the state its first attempt saw (the batch-id exclusion in
+    append_keep_drop).  The keep/drop parquet appends deduplicate on
+    epoch at read time for the same reason (read with
+    ``dropDuplicates([id_col])`` if replays matter downstream).
+
+    Returns the started StreamingQuery; callers own awaitTermination.
+    """
+    def handle(batch_df, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keep, drops = append_keep_drop(
+            spark, batch_df, state_dir, id_col=id_col, text_col=text_col,
+            batch_id=f"sb{epoch_id}", **kw,
+        )
+        tag = F.lit(int(epoch_id)).alias("epoch")
+        keep.withColumn("epoch", tag).write.mode("append").parquet(
+            os.path.join(out_dir, "keep_list")
+        )
+        drops.withColumn("epoch", tag).write.mode("append").parquet(
+            os.path.join(out_dir, "drop_list")
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(handle).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
