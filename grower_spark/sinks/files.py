@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 
@@ -82,3 +82,106 @@ def file_stream_writer(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer
+
+
+
+
+def _shard_checksum() -> Column:
+    """Order-insensitive shard content checksum: sum of 60-bit row hashes
+    accumulated in decimal(38,0) (exact to ~10^38 — ANSI long sum would
+    overflow past ~2^2 rows of 2^61 terms), folded mod 2^61-1 at the
+    end."""
+    m = F.lit((1 << 61) - 1).cast("decimal(38,0)")
+    total = F.sum(F.col("_h").cast("decimal(38,0)"))
+    return (total % m).cast("long").alias("checksum")
+
+
+def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
+                          key_col: str = "doc_id", salt: str = "",
+                          manifest: bool = True) -> dict:
+    """Sharded training-data write: the operational tail of
+    ``operators.sampling.shard_shuffle`` — deterministic hash shards,
+    each shard written as ONE sorted parquet partition, plus a manifest
+    for downstream verification.
+
+    Plan: compute the 60-bit (key, salt) hash once, shard by
+    ``hash % n_shards``, ``repartition(n_shards, shard)`` so each shard
+    is exactly one task/file set, ``sortWithinPartitions(hash, key)``
+    (total order even on hash collisions) — ONE shuffle total; the sort
+    is per-partition, no global exchange.  Rewriting with the same
+    (keys, salt, n_shards) reproduces byte-identical shard membership
+    and order on any input partitioning.
+
+    The manifest records per-shard row counts and an order-insensitive
+    content checksum (sum of row hashes mod 2^61-1), recomputed with one
+    aggregation on the SAME hash column; ``verify_shards`` replays the
+    aggregation over the written files.  The manifest is written to
+    ``out_dir/manifest.json`` via local file IO — at cluster scale,
+    point ``out_dir`` at a fuse mount or swap in an object-store client.
+
+    Returns the manifest dict.
+    """
+    import json
+    import os
+
+    from grower_spark.functions.hashing import md5_60
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = md5_60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    sharded = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("long")
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("_h"), F.col(key_col))
+        .drop("_h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+    result: dict = {"n_shards": n_shards, "key_col": key_col, "salt": salt}
+    if manifest:
+        stats = (
+            sharded.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("rows"), _shard_checksum())
+            .collect()
+        )
+        result["shards"] = {
+            str(r["shard"]): {"rows": r["rows"], "checksum": r["checksum"]}
+            for r in stats
+        }
+        result["total_rows"] = sum(r["rows"] for r in stats)
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(result, f, indent=2, sort_keys=True)
+    return result
+
+
+def verify_shards(spark, out_dir: str) -> dict:
+    """Recompute the shard manifest from the written files and diff it
+    against ``manifest.json`` — the integrity check a training job runs
+    before consuming shards.  Returns ``{"ok": bool, "mismatches":
+    [shard, ...]}``; a missing or extra shard is a mismatch."""
+    import json
+    import os
+
+    from grower_spark.functions.hashing import md5_60
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        want = json.load(f)
+    df = spark.read.parquet(os.path.join(out_dir, "shards"))
+    h = md5_60(
+        F.concat(F.col(want["key_col"]).cast("string"), F.lit(":" + want["salt"]))
+    )
+    got = {
+        str(r["shard"]): {"rows": r["rows"], "checksum": r["checksum"]}
+        for r in df.withColumn("_h", h)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("rows"), _shard_checksum())
+        .collect()
+    }
+    mism = sorted(
+        set(want["shards"]) ^ set(got)
+        | {s for s in set(want["shards"]) & set(got) if want["shards"][s] != got[s]}
+    )
+    return {"ok": not mism, "mismatches": mism}
