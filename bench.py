@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     ("multimodal_fused", "noop"),
     ("bigram_lm_perplexity", "noop"),
     ("cluster_split", "noop"),
+    ("corpus_report", "collect"),
 ]
 
 

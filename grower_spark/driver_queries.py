@@ -720,6 +720,77 @@ FROM sig
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the dataset-card numbers a
+    training-data team tracks per ingest: document/token volume, mean
+    quality (integer basis points of the 0..4 gate score), and the
+    exact-duplicate involvement rate (share of docs whose content hash
+    appears more than once, corpus-wide).  Two shuffles: the hash-count
+    aggregation and the per-source rollup; everything else is the
+    text_stats per-row pass.  NULL-text docs are unscorable and excluded
+    (both engines drop NULL keys at the hash join)."""
+    from grower_spark.functions.hashing import md5_60
+    from grower_spark.operators.text import quality_signals
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    q = quality_signals(docs).select(
+        "doc_id", "source", "n_tokens", "quality_score",
+        md5_60(F.col("text")).alias("h60"),
+    )
+    sizes = q.groupBy("h60").agg(F.count(F.lit(1)).alias("_c"))
+    j = q.join(sizes, "h60")
+    rep = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("quality_score").cast("long").alias("quality_sum"),
+        F.sum((F.col("_c") > 1).cast("int")).cast("long").alias("n_dup_docs"),
+    )
+    return rep.select(
+        "source", "n_docs", "total_tokens", "quality_sum", "n_dup_docs",
+        F.expr("(10000 * n_dup_docs) div n_docs").alias("dup_bp"),
+        F.expr("(10000 * quality_sum) div (4 * n_docs)").alias("quality_bp"),
+    )
+
+
+def oracle_corpus_report() -> str:
+    from grower_spark.operators.text import STOPWORDS_EN
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    h60 = _DUCK_MD5_60.format(x="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST((length(text) >= 32 AND length(text) <= 100000) AS INTEGER)
+    + CAST((list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+            / greatest(len(string_split(text, ' ')), 1) >= 2.0
+        AND list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+            / greatest(len(string_split(text, ' ')), 1) <= 12.0) AS INTEGER)
+    + CAST((len(list_filter(string_split(text, ' '),
+                            t -> list_contains([{stop_list}], t)))
+            / greatest(len(string_split(text, ' ')), 1) >= 0.01) AS INTEGER)
+    + CAST((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+            / greatest(length(text), 1) >= 0.5) AS INTEGER) AS quality_score,
+    {h60} AS h60
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT h60, count(*) AS cc FROM d GROUP BY 1),
+j AS (SELECT d.*, c.cc FROM d JOIN c USING (h60)),
+rep AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(sum(quality_score) AS BIGINT) AS quality_sum,
+    CAST(sum(CASE WHEN cc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+  FROM j GROUP BY 1
+)
+SELECT source, n_docs, total_tokens, quality_sum, n_dup_docs,
+  CAST((10000 * n_dup_docs) // n_docs AS BIGINT) AS dup_bp,
+  CAST((10000 * quality_sum) // (4 * n_docs) AS BIGINT) AS quality_bp
+FROM rep
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit-ish (60-bit) content fingerprint: md5 prefix as bigint."""
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
@@ -4165,7 +4236,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
-    "ann_cosine_topk_np": q_ann_cosine_topk_np,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
@@ -4176,6 +4246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_fused": q_multimodal_fused,
     "bigram_lm_perplexity": q_bigram_lm_perplexity,
     "cluster_split": q_cluster_split,
+    "corpus_report": q_corpus_report,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -4210,6 +4281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "ann_cosine_topk_np": q_ann_cosine_topk_np,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
 }
@@ -4303,4 +4375,5 @@ ORACLES: dict[str, str] = {
     "multimodal_fused": oracle_multimodal_fused(),
     "bigram_lm_perplexity": oracle_bigram_lm_perplexity(),
     "cluster_split": oracle_cluster_split(),
+    "corpus_report": oracle_corpus_report(),
 }
