@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     ("bigram_lm_perplexity", "noop"),
     ("cluster_split", "noop"),
     ("corpus_report", "collect"),
+    ("multimodal_decode_meta", "noop"),
+    ("multimodal_decode_mp4", "noop"),
 ]
 
 

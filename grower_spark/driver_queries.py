@@ -2221,6 +2221,66 @@ FROM p
 """
 
 
+def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG/GIF header parsing, driver-certified (r7): synthesize a
+    JPEG header stream for even doc_ids and a GIF header for odd ones
+    (dimensions are doc_id formulas), decode through the pinned ``magic``
+    route — stdlib-only magic-byte dispatch that can never drift with
+    environment packages (unlike ``auto``) — and emit the parsed
+    metadata.  mean_luma is honestly NULL: header kernels read
+    dimensions, not pixels."""
+    from grower_spark.operators.multimodal import decode_images, synthesize_media
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    media = synthesize_media(
+        docs.where(F.col("doc_id") % 2 == 0), "jpeg"
+    ).unionByName(synthesize_media(docs.where(F.col("doc_id") % 2 == 1), "gif"))
+    return decode_images(media, decoder="magic").select(
+        "doc_id", "width", "height", "n_channels", "mean_luma", "decoder"
+    )
+
+
+def oracle_multimodal_decode_meta() -> str:
+    return """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 200 + 16
+            ELSE doc_id % 300 + 1 END AS INTEGER) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 13) % 200 + 16
+            ELSE (doc_id * 7) % 300 + 1 END AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS n_channels,
+  CAST(NULL AS REAL) AS mean_luma,
+  CASE WHEN doc_id % 2 = 0 THEN 'jpeg-meta' ELSE 'gif-meta' END AS decoder
+FROM documents
+"""
+
+
+def q_multimodal_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 box walking, driver-certified (r7): synthesize a minimal
+    ISO-BMFF container per document (mvhd duration / tkhd dimensions are
+    doc_id formulas), parse with the pinned ``mp4`` kernel (`_mp4_meta_one`
+    — pure struct box walking), and emit container metadata."""
+    from grower_spark.operators.multimodal import synthesize_media, video_meta
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    media = synthesize_media(docs, "mp4")
+    return video_meta(media, decoder="mp4").select(
+        "doc_id", "duration_ms", "width", "height", "n_tracks", "decoder"
+    )
+
+
+def oracle_multimodal_decode_mp4() -> str:
+    # timescale 1000 => duration_ms == the mvhd duration formula
+    return """
+SELECT doc_id,
+  CAST(doc_id % 5000 + 1000 AS BIGINT) AS duration_ms,
+  CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+  CAST((doc_id * 3) % 480 + 16 AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_tracks,
+  'mp4-meta' AS decoder
+FROM documents
+"""
+
+
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode, driver-certified: synthesize a deterministic
     16-bit mono 8 kHz WAV per document (samples are an integer formula of
@@ -4187,10 +4247,15 @@ FROM (
 #           (registered past position 50 in r5/r6).
 #   17-33 : the 17 rows last certified in r5 that r6's TPC-H additions
 #           pushed out of the window.
-#   34-50 : this round's new rows + a representative flagship sample of
-#           r6-certified rows (one TPC-H heavy hitter, windows, dedup, ANN).
+#   34-41 : a flagship sample of r6-certified rows (tpch_q1, top-k window,
+#           salted agg, the dedup family, LSH near-dup).
+#   42-50 : the nine NEW r7 rows (real PNG/WAV decode, broadcast semantic
+#           decontam, unigram/bigram LM, DSIR, fused multimodal kernel,
+#           cluster-safe split, corpus report).
 #   51+   : everything already driver-certified green in CORRECTNESS_r06
-#           (the rest of TPC-H 22/22, event windows, simhash, LSH ANN).
+#           (the rest of TPC-H 22/22, event windows, simhash, LSH ANN) —
+#           all covered by the committed CORRECTNESS_LOCAL_r7.json
+#           full-registry artifact each round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 1-6: §2 core, keep certified every round ---
     "nginx_parse_agg": q_nginx_parse_agg,
@@ -4235,8 +4300,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -4247,6 +4310,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_perplexity": q_bigram_lm_perplexity,
     "cluster_split": q_cluster_split,
     "corpus_report": q_corpus_report,
+    "multimodal_decode_meta": q_multimodal_decode_meta,
+    "multimodal_decode_mp4": q_multimodal_decode_mp4,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -4281,6 +4346,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -4376,4 +4443,6 @@ ORACLES: dict[str, str] = {
     "bigram_lm_perplexity": oracle_bigram_lm_perplexity(),
     "cluster_split": oracle_cluster_split(),
     "corpus_report": oracle_corpus_report(),
+    "multimodal_decode_meta": oracle_multimodal_decode_meta(),
+    "multimodal_decode_mp4": oracle_multimodal_decode_mp4(),
 }

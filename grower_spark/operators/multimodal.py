@@ -210,6 +210,20 @@ def _decode_batch(batch: pd.DataFrame, decoder: str = "auto") -> pd.DataFrame:
         one = _stub_one
     elif decoder == "png":
         one = _png_one
+    elif decoder == "magic":
+        # pinned, env-independent: route by magic bytes among the REAL
+        # stdlib kernels only (PNG pixels, JPEG/GIF header metadata) and
+        # raise on anything else — unlike "auto", this can never change
+        # behavior if a codec library appears, so oracle-checked rows
+        # over mixed real formats pin this.
+        def one(b: bytes):
+            if b.startswith(_PNG_MAGIC):
+                return _png_one(b)
+            if b[:2] == b"\xff\xd8":
+                return _jpeg_meta_one(b)
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                return _gif_meta_one(b)
+            raise ValueError("magic decoder: unrecognized format")
     elif decoder == "pil":  # pragma: no cover
         one = _pil_one_factory()
     elif decoder == "auto":
@@ -402,8 +416,10 @@ def decode_images(df: DataFrame, id_col: str = "doc_id",
     real resize/feature-extract kernel would use.  ``decoder`` pins the
     kernel (see ``_decode_batch``); oracle-checked callers pass ``"stub"``.
     """
-    if decoder not in ("auto", "stub", "png", "pil"):
-        raise ValueError(f"unknown decoder {decoder!r} (want auto|stub|png|pil)")
+    if decoder not in ("auto", "stub", "png", "magic", "pil"):
+        raise ValueError(
+            f"unknown decoder {decoder!r} (want auto|stub|png|magic|pil)"
+        )
     src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -701,9 +717,17 @@ def synthesize_media(df: DataFrame, kind: str,
     exercise the real decode kernels.  Pure map-side (mapInPandas, no
     shuffle); at corpus scale the same shape holds for any
     column-to-binary render kernel."""
-    makers = {"png": synth_png_bytes, "wav": synth_wav_bytes}
+    makers = {
+        "png": synth_png_bytes,
+        "wav": synth_wav_bytes,
+        "jpeg": synth_jpeg_bytes,
+        "gif": synth_gif_bytes,
+        "mp4": synth_mp4_bytes,
+    }
     if kind not in makers:
-        raise ValueError(f"unknown media kind {kind!r} (want png|wav)")
+        raise ValueError(
+            f"unknown media kind {kind!r} (want png|wav|jpeg|gif|mp4)"
+        )
     make = makers[kind]
     src = df.select(F.col(id_col).cast("long").alias("doc_id"))
 
@@ -721,3 +745,54 @@ def synthesize_media(df: DataFrame, kind: str,
          T.StructField("media_bytes", T.BinaryType())]
     )
     return src.mapInPandas(run, schema)
+
+
+def synth_jpeg_bytes(doc_id: int) -> bytes:
+    """Minimal JPEG header stream whose SOF0 frame dimensions are a
+    formula of ``doc_id``: ``w = doc_id % 200 + 16``,
+    ``h = (doc_id * 13) % 200 + 16``, 3 components.  Header-only (no
+    entropy data) — exactly what `_jpeg_meta_one` parses."""
+    import struct
+
+    w = int(doc_id) % 200 + 16
+    h = (int(doc_id) * 13) % 200 + 16
+    ncomp = 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
+    )
+    return (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            + b"\xff\xd9")
+
+
+def synth_gif_bytes(doc_id: int) -> bytes:
+    """GIF89a header with logical-screen dimensions from ``doc_id``:
+    ``w = doc_id % 300 + 1``, ``h = (doc_id * 7) % 300 + 1``."""
+    import struct
+
+    w = int(doc_id) % 300 + 1
+    h = (int(doc_id) * 7) % 300 + 1
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
+def synth_mp4_bytes(doc_id: int) -> bytes:
+    """Minimal ISO-BMFF container from ``doc_id`` formulas: mvhd v0 with
+    timescale 1000 and duration ``doc_id % 5000 + 1000`` (so duration_ms
+    == duration), one trak whose tkhd carries ``w = doc_id % 640 + 16``,
+    ``h = (doc_id * 3) % 480 + 16`` in 16.16 fixed point."""
+    import struct
+
+    dur = int(doc_id) % 5000 + 1000
+    w = int(doc_id) % 640 + 16
+    h = (int(doc_id) * 3) % 480 + 16
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00"      # version 0 + flags
+               + struct.pack(">II", 0, 0)          # ctime, mtime
+               + struct.pack(">II", 1000, dur))    # timescale, duration
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x00"      # version 0 + flags
+               + bytes(20 + 16 + 36)               # times/id/dur + resv + matrix
+               + struct.pack(">II", w << 16, h << 16))
+    trak = box(b"trak", tkhd)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", mvhd + trak)

@@ -286,3 +286,35 @@ def test_jpeg_fill_bytes_before_marker():
     sof = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 10, 20, 3) + bytes(2)
     jpeg = b"\xff\xd8" + b"\xff\xff\xff" + sof  # spec-permitted fill bytes
     assert _jpeg_meta_one(jpeg) == (20, 10, 3, None, "jpeg-meta")
+
+
+def test_magic_decoder_routes_and_rejects(spark):
+    """The pinned 'magic' route dispatches PNG/JPEG/GIF to the real
+    stdlib kernels by magic bytes and REJECTS anything else (unlike
+    'auto', which stubs unknowns) — env-independent by construction."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from grower_spark.operators.multimodal import decode_images, synthesize_media
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    media = (
+        synthesize_media(docs.where(F.col("doc_id") < 2), "png")
+        .unionByName(
+            synthesize_media(
+                docs.where((F.col("doc_id") >= 2) & (F.col("doc_id") < 4)), "jpeg"
+            )
+        )
+        .unionByName(synthesize_media(docs.where(F.col("doc_id") >= 4), "gif"))
+    )
+    rows = {r["doc_id"]: r["decoder"]
+            for r in decode_images(media, decoder="magic").collect()}
+    assert rows == {0: "png", 1: "png", 2: "jpeg-meta", 3: "jpeg-meta",
+                    4: "gif-meta", 5: "gif-meta"}
+    # non-media bytes under 'magic' must FAIL the task, not silently stub
+    junk = spark.createDataFrame([(9, bytearray(b"plain text"))],
+                                 "doc_id long, media_bytes binary")
+    with pytest.raises(Exception, match="magic decoder|PythonException"):
+        decode_images(junk, decoder="magic").collect()
