@@ -240,6 +240,11 @@ def main() -> int:
                     help="split docs into windows of this many tokens (0 = off)")
     ap.add_argument("--chunk-overlap", type=int, default=0)
     ap.add_argument("--max-tokens", type=int, default=2048)
+    ap.add_argument("--n-shards", type=int, default=0,
+                    help="additionally write the corpus as N deterministic "
+                         "training shards with a verification manifest "
+                         "(0 = off)")
+    ap.add_argument("--shard-salt", default="corpus")
     args = ap.parse_args()
 
     from grower_spark.session import get_spark
@@ -260,6 +265,22 @@ def main() -> int:
     )
     corpus.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
     drops.write.mode("overwrite").parquet(os.path.join(args.out, "drops"))
+    if args.n_shards:
+        # terminal stage: the packed corpus as deterministic training
+        # shards + manifest (read back from the just-written parquet so
+        # the shard write never re-runs the whole pipeline DAG)
+        from grower_spark.sinks.files import write_training_shards
+
+        written = spark.read.parquet(os.path.join(args.out, "corpus"))
+        key = "chunk_id" if "chunk_id" in written.columns else args.id_col
+        manifest = write_training_shards(
+            written, os.path.join(args.out, "shards"), args.n_shards,
+            key_col=key, salt=args.shard_salt,
+        )
+        report["shards"] = {
+            "n_shards": args.n_shards,
+            "total_rows": manifest["total_rows"],
+        }
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f)
     print(json.dumps(report))
