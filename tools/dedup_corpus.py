@@ -332,13 +332,39 @@ def main() -> int:
     ap.add_argument("--append", action="store_true",
                     help="treat input as a NEW batch and dedup it against "
                          "--state-dir instead of rebuilding from scratch")
+    ap.add_argument("--stream", action="store_true",
+                    help="treat input as a STREAMING directory: each parquet "
+                         "micro-batch appends against --state-dir via "
+                         "foreachBatch (epoch-idempotent)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="streaming checkpoint location (with --stream)")
     args = ap.parse_args()
-    if args.append and not args.state_dir:
-        ap.error("--append requires --state-dir")
+    if (args.append or args.stream) and not args.state_dir:
+        ap.error("--append/--stream require --state-dir")
 
     from grower_spark.session import get_spark
 
     spark = get_spark("dedup-corpus")
+    if args.stream:
+        # schema inferred from the files already present; availableNow
+        # drains everything and returns
+        schema = spark.read.parquet(args.input).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(args.input)
+        )
+        q = stream_append(
+            sdf, args.state_dir, args.out, id_col=args.id_col,
+            text_col=args.text_col, checkpoint_dir=args.checkpoint_dir,
+            min_shared_bands=args.threshold_bands,
+        )
+        q.awaitTermination()
+        n_keep = spark.read.parquet(os.path.join(args.out, "keep_list")).count()
+        n_drop = spark.read.parquet(os.path.join(args.out, "drop_list")).count()
+        print(f"streamed keep={n_keep} dropped={n_drop}")
+        spark.stop()
+        return 0
     docs = spark.read.parquet(args.input)
     if args.append:
         keep, drops = append_keep_drop(
