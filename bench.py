@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     ("corpus_report", "collect"),
     ("multimodal_decode_meta", "noop"),
     ("multimodal_decode_mp4", "noop"),
+    ("events_funnel", "noop"),
 ]
 
 

@@ -1423,6 +1423,52 @@ GROUP BY 1, 2
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel progression (r7): view -> click -> purchase, each
+    step strictly after the previous.  One user shuffle + a single
+    left-to-right fold over each user's time-sorted step events
+    (operators/funnel.py) — vs the k-shuffle min-per-step alternative
+    the oracle uses as the independent closed form."""
+    from grower_spark.operators.funnel import funnel_depth
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_depth(ev, _FUNNEL_STEPS)
+
+
+def oracle_events_funnel() -> str:
+    # the min-chain closed form: t_k = earliest step-k event strictly
+    # after t_{k-1}; depth = how many t_k exist
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""
+WITH t1 AS (
+  SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+  WHERE event_type = '{s1}' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = '{s2}' AND epoch_ns(e.ts) > t1.t GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = '{s3}' AND epoch_ns(e.ts) > t2.t GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+  CAST(CAST(t1.t IS NOT NULL AS INTEGER)
+     + CAST(t2.t IS NOT NULL AS INTEGER)
+     + CAST(t3.t IS NOT NULL AS INTEGER) AS INTEGER) AS funnel_depth
+FROM u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 
 
@@ -4299,7 +4345,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -4312,6 +4357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
+    "events_funnel": q_events_funnel,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -4346,6 +4392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
@@ -4445,4 +4492,5 @@ ORACLES: dict[str, str] = {
     "corpus_report": oracle_corpus_report(),
     "multimodal_decode_meta": oracle_multimodal_decode_meta(),
     "multimodal_decode_mp4": oracle_multimodal_decode_mp4(),
+    "events_funnel": oracle_events_funnel(),
 }

@@ -1,0 +1,101 @@
+"""Funnel analysis: ordered step progression per user.
+
+The product-analytics question a log-analytics engine's users ask first:
+of everyone who did step 1 (view), how many went on to step 2 (click),
+then step 3 (purchase) — with steps required to happen in order, each
+STRICTLY after the previous one.
+
+Plan shape (the 100 TB story): filter to step events (map-side, pushed
+to the scan), ONE shuffle grouping by user, sort each user's events as
+an in-memory array (per-user event counts are session-scale, not
+corpus-scale), then a single left-to-right fold computing the reached
+depth — no joins, no per-step passes, no window functions.  The k-pass
+alternative (one min-aggregation per step, joined back) costs k
+shuffles; this costs one regardless of funnel length.
+
+Equivalent closed form (the oracle): t1 = min ts of step 1,
+t2 = min ts of step 2 with ts > t1, ... — the fold reaches depth k iff
+the min-chain has t_k non-NULL (strictly-after ties excluded by both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+# sentinel earlier than any real epoch value; the first step's
+# strictly-after check is vacuously true against it
+_T_NEG_INF = -(1 << 62)
+
+
+def funnel_depth(events: DataFrame, steps: list[str],
+                 user_col: str = "user_id", ts_col: str = "ts_ns",
+                 type_col: str = "event_type") -> DataFrame:
+    """Per-user funnel depth: how many of ``steps`` (in order, each
+    strictly after the previous) the user completed.  Users present in
+    ``events`` but with no step events score 0.
+
+    Output: ``(user_id, funnel_depth int)``.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    users = events.select(F.col(user_col).alias("user_id")).distinct()
+    ev = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(type_col).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "e"))).alias("_seq")
+    )
+    init = F.struct(
+        F.lit(0).alias("d"), F.lit(_T_NEG_INF).cast("long").alias("t")
+    )
+
+    def step(acc, x):
+        advance = (
+            (acc.d < F.lit(len(steps)))
+            & (x.e == F.element_at(steps_arr, acc.d + 1))
+            & (x.t > acc.t)
+        )
+        return F.when(
+            advance, F.struct((acc.d + 1).alias("d"), x.t.alias("t"))
+        ).otherwise(acc)
+
+    depth = F.aggregate(F.col("_seq"), init, step).getField("d")
+    scored = seq.select("user_id", depth.alias("funnel_depth"))
+    return users.join(scored, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("funnel_depth"), F.lit(0)).cast("int").alias(
+            "funnel_depth"
+        ),
+    )
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts_ns",
+                  type_col: str = "event_type") -> DataFrame:
+    """The funnel report: for each step k (1-based), how many users
+    reached AT LEAST that depth — the strictly decreasing sequence a
+    funnel chart plots.  One extra tiny aggregation over the per-user
+    depths (user-cardinality input).
+
+    Output: ``(step int, step_name, n_users)`` ordered by step.
+    """
+    depths = funnel_depth(events, steps, user_col, ts_col, type_col)
+    k = F.explode(F.sequence(F.lit(1), F.lit(len(steps)))).alias("step")
+    reached = depths.select("user_id", "funnel_depth", k).where(
+        F.col("funnel_depth") >= F.col("step")
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    return (
+        reached.groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "step",
+            F.element_at(steps_arr, F.col("step")).alias("step_name"),
+            "n_users",
+        )
+        .orderBy("step")
+    )

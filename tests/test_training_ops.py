@@ -266,3 +266,33 @@ def test_cluster_safe_split_no_leakage(spark):
         if r["doc_id"] not in (0, 1, 2, 10, 11):
             want = "holdout" if r["b"] < 500 else "train"
             assert rows[r["doc_id"]][1] == want, r["doc_id"]
+
+
+def test_funnel_depth_semantics(spark):
+    """Strict-order funnel: steps must occur in order, each strictly
+    after the previous; same-timestamp ties do NOT advance; users with
+    no step events score 0."""
+    from grower_spark.operators.funnel import funnel_counts, funnel_depth
+
+    rows = [
+        # u1: full ordered funnel
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click before any view -> that click can't count; a later
+        # click after the view does
+        (2, 5, "click"), (2, 10, "view"), (2, 30, "click"),
+        # u3: click at the SAME instant as the view -> strictly-after
+        # fails, no second step
+        (3, 10, "view"), (3, 10, "click"),
+        # u4: purchase without the middle step -> depth stalls at 1
+        (4, 10, "view"), (4, 20, "purchase"),
+        # u5: only unrelated events
+        (5, 10, "error"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_ns long, event_type string")
+    got = {r["user_id"]: r["funnel_depth"]
+           for r in funnel_depth(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 1, 5: 0}
+
+    counts = {r["step"]: (r["step_name"], r["n_users"])
+              for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert counts == {1: ("view", 4), 2: ("click", 2), 3: ("purchase", 1)}
