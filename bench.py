@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     ("multimodal_decode_meta", "noop"),
     ("multimodal_decode_mp4", "noop"),
     ("events_funnel", "noop"),
+    ("events_retention", "collect"),
 ]
 
 

@@ -1469,6 +1469,36 @@ LEFT JOIN t3 USING (user_id)
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (r7): users bucketed by first-activity
+    week, counted per (cohort, week offset) — the companion report to
+    the funnel.  Aggregations shrink to user- then cohort-cardinality
+    after one map-side week truncation (operators/retention.py)."""
+    from grower_spark.operators.retention import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
+def oracle_events_retention() -> str:
+    # same derivation: distinct (user, monday-truncated week), first week
+    # per user, counts by (cohort, week diff / 7)
+    return """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort FROM act GROUP BY 1),
+j AS (
+  SELECT f.cohort,
+    CAST(date_diff('day', f.cohort, a.week) // 7 AS INTEGER) AS week_offset
+  FROM act a JOIN first f USING (user_id)
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY 1, 2
+"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 
 
@@ -4344,7 +4374,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_topk_per_user": q_events_topk_per_user,
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -4358,6 +4387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -4392,6 +4422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -4493,4 +4524,5 @@ ORACLES: dict[str, str] = {
     "multimodal_decode_meta": oracle_multimodal_decode_meta(),
     "multimodal_decode_mp4": oracle_multimodal_decode_mp4(),
     "events_funnel": oracle_events_funnel(),
+    "events_retention": oracle_events_retention(),
 }

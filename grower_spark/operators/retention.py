@@ -1,0 +1,46 @@
+"""Cohort retention analysis: the second classic product-analytics
+question after the funnel — of users whose FIRST activity fell in week
+W (their cohort), how many were active again k weeks later?
+
+Plan shape: first-activity per user is one user-keyed aggregation; the
+(user, week) activity set is a distinct over truncated timestamps whose
+shuffle carries two small values per active user-week; the final
+(cohort, offset) rollup is cohort-cardinality.  Nothing scales with raw
+event count past the first map-side truncation, and every aggregation
+has map-side partial combining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention counts.
+
+    Output: ``(cohort_week, week_offset, n_users)`` — users whose first
+    activity was in ``cohort_week`` (ISO Monday, yyyy-MM-dd string for a
+    flat cross-engine contract) and who were active in
+    ``cohort_week + week_offset`` weeks (offset 0 = the cohort size
+    itself; offsets only appear where n_users > 0).
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    act = events.select(
+        F.col(user_col).alias("user_id"), wk.alias("week")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    joined = act.join(first, "user_id").select(
+        "cohort",
+        (F.datediff(F.col("week"), F.col("cohort")) / 7).cast("int").alias(
+            "week_offset"
+        ),
+    )
+    return joined.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )

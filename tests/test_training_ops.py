@@ -296,3 +296,29 @@ def test_funnel_depth_semantics(spark):
     counts = {r["step"]: (r["step_name"], r["n_users"])
               for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
     assert counts == {1: ("view", 4), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_retention_cohorts_semantics(spark):
+    """First-activity week defines the cohort; each active week counts
+    once per user; offset 0 equals the cohort size."""
+    import datetime as dt
+
+    from grower_spark.operators.retention import retention_cohorts
+
+    d = dt.datetime
+    rows = [
+        # u1: first week W0 (Mon 2024-01-01), active again W1 twice
+        (1, d(2024, 1, 2)), (1, d(2024, 1, 9)), (1, d(2024, 1, 10)),
+        # u2: W0 only
+        (2, d(2024, 1, 4)),
+        # u3: first week W1
+        (3, d(2024, 1, 8)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1 + u2
+        ("2024-01-01", 1): 1,   # u1 returned
+        ("2024-01-08", 0): 1,   # u3's own cohort
+    }
