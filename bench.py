@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     ("multimodal_decode_mp4", "noop"),
     ("events_funnel", "noop"),
     ("events_retention", "collect"),
+    ("events_transitions", "collect"),
 ]
 
 

@@ -1499,6 +1499,32 @@ FROM j GROUP BY 1, 2
 """
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (r7): consecutive event-type
+    pairs per user's time-ordered stream, counted — one user-keyed lag
+    window + a type²-cardinality rollup (operators/retention.py).  Tie
+    order (ts, type) pinned on both engines."""
+    from grower_spark.operators.retention import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+def oracle_events_transitions() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type AS to_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_ns(ts), event_type
+    ) AS from_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 
 
@@ -4373,7 +4399,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "events_topk_per_user": q_events_topk_per_user,
     "salted_agg_users": q_salted_agg_users,
-    "dedup_exact": q_dedup_exact,
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -4388,6 +4413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_transitions": q_events_transitions,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -4422,6 +4448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -4525,4 +4552,5 @@ ORACLES: dict[str, str] = {
     "multimodal_decode_mp4": oracle_multimodal_decode_mp4(),
     "events_funnel": oracle_events_funnel(),
     "events_retention": oracle_events_retention(),
+    "events_transitions": oracle_events_transitions(),
 }

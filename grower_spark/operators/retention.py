@@ -44,3 +44,32 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
         "week_offset",
         "n_users",
     )
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts_ns",
+                      type_col: str = "event_type") -> DataFrame:
+    """First-order event-transition matrix: counts of consecutive
+    ``(from_type, to_type)`` pairs within each user's time-ordered event
+    stream — the Markov view behind "what do users do next" path
+    reports.
+
+    One shuffle (the per-user lag window, keyed by user); the transition
+    rollup that follows is type²-cardinality with partial aggregation.
+    Ties on the timestamp are ordered by (ts, type) so the sequence —
+    and therefore the matrix — is total and reproducible.
+
+    Output: ``(from_type, to_type, n)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(type_col))
+    seq = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(type_col).alias("to_type"),
+        F.lag(F.col(type_col)).over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -322,3 +322,20 @@ def test_retention_cohorts_semantics(spark):
         ("2024-01-01", 1): 1,   # u1 returned
         ("2024-01-08", 0): 1,   # u3's own cohort
     }
+
+
+def test_event_transitions_tie_order_and_counts(spark):
+    from grower_spark.operators.retention import event_transitions
+
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "click"),
+        # tie at t=40: order is (ts, type) -> click before view
+        (1, 40, "view"), (1, 40, "click"),
+        (2, 10, "view"),  # single event: no transition
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_ns long, event_type string")
+    got = {(r["from_type"], r["to_type"]): r["n"]
+           for r in event_transitions(ev).collect()}
+    # u1 sequence: view@10, click@20, click@30, click@40, view@40
+    assert got == {("view", "click"): 1, ("click", "click"): 2,
+                   ("click", "view"): 1}
