@@ -207,3 +207,52 @@ def test_bigram_lm_hand_computed(spark):
     assert rows[11]["n_bigrams"] == 0
     # (UNK, UNK): UNK never appeared as a context -> uniform fallback
     assert rows[12]["nll_micro_sum"] == m["uniform_nll_micro"]
+
+
+def _py_unigram(train_texts, vocab_k, alpha=1.0):
+    """Pure-Python twin of fit_unigram_lm's contract."""
+    import math
+    from collections import Counter
+
+    toks = [t for s in train_texts if s is not None for t in s.split(" ")]
+    tf = Counter(toks)
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k]
+    denom = len(toks) + alpha * (len(top) + 1)
+    nll = {t: int(math.floor(-math.log((c + alpha) / denom) * 1e6))
+           for t, c in top}
+    c_oov = len(toks) - sum(c for _, c in top)
+    oov = int(math.floor(-math.log((c_oov + alpha) / denom) * 1e6))
+    return nll, oov
+
+
+def test_unigram_lm_matches_python_reference_on_random_corpora(spark):
+    """Property: for random small corpora the Spark fit+score pipeline is
+    integer-identical to an independent pure-Python derivation of the
+    same contract (vocab ties, smoothing, floor quantization, OOV)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from grower_spark.operators.text import fit_unigram_lm, lm_score
+
+    token = st.sampled_from(["a", "b", "c", "dd", "ee"])
+    doc = st.lists(token, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        model = fit_unigram_lm(df, vocab_k=3, alpha=1.0)
+        nll, oov = _py_unigram(texts, vocab_k=3)
+        assert dict(model["vocab"]) == nll
+        assert model["oov_nll_micro"] == oov
+        got = {r["doc_id"]: (r["n_tokens"], r["nll_micro_sum"])
+               for r in lm_score(df, model).collect()}
+        for i, s in enumerate(texts):
+            toks = s.split(" ")
+            want = sum(nll.get(t, oov) for t in toks)
+            assert got[i] == (len(toks), want), (i, s)
+
+    check()
