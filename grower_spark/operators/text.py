@@ -616,38 +616,52 @@ def bigram_lm_score(df: DataFrame, model: dict, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Score documents under a fitted bigram LM: per-doc bigram count,
     total NLL, and mean cross-entropy in integer micro-nats — one
-    zero-shuffle map pass, the model as plan map literals (observed
-    bigrams keyed ``p + \\x1f + c``, plus the per-context unseen floor).
-    Documents with fewer than two tokens score 0.
+    zero-shuffle map pass.  Documents with fewer than two tokens score 0.
+
+    Lookup shape matters here: Spark's ``element_at`` on a MAP literal
+    is a linear scan per lookup, so a (p, c)-keyed cost map pays
+    O(observed bigrams) string comparisons per token pair (measured
+    ~4 s for 5k sf0.1 docs against a 931-entry map).  Instead, tokens
+    map to vocab indices once (one V-entry scan per token, same cost as
+    the unigram path) and the model ships as a DENSE (V+1)² cost ARRAY —
+    ``element_at`` on an array literal is O(1) — with the per-context
+    unseen floor and the uniform fallback pre-baked into unobserved
+    cells.  Plan size is (V+1)² long literals: fine through
+    vocab_k ≈ 256 (≈66k entries); beyond that, posexplode +
+    broadcast-join the cost table instead (the tokenize_to_ids_join
+    shape).
 
     Output: ``(id_col, n_bigrams, nll_micro_sum, xent_micro)``.
     """
     vocab = model["vocab"]
-    ident = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in vocab]), F.array(*[F.lit(t) for t in vocab])
+    v1 = len(vocab) + 1
+    sym = [LM_UNK] + list(vocab)  # index 0 = UNK, 1..V = vocab order
+    uniform = int(model["uniform_nll_micro"])
+    costs = [
+        model["bigram"].get(
+            (sym[p], sym[c]), model["unseen"].get(sym[p], uniform)
+        )
+        for p in range(v1)
+        for c in range(v1)
+    ]
+    idx_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]),
+        F.array(*[F.lit(i).cast("int") for i in range(1, v1)]),
     )
-    bmap = F.map_from_arrays(
-        F.array(*[F.lit(p + _LM_SEP + c) for p, c in model["bigram"]]),
-        F.array(*[F.lit(v).cast("long") for v in model["bigram"].values()]),
-    )
-    umap = F.map_from_arrays(
-        F.array(*[F.lit(p) for p in model["unseen"]]),
-        F.array(*[F.lit(v).cast("long") for v in model["unseen"].values()]),
-    )
-    uniform = F.lit(int(model["uniform_nll_micro"])).cast("long")
+    # ONE F.expr for the (V+1)² cost array: building it from 16k+ F.lit()
+    # calls costs seconds of driver-side py4j round-trips before the job
+    # even starts (the minhash_signature lesson applied to literals)
+    cost_arr = F.expr("array(" + ",".join(f"{int(x)}L" for x in costs) + ")")
     toks = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
     mapped = F.transform(
-        toks, lambda t: F.coalesce(F.element_at(ident, t), F.lit(LM_UNK))
+        toks,
+        lambda t: F.coalesce(F.element_at(idx_map, t), F.lit(0).cast("int")),
     )
     n = F.size(mapped)
     terms = F.zip_with(
         F.slice(mapped, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(mapped, 2, F.greatest(n - 1, F.lit(0))),
-        lambda p, c: F.coalesce(
-            F.element_at(bmap, F.concat(p, F.lit(_LM_SEP), c)),
-            F.element_at(umap, p),
-            uniform,
-        ),
+        lambda p, c: F.element_at(cost_arr, p * F.lit(v1) + c + 1),
     )
     scored = df.select(
         id_col,
