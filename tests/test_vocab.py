@@ -256,3 +256,71 @@ def test_unigram_lm_matches_python_reference_on_random_corpora(spark):
             assert got[i] == (len(toks), want), (i, s)
 
     check()
+
+
+def test_bigram_lm_matches_python_reference_on_random_corpora(spark):
+    """Property: random corpora, Spark bigram fit+score integer-identical
+    to an independent pure-Python derivation (UNK mapping, per-context
+    smoothing, dense-array cost routing, strict fold)."""
+    import math
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from grower_spark.operators.text import (
+        LM_UNK,
+        bigram_lm_score,
+        fit_bigram_lm,
+    )
+
+    token = st.sampled_from(["a", "b", "cc"])
+    doc = st.lists(token, min_size=1, max_size=7).map(" ".join)
+
+    def py_ref(train_texts, score_texts, vocab_k, alpha=1.0):
+        toks = [t for s in train_texts for t in s.split(" ")]
+        tf = Counter(toks)
+        vocab = [t for t, _ in
+                 sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k]]
+        vset = set(vocab)
+
+        def m(s):
+            return [t if t in vset else LM_UNK for t in s.split(" ")]
+
+        pairs = Counter(
+            p for s in train_texts for p in zip(m(s), m(s)[1:])
+        )
+        ctx = Counter(p for (p, _), n in pairs.items() for _ in range(n))
+        v1 = len(vocab) + 1
+
+        def nll(num, den):
+            return int(math.floor(-math.log(num / den) * 1e6))
+
+        out = []
+        for s in score_texts:
+            ms = m(s)
+            total = 0
+            for pr in zip(ms, ms[1:]):
+                if pr in pairs:
+                    total += nll(pairs[pr] + alpha, ctx[pr[0]] + alpha * v1)
+                elif pr[0] in ctx:
+                    total += nll(alpha, ctx[pr[0]] + alpha * v1)
+                else:
+                    total += nll(alpha, alpha * v1)
+            out.append((max(len(ms) - 1, 0), total))
+        return out
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        model = fit_bigram_lm(df, vocab_k=2, alpha=1.0)
+        got = {r["doc_id"]: (r["n_bigrams"], r["nll_micro_sum"])
+               for r in bigram_lm_score(df, model).collect()}
+        for i, want in enumerate(py_ref(texts, texts, vocab_k=2)):
+            assert got[i] == want, (i, texts[i])
+
+    check()
