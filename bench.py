@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     ("events_funnel", "noop"),
     ("events_retention", "collect"),
     ("events_transitions", "collect"),
+    ("lm_tail_keep", "noop"),
 ]
 
 

@@ -4185,6 +4185,52 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+_LM_TAIL_DROP = 100  # drop the worst 10% by cross-entropy
+
+
+def q_lm_tail_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based LM tail filtering (the actual CCNet deployment
+    shape — drop the worst X% rather than an absolute threshold): fit on
+    even docs, score all, keep documents at or below the exact
+    percentile_disc cutoff.  Ties at the cutoff kept on both engines
+    (SQL-standard discrete percentile)."""
+    from grower_spark.operators.text import drop_perplexity_tail, fit_unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_unigram_lm(
+        docs.where(F.col("doc_id") % 2 == 0), vocab_k=_LM_VOCAB_K, alpha=1.0
+    )
+    return drop_perplexity_tail(docs, model, _LM_TAIL_DROP)
+
+
+def oracle_lm_tail_keep() -> str:
+    q = (1000 - _LM_TAIL_DROP) / 1000
+    return f"""
+WITH {_lm_cte_sql("m", "doc_id % 2 = 0", _LM_VOCAB_K)},
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+sc AS (
+  SELECT t.doc_id,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(coalesce(m_lm.nll, (SELECT nll FROM m_oov))) AS BIGINT) AS s
+  FROM tok t LEFT JOIN m_lm ON m_lm.token = t.token
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+    CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens,
+    CAST(coalesce(sc.s, 0) AS BIGINT) AS nll_micro_sum,
+    CAST(CASE WHEN coalesce(sc.n, 0) > 0 THEN sc.s // sc.n ELSE 0 END
+      AS BIGINT) AS xent_micro
+  FROM documents d LEFT JOIN sc USING (doc_id)
+),
+cut AS (SELECT quantile_disc(xent_micro, {q}) AS t FROM scored)
+SELECT scored.* FROM scored, cut WHERE xent_micro <= cut.t
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights: target LM fit on the English split, raw
     LM fit on the whole corpus, every document scored with the
@@ -4398,7 +4444,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 34-50: flagship r6-green sample (rotation keeps them honest) ---
     "tpch_q1": q_tpch_q1,
     "events_topk_per_user": q_events_topk_per_user,
-    "salted_agg_users": q_salted_agg_users,
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -4414,6 +4459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_transitions": q_events_transitions,
+    "lm_tail_keep": q_lm_tail_keep,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -4448,6 +4494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4553,4 +4600,5 @@ ORACLES: dict[str, str] = {
     "events_funnel": oracle_events_funnel(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
+    "lm_tail_keep": oracle_lm_tail_keep(),
 }

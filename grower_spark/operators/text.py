@@ -676,3 +676,39 @@ def bigram_lm_score(df: DataFrame, model: dict, id_col: str = "doc_id",
             F.col("n_bigrams") > 0, F.expr("nll_micro_sum div n_bigrams")
         ).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def lm_xent_threshold(scored: DataFrame, drop_permille: int,
+                      col: str = "xent_micro") -> int:
+    """Exact discrete-percentile cutoff for LM tail filtering: the
+    largest cross-entropy KEPT when dropping the worst
+    ``drop_permille``/1000 of documents — ``percentile_disc`` of the
+    keep fraction (SQL-standard: smallest value whose cumulative
+    distribution reaches q, so ties at the cutoff are kept on both
+    engines).  One aggregation returning one scalar — a model-sized
+    fit, like the vocab collect."""
+    if not 0 < drop_permille < 1000:
+        raise ValueError("drop_permille must be in (0, 1000)")
+    q = (1000 - drop_permille) / 1000
+    row = scored.selectExpr(
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col}) AS t"
+    ).collect()[0]
+    return int(row["t"])
+
+
+def drop_perplexity_tail(df: DataFrame, model: dict, drop_permille: int,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """CCNet-style tail filtering by QUANTILE rather than absolute
+    threshold: score the corpus under the fitted unigram LM, find the
+    exact keep cutoff, keep documents at or below it.  Two passes over
+    the corpus (score+threshold agg, then score+filter — both
+    zero-shuffle map passes; cache or persist the scored frame upstream
+    to make it one).  Ties at the cutoff are kept.
+
+    Output: the scored keep set ``(id_col, n_tokens, nll_micro_sum,
+    xent_micro)``.
+    """
+    scored = lm_score(df, model, id_col=id_col, text_col=text_col)
+    cutoff = lm_xent_threshold(scored, drop_permille)
+    return scored.where(F.col("xent_micro") <= F.lit(cutoff))

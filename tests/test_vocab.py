@@ -324,3 +324,32 @@ def test_bigram_lm_matches_python_reference_on_random_corpora(spark):
             assert got[i] == want, (i, texts[i])
 
     check()
+
+
+def test_perplexity_tail_drop(spark):
+    """Quantile tail filter: exact discrete cutoff, ties kept, worst
+    fraction dropped."""
+    from grower_spark.operators.text import (
+        drop_perplexity_tail,
+        fit_unigram_lm,
+        lm_score,
+        lm_xent_threshold,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a a a a b b")], "doc_id long, text string"
+    )
+    model = fit_unigram_lm(train, vocab_k=2)
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b"), (3, "b b"), (4, "z z"), (5, "z z")],
+        "doc_id long, text string",
+    )
+    scored = lm_score(docs, model)
+    # xent order: doc1 < doc2 < doc3 < doc4 == doc5 (all-OOV worst)
+    cut = lm_xent_threshold(scored, drop_permille=400)
+    kept = {r["doc_id"] for r in drop_perplexity_tail(docs, model, 400).collect()}
+    # keep fraction 0.6 of 5 docs -> percentile_disc lands on doc3's xent;
+    # the tied worst pair (4, 5) drops together
+    assert kept == {1, 2, 3}
+    xents = {r["doc_id"]: r["xent_micro"] for r in scored.collect()}
+    assert cut == xents[3] and xents[4] == xents[5] > cut
