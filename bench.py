@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     ("events_retention", "collect"),
     ("events_transitions", "collect"),
     ("lm_tail_keep", "noop"),
+    ("nginx_error_rate", "noop"),
 ]
 
 

@@ -239,6 +239,50 @@ FROM parsed GROUP BY status
     )
 
 
+_ERR_RATE_ALERT_BP = 500  # flag windows where >5% of requests are 5xx
+
+
+def q_nginx_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed error-rate monitoring over the parsed access log (r7) —
+    the ops question the reference's users actually watch: per 5-minute
+    bucket, request count, 5xx count, error rate in integer basis
+    points, and an over-threshold alert flag.  One aggregation over the
+    parse pipeline's typed output; the integer epoch-div bucketing is
+    exact on both engines."""
+    parsed = _parsed(spark, sf_dir)
+    win = F.expr("to_unix_timestamp(time_local) div 300").alias("win5m")
+    n = F.count(F.lit(1)).alias("n")
+    n5 = F.sum(
+        F.when(F.col("status") >= 500, F.lit(1)).otherwise(F.lit(0))
+    ).alias("n_5xx")
+    agg = parsed.groupBy(win).agg(n, n5)
+    return agg.select(
+        "win5m",
+        "n",
+        "n_5xx",
+        F.expr("(10000 * n_5xx) div n").alias("err_bp"),
+        (F.expr("(10000 * n_5xx) div n") > _ERR_RATE_ALERT_BP)
+        .cast("int")
+        .alias("alert"),
+    )
+
+
+def oracle_nginx_error_rate() -> str:
+    return (
+        ORACLE_PARSED_CTE
+        + f"""
+SELECT tl_epoch // 300 AS win5m,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_5xx,
+  CAST((10000 * sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END)) // count(*)
+    AS BIGINT) AS err_bp,
+  CAST((10000 * sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END)) // count(*)
+    > {_ERR_RATE_ALERT_BP} AS INTEGER) AS alert
+FROM parsed GROUP BY 1
+"""
+    )
+
+
 def q_nginx_parse_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level typed output of the parse pipeline (P2/P4-P9)."""
     parsed = _parsed(spark, sf_dir)
@@ -4411,6 +4455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_deadletter": q_nginx_deadletter,
     "nginx_parse_json": q_nginx_parse_json,
     "nginx_custom_casts": q_nginx_custom_casts,
+    "nginx_error_rate": q_nginx_error_rate,
     "syslog_extract": q_syslog_extract,
     # --- 7-16: never driver-checked before r7 ---
     "dedup_substring": q_dedup_substring,
@@ -4443,7 +4488,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     # --- 34-50: flagship r6-green sample (rotation keeps them honest) ---
     "tpch_q1": q_tpch_q1,
-    "events_topk_per_user": q_events_topk_per_user,
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -4487,6 +4531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_window": q_events_session_window,
     "events_sliding_window": q_events_sliding_window,
     "events_rollup": q_events_rollup,
+    "events_topk_per_user": q_events_topk_per_user,
     "events_exact_stats": q_events_exact_stats,
     "events_sketches": q_events_sketches,
     "text_stats": q_text_stats,
@@ -4601,4 +4646,5 @@ ORACLES: dict[str, str] = {
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),
+    "nginx_error_rate": oracle_nginx_error_rate(),
 }
