@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     ("events_transitions", "collect"),
     ("lm_tail_keep", "noop"),
     ("nginx_error_rate", "noop"),
+    ("nginx_latency_percentiles", "noop"),
 ]
 
 

@@ -283,6 +283,46 @@ FROM parsed GROUP BY 1
     )
 
 
+def q_nginx_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency dashboard over the parsed access log (r7): exact
+    interpolated p50/p95/p99 of request_time (centiseconds) per 5-minute
+    window — the canonical SRE panel beside the error rate.  One
+    aggregation, one array-of-fractions percentile sharing a single sort
+    buffer (the events_exact_stats pattern); integer centis make the
+    interpolated midpoints exact binary fractions on both engines."""
+    parsed = _parsed(spark, sf_dir)
+    src = parsed.select(
+        F.expr("to_unix_timestamp(time_local) div 300").alias("win5m"),
+        F.round(F.col("request_time").cast("double") * 100)
+        .cast("long")
+        .alias("rt"),
+    )
+    agg = src.groupBy("win5m").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(rt, array(0.5D, 0.95D, 0.99D))").alias("_p"),
+    )
+    return agg.select(
+        "win5m", "n",
+        F.col("_p")[0].alias("p50"),
+        F.col("_p")[1].alias("p95"),
+        F.col("_p")[2].alias("p99"),
+    )
+
+
+def oracle_nginx_latency_percentiles() -> str:
+    return (
+        ORACLE_PARSED_CTE
+        + """
+SELECT tl_epoch // 300 AS win5m,
+  CAST(count(*) AS BIGINT) AS n,
+  quantile_cont(CAST(round(CAST(request_time AS DOUBLE) * 100) AS BIGINT), 0.5) AS p50,
+  quantile_cont(CAST(round(CAST(request_time AS DOUBLE) * 100) AS BIGINT), 0.95) AS p95,
+  quantile_cont(CAST(round(CAST(request_time AS DOUBLE) * 100) AS BIGINT), 0.99) AS p99
+FROM parsed GROUP BY 1
+"""
+    )
+
+
 def q_nginx_parse_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level typed output of the parse pipeline (P2/P4-P9)."""
     parsed = _parsed(spark, sf_dir)
@@ -4456,6 +4496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_parse_json": q_nginx_parse_json,
     "nginx_custom_casts": q_nginx_custom_casts,
     "nginx_error_rate": q_nginx_error_rate,
+    "nginx_latency_percentiles": q_nginx_latency_percentiles,
     "syslog_extract": q_syslog_extract,
     # --- 7-16: never driver-checked before r7 ---
     "dedup_substring": q_dedup_substring,
@@ -4487,7 +4528,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sample_stratified": q_events_sample_stratified,
     "text_repetition": q_text_repetition,
     # --- 34-50: flagship r6-green sample (rotation keeps them honest) ---
-    "tpch_q1": q_tpch_q1,
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -4505,6 +4545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transitions": q_events_transitions,
     "lm_tail_keep": q_lm_tail_keep,
     # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
+    "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
     "tpch_q18": q_tpch_q18,
@@ -4647,4 +4688,5 @@ ORACLES: dict[str, str] = {
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),
     "nginx_error_rate": oracle_nginx_error_rate(),
+    "nginx_latency_percentiles": oracle_nginx_latency_percentiles(),
 }
