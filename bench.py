@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     ("lm_tail_keep", "noop"),
     ("nginx_error_rate", "noop"),
     ("nginx_latency_percentiles", "noop"),
+    ("events_cusum", "collect"),
 ]
 
 

@@ -1034,6 +1034,59 @@ WHERE {sim} >= {NEARDUP_THRESHOLD}
 """
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate change-point detection (r7): one-sided CUSUM of per-minute
+    bucket-count deviations per event type, via the closed window form
+    S_k = P_k - min(0, running-min P) — prefix sum + running min over ONE
+    type-keyed sort, no recursion (operators/anomaly.py).  Integer
+    cross-multiplied deviations; earliest-bucket tie-break."""
+    from grower_spark.operators.anomaly import rate_cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    return rate_cusum(ev, bucket_secs=60)
+
+
+def oracle_events_cusum() -> str:
+    return """
+WITH counts AS (
+  SELECT event_type AS ty, (epoch_us(ts) // 1000000 // 60) * 60 AS bk,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT ty, min(bk) AS lo, max(bk) AS hi, sum(c) AS total
+  FROM counts GROUP BY 1
+),
+spine AS (
+  SELECT ty, total, (hi - lo) // 60 + 1 AS nb,
+    unnest(range(lo, hi + 60, 60)) AS bk
+  FROM span
+),
+filled AS (
+  SELECT s.ty, s.bk, s.total, s.nb, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c ON c.ty = s.ty AND c.bk = s.bk
+),
+pre AS (
+  SELECT ty, bk, total, nb,
+    sum(nb * c - total) OVER (PARTITION BY ty ORDER BY bk) AS p
+  FROM filled
+),
+sc AS (
+  SELECT ty, bk, total, nb,
+    p - least(0, min(p) OVER (PARTITION BY ty ORDER BY bk)) AS s
+  FROM pre
+),
+mx AS (SELECT ty, max(s) AS m FROM sc GROUP BY 1)
+SELECT sc.ty AS event_type,
+  CAST(sc.nb AS BIGINT) AS n_buckets,
+  CAST(sc.total AS BIGINT) AS total,
+  CAST(mx.m AS BIGINT) AS cusum_max,
+  CAST(min(sc.bk) AS BIGINT) AS peak_bucket
+FROM sc JOIN mx ON mx.ty = sc.ty AND sc.s = mx.m
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregate in one shuffle: ROLLUP over (event_type, day)
     produces per-(type, day), per-type, and grand-total rows with a single
@@ -4479,13 +4532,14 @@ FROM (
 #           (registered past position 50 in r5/r6).
 #   17-33 : the 17 rows last certified in r5 that r6's TPC-H additions
 #           pushed out of the window.
-#   34-41 : a flagship sample of r6-certified rows (tpch_q1, top-k window,
-#           salted agg, the dedup family, LSH near-dup).
-#   42-50 : the nine NEW r7 rows (real PNG/WAV decode, broadcast semantic
-#           decontam, unigram/bigram LM, DSIR, fused multimodal kernel,
-#           cluster-safe split, corpus report).
+#   34-50 : seventeen of the eighteen NEW r7 rows (real media decode ×4,
+#           broadcast semantic decontam, unigram/bigram/tail LM, DSIR,
+#           fused multimodal kernel, cluster-safe split, corpus report,
+#           funnel/retention/error-rate/latency/CUSUM analytics); the
+#           eighteenth (events_transitions) waits at 51+ for next
+#           round's rotation.
 #   51+   : everything already driver-certified green in CORRECTNESS_r06
-#           (the rest of TPC-H 22/22, event windows, simhash, LSH ANN) —
+#           (the whole TPC-H 22/22, event windows, dedup/ANN flagships) —
 #           all covered by the committed CORRECTNESS_LOCAL_r7.json
 #           full-registry artifact each round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4542,9 +4596,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
-    "events_transitions": q_events_transitions,
     "lm_tail_keep": q_lm_tail_keep,
-    # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out ---
+    "events_cusum": q_events_cusum,
+    # --- 51+: r6-certified green (CORRECTNESS_r06.json), rotated out,
+    # plus events_transitions (new r7, locally green in
+    # CORRECTNESS_LOCAL_r7.json; rotates into the window next round) ---
+    "events_transitions": q_events_transitions,
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -4689,4 +4746,5 @@ ORACLES: dict[str, str] = {
     "lm_tail_keep": oracle_lm_tail_keep(),
     "nginx_error_rate": oracle_nginx_error_rate(),
     "nginx_latency_percentiles": oracle_nginx_latency_percentiles(),
+    "events_cusum": oracle_events_cusum(),
 }

@@ -1,0 +1,98 @@
+"""Rate change-point detection: one-sided CUSUM over bucketed event
+counts — the monitoring question behind "when did this event type's
+rate shift?"
+
+The CUSUM recurrence ``S_k = max(0, S_{k-1} + dev_k)`` looks iterative,
+but it has a closed window form: with ``P_k`` the prefix sum of
+deviations, ``S_k = P_k - min_{j<=k} P_j`` — a running sum plus a
+running min, both single-pass window functions over the same
+(type-keyed) partitioning.  No recursion, no driver loop, and an exact
+SQL twin for the oracle.
+
+Deviations are integer cross-multiplied against the per-type mean
+(``dev_k = B * c_k - total`` over B buckets), so every intermediate is
+exact and order-independent — the events_outliers precedent.
+
+Plan: one map-side bucket truncation, a per-type count aggregation
+(bucket-cardinality), a per-type SPINE (sequence explode over the
+type's observed span — zero-filled gaps are real evidence of a rate
+drop), one window pass, one tiny per-type rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def rate_cusum(events: DataFrame, bucket_secs: int = 60,
+               type_col: str = "event_type",
+               ts_col: str = "ts") -> DataFrame:
+    """Per event type: the maximum one-sided CUSUM of bucket-count
+    deviations from that type's own mean rate, and the FIRST bucket
+    achieving it (the change-point candidate; deterministic tie-break to
+    the earliest bucket).
+
+    ``cusum_max`` is in units of ``B * count`` (cross-multiplied by the
+    bucket total to stay integer); ``peak_bucket`` is the epoch-second
+    bucket start.  A type with a flat rate scores near 0; a sustained
+    upward shift scores ~``B * shift * duration``.
+
+    Output: ``(type_col, n_buckets, total, cusum_max, peak_bucket)``.
+    """
+    if bucket_secs <= 0:
+        raise ValueError("bucket_secs must be positive")
+    b = F.lit(bucket_secs)
+    # integer div end-to-end: no double rounding anywhere near the keys
+    bucket = F.expr(f"to_unix_timestamp({ts_col}) div {bucket_secs}") * b
+    counts = (
+        events.select(F.col(type_col).alias("_ty"), bucket.alias("_bk"))
+        .groupBy("_ty", "_bk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    span = counts.groupBy("_ty").agg(
+        F.min("_bk").alias("_lo"), F.max("_bk").alias("_hi"),
+        F.sum("_c").alias("_total"),
+    )
+    # zero-filled spine: every bucket in the type's span participates;
+    # the bucket count is span arithmetic, not a second window pass
+    spine = span.select(
+        "_ty", "_total",
+        ((F.col("_hi") - F.col("_lo")) / b + 1).cast("long").alias("_nb"),
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), b)).alias("_bk"),
+    )
+    filled = spine.join(counts, ["_ty", "_bk"], "left").select(
+        "_ty", "_bk", "_total", "_nb",
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+    )
+    w = Window.partitionBy("_ty").orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = F.col("_nb") * F.col("_c") - F.col("_total")
+    # S_k = P_k - min(0, min_{j<=k} P_j): the empty prefix participates
+    # (S_0 = 0), hence the least-with-zero around the running min.  Two
+    # chained selects because a window over a window expression must
+    # materialize the inner one first; both windows share the same
+    # partitioning/ordering so Catalyst plans ONE Window node pair over
+    # one sort, no extra exchange.
+    prefixed = filled.select(
+        "_ty", "_bk", "_total", "_nb", F.sum(dev).over(w).alias("_p")
+    )
+    scored = prefixed.select(
+        "_ty", "_bk", "_total", "_nb",
+        (F.col("_p") - F.least(F.lit(0), F.min("_p").over(w))).alias("_s"),
+    )
+    agg = scored.groupBy("_ty").agg(
+        F.first("_nb").alias("n_buckets"),
+        F.first("_total").alias("total"),
+        F.max("_s").alias("cusum_max"),
+        # earliest bucket attaining the max: min over (-S, bucket) structs
+        F.min(F.struct((-F.col("_s")).alias("ns"), F.col("_bk").alias("bk"))).alias("_am"),
+    )
+    return agg.select(
+        F.col("_ty").alias(type_col),
+        F.col("n_buckets").cast("long"),
+        F.col("total").cast("long"),
+        F.col("cusum_max").cast("long"),
+        F.col("_am.bk").cast("long").alias("peak_bucket"),
+    )

@@ -339,3 +339,27 @@ def test_event_transitions_tie_order_and_counts(spark):
     # u1 sequence: view@10, click@20, click@30, click@40, view@40
     assert got == {("view", "click"): 1, ("click", "click"): 2,
                    ("click", "view"): 1}
+
+
+def test_rate_cusum_change_point(spark):
+    """CUSUM closed form: a rate upshift scores B*shift*duration with the
+    peak at the shift's end; zero-filled gap minutes count as evidence;
+    flat types score low; ties break to the earliest bucket."""
+    import datetime as dt
+
+    from grower_spark.operators.anomaly import rate_cusum
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for m, c in enumerate([1, 1, 5, 5]):       # A: 1/min then 5/min
+        rows += [("A", base + dt.timedelta(minutes=m, seconds=i))
+                 for i in range(c)]
+    for m, c in [(0, 2), (2, 2)]:              # B: flat with a gap minute
+        rows += [("B", base + dt.timedelta(minutes=m, seconds=i))
+                 for i in range(c)]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: tuple(r)[1:] for r in rate_cusum(ev, 60).collect()}
+    # A: devs 4c-12 = [-8,-8,8,8]; P=[-8,-16,-8,0]; S=[0,0,8,16]
+    assert got["A"] == (4, 12, 16, int(base.timestamp()) + 180)
+    # B: devs 3c-4 = [2,-4,2]; S=[2,0,2]; tie -> earliest bucket
+    assert got["B"] == (3, 4, 2, int(base.timestamp()))
