@@ -338,6 +338,10 @@ def main() -> int:
                          "foreachBatch (epoch-idempotent)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="streaming checkpoint location (with --stream)")
+    ap.add_argument("--batch-id", default=None,
+                    help="stable state-partition name for --append (defaults "
+                         "to a content-derived id; pass your ingest batch "
+                         "name to make retries explicit)")
     args = ap.parse_args()
     if (args.append or args.stream) and not args.state_dir:
         ap.error("--append/--stream require --state-dir")
@@ -370,6 +374,7 @@ def main() -> int:
         keep, drops = append_keep_drop(
             spark, docs, args.state_dir, id_col=args.id_col,
             text_col=args.text_col, min_shared_bands=args.threshold_bands,
+            batch_id=args.batch_id,
         )
     else:
         keep, drops = build_keep_drop(
