@@ -331,6 +331,12 @@ def duplicate_clusters_star(
     Two shuffles per round, lineage truncated per round, convergence =
     edge-set fixpoint (count + order-independent hash signature).
     """
+    # materialize the pair set ONCE: nodes and E below each consume it,
+    # and without this the (often expensive) pair-emission lineage —
+    # shingle hashing, posting lists, the whole upstream DAG — executes
+    # once per consumer (measured: ~2.5 s of a 7 s cluster_split run was
+    # the jaccard emission running a second time for the node set)
+    pairs = pairs.localCheckpoint()
     # capture the node set BEFORE dropping self-edges: a node that appears
     # only in self-pairs (id_a == id_b) is a singleton component and must
     # still come out as (id, id) — label_prop emits it, so this backend
@@ -442,6 +448,10 @@ def duplicate_clusters(
         return duplicate_clusters_star(pairs, id_a, id_b, max_iter)
     if backend != "label_prop":
         raise ValueError(f"backend must be label_prop|star, got {backend!r}")
+    # materialize the pair set ONCE: `sym` is re-joined EVERY iteration,
+    # and an un-truncated lineage would re-execute the whole upstream
+    # pair emission per round (diameter × emission cost)
+    pairs = pairs.localCheckpoint()
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
