@@ -318,3 +318,36 @@ def test_magic_decoder_routes_and_rejects(spark):
                                  "doc_id long, media_bytes binary")
     with pytest.raises(Exception, match="magic decoder|PythonException"):
         decode_images(junk, decoder="magic").collect()
+
+
+def test_auto_decoder_never_fails_on_arbitrary_bytes(spark):
+    """Corpus-scale rule: one corrupt file must never abort the job —
+    decode_images(decoder='auto') degrades anything unparseable to the
+    deterministic stub, including byte strings that START like real
+    formats but are truncated/corrupt."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from grower_spark.operators.multimodal import _PNG_MAGIC, decode_images
+
+    payload = st.one_of(
+        st.binary(min_size=0, max_size=64),
+        st.binary(min_size=0, max_size=48).map(lambda b: _PNG_MAGIC + b),
+        st.binary(min_size=0, max_size=48).map(lambda b: b"\xff\xd8" + b),
+        st.binary(min_size=0, max_size=48).map(lambda b: b"GIF89a" + b),
+    )
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(payload, min_size=1, max_size=8))
+    def check(blobs):
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(blobs)],
+            "doc_id long, media_bytes binary",
+        )
+        rows = decode_images(df, decoder="auto").collect()
+        assert len(rows) == len(blobs)
+        assert all(r["decoder"] in ("stub", "png", "jpeg-meta", "gif-meta")
+                   for r in rows)
+
+    check()
