@@ -271,6 +271,21 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
             ops["tokenize_ids"] = lambda d, v=vocab: tokenize_to_ids(d, v).where(
                 F.length("ids_csv") >= 0
             )
+        if only and "dedup_clusters" in only:
+            # component resolution over the GROWING near-dup pair graph
+            # (star backend + the r7 pair-set checkpoint): wall/shuffle
+            # should track the PAIR count, not the corpus
+            from grower_spark.operators.dedup import (
+                duplicate_clusters,
+                minhash_lsh_pairs,
+            )
+
+            ops["dedup_clusters"] = lambda d: duplicate_clusters(
+                minhash_lsh_pairs(
+                    d, num_perm=16, bands=4, shingle_n=3, hash_fn="xxhash"
+                ),
+                backend="star",
+            )
         if only and "lm_score" in only:
             # LM scoring leg: the unigram fit runs OUTSIDE the timed loop
             # (the model step); the timed op is the map-literal scoring
