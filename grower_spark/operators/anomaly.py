@@ -45,8 +45,12 @@ def rate_cusum(events: DataFrame, bucket_secs: int = 60,
     b = F.lit(bucket_secs)
     # integer div end-to-end: no double rounding anywhere near the keys
     bucket = F.expr(f"to_unix_timestamp({ts_col}) div {bucket_secs}") * b
+    # NULL timestamps/types can't be bucketed; dropping them up front
+    # keeps the per-type totals consistent with the spine (a NULL-bucket
+    # count row would inflate _total while never joining the spine)
     counts = (
-        events.select(F.col(type_col).alias("_ty"), bucket.alias("_bk"))
+        events.where(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .select(F.col(type_col).alias("_ty"), bucket.alias("_bk"))
         .groupBy("_ty", "_bk")
         .agg(F.count(F.lit(1)).alias("_c"))
     )

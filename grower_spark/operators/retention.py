@@ -27,9 +27,12 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
     itself; offsets only appear where n_users > 0).
     """
     wk = F.date_trunc("week", F.col(ts_col))
-    act = events.select(
-        F.col(user_col).alias("user_id"), wk.alias("week")
-    ).distinct()
+    # NULL timestamps carry no activity evidence: dropping them up front
+    # keeps every emitted (cohort, offset) cell well-defined (a NULL week
+    # would otherwise surface as a NULL-offset row)
+    act = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(F.col(user_col).alias("user_id"), wk.alias("week")).distinct()
     first = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
     joined = act.join(first, "user_id").select(
         "cohort",

@@ -363,3 +363,30 @@ def test_rate_cusum_change_point(spark):
     assert got["A"] == (4, 12, 16, int(base.timestamp()) + 180)
     # B: devs 3c-4 = [2,-4,2]; S=[2,0,2]; tie -> earliest bucket
     assert got["B"] == (3, 4, 2, int(base.timestamp()))
+
+
+def test_cusum_and_retention_ignore_null_rows(spark):
+    """NULL timestamps/keys carry no evidence: both operators must emit
+    the same result with and without NULL rows mixed in."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from grower_spark.operators.anomaly import rate_cusum
+    from grower_spark.operators.retention import retention_cohorts
+
+    base = dt.datetime(2024, 1, 1)
+    clean = [( "A", base + dt.timedelta(minutes=m)) for m in range(4)]
+    dirty = clean + [("A", None), (None, base)]
+    ev_c = spark.createDataFrame(clean, "event_type string, ts timestamp")
+    ev_d = spark.createDataFrame(dirty, "event_type string, ts timestamp")
+    assert sorted(map(tuple, rate_cusum(ev_c, 60).collect())) == \
+        sorted(map(tuple, rate_cusum(ev_d, 60).where(
+            F.col("event_type").isNotNull()).collect()))
+
+    r_clean = [(1, base), (1, base + dt.timedelta(days=7)), (2, base)]
+    r_dirty = r_clean + [(1, None), (None, base)]
+    rc = spark.createDataFrame(r_clean, "user_id long, ts timestamp")
+    rd = spark.createDataFrame(r_dirty, "user_id long, ts timestamp")
+    assert sorted(map(tuple, retention_cohorts(rc).collect())) == \
+        sorted(map(tuple, retention_cohorts(rd).collect()))
