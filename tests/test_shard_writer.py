@@ -51,3 +51,12 @@ def test_shard_verify_detects_tamper(spark, tmp_path):
     res = verify_shards(spark, out)
     assert not res["ok"]
     assert victim.split("=")[1] in res["mismatches"]
+
+
+def test_shard_write_empty_corpus(spark, tmp_path):
+    out = str(tmp_path / "empty")
+    m = write_training_shards(
+        spark.createDataFrame([], "doc_id long, text string"), out, 4
+    )
+    assert m["total_rows"] == 0 and m["shards"] == {}
+    assert verify_shards(spark, out) == {"ok": True, "mismatches": []}
