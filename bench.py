@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     ("nginx_error_rate", "noop"),
     ("nginx_latency_percentiles", "noop"),
     ("events_cusum", "collect"),
+    ("events_winsorized", "collect"),
+    ("events_robust_stats", "collect"),
 ]
 
 

@@ -1087,6 +1087,89 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit (r7): per event type, the exact p01/p99
+    clamp band over value centis and how many rows each side clamps —
+    the heavy-tail guard a metric column gets before aggregation
+    (operators/robust.py)."""
+    from grower_spark.operators.robust import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    w = winsorize(ev, "v", "event_type", lo=0.01, hi=0.99)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("p_lo").alias("p01"),
+        F.first("p_hi").alias("p99"),
+        F.sum((F.col("v") < F.col("p_lo")).cast("int")).cast("long").alias(
+            "n_clamped_lo"
+        ),
+        F.sum((F.col("v") > F.col("p_hi")).cast("int")).cast("long").alias(
+            "n_clamped_hi"
+        ),
+    )
+
+
+def oracle_events_winsorized() -> str:
+    return """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+b AS (
+  SELECT event_type,
+    quantile_cont(v, 0.01) AS p01, quantile_cont(v, 0.99) AS p99
+  FROM v GROUP BY 1
+)
+SELECT v.event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  first(b.p01) AS p01,
+  first(b.p99) AS p99,
+  CAST(sum(CASE WHEN v.v < b.p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+  CAST(sum(CASE WHEN v.v > b.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi
+FROM v JOIN b USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier statistics per event type (r7): unlike
+    the mean/stddev z-score (events_outliers), the estimator itself is
+    immune to the outliers it hunts; zero-MAD groups flag nothing (the
+    comparison is cross-multiplied, never divided)."""
+    from grower_spark.operators.robust import robust_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    return robust_stats(ev, "v", "event_type", z_cut=3.0)
+
+
+def oracle_events_robust_stats() -> str:
+    return """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+m AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1),
+d AS (
+  SELECT v.event_type, abs(v.v - m.med) AS ad, m.med
+  FROM v JOIN m USING (event_type)
+),
+md AS (
+  SELECT event_type, first(med) AS med, quantile_cont(ad, 0.5) AS mad
+  FROM d GROUP BY 1
+)
+SELECT d.event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  first(md.med) AS med,
+  first(md.mad) AS mad,
+  CAST(sum(CASE WHEN md.mad > 0 AND d.ad > 3.0 * md.mad THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY 1
+"""
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregate in one shuffle: ROLLUP over (event_type, day)
     produces per-(type, day), per-type, and grand-total rows with a single
@@ -4602,6 +4685,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # plus events_transitions (new r7, locally green in
     # CORRECTNESS_LOCAL_r7.json; rotates into the window next round) ---
     "events_transitions": q_events_transitions,
+    "events_winsorized": q_events_winsorized,
+    "events_robust_stats": q_events_robust_stats,
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -4747,4 +4832,6 @@ ORACLES: dict[str, str] = {
     "nginx_error_rate": oracle_nginx_error_rate(),
     "nginx_latency_percentiles": oracle_nginx_latency_percentiles(),
     "events_cusum": oracle_events_cusum(),
+    "events_winsorized": oracle_events_winsorized(),
+    "events_robust_stats": oracle_events_robust_stats(),
 }

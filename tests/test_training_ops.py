@@ -390,3 +390,22 @@ def test_cusum_and_retention_ignore_null_rows(spark):
     rd = spark.createDataFrame(r_dirty, "user_id long, ts timestamp")
     assert sorted(map(tuple, retention_cohorts(rc).collect())) == \
         sorted(map(tuple, retention_cohorts(rd).collect()))
+
+
+def test_winsorize_and_robust_stats(spark):
+    from grower_spark.operators.robust import robust_stats, winsorize
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]] + [
+        ("b", 5)] * 6
+    df = spark.createDataFrame(rows, "g string, v long")
+    w = {(r["g"], r["v"]): r["v_winsor"]
+         for r in winsorize(df, "v", "g", 0.10, 0.90).collect()}
+    # a: p10/p90 interpolated over 1..9,1000 -> extremes clamped inward
+    assert w[("a", 1000)] < 1000 and w[("a", 1)] > 1
+    assert w[("b", 5)] == 5  # constant group: clamp is identity
+    rs = {r["g"]: r.asDict() for r in robust_stats(df, "v", "g").collect()}
+    # a: med 5.5, MAD 2.5 -> only 1000 exceeds 3*MAD
+    assert rs["a"]["med"] == 5.5 and rs["a"]["mad"] == 2.5
+    assert rs["a"]["n_outliers"] == 1
+    # b: MAD 0 -> flags nothing, not everything
+    assert rs["b"]["mad"] == 0.0 and rs["b"]["n_outliers"] == 0
