@@ -712,3 +712,73 @@ def drop_perplexity_tail(df: DataFrame, model: dict, drop_permille: int,
     scored = lm_score(df, model, id_col=id_col, text_col=text_col)
     cutoff = lm_xent_threshold(scored, drop_permille)
     return scored.where(F.col("xent_micro") <= F.lit(cutoff))
+
+
+def bigram_lm_score_join(df: DataFrame, model: dict, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Unbounded-vocabulary twin of ``bigram_lm_score`` (the
+    tokenize_to_ids_join shape): when (V+1)² outgrows a plan literal
+    (~vocab_k 256), the vocabulary and the dense cost table ride as
+    BROADCAST DataFrames instead — posexplode the tokens, map to indices
+    through the vocab join, pair consecutive positions with a doc-keyed
+    lag window, join the (p, c) cost table, and aggregate per doc.  ONE
+    shuffle (the doc-keyed window + final aggregation share the doc
+    partitioning); both joins broadcast.  At production scale the cost
+    table comes from parquet — here it is built from the fitted model so
+    the equivalence pin against the literal path is exact.
+
+    Output and semantics identical to ``bigram_lm_score``
+    (equivalence-pinned in tests/test_vocab.py), including zero rows for
+    short/NULL-text documents.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vocab = model["vocab"]
+    v1 = len(vocab) + 1
+    sym = [LM_UNK] + list(vocab)
+    uniform = int(model["uniform_nll_micro"])
+    vocab_df = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(vocab)], "token string, idx int"
+    )
+    cost_df = spark.createDataFrame(
+        [
+            (p, c,
+             model["bigram"].get((sym[p], sym[c]),
+                                 model["unseen"].get(sym[p], uniform)))
+            for p in range(v1)
+            for c in range(v1)
+        ],
+        "p int, c int, nll long",
+    )
+    ex = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    mapped = ex.join(F.broadcast(vocab_df), ex._tok == vocab_df.token, "left").select(
+        id_col, "_pos", F.coalesce(F.col("idx"), F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    paired = mapped.select(
+        F.col(id_col), F.lag("c").over(w).alias("p"), "c"
+    ).where(F.col("p").isNotNull())
+    scored = (
+        paired.join(F.broadcast(cost_df), ["p", "c"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll").cast("long").alias("nll_micro_sum"),
+        )
+    )
+    zeros = df.select(id_col).join(scored.select(id_col), id_col, "left_anti").select(
+        id_col,
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0).cast("long").alias("nll_micro_sum"),
+    )
+    out = scored.unionByName(zeros)
+    return out.withColumn(
+        "xent_micro",
+        F.when(
+            F.col("n_bigrams") > 0, F.expr("nll_micro_sum div n_bigrams")
+        ).otherwise(F.lit(0)).cast("long"),
+    )

@@ -353,3 +353,28 @@ def test_perplexity_tail_drop(spark):
     assert kept == {1, 2, 3}
     xents = {r["doc_id"]: r["xent_micro"] for r in scored.collect()}
     assert cut == xents[3] and xents[4] == xents[5] > cut
+
+
+def test_bigram_join_variant_equals_literal(spark):
+    """The broadcast-join bigram scorer must be row-identical to the
+    plan-literal path on the real fixture (incl. short/NULL-text zero
+    rows), so swapping shapes at vocab-size crossover never changes
+    results."""
+    import pyspark.sql.functions as F
+
+    from grower_spark.operators.text import (
+        bigram_lm_score,
+        bigram_lm_score_join,
+        fit_bigram_lm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).union(spark.createDataFrame([(99991, "x"), (99992, None)],
+                                  "doc_id long, text string"))
+    model = fit_bigram_lm(docs.where(F.col("doc_id") % 2 == 0), vocab_k=32)
+    lit = {r["doc_id"]: tuple(r)[1:]
+           for r in bigram_lm_score(docs, model).collect()}
+    join = {r["doc_id"]: tuple(r)[1:]
+            for r in bigram_lm_score_join(docs, model).collect()}
+    assert lit == join and len(lit) == docs.count()
