@@ -43,8 +43,13 @@ def rate_cusum(events: DataFrame, bucket_secs: int = 60,
     if bucket_secs <= 0:
         raise ValueError("bucket_secs must be positive")
     b = F.lit(bucket_secs)
-    # integer div end-to-end: no double rounding anywhere near the keys
-    bucket = F.expr(f"to_unix_timestamp({ts_col}) div {bucket_secs}") * b
+    # integer end-to-end, FLOOR semantics: `div` truncates toward zero,
+    # which disagrees with the oracle's floor `//` on pre-1970 (negative
+    # epoch) timestamps — `a - pmod(a, b)` is the exact floored bucket
+    # start for any sign (pmod is always non-negative).  ADVICE r7.
+    bucket = F.expr(
+        f"to_unix_timestamp({ts_col}) - pmod(to_unix_timestamp({ts_col}), {bucket_secs})"
+    )
     # NULL timestamps/types can't be bucketed; dropping them up front
     # keeps the per-type totals consistent with the spine (a NULL-bucket
     # count row would inflate _total while never joining the spine)

@@ -120,6 +120,48 @@ def test_exact_drop_repoints_to_corpus_canonical(spark, tmp_path):
     assert got == {(10, 1, "exact-vs-corpus"), (11, 1, "exact")}
 
 
+def test_exact_drop_repoints_through_near_dup_drops(spark, tmp_path):
+    """The kept_id invariant must survive the NEAR stages too (ADVICE r7):
+    an in-batch exact keeper that enters the pool and is then dropped as
+    near-dup-vs-corpus (or in-batch near-dup) leaves its exact-drop twins
+    pointing at a non-survivor unless they are re-pointed to the surviving
+    canonical."""
+    from tools.dedup_corpus import append_keep_drop, write_dedup_state
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(2, base + " ending")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "state")
+    write_dedup_state(corpus, state)
+    # 12 == 13 exactly (keeper 12); 12 is a near-dup of corpus doc 2.
+    # 15 == 16 exactly (keeper 15); 15 is an in-batch near-dup of 14
+    # (cluster rep: the smaller id).
+    z = " ".join(f"z{i}" for i in range(40))
+    batch = spark.createDataFrame([
+        (12, base + " changed"),
+        (13, base + " changed"),
+        (14, z + " endone"),
+        (15, z + " endtwo"),
+        (16, z + " endtwo"),
+    ], "doc_id long, text string")
+    keep, drops = append_keep_drop(
+        spark, batch, state, min_shared_bands=1, update_state=False
+    )
+    kept = sorted(r.doc_id for r in keep.collect())
+    got = sorted((r.doc_id, r.kept_id, r.reason) for r in drops.collect())
+    assert kept == [14]
+    assert got == [
+        (12, 2, "near-dup-vs-corpus"),
+        (13, 2, "exact"),      # re-pointed through 12's near-vs-corpus drop
+        (15, 14, "near-dup"),
+        (16, 14, "exact"),     # re-pointed through 15's in-batch near drop
+    ]
+    # invariant: every kept_id references a surviving doc
+    survivors = set(kept) | {2}
+    assert all(k in survivors for _, k, _ in got)
+
+
 def test_retried_append_is_idempotent(spark, tmp_path):
     """Re-running the SAME batch append (a retry after a failure) must not
     double-append survivors to the persisted state: the batch's state

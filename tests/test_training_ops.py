@@ -365,6 +365,27 @@ def test_rate_cusum_change_point(spark):
     assert got["B"] == (3, 4, 2, int(base.timestamp()))
 
 
+def test_rate_cusum_floors_negative_epoch_buckets(spark):
+    """Bucket truncation must FLOOR, not truncate toward zero: pre-1970
+    timestamps (negative epoch seconds) otherwise bucket differently from
+    the oracle's `//` (ADVICE r7).  ts=-61s belongs to bucket -120, not
+    -60."""
+    import datetime as dt
+
+    from grower_spark.operators.anomaly import rate_cusum
+
+    utc = dt.timezone.utc
+    rows = [
+        ("X", dt.datetime(1969, 12, 31, 23, 58, 59, tzinfo=utc)),  # -61s
+        ("X", dt.datetime(1969, 12, 31, 23, 59, 59, tzinfo=utc)),  # -1s
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: tuple(r)[1:] for r in rate_cusum(ev, 60).collect()}
+    # floor: buckets -120 and -60 (trunc would give -60 and 0); devs are
+    # 2*1-2 = 0 everywhere -> cusum 0, peak at the earliest bucket -120
+    assert got["X"] == (2, 2, 0, -120)
+
+
 def test_cusum_and_retention_ignore_null_rows(spark):
     """NULL timestamps/keys carry no evidence: both operators must emit
     the same result with and without NULL rows mixed in."""

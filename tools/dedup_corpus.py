@@ -255,6 +255,25 @@ def append_keep_drop(spark, new_docs, state_dir: str, id_col: str = "doc_id",
         F.lit("near-dup").alias("reason"),
     )
 
+    # Second re-point pass (ADVICE r7): an in-batch exact keeper that
+    # survived the exact stages and entered the pool can STILL be dropped
+    # as near-dup (vs corpus or in-batch cluster); its exact-drop rows
+    # must follow it to the surviving canonical, or the invariant "every
+    # kept_id references a SURVIVING doc" breaks.  Both near kept_ids are
+    # terminal (corpus/index docs and in-batch cluster reps survive), so
+    # one pass closes the chain.
+    repoint2 = near_corpus_drops.unionByName(near_drops).select(
+        F.col(id_col).alias("_gone2"), F.col("kept_id").alias("_canon2")
+    )
+    exact_drops = (
+        exact_drops.join(repoint2, exact_drops.kept_id == F.col("_gone2"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_canon2"), F.col("kept_id")).alias("kept_id"),
+            "reason",
+        )
+    )
+
     drops = (
         exact_drops.unionByName(corpus_exact)
         .unionByName(near_corpus_drops)

@@ -35,6 +35,21 @@ def norm_cell(v):
     return str(v)
 
 
+def col_digests(columns, rows):
+    """Per-column order-insensitive digests: on a value-hash mismatch this
+    pinpoints WHICH column diverges between the engines (VERDICT r7 item 1:
+    a whole-table hash-fail with matching rows/schema was undiagnosable)."""
+    out = {}
+    for i, c in enumerate(columns):
+        vals = sorted(norm_cell(r[i]) for r in rows)
+        h = hashlib.sha256()
+        for v in vals:
+            h.update(v.encode("utf-8", "replace"))
+            h.update(b"\n")
+        out[c] = h.hexdigest()[:12]
+    return out
+
+
 def table_hash(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted(
@@ -142,6 +157,14 @@ def main():
                     print(f"    spark-only: {x}")
                 for x in list(set_d - set_s)[:3]:
                     print(f"    duck-only:  {x}")
+                cds, cdd = col_digests(scols, srows), col_digests(dcols, drows)
+                bad_cols = sorted(c for c in cds if cds[c] != cdd.get(c))
+                print(f"    divergent columns: {bad_cols or 'NONE (row-composition only)'}")
+                for c in bad_cols:
+                    print(f"      {c}: spark={cds[c]} duck={cdd[c]}")
+                for label, tuples in (("spark", set_s), ("duck", set_d)):
+                    for x in sorted(tuples)[:5]:
+                        print(f"    {label}-sorted-sample: {x}")
         record(
             name,
             rows_match=len(srows) == len(drows),
