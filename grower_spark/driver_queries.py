@@ -4416,6 +4416,26 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_bigram_lm_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-vocabulary production shape of bigram LM scoring
+    (VERDICT r7 item 5): same fit as ``bigram_lm_perplexity``, but the
+    vocabulary and dense (V+1)^2 cost table ride as BROADCAST DataFrames
+    joined against posexploded tokens instead of plan literals — the
+    shape that survives vocab_k >> 256, where a literal plan would not.
+    ONE shuffle (the doc-keyed lag window + per-doc aggregation share the
+    doc partitioning), both joins broadcast (plan-pinned in
+    tests/test_plan_shapes.py).  Contract identical to the literal path
+    (equivalence-pinned in tests/test_vocab.py), so the identical oracle
+    certifies both."""
+    from grower_spark.operators.text import bigram_lm_score_join, fit_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_bigram_lm(
+        docs.where(F.col("doc_id") % 2 == 0), vocab_k=_LM_VOCAB_K, alpha=1.0
+    )
+    return bigram_lm_score_join(docs, model)
+
+
 _LM_TAIL_DROP = 100  # drop the worst 10% by cross-entropy
 
 
@@ -4652,6 +4672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_winsorized": q_events_winsorized,
     "events_robust_stats": q_events_robust_stats,
     # --- 13-19: NEW r8 rows (inserted as they land this round) ---
+    "bigram_lm_score_join": q_bigram_lm_score_join,
     # --- 20-36: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -4832,6 +4853,8 @@ ORACLES: dict[str, str] = {
     "dsir_weights": oracle_dsir_weights(),
     "multimodal_fused": oracle_multimodal_fused(),
     "bigram_lm_perplexity": oracle_bigram_lm_perplexity(),
+    # broadcast-join twin computes the identical contract; same oracle
+    "bigram_lm_score_join": oracle_bigram_lm_perplexity(),
     "cluster_split": oracle_cluster_split(),
     "corpus_report": oracle_corpus_report(),
     "multimodal_decode_meta": oracle_multimodal_decode_meta(),

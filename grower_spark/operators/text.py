@@ -719,13 +719,25 @@ def bigram_lm_score_join(df: DataFrame, model: dict, id_col: str = "doc_id",
     """Unbounded-vocabulary twin of ``bigram_lm_score`` (the
     tokenize_to_ids_join shape): when (V+1)² outgrows a plan literal
     (~vocab_k 256), the vocabulary and the dense cost table ride as
-    BROADCAST DataFrames instead — posexplode the tokens, map to indices
-    through the vocab join, pair consecutive positions with a doc-keyed
-    lag window, join the (p, c) cost table, and aggregate per doc.  ONE
-    shuffle (the doc-keyed window + final aggregation share the doc
-    partitioning); both joins broadcast.  At production scale the cost
-    table comes from parquet — here it is built from the fitted model so
-    the equivalence pin against the literal path is exact.
+    BROADCAST DataFrames instead — posexplode_outer the tokens, map to
+    indices through the vocab join, pair consecutive positions with a
+    doc-keyed lag window, join the (p, c) cost table, and aggregate per
+    doc.  ONE shuffle (the doc-keyed window and the per-doc aggregation
+    share the doc hash-partitioning); both joins broadcast — plan-pinned
+    in tests/test_plan_shapes.py.
+
+    posexplode_OUTER keeps empty/NULL-text documents as a single
+    null-token placeholder row, so every doc survives to the final
+    aggregation and no spine/anti-join pass over a second copy of the
+    scored subtree is needed (the first cut of this operator built the
+    zero rows with a left_anti join, which recomputed the whole
+    explode+window+join lineage — 3 shuffles, 5 joins, double work).
+    Placeholder and first-token rows carry a NULL lag ``p``; the cost
+    join is LEFT (equivalent to inner for real pairs — the cost table is
+    dense over (V+1)²) so they ride through with a NULL cost and
+    ``count(p)`` / ``sum(nll)`` ignore them.  At production scale the
+    cost table comes from parquet — here it is built from the fitted
+    model so the equivalence pin against the literal path is exact.
 
     Output and semantics identical to ``bigram_lm_score``
     (equivalence-pinned in tests/test_vocab.py), including zero rows for
@@ -751,31 +763,30 @@ def bigram_lm_score_join(df: DataFrame, model: dict, id_col: str = "doc_id",
         ],
         "p int, c int, nll long",
     )
-    ex = df.where(F.col(text_col).isNotNull()).select(
+    ex = df.select(
         F.col(id_col),
-        F.posexplode(_tokens(F.col(text_col))).alias("_pos", "_tok"),
+        F.posexplode_outer(_tokens(F.col(text_col))).alias("_pos", "_tok"),
     )
     mapped = ex.join(F.broadcast(vocab_df), ex._tok == vocab_df.token, "left").select(
-        id_col, "_pos", F.coalesce(F.col("idx"), F.lit(0)).alias("c")
+        id_col, "_pos",
+        # real token -> vocab idx else 0 (UNK); placeholder row -> NULL
+        F.when(
+            F.col("_tok").isNotNull(), F.coalesce(F.col("idx"), F.lit(0))
+        ).alias("c"),
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
     paired = mapped.select(
         F.col(id_col), F.lag("c").over(w).alias("p"), "c"
-    ).where(F.col("p").isNotNull())
-    scored = (
-        paired.join(F.broadcast(cost_df), ["p", "c"])
+    )
+    out = (
+        paired.join(F.broadcast(cost_df), ["p", "c"], "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum("nll").cast("long").alias("nll_micro_sum"),
+            F.count("p").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("nll"), F.lit(0)).cast("long")
+            .alias("nll_micro_sum"),
         )
     )
-    zeros = df.select(id_col).join(scored.select(id_col), id_col, "left_anti").select(
-        id_col,
-        F.lit(0).cast("long").alias("n_bigrams"),
-        F.lit(0).cast("long").alias("nll_micro_sum"),
-    )
-    out = scored.unionByName(zeros)
     return out.withColumn(
         "xent_micro",
         F.when(

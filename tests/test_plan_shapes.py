@@ -334,3 +334,21 @@ def test_lm_scoring_zero_shuffles(spark, qname):
     assert stats["shuffles"] == 0, stats
     assert stats["joins"] == 0, stats
     assert stats["codegen_stages"] >= 1, stats
+
+
+def test_bigram_join_twin_one_shuffle_two_broadcasts(spark):
+    """The unbounded-vocab bigram scorer (broadcast-join twin) must keep
+    its production shape: exactly ONE shuffle (the doc-keyed lag window,
+    whose hash-partitioning the per-doc aggregation then reuses) and both
+    model-side joins BROADCAST (vocab map + dense cost table).  Guards two
+    regressions: a spine/anti-join zeros pass (the first cut — recomputed
+    the scored subtree: 3 shuffles, 5 joins) and a model side accidentally
+    falling off broadcast onto a corpus-wide shuffle join."""
+    from grower_spark.driver_queries import QUERIES
+    from tools.explain_all import plan_stats
+
+    stats = plan_stats(QUERIES["bigram_lm_score_join"](spark, SF_SMALL))
+    assert stats["shuffles"] == 1, stats
+    assert stats["broadcasts"] == 2, stats
+    assert stats["joins"] == 2, stats
+    assert stats["codegen_stages"] >= 1, stats
