@@ -1689,6 +1689,78 @@ LEFT JOIN t3 USING (user_id)
 """
 
 
+def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel (r8, VERDICT r7 item 7): funnel progression
+    WITHIN 30-min gap-sessions — "view -> click -> purchase in one
+    sitting", the per-session composition of the sessionize window and
+    the single-fold funnel.  ONE shuffle total: the user-keyed session
+    window's partitioning is reused by the per-(user, session) fold
+    aggregation (plan-pinned).  The oracle re-derives sessions in SQL
+    and applies the tie-order-independent min-chain closed form per
+    session."""
+    from grower_spark.operators.funnel import sessionized_funnel_depth
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    return sessionized_funnel_depth(
+        ev, _FUNNEL_STEPS, gap=SESSION_GAP_US, ts_col="ts_us"
+    )
+
+
+def oracle_events_session_funnel() -> str:
+    # sessionize exactly as oracle_events_sessionize, then the min-chain
+    # closed form (t_k = earliest step-k event strictly after t_{k-1})
+    # per (user, session) — independent of tie order within the session
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type AS e,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+s AS (
+  SELECT user_id, t, e,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+),
+t1 AS (
+  SELECT user_id, session_seq, min(t) AS t FROM s
+  WHERE e = '{s1}' GROUP BY 1, 2
+),
+t2 AS (
+  SELECT s.user_id, s.session_seq, min(s.t) AS t
+  FROM s JOIN t1 ON t1.user_id = s.user_id
+              AND t1.session_seq = s.session_seq
+  WHERE s.e = '{s2}' AND s.t > t1.t GROUP BY 1, 2
+),
+t3 AS (
+  SELECT s.user_id, s.session_seq, min(s.t) AS t
+  FROM s JOIN t2 ON t2.user_id = s.user_id
+              AND t2.session_seq = s.session_seq
+  WHERE s.e = '{s3}' AND s.t > t2.t GROUP BY 1, 2
+),
+sess AS (
+  SELECT user_id, session_seq, count(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT sess.user_id,
+  CAST(sess.session_seq AS BIGINT) AS session_seq,
+  CAST(sess.n_events AS BIGINT) AS n_events,
+  CAST(CAST(t1.t IS NOT NULL AS INTEGER)
+     + CAST(t2.t IS NOT NULL AS INTEGER)
+     + CAST(t3.t IS NOT NULL AS INTEGER) AS INTEGER) AS funnel_depth
+FROM sess
+LEFT JOIN t1 USING (user_id, session_seq)
+LEFT JOIN t2 USING (user_id, session_seq)
+LEFT JOIN t3 USING (user_id, session_seq)
+"""
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (r7): users bucketed by first-activity
     week, counted per (cohort, week offset) — the companion report to
@@ -4673,6 +4745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_robust_stats": q_events_robust_stats,
     # --- 13-19: NEW r8 rows (inserted as they land this round) ---
     "bigram_lm_score_join": q_bigram_lm_score_join,
+    "events_session_funnel": q_events_session_funnel,
     # --- 20-36: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -4860,6 +4933,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode_meta": oracle_multimodal_decode_meta(),
     "multimodal_decode_mp4": oracle_multimodal_decode_mp4(),
     "events_funnel": oracle_events_funnel(),
+    "events_session_funnel": oracle_events_session_funnel(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

@@ -73,6 +73,79 @@ def funnel_depth(events: DataFrame, steps: list[str],
     )
 
 
+def sessionized_funnel_depth(events: DataFrame, steps: list[str],
+                             gap: int, user_col: str = "user_id",
+                             ts_col: str = "ts_ns",
+                             type_col: str = "event_type") -> DataFrame:
+    """Funnel depth within gap-based sessions: the funnel unit becomes
+    (user, session) rather than the user's whole history — "did the user
+    view→click→purchase within one sitting", the form product analytics
+    actually reports.  A new session starts after more than ``gap``
+    inactivity (same units as ``ts_col``); session boundaries consider
+    ALL the user's events (a non-step event keeps a session alive), and
+    every session appears in the output, depth 0 if its step events
+    don't chain.
+
+    Plan: ONE shuffle total — the user-keyed lag/running-sum window
+    assigns session sequence numbers, and the per-(user, session) fold
+    aggregation reuses that hash-partitioning (grouping key is a
+    superset of the partition key).  Non-step events ride through the
+    fold without advancing it, so no second pass or spine join is
+    needed.  Per-session arrays are sitting-sized — bounded by human
+    activity, not corpus growth.
+
+    Output: ``(user_id, session_seq bigint, n_events bigint,
+    funnel_depth int)``.
+    """
+    from pyspark.sql import Window
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if gap <= 0:
+        raise ValueError("gap must be positive")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(type_col).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    gapped = ev.withColumn("_prev", F.lag("t").over(w)).withColumn(
+        "_new",
+        (F.col("_prev").isNull() | (F.col("t") - F.col("_prev") > gap))
+        .cast("int"),
+    )
+    sess = gapped.withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seq = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("t", "e"))).alias("_seq"),
+    )
+    init = F.struct(
+        F.lit(0).alias("d"), F.lit(_T_NEG_INF).cast("long").alias("t")
+    )
+
+    def step(acc, x):
+        advance = (
+            (acc.d < F.lit(len(steps)))
+            & (x.e == F.element_at(steps_arr, acc.d + 1))
+            & (x.t > acc.t)
+        )
+        return F.when(
+            advance, F.struct((acc.d + 1).alias("d"), x.t.alias("t"))
+        ).otherwise(acc)
+
+    depth = F.aggregate(F.col("_seq"), init, step).getField("d")
+    return seq.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events",
+        depth.cast("int").alias("funnel_depth"),
+    )
+
+
 def funnel_counts(events: DataFrame, steps: list[str],
                   user_col: str = "user_id", ts_col: str = "ts_ns",
                   type_col: str = "event_type") -> DataFrame:

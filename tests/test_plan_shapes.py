@@ -352,3 +352,17 @@ def test_bigram_join_twin_one_shuffle_two_broadcasts(spark):
     assert stats["broadcasts"] == 2, stats
     assert stats["joins"] == 2, stats
     assert stats["codegen_stages"] >= 1, stats
+
+
+def test_sessionized_funnel_single_shuffle(spark):
+    """The sessionized funnel must stay ONE shuffle end-to-end: the
+    user-keyed session window's hash-partitioning is reused by the
+    per-(user, session) fold aggregation (grouping key is a superset of
+    the partition key).  A second Exchange means the composition broke."""
+    from grower_spark.driver_queries import QUERIES
+    from tools.explain_all import plan_stats
+
+    stats = plan_stats(QUERIES["events_session_funnel"](spark, SF_SMALL))
+    assert stats["shuffles"] == 1, stats
+    assert stats["joins"] == 0, stats
+    assert stats["codegen_stages"] >= 1, stats

@@ -298,6 +298,39 @@ def test_funnel_depth_semantics(spark):
     assert counts == {1: ("view", 4), 2: ("click", 2), 3: ("purchase", 1)}
 
 
+def test_sessionized_funnel_depth(spark):
+    """Funnel within gap-sessions: a chain split across two sessions does
+    NOT complete; non-step events extend a session; sessions without any
+    step event still appear with depth 0."""
+    from grower_spark.operators.funnel import sessionized_funnel_depth
+
+    gap = 100
+    rows = [
+        # u1 session 1: full chain in one sitting
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u1 session 2 (gap > 100): chain restarts, stalls at click
+        (1, 300, "view"), (1, 320, "click"),
+        # u2: view, then a bridging non-step event keeps the session
+        # alive, then click -> depth 2 in ONE session
+        (2, 10, "view"), (2, 100, "error"), (2, 190, "click"),
+        # u3: view in session 1, click only in session 2 -> both depth 1
+        # and 0 (the click alone can't start the chain)
+        (3, 10, "view"), (3, 500, "click"),
+        # u4: one session of only unrelated events -> depth 0
+        (4, 10, "error"), (4, 20, "error"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_ns long, event_type string")
+    out = sessionized_funnel_depth(ev, ["view", "click", "purchase"], gap=gap)
+    got = {(r["user_id"], r["session_seq"]): (r["n_events"], r["funnel_depth"])
+           for r in out.collect()}
+    assert got == {
+        (1, 1): (3, 3), (1, 2): (2, 2),
+        (2, 1): (3, 2),
+        (3, 1): (1, 1), (3, 2): (1, 0),
+        (4, 1): (2, 0),
+    }
+
+
 def test_retention_cohorts_semantics(spark):
     """First-activity week defines the cohort; each active week counts
     once per user; offset 0 equals the cohort size."""
