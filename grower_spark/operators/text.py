@@ -696,6 +696,26 @@ def lm_xent_threshold(scored: DataFrame, drop_permille: int,
     return int(row["t"])
 
 
+def lm_tail_filter(df: DataFrame, model: dict, cutoff_xent_micro: int,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The STREAMING deployment shape of LM tail filtering: apply a
+    PRE-FIT model and a PRE-COMPUTED cross-entropy cutoff as a stateless
+    per-row score+filter — no aggregation, so it runs unchanged on a
+    ``readStream`` DataFrame (percentile thresholds can't be computed
+    inside an unbounded stream; CCNet fits them offline on a reference
+    window and ships the scalar).  Batch twin:
+    ``drop_perplexity_tail(df, model, p)`` ==
+    ``lm_tail_filter(df, model, lm_xent_threshold(scored, p))`` —
+    equivalence pinned in tests/test_streaming_corpus.py.
+
+    Output: the scored keep set, same contract as
+    ``drop_perplexity_tail``.
+    """
+    scored = lm_score(df, model, id_col=id_col, text_col=text_col)
+    return scored.where(F.col("xent_micro") <= F.lit(int(cutoff_xent_micro)))
+
+
 def drop_perplexity_tail(df: DataFrame, model: dict, drop_permille: int,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:

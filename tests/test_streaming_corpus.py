@@ -142,3 +142,46 @@ def test_lm_scoring_streaming_equals_batch(spark, tmp_path):
     w = {r["doc_id"]: r["logw_micro"] for r in pipeline(batch_df).collect()}
     assert min(w[d] for d in range(10)) > max(w[d] for d in range(10, 20))
     assert len(want) == 20
+
+
+def test_lm_tail_filter_streaming_equals_batch(spark, tmp_path):
+    """Streaming LM tail filtering (VERDICT r7 item 7): the percentile
+    cutoff is fit OFFLINE (drop_perplexity_tail's threshold aggregation
+    can't run inside an unbounded stream), then lm_tail_filter applies the
+    scalar as a stateless per-row score+filter on the ingest stream — the
+    keep set must equal the batch drop_perplexity_tail output exactly,
+    including ties kept at the cutoff."""
+    from grower_spark.operators.text import (
+        drop_perplexity_tail,
+        fit_unigram_lm,
+        lm_score,
+        lm_tail_filter,
+        lm_xent_threshold,
+    )
+
+    rows1 = [(i, "the quick brown fox and the lazy dog", "web")
+             for i in range(0, 8)]
+    # strictly increasing OOV fraction -> strictly increasing xent, so
+    # the 25% cutoff lands inside this tail and actually drops docs
+    rows2 = [(i, ("the " * (20 - i) + f"zz{i} " * (i - 7)).strip(), "web")
+             for i in range(8, 16)]
+    rows3 = [(16, "the the the", "web"), (17, None, "web")]
+    _write_docs(spark, str(tmp_path / "tail_in" / "b1"), rows1)
+    _write_docs(spark, str(tmp_path / "tail_in" / "b2"), rows2 + rows3)
+
+    schema = "doc_id long, text string, source string"
+    batch_df = spark.read.schema(schema).parquet(str(tmp_path / "tail_in" / "*"))
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "tail_in" / "*"))
+    )
+
+    # offline: fit on the trusted window, derive the scalar cutoff
+    model = fit_unigram_lm(batch_df.where(F.col("doc_id") < 8), vocab_k=8)
+    cutoff = lm_xent_threshold(lm_score(batch_df, model), drop_permille=250)
+
+    want = {tuple(r) for r in drop_perplexity_tail(batch_df, model, 250).collect()}
+    got_df = _drain(lm_tail_filter(stream_df, model, cutoff), tmp_path, "tail_stream")
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want and 0 < len(got) < 18
