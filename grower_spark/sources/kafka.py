@@ -24,6 +24,8 @@ google.protobuf (the transformWithState dependency): all still absent.
 2026-08-14 r7: re-probed (filesystem-wide find for spark-sql-kafka* /
 kafka-clients*.jar, `import PIL`, `import google.protobuf`, kafka-python):
 all still absent.  Unchanged.
+2026-08-14 r8: re-probed (pyspark/jars grep for kafka, kafka CLI on PATH,
+`import PIL`, `import google.protobuf`): all still absent.  Unchanged.
 """
 
 from __future__ import annotations

@@ -149,6 +149,109 @@ def generate_embeddings(spark, base_dir: str, out_dir: str, factor: int) -> str:
     return path
 
 
+def generate_events(spark, base_dir: str, out_dir: str, factor: int) -> str:
+    """×N the events table along the axis real product data grows: MORE
+    USERS (user_id * factor + rep), events-per-user constant.  Replica 0
+    is verbatim; other replicas jitter each event's timestamp by a
+    deterministic ±12 h keyed by the new event_id, so replica users land
+    in different sessions / cohort weeks instead of being exact time
+    clones."""
+    from grower_spark.io_tables import load_table
+
+    ev = load_table(spark, base_dir, "events")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    big = ev.select("event_id", "ts_ns", "user_id", "event_type", "value",
+                    "props", reps)
+    new_eid = F.col("event_id") * factor + F.col("rep")
+    new_uid = F.col("user_id") * factor + F.col("rep")
+    jitter_ns = (
+        (F.pmod(F.xxhash64(new_eid, F.lit("t")), F.lit(2 * 86400)) - 86400)
+        * F.lit(1_000_000_000)
+    )
+    new_ts_ns = F.when(F.col("rep") == 0, F.col("ts_ns")).otherwise(
+        F.col("ts_ns") + jitter_ns
+    )
+    out = big.select(
+        new_eid.alias("event_id"),
+        F.timestamp_micros((new_ts_ns / 1000).cast("long")).alias("ts"),
+        new_uid.alias("user_id"),
+        "event_type", "value", "props",
+    )
+    path = os.path.join(out_dir, f"x{factor}", "events.parquet")
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
+    """Rehearsal legs for the product-analytics family (VERDICT r7 item
+    6): funnel / sessionized funnel / retention / transitions / CUSUM
+    over a user-growing events table.  Every op is a one-user-shuffle
+    fold or a rollup to bounded cardinality (type², cohort-weeks,
+    buckets), so walls should track the event count linearly and shuffle
+    bytes should track users (funnels) or stay ~flat (rollups).  Each
+    op's output sits on the count path behind a filter so Catalyst can't
+    prune the computation away."""
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.anomaly import rate_cusum
+    from grower_spark.operators.funnel import (
+        funnel_depth,
+        sessionized_funnel_depth,
+    )
+    from grower_spark.operators.retention import (
+        event_transitions,
+        retention_cohorts,
+    )
+
+    steps = ["view", "click", "purchase"]
+    gap_ns = 30 * 60 * 1_000_000_000
+    app = _app_url(spark)
+    ops = {
+        "events_funnel": lambda d: funnel_depth(d, steps).where(
+            F.col("funnel_depth") >= 0
+        ),
+        "events_session_funnel": lambda d: sessionized_funnel_depth(
+            d, steps, gap=gap_ns
+        ).where(F.col("funnel_depth") >= 0),
+        "events_retention": lambda d: retention_cohorts(d).where(
+            F.col("n_users") >= 0
+        ),
+        "events_transitions": lambda d: event_transitions(d).where(
+            F.col("n") >= 0
+        ),
+        "events_cusum": lambda d: rate_cusum(d).where(
+            F.col("cusum_max") >= 0
+        ),
+    }
+    results: dict = {}
+    for factor in factors:
+        ev = load_table(spark, os.path.join(out_dir, f"x{factor}"), "events")
+        n_events = ev.count()
+        results[f"x{factor}"] = {"n_events": n_events, "ops": {}}
+        for name, mk in ops.items():
+            mk(ev).count()  # warmup discarded
+            wall, sread, swrite, rows = [], [], [], 0
+            for _ in range(runs):
+                r0, w0 = _shuffle_totals(app)
+                t0 = time.monotonic()
+                rows = mk(ev).count()
+                wall.append(time.monotonic() - t0)
+                r1, w1 = _shuffle_totals(app)
+                sread.append(r1 - r0)
+                swrite.append(w1 - w0)
+            wall.sort()
+            med = wall[len(wall) // 2]
+            results[f"x{factor}"]["ops"][name] = {
+                "rows": rows,
+                "wall_median_s": round(med, 3),
+                "wall_all_s": [round(x, 3) for x in wall],
+                "shuffle_read_mb": round(max(sread) / 1e6, 2),
+                "shuffle_write_mb": round(max(swrite) / 1e6, 2),
+            }
+            print(f"  x{factor} {name}: {med:.2f}s rows={rows} "
+                  f"shw={max(swrite)/1e6:.1f}MB", file=sys.stderr)
+    return results
+
+
 def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
     """Fixed query set (first 64 base vectors), growing corpus: measures
     the corpus-side scaling of each ANN strategy."""
@@ -375,12 +478,16 @@ def main() -> int:
     g.add_argument("--factors", default="1,10")
     g.add_argument("--embeddings", action="store_true",
                    help="grow the embeddings table instead of documents")
+    g.add_argument("--events", action="store_true",
+                   help="grow the events table instead of documents")
     r = sub.add_parser("run")
     r.add_argument("--out", required=True)
     r.add_argument("--factors", default="1,10")
     r.add_argument("--runs", type=int, default=3)
     r.add_argument("--embeddings", action="store_true",
                    help="measure the ANN ops instead of the dedup ops")
+    r.add_argument("--events", action="store_true",
+                   help="measure the product-analytics ops instead")
     r.add_argument("--jaccard-cap", type=int, default=None,
                    help="override the stop-shingle cap (pass 100*factor to "
                         "reproduce the SCALE.md x30 stress run)")
@@ -390,7 +497,8 @@ def main() -> int:
     factors = [int(x) for x in args.factors.split(",")]
     if args.cmd == "gen":
         spark = _session("scale-gen", ui=False)
-        gen = generate_embeddings if args.embeddings else generate
+        gen = (generate_embeddings if args.embeddings
+               else generate_events if args.events else generate)
         for f_ in factors:
             p = gen(spark, args.base, args.out, f_)
             print(f"wrote {p}", file=sys.stderr)
@@ -399,6 +507,8 @@ def main() -> int:
     spark = _session("scale-run", ui=True)
     if args.embeddings:
         res = run_ann_ops(spark, args.out, factors, args.runs)
+    elif args.events:
+        res = run_events_ops(spark, args.out, factors, args.runs)
     else:
         res = run_ops(spark, args.out, factors, args.runs,
                       jaccard_cap=args.jaccard_cap,
