@@ -875,6 +875,50 @@ FROM rep
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (r8): pairwise shingle overlap
+    between sources — shared distinct 3-gram count and basis-point
+    Jaccard per source pair.  One corpus shuffle (gram grouping with a
+    source-bounded collect_set — never a gram-keyed self-join), then
+    sources²-bounded rollups (operators/overlap.py)."""
+    from grower_spark.operators.overlap import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, shingle_n=3)
+
+
+def oracle_source_overlap() -> str:
+    # distinct (source, gram) via DISTINCT + the same slide; short docs
+    # (< n tokens) contribute their full token join, matching shingles();
+    # self-join closed form — values identical to the collect_set path
+    return """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT source,
+    array_to_string(
+      list_slice(toks, CAST(i AS BIGINT), CAST(i AS BIGINT) + 2), ' '
+    ) AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - 1, 2))) AS u(i)
+),
+totals AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+  CAST(p.n AS BIGINT) AS n_shared_grams,
+  CAST(CAST(p.n * 10000 AS BIGINT)
+       // CAST(ta.n + tb.n - p.n AS BIGINT) AS BIGINT) AS jaccard_bp
+FROM p
+JOIN totals ta ON ta.source = p.source_a
+JOIN totals tb ON tb.source = p.source_b
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit-ish (60-bit) content fingerprint: md5 prefix as bigint."""
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
@@ -4746,6 +4790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 13-19: NEW r8 rows (inserted as they land this round) ---
     "bigram_lm_score_join": q_bigram_lm_score_join,
     "events_session_funnel": q_events_session_funnel,
+    "source_overlap": q_source_overlap,
     # --- 20-36: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -4934,6 +4979,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode_mp4": oracle_multimodal_decode_mp4(),
     "events_funnel": oracle_events_funnel(),
     "events_session_funnel": oracle_events_session_funnel(),
+    "source_overlap": oracle_source_overlap(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

@@ -463,3 +463,30 @@ def test_winsorize_and_robust_stats(spark):
     assert rs["a"]["n_outliers"] == 1
     # b: MAD 0 -> flags nothing, not everything
     assert rs["b"]["mad"] == 0.0 and rs["b"]["n_outliers"] == 0
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    """Shingle-overlap matrix: shared distinct 3-grams and integer-bp
+    Jaccard per lexicographically ordered source pair; short docs
+    contribute their full token join; disjoint pairs are absent."""
+    from grower_spark.operators.overlap import source_overlap_matrix
+
+    rows = [
+        # A grams: {a b c, b c d} ; B shares "b c d" plus own "c d e"
+        (1, "a b c d", "A"),
+        (2, "b c d e", "B"),
+        # C: a short doc -> one gram "a b", shared with nobody's grams
+        (3, "a b", "C"),
+        # D: duplicates A's text -> same gram set as A
+        (4, "a b c d", "D"),
+        (5, None, "A"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): (r["n_shared_grams"], r["jaccard_bp"])
+           for r in source_overlap_matrix(docs, shingle_n=3).collect()}
+    # |A|=2 |B|=2 |D|=2: A∩B={b c d} -> 1/(2+2-1)=3333bp; A∩D full -> 10000
+    assert got == {
+        ("A", "B"): (1, 3333),
+        ("B", "D"): (1, 3333),
+        ("A", "D"): (2, 10000),
+    }
