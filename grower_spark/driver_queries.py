@@ -1093,7 +1093,16 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_events_cusum() -> str:
     return """
 WITH counts AS (
-  SELECT event_type AS ty, (epoch_us(ts) // 1000000 // 60) * 60 AS bk,
+  -- FLOORED bucket start (engine-neutral): DuckDB's integer `//`
+  -- TRUNCATES toward zero (probed r8: (-7)//2 = -3), so the bare
+  -- `// 1000000 // 60` form would split the [-60, 0) minute in two on
+  -- pre-1970 data.  `x - ((x % m) + m) % m` is the floored multiple of
+  -- m for any sign (the same pmod identity the Spark side uses); the
+  -- final `// 1000000` only ever sees an exact multiple, so truncation
+  -- is exact there.
+  SELECT event_type AS ty,
+    (epoch_us(ts) - ((epoch_us(ts) % 60000000) + 60000000) % 60000000)
+      // 1000000 AS bk,
     count(*) AS c
   FROM events GROUP BY 1, 2
 ),

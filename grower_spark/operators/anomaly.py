@@ -43,10 +43,13 @@ def rate_cusum(events: DataFrame, bucket_secs: int = 60,
     if bucket_secs <= 0:
         raise ValueError("bucket_secs must be positive")
     b = F.lit(bucket_secs)
-    # integer end-to-end, FLOOR semantics: `div` truncates toward zero,
-    # which disagrees with the oracle's floor `//` on pre-1970 (negative
-    # epoch) timestamps — `a - pmod(a, b)` is the exact floored bucket
-    # start for any sign (pmod is always non-negative).  ADVICE r7.
+    # integer end-to-end, FLOOR semantics: bucket starts must be
+    # monotone in time, and truncation (`div` — and DuckDB's integer
+    # `//` too, probed r8) makes the [-bucket, 0) window twice as wide
+    # on pre-1970 timestamps.  `a - pmod(a, b)` is the exact floored
+    # bucket start for any sign (pmod is always non-negative); the
+    # oracle floors with the same identity.  ADVICE r7 (its claim that
+    # DuckDB `//` floors was inverted — both engines needed the fix).
     bucket = F.expr(
         f"to_unix_timestamp({ts_col}) - pmod(to_unix_timestamp({ts_col}), {bucket_secs})"
     )

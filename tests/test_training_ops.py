@@ -417,6 +417,15 @@ def test_rate_cusum_floors_negative_epoch_buckets(spark):
     # floor: buckets -120 and -60 (trunc would give -60 and 0); devs are
     # 2*1-2 = 0 everywhere -> cusum 0, peak at the earliest bucket -120
     assert got["X"] == (2, 2, 0, -120)
+    # and the ORACLE's pmod identity floors identically (DuckDB's bare
+    # integer // truncates — probed r8: (-7)//2 = -3 — so the oracle
+    # uses the same x - ((x % m) + m) % m form; pin both engines here)
+    import duckdb
+
+    bk = ("(x - ((x % 60000000) + 60000000) % 60000000) // 1000000")
+    assert duckdb.sql(
+        f"SELECT {bk} FROM (VALUES (-61000000), (-1000000)) t(x) ORDER BY 1"
+    ).fetchall() == [(-120,), (-60,)]
 
 
 def test_cusum_and_retention_ignore_null_rows(spark):
