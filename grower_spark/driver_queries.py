@@ -2276,6 +2276,83 @@ QUALIFY rank <= {ANN_TOPK}
 """
 
 
+_KMEANS_K = 8
+_KMEANS_ITER = 2
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means topic clustering (r8): 2 Lloyd passes over
+    integer-micro-quantized embeddings, seeded by the 8 lowest vec_ids —
+    every float source of nondeterminism pinned (exact int64 distances,
+    floored integer centroid means, (dist, cid) ties), so the full
+    iterative algorithm certifies against a SQL re-derivation.  Each pass
+    is a zero-join map assignment (centroids as plan literals) plus one
+    k*dim-bounded rollup (operators/clustering.py)."""
+    from grower_spark.operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+
+
+def oracle_embedding_kmeans() -> str:
+    # the same two passes re-derived: quantize, assign to seed argmin
+    # (dist, cid), floored-integer-mean centroid update with empty
+    # clusters keeping their seed, reassign
+    k, dim = _KMEANS_K, EMB_DIM
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+seeds AS (
+  SELECT xq AS cq,
+    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+  FROM q ORDER BY vec_id LIMIT {k}
+),
+a1 AS (
+  SELECT q.vec_id, q.xq, s.cid,
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> (q.xq[i] - s.cq[i]) * (q.xq[i] - s.cq[i]))) AS d
+  FROM q CROSS JOIN seeds s
+),
+asg1 AS (
+  SELECT vec_id, xq, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM a1
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT cid, CAST(i AS INTEGER) AS pos, xq[CAST(i AS BIGINT)] AS v
+  FROM asg1, unnest(range(1, {dim + 1})) AS u(i)
+),
+m AS (
+  -- floored integer mean: DuckDB // truncates, so apply the pmod floor
+  -- identity before dividing by the (positive) count
+  SELECT cid, pos,
+    (sum(v) - ((sum(v) % count(*)) + count(*)) % count(*)) // count(*) AS c
+  FROM comp GROUP BY 1, 2
+),
+mv AS (SELECT cid, list(c ORDER BY pos) AS cq FROM m GROUP BY 1),
+cent2 AS (
+  SELECT s.cid, coalesce(mv.cq, s.cq) AS cq
+  FROM seeds s LEFT JOIN mv USING (cid)
+),
+a2 AS (
+  SELECT q.vec_id, c.cid,
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> (q.xq[i] - c.cq[i]) * (q.xq[i] - c.cq[i]))) AS d
+  FROM q CROSS JOIN cent2 c
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster, CAST(d AS BIGINT) AS dist_sq_q
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM a2
+) WHERE rn = 1
+"""
+
+
 def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe fact⋈dim equi-join (operators/skew.py::salted_join): the
     events fact is salted, the customer dim replicated per salt, so one hot
@@ -4800,6 +4877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_score_join": q_bigram_lm_score_join,
     "events_session_funnel": q_events_session_funnel,
     "source_overlap": q_source_overlap,
+    "embedding_kmeans": q_embedding_kmeans,
     # --- 20-36: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -4989,6 +5067,7 @@ ORACLES: dict[str, str] = {
     "events_funnel": oracle_events_funnel(),
     "events_session_funnel": oracle_events_session_funnel(),
     "source_overlap": oracle_source_overlap(),
+    "embedding_kmeans": oracle_embedding_kmeans(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

@@ -499,3 +499,51 @@ def test_source_overlap_matrix_hand_computed(spark):
         ("B", "D"): (1, 3333),
         ("A", "D"): (2, 10000),
     }
+
+
+def test_kmeans_quantized_hand_computed(spark):
+    """Two Lloyd passes, hand-checked: integer-micro quantization, floored
+    integer centroid means (negative components exercise the floor), seed
+    order by id, (dist, cid) tie to the lower cluster."""
+    from grower_spark.operators.clustering import kmeans_quantized
+
+    rows = [
+        (1, [0.0, 0.0]),     # seed cid=0
+        (2, [10.0, 10.0]),   # seed cid=1
+        (3, [1.0, 1.0]),     # -> cid 0
+        (4, [9.0, 9.0]),     # -> cid 1
+        (5, [-1.0, -1.0]),   # -> cid 0 (negative sums hit the floor path)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["cluster"], r["dist_sq_q"])
+           for r in kmeans_quantized(emb, k=2, n_iter=2).collect()}
+    # pass 1: {1,3,5} -> c0, {2,4} -> c1
+    # update: c0 = floor(0/3), floor(0/3) = (0, 0); c1 = (9.5e6, 9.5e6)
+    # pass 2 distances from c0=(0,0): v1=0, v3=2e12, v5=2e12
+    #   from c1=(9.5e6,...): v2=2*(0.5e6)^2=5e11, v4=5e11
+    assert out == {
+        1: (0, 0),
+        2: (1, 2 * 500_000 ** 2),
+        3: (0, 2 * 1_000_000 ** 2),
+        4: (1, 2 * 500_000 ** 2),
+        5: (0, 2 * 1_000_000 ** 2),
+    }
+    # k > distinct points: cluster 2's seed duplicates nobody; a cluster
+    # that captures no points keeps its seed centroid (no crash, no NaN)
+    out3 = kmeans_quantized(emb, k=5, n_iter=3)
+    assert out3.count() == 5
+
+
+def test_kmeans_floored_negative_mean(spark):
+    """A cluster whose component sum is negative and not divisible by its
+    size must floor (Python // semantics == the oracle's pmod identity):
+    sum=-3 over 2 members -> -2, not -1."""
+    from grower_spark.operators.clustering import kmeans_quantized
+
+    # seeds are the k LOWEST ids (1 and 2); doc 3 joins seed 1's cluster
+    rows = [(1, [0.0]), (2, [10.0]), (3, [-0.000003])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in kmeans_quantized(emb, k=2, n_iter=2).collect()}
+    # pass1: {1, 3} -> c0 (sum -3, mean -2 floored), {2} -> c1
+    # pass2: v3 at -3 vs c0 at -2 -> dist 1
+    assert out[3]["cluster"] == 0 and out[3]["dist_sq_q"] == 1
