@@ -836,16 +836,13 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oracle_corpus_report() -> str:
+def _duck_quality_score() -> str:
+    # the SQL twin of operators/text.py::quality_signals' 0..4 score —
+    # shared by oracle_corpus_report and oracle_dedup_keep_best
     from grower_spark.operators.text import STOPWORDS_EN
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    h60 = _DUCK_MD5_60.format(x="text")
-    return f"""
-WITH d AS (
-  SELECT doc_id, source,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-    CAST((length(text) >= 32 AND length(text) <= 100000) AS INTEGER)
+    return f"""CAST((length(text) >= 32 AND length(text) <= 100000) AS INTEGER)
     + CAST((list_sum(list_transform(string_split(text, ' '), t -> length(t)))
             / greatest(len(string_split(text, ' ')), 1) >= 2.0
         AND list_sum(list_transform(string_split(text, ' '), t -> length(t)))
@@ -854,7 +851,16 @@ WITH d AS (
                             t -> list_contains([{stop_list}], t)))
             / greatest(len(string_split(text, ' ')), 1) >= 0.01) AS INTEGER)
     + CAST((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-            / greatest(length(text), 1) >= 0.5) AS INTEGER) AS quality_score,
+            / greatest(length(text), 1) >= 0.5) AS INTEGER)"""
+
+
+def oracle_corpus_report() -> str:
+    h60 = _DUCK_MD5_60.format(x="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    {_duck_quality_score()} AS quality_score,
     {h60} AS h60
   FROM documents WHERE text IS NOT NULL
 ),
@@ -916,6 +922,62 @@ SELECT p.source_a, p.source_b,
 FROM p
 JOIN totals ta ON ta.source = p.source_a
 JOIN totals tb ON tb.source = p.source_b
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (r8): near-dup clusters resolved
+    over the ngram-jaccard pair graph, then each cluster keeps its
+    highest-quality member (0..4 quality_signals score; ties to the
+    lowest id) instead of blindly keeping the lowest id — the production
+    dedup decision when duplicates differ in extraction quality.  Full
+    audit output: every doc with its cluster, quality, and the keep
+    decision.  The oracle closes the identical pair set with a recursive
+    CTE and applies the same argmax window."""
+    from grower_spark.operators.dedup import (
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+    from grower_spark.operators.text import quality_signals
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull()
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_df=JACCARD_MAX_DF,
+    )
+    docs_q = quality_signals(docs).select("doc_id", "quality_score")
+    return keep_best_per_cluster(docs_q, pairs, "quality_score",
+                                 backend="star")
+
+
+def oracle_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ({oracle_dedup_ngram_jaccard()}) p),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp
+          UNION SELECT id_b AS a, id_a AS b FROM jp),
+reach(n, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n
+),
+cl AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+d AS (
+  SELECT doc_id, {_duck_quality_score()} AS quality_score
+  FROM documents WHERE text IS NOT NULL
+),
+k AS (
+  SELECT d.doc_id,
+    CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+    CAST(d.quality_score AS INTEGER) AS quality_score
+  FROM d LEFT JOIN cl USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality_score,
+  CAST(CASE WHEN row_number() OVER (
+         PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id
+       ) = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM k
 """
 
 
@@ -4878,6 +4940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_funnel": q_events_session_funnel,
     "source_overlap": q_source_overlap,
     "embedding_kmeans": q_embedding_kmeans,
+    "dedup_keep_best": q_dedup_keep_best,
     # --- 20-36: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -5068,6 +5131,7 @@ ORACLES: dict[str, str] = {
     "events_session_funnel": oracle_events_session_funnel(),
     "source_overlap": oracle_source_overlap(),
     "embedding_kmeans": oracle_embedding_kmeans(),
+    "dedup_keep_best": oracle_dedup_keep_best(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

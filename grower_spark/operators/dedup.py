@@ -492,6 +492,51 @@ def duplicate_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,
+                          quality_col: str, id_col: str = "doc_id",
+                          id_a: str = "id_a", id_b: str = "id_b",
+                          backend: str = "label_prop",
+                          ) -> DataFrame:
+    """Quality-aware canonical selection: instead of "keep the lowest id"
+    (the ``duplicate_clusters`` default decision), keep the BEST document
+    of each near-duplicate cluster by an explicit quality column — the
+    production dedup decision when duplicates differ in extraction
+    quality (boilerplate-stripped vs raw, OCR vs clean).  Ties break to
+    the lowest id, so the choice is total and deterministic.  Singletons
+    represent (and keep) themselves.
+
+    Plan: cluster resolution runs over the PAIR graph only (pairs ≪
+    corpus); the corpus side is one left join against the cluster table
+    (AQE broadcasts when the duplicate population fits) plus ONE
+    cluster-keyed window for the per-cluster argmax — singleton windows
+    are 1-row, so the window cost tracks the corpus linearly.
+
+    Output: ``(id_col, cluster_id bigint, quality_col, kept int)`` — the
+    full audit (every doc, its cluster, its quality, and the decision),
+    not just the survivors.
+    """
+    from pyspark.sql import Window
+
+    clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b,
+                                  backend=backend)
+    withc = docs.select(id_col, quality_col).join(
+        clusters.select(F.col("doc_id").alias(id_col), "cluster_id"),
+        id_col,
+        "left",
+    ).select(
+        id_col, quality_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long")
+        .alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return withc.select(
+        id_col, "cluster_id", quality_col,
+        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

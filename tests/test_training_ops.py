@@ -547,3 +547,18 @@ def test_kmeans_floored_negative_mean(spark):
     # pass1: {1, 3} -> c0 (sum -3, mean -2 floored), {2} -> c1
     # pass2: v3 at -3 vs c0 at -2 -> dist 1
     assert out[3]["cluster"] == 0 and out[3]["dist_sq_q"] == 1
+
+
+def test_keep_best_per_cluster(spark):
+    """Per-cluster argmax by quality, ties to the lowest id; singletons
+    keep themselves; the audit includes every doc."""
+    from grower_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 4), (9, 1)], "doc_id long, q int"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["cluster_id"], r["kept"])
+           for r in keep_best_per_cluster(docs, pairs, "q").collect()}
+    # cluster {1,2,3}: best q=4 tie between 2 and 3 -> 2 kept; 9 singleton
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 0), 9: (9, 1)}
