@@ -981,6 +981,44 @@ FROM k
 """
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (r8): the share of a document's distinct
+    3-grams with corpus document frequency 1 — the novelty-weighted
+    sampling / curriculum signal (operators/text.py::ngram_novelty).
+    One df shuffle + one gram join + one doc rollup."""
+    from grower_spark.operators.text import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, shingle_n=3)
+
+
+def oracle_doc_novelty() -> str:
+    # DISTINCT per-doc grams (the shingles contract, short docs -> full
+    # join), df = docs per gram, unique = df 1
+    return """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(
+      list_slice(toks, CAST(i AS BIGINT), CAST(i AS BIGINT) + 2), ' '
+    ) AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - 1, 2))) AS u(i)
+),
+dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+SELECT g.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unique_grams,
+  CAST((sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) * 10000)
+       // count(*) AS BIGINT) AS novelty_bp
+FROM g JOIN dfreq USING (gram)
+GROUP BY 1
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit-ish (60-bit) content fingerprint: md5 prefix as bigint."""
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
@@ -4941,6 +4979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_keep_best": q_dedup_keep_best,
+    "doc_novelty": q_doc_novelty,
     # --- 20-36: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -5132,6 +5171,7 @@ ORACLES: dict[str, str] = {
     "source_overlap": oracle_source_overlap(),
     "embedding_kmeans": oracle_embedding_kmeans(),
     "dedup_keep_best": oracle_dedup_keep_best(),
+    "doc_novelty": oracle_doc_novelty(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

@@ -115,6 +115,48 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", score)
 
 
+def ngram_novelty(df: DataFrame, shingle_n: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram NOVELTY: what share of a doc's distinct word
+    n-grams appears in NO other document (corpus document frequency 1) —
+    the inverse of boilerplate/duplication signals, used for
+    novelty-weighted sampling and curriculum ordering (a doc of
+    only-common grams scores 0, fully original text scores 10000).
+
+    Plan: one corpus shuffle for gram document frequencies (grams are
+    per-doc distinct via ``shingles``, so the group count IS the df),
+    one gram-keyed join back (both sides gram-partitioned from the same
+    exchange), one doc rollup — the substring-dedup shape, linear in
+    corpus grams.  Documents shorter than ``shingle_n`` tokens
+    contribute their full token join as one gram.
+
+    Output: ``(id_col, n_grams bigint, n_unique_grams bigint,
+    novelty_bp bigint)``.
+    """
+    from grower_spark.operators.dedup import shingles
+
+    g = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    j = g.join(dfreq, "gram")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long")).cast("long")
+            .alias("n_unique_grams"),
+        )
+        .select(
+            id_col, "n_grams", "n_unique_grams",
+            F.expr("(n_unique_grams * 10000) div n_grams").cast("long")
+            .alias("novelty_bp"),
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals: how much of a document is the same

@@ -562,3 +562,20 @@ def test_keep_best_per_cluster(spark):
            for r in keep_best_per_cluster(docs, pairs, "q").collect()}
     # cluster {1,2,3}: best q=4 tie between 2 and 3 -> 2 kept; 9 singleton
     assert got == {1: (1, 0), 2: (1, 1), 3: (1, 0), 9: (9, 1)}
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """df-1 gram share: doc grams unique in the corpus vs shared; short
+    docs contribute their full join; NULL text absent."""
+    from grower_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),    # grams {a b c, b c d}: "a b c" shared with 2
+        (2, "a b c x"),    # grams {a b c, b c x}
+        (3, "zz yy"),      # short: one gram "zz yy", unique
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_unique_grams"], r["novelty_bp"])
+           for r in ngram_novelty(docs, shingle_n=3).collect()}
+    assert got == {1: (2, 1, 5000), 2: (2, 1, 5000), 3: (1, 1, 10000)}
