@@ -1019,6 +1019,42 @@ GROUP BY 1
 """
 
 
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (r8): keyword extraction with the
+    integer-micro score contract (operators/text.py::top_terms_tfidf).
+    tf shuffle + df rollup + term join + doc top-k window — linear in
+    corpus tokens."""
+    from grower_spark.operators.text import top_terms_tfidf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms_tfidf(docs, k=3)
+
+
+def oracle_doc_top_terms() -> str:
+    return """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+n AS (SELECT count(*) AS n FROM docs),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+idf AS (
+  SELECT term,
+    CAST(floor(ln(CAST((SELECT n FROM n) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT)
+      AS idf_micro
+  FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+  CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro,
+  CAST(row_number() OVER (
+    PARTITION BY tf.doc_id ORDER BY tf.tf * idf.idf_micro DESC, tf.term
+  ) AS INTEGER) AS rank
+FROM tf JOIN idf USING (term)
+QUALIFY rank <= 3
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit-ish (60-bit) content fingerprint: md5 prefix as bigint."""
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
@@ -4980,6 +5016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_keep_best": q_dedup_keep_best,
     "doc_novelty": q_doc_novelty,
+    "doc_top_terms": q_doc_top_terms,
     # --- 20-36: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -5172,6 +5209,7 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans": oracle_embedding_kmeans(),
     "dedup_keep_best": oracle_dedup_keep_best(),
     "doc_novelty": oracle_doc_novelty(),
+    "doc_top_terms": oracle_doc_top_terms(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

@@ -157,6 +157,52 @@ def ngram_novelty(df: DataFrame, shingle_n: int = 3,
     )
 
 
+def top_terms_tfidf(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic keyword /
+    topic-label extraction over a corpus, with the score kept integer
+    for cross-engine stability: ``score_micro = tf * floor(ln(N / df) *
+    1e6)`` (N = docs with text, df = docs containing the term; both
+    engines feed ln identical doubles, the LM-oracle precedent).  Ties
+    break on the term string ascending.
+
+    Plan: one (doc, term) shuffle for term frequencies, one term shuffle
+    for document frequencies (the tf frame is already (doc, term)-unique,
+    so its count IS the df), a term-keyed join back, and a doc-keyed
+    top-k window — linear in corpus tokens, nothing quadratic.  N is a
+    bounded driver-side scalar (one count).
+
+    Output: ``(id_col, term, tf bigint, score_micro bigint, rank int)``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    docs = df.where(F.col(text_col).isNotNull())
+    n_docs = docs.count()  # bounded collect: one scalar
+    tok = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    idf = tf.groupBy("term").agg(
+        F.floor(
+            F.log(F.lit(float(n_docs)) / F.count(F.lit(1)).cast("double"))
+            * 1e6
+        ).cast("long").alias("_idf_micro")
+    )
+    scored = tf.join(idf, "term").select(
+        id_col, "term", "tf",
+        (F.col("tf") * F.col("_idf_micro")).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals: how much of a document is the same

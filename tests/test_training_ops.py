@@ -579,3 +579,27 @@ def test_ngram_novelty_hand_computed(spark):
     got = {r["doc_id"]: (r["n_grams"], r["n_unique_grams"], r["novelty_bp"])
            for r in ngram_novelty(docs, shingle_n=3).collect()}
     assert got == {1: (2, 1, 5000), 2: (2, 1, 5000), 3: (1, 1, 10000)}
+
+
+def test_top_terms_tfidf_hand_computed(spark):
+    """TF-IDF keyword extraction: ubiquitous terms score 0, rare terms
+    rank by tf * floor(ln(N/df)*1e6), ties on the term string."""
+    import math
+
+    from grower_spark.operators.text import top_terms_tfidf
+
+    rows = [
+        (1, "common rare rare"),
+        (2, "common other"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score_micro"])
+           for r in top_terms_tfidf(docs, k=2).collect()}
+    half = math.floor(math.log(2.0) * 1e6)  # df=1 of N=2
+    # doc1: rare tf=2 score 2*half; common df=2 -> idf 0
+    assert got[(1, 1)] == ("rare", 2, 2 * half)
+    assert got[(1, 2)] == ("common", 1, 0)
+    assert got[(2, 1)] == ("other", 1, half)
+    assert got[(2, 2)] == ("common", 1, 0)
+    assert len(got) == 4
