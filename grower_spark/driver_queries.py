@@ -4977,20 +4977,24 @@ FROM (
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r8, per VERDICT r7 items 1-2; section accounting fixed per
-# ADVICE r7 — sections are 1-8 / 9-12 / 13-19 / 20-36 / 37-50):
+# Window layout (r8, per VERDICT r7 items 1-2; sections are
+# 1-8 / 9-13 / 14-20 / 21-37 / 38-50):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay certified.
-#   9-12  : dedup_substring (r7's only driver RED — oracle rewritten to
-#           engine-neutral list_slice/_DUCK_MD5_60/BIGINT-// forms, must
-#           re-certify) + the three rows that have never had an official
-#           driver check (events_transitions/_winsorized/_robust_stats,
-#           added late in r7 at positions 51-53).
-#   13-19 : NEW r8 rows (bigram broadcast-join scoring, sessionized
-#           funnel, ...) — every new operator certifies in its debut round.
-#   20-36 : the 17 rows last certified in r5, retained from the r7 window.
-#   37-50 : fourteen r7-certified rows retained for back-to-back stability
-#           evidence (media decode, LM family, cluster_split, analytics).
+#   9-13  : must-(re)certify — dedup_substring (r7's only driver RED;
+#           oracle rewritten to engine-neutral list_slice/_DUCK_MD5_60/
+#           BIGINT-// forms), the three rows that had never had an
+#           official driver check (events_transitions/_winsorized/
+#           _robust_stats, added late in r7 at 51-53), and events_cusum
+#           (oracle changed in r8: floored bucket starts).
+#   14-20 : the seven NEW r8 rows (bigram broadcast-join scoring,
+#           sessionized funnel, source overlap matrix, quantized k-means,
+#           quality-aware canonical selection, n-gram novelty, TF-IDF
+#           top terms) — every new operator certifies in its debut round.
+#   21-37 : the 17 rows last certified in r5, retained from the r7 window.
+#   38-50 : thirteen r7-certified rows retained for back-to-back stability
+#           evidence (media decode, LM family, cluster_split, analytics);
+#           lm_tail_keep rotates to 51+ to make room.
 #   51+   : everything driver-certified green in r6/r7, rotated out —
 #           all covered by the committed CORRECTNESS_LOCAL_r{N}.json
 #           full-registry artifact each round.
@@ -5004,12 +5008,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_error_rate": q_nginx_error_rate,
     "nginx_latency_percentiles": q_nginx_latency_percentiles,
     "syslog_extract": q_syslog_extract,
-    # --- 9-12: the r7 red (fixed oracle) + the 3 never-driver-checked ---
+    # --- 9-13: must-(re)certify: the r7 red (fixed oracle), the 3 never-driver-checked, the r8 oracle change ---
     "dedup_substring": q_dedup_substring,
     "events_transitions": q_events_transitions,
     "events_winsorized": q_events_winsorized,
     "events_robust_stats": q_events_robust_stats,
-    # --- 13-19: NEW r8 rows (inserted as they land this round) ---
+    # events_cusum's ORACLE changed this round (floored bucket starts) —
+    # it re-certifies with the must-check group rather than riding at 51+
+    "events_cusum": q_events_cusum,
+    # --- 14-20: NEW r8 rows (inserted as they land this round) ---
     "bigram_lm_score_join": q_bigram_lm_score_join,
     "events_session_funnel": q_events_session_funnel,
     "source_overlap": q_source_overlap,
@@ -5017,7 +5024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "doc_novelty": q_doc_novelty,
     "doc_top_terms": q_doc_top_terms,
-    # --- 20-36: last certified r5, retained in-window ---
+    # --- 21-37: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -5035,7 +5042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontaminate": q_doc_decontaminate,
     "events_sample_stratified": q_events_sample_stratified,
     "text_repetition": q_text_repetition,
-    # --- 34-50: flagship r6-green sample (rotation keeps them honest) ---
+    # --- 38-50: r7-certified retained for stability evidence (lm_tail_keep is position 50; everything after rides at 51+) ---
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -5051,7 +5058,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "lm_tail_keep": q_lm_tail_keep,
-    "events_cusum": q_events_cusum,
     # --- 51+: r6/r7-certified green, rotated out (covered each round by
     # the full-registry CORRECTNESS_LOCAL artifact) ---
     "semdedup": q_semdedup,
