@@ -237,3 +237,56 @@ def test_stream_append_dedups_across_epochs(spark, tmp_path):
     assert reasons[20] == "exact-vs-corpus"
     # epochs recorded per decision, and two distinct epochs ran
     assert keep.select("epoch").distinct().count() == 2
+
+
+def test_batch_build_repoints_exact_through_near_dup(spark):
+    """The batch build has the same kept_id invariant as the append path:
+    an exact keeper later dropped as a near-dup must pull its exact-drop
+    twins along to the surviving cluster canonical."""
+    from tools.dedup_corpus import build_keep_drop
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    # exact group {12, 13} -> keeper 12 (min id); near cluster {10, 12}
+    # -> rep 10, so 12 is dropped and 13 must re-point to 10
+    docs = spark.createDataFrame([
+        (10, base + " ending"),
+        (12, base + " changed"),
+        (13, base + " changed"),
+    ], "doc_id long, text string")
+    keep, drops = build_keep_drop(docs, min_shared_bands=1)
+    assert sorted(r.doc_id for r in keep.collect()) == [10]
+    got = sorted((r.doc_id, r.kept_id, r.reason) for r in drops.collect())
+    assert got == [(12, 10, "near-dup"), (13, 10, "exact")]
+
+
+def test_batch_build_keep_best_quality(spark):
+    """quality_df flips both canonical choices: the exact group keeps its
+    highest-quality member, the near-dup cluster keeps its
+    highest-quality member, and the keep/drop PARTITION is unchanged in
+    size (same families, different canonicals)."""
+    from tools.dedup_corpus import build_keep_drop
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame([
+        (10, base + " ending"),
+        (12, base + " changed"),
+        (13, base + " changed"),
+    ], "doc_id long, text string")
+    quality = spark.createDataFrame(
+        [(10, 1), (12, 1), (13, 5)], "doc_id long, quality int"
+    )
+    keep, drops = build_keep_drop(
+        docs, min_shared_bands=1, quality_df=quality
+    )
+    # exact {12,13}: q(13)=5 wins; near {10,13}: q(13)=5 wins
+    assert sorted(r.doc_id for r in keep.collect()) == [13]
+    got = sorted((r.doc_id, r.kept_id, r.reason) for r in drops.collect())
+    assert got == [(10, 13, "near-dup"), (12, 13, "exact")]
+    # quality ties everywhere == the default min-id decision
+    flat = spark.createDataFrame(
+        [(10, 2), (12, 2), (13, 2)], "doc_id long, quality int"
+    )
+    keep2, drops2 = build_keep_drop(docs, min_shared_bands=1, quality_df=flat)
+    assert sorted(r.doc_id for r in keep2.collect()) == [10]
+    assert sorted((r.doc_id, r.kept_id, r.reason) for r in drops2.collect()) \
+        == [(12, 10, "near-dup"), (13, 10, "exact")]

@@ -66,6 +66,7 @@ def build_corpus(
     num_perm: int = 16,
     bands: int = 4,
     min_shared_bands: int = 2,
+    keep_best: bool = False,
 ):
     """Returns (corpus_df, drops_df, report_dict).
 
@@ -164,10 +165,18 @@ def build_corpus(
             id_col,
         )
 
-    # 3. dedup keep-list (normalize -> exact -> LSH -> clusters)
+    # 3. dedup keep-list (normalize -> exact -> LSH -> clusters); with
+    #    keep_best the canonical of each duplicate family is its
+    #    highest-quality member (the stage-1 scores are already cached —
+    #    free to reuse) instead of the lowest id
+    quality = (
+        scored.select(id_col, F.col("quality_score").alias("quality"))
+        if keep_best else None
+    )
     keep, dd = build_keep_drop(
         pool, id_col=id_col, text_col=text_col, num_perm=num_perm,
         bands=bands, min_shared_bands=min_shared_bands,
+        quality_df=quality,
     )
     drops.append(dd.select(F.col(id_col), F.col("reason")))
     pool = pool.join(keep.select(id_col), id_col)
@@ -235,6 +244,9 @@ def main() -> int:
                     help="drop paragraphs occurring in >= this many places "
                          "corpus-wide (0 = off)")
     ap.add_argument("--para-sep", default="\n\n")
+    ap.add_argument("--keep-best", action="store_true",
+                    help="duplicate families keep their highest-quality "
+                         "member instead of the lowest id")
     ap.add_argument("--sample-permille", type=int, default=1000)
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="split docs into windows of this many tokens (0 = off)")
@@ -261,7 +273,7 @@ def main() -> int:
         para_min_df=args.para_min_df, para_sep=args.para_sep,
         sample_permille=args.sample_permille,
         chunk_tokens=args.chunk_tokens, chunk_overlap=args.chunk_overlap,
-        max_tokens=args.max_tokens,
+        max_tokens=args.max_tokens, keep_best=args.keep_best,
     )
     corpus.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
     drops.write.mode("overwrite").parquet(os.path.join(args.out, "drops"))

@@ -28,8 +28,20 @@ import pyspark.sql.functions as F  # noqa: E402
 
 def build_keep_drop(docs, id_col: str = "doc_id", text_col: str = "text",
                     num_perm: int = 16, bands: int = 4,
-                    min_shared_bands: int = 2, max_bucket_width: int = 2000):
-    """Returns (keep_df[doc_id], drop_df[doc_id, kept_id, reason])."""
+                    min_shared_bands: int = 2, max_bucket_width: int = 2000,
+                    quality_df=None):
+    """Returns (keep_df[doc_id], drop_df[doc_id, kept_id, reason]).
+
+    With ``quality_df`` ((id_col, quality) — e.g. quality_signals'
+    0..4 score), BOTH dedup stages keep the highest-quality member of
+    each duplicate group instead of the lowest id (ties, and docs with
+    no quality row, fall back to the lowest id) — the production
+    decision when duplicates differ in extraction quality.  The
+    canonical choice changes; the keep/drop PARTITION of doc ids does
+    not, so downstream counts are unaffected.
+    """
+    from pyspark.sql import Window
+
     from grower_spark.operators.dedup import (
         duplicate_clusters,
         exact_dedup,
@@ -41,13 +53,32 @@ def build_keep_drop(docs, id_col: str = "doc_id", text_col: str = "text",
 
     norm = normalize_text(docs, text_col=text_col).cache()
 
+    def _best_in(df, group_col):
+        # keep_id = the (quality DESC NULLS LAST, id ASC) argmax of the
+        # group — one group-keyed window; groups are duplicate-family
+        # sized.  desc_nulls_last keeps quality-less docs from winning.
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc_nulls_last("_q"), F.asc(id_col)
+        ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        return df.select(
+            id_col, group_col, F.first(id_col).over(w).alias("keep_id")
+        )
+
     # 1. exact duplicates on the canonical form: doc -> keep_id via the
-    #    content hash
-    exact = exact_dedup(norm, text_col="text_norm", id_col=id_col)
+    #    content hash (min id, or quality argmax when quality_df given)
     keyed = norm.select(F.col(id_col), md5_60(F.col("text_norm")).alias("h60"))
-    exact_map = keyed.join(
-        exact.select(F.col("text_h60").alias("h60"), "keep_id"), "h60"
-    ).select(id_col, "keep_id")
+    if quality_df is not None:
+        q = quality_df.select(
+            F.col(id_col), F.col(quality_df.columns[1]).alias("_q")
+        )
+        exact_map = _best_in(keyed.join(q, id_col, "left"), "h60").select(
+            id_col, "keep_id"
+        )
+    else:
+        exact = exact_dedup(norm, text_col="text_norm", id_col=id_col)
+        exact_map = keyed.join(
+            exact.select(F.col("text_h60").alias("h60"), "keep_id"), "h60"
+        ).select(id_col, "keep_id")
     exact_drops = exact_map.where(F.col(id_col) != F.col("keep_id")).select(
         F.col(id_col),
         F.col("keep_id").alias("kept_id"),
@@ -62,12 +93,45 @@ def build_keep_drop(docs, id_col: str = "doc_id", text_col: str = "text",
         bands=bands, max_bucket_width=max_bucket_width,
     ).where(F.col("n_bands") >= min_shared_bands)
 
-    # 3. clusters -> keep the lowest id in each near-dup cluster
+    # 3. clusters -> keep one doc per near-dup cluster (lowest id, or
+    #    quality argmax); singletons never enter `clusters` and keep
+    #    themselves either way
     clusters = duplicate_clusters(pairs, id_a="id_a", id_b="id_b")
-    near_drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col),
-        F.col("cluster_id").alias("kept_id"),
-        F.lit("near-dup").alias("reason"),
+    if quality_df is not None:
+        members = clusters.select(
+            F.col("doc_id").alias(id_col), "cluster_id"
+        ).join(q, id_col, "left")
+        near_drops = _best_in(members, "cluster_id").where(
+            F.col(id_col) != F.col("keep_id")
+        ).select(
+            F.col(id_col),
+            F.col("keep_id").alias("kept_id"),
+            F.lit("near-dup").alias("reason"),
+        )
+    else:
+        near_drops = clusters.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(
+            F.col("doc_id").alias(id_col),
+            F.col("cluster_id").alias("kept_id"),
+            F.lit("near-dup").alias("reason"),
+        )
+
+    # re-point exact drops whose keeper was itself dropped as a near-dup
+    # (the append path's ADVICE-r7 invariant, applied to the batch build
+    # too): near kept_ids are terminal — cluster canonicals survive stage
+    # 3 — so one pass closes the chain and every kept_id references a
+    # SURVIVING doc
+    repoint = near_drops.select(
+        F.col(id_col).alias("_gone"), F.col("kept_id").alias("_canon")
+    )
+    exact_drops = (
+        exact_drops.join(repoint, exact_drops.kept_id == F.col("_gone"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_canon"), F.col("kept_id")).alias("kept_id"),
+            "reason",
+        )
     )
 
     drops = exact_drops.unionByName(near_drops)
