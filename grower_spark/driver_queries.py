@@ -2006,6 +2006,39 @@ GROUP BY 1, 2
 """
 
 
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step event paths (r8): the order-sensitive journey
+    report over (ts, type)-ordered per-user streams
+    (operators/retention.py::top_event_paths).  One user-keyed window
+    shuffle + a type^3-bounded rollup + a bounded top-k sort."""
+    from grower_spark.operators.retention import top_event_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_event_paths(ev, length=3, k=20)
+
+
+def oracle_events_top_paths() -> str:
+    return """
+WITH seq AS (
+  SELECT
+    lag(event_type, 2) OVER w AS a,
+    lag(event_type, 1) OVER w AS b,
+    event_type AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_type)
+),
+counts AS (
+  SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+  FROM seq WHERE a IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INTEGER) AS rank,
+  path, CAST(n AS BIGINT) AS n
+FROM counts
+QUALIFY rank <= 20
+"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 
 
@@ -5024,7 +5057,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "doc_novelty": q_doc_novelty,
     "doc_top_terms": q_doc_top_terms,
-    # --- 21-37: last certified r5, retained in-window ---
+    "events_top_paths": q_events_top_paths,
+    # --- 22+: last certified r5, retained in-window (tail spills to 51+
+    # as new r8 rows land above) ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -5216,6 +5251,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": oracle_dedup_keep_best(),
     "doc_novelty": oracle_doc_novelty(),
     "doc_top_terms": oracle_doc_top_terms(),
+    "events_top_paths": oracle_events_top_paths(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

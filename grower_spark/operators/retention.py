@@ -49,6 +49,47 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
     )
 
 
+def top_event_paths(events: DataFrame, length: int = 3, k: int = 20,
+                    user_col: str = "user_id", ts_col: str = "ts_ns",
+                    type_col: str = "event_type") -> DataFrame:
+    """Top-k most common ``length``-step event SEQUENCES across all
+    users — path mining, the order-sensitive generalization of the
+    transition matrix ("what journeys happen", not just "what happens
+    next").  Paths are consecutive event-type windows within a user's
+    (ts, type)-ordered stream (the pinned tie order), joined with
+    ``>``, and ranked by (count DESC, path ASC) so the report is total.
+
+    One shuffle (the user-keyed lag window); the path rollup has at most
+    type^length cardinality with map-side partials, and the final top-k
+    sorts that bounded set.
+
+    Output: ``(rank int, path string, n bigint)``.
+    """
+    from pyspark.sql import Window
+
+    if length < 2:
+        raise ValueError("length must be >= 2")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(type_col))
+    steps = [F.col(type_col)] + [
+        F.lag(F.col(type_col), i).over(w) for i in range(1, length)
+    ]
+    # steps[length-1] is the OLDEST event of the window; join oldest-first
+    path = F.concat_ws(">", *reversed(steps))
+    seq = events.select(
+        path.alias("path"),
+        steps[length - 1].isNotNull().alias("_full"),
+    ).where(F.col("_full"))
+    counts = seq.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("rank", "path", "n")
+    )
+
+
 def event_transitions(events: DataFrame, user_col: str = "user_id",
                       ts_col: str = "ts_ns",
                       type_col: str = "event_type") -> DataFrame:

@@ -603,3 +603,20 @@ def test_top_terms_tfidf_hand_computed(spark):
     assert got[(2, 1)] == ("other", 1, half)
     assert got[(2, 2)] == ("common", 1, 0)
     assert len(got) == 4
+
+
+def test_top_event_paths_hand_computed(spark):
+    """Path mining: consecutive type triples in (ts, type) order, counted
+    globally, ranked (count desc, path asc); partial windows excluded."""
+    from grower_spark.operators.retention import top_event_paths
+
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (1, 40, "b"),
+        (2, 10, "a"), (2, 20, "b"), (2, 30, "c"),
+        (3, 10, "x"), (3, 20, "y"),  # too short for a triple
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_ns long, event_type string")
+    got = [(r["rank"], r["path"], r["n"])
+           for r in top_event_paths(ev, length=3, k=10).collect()]
+    # a>b>c twice (users 1, 2); b>c>b once (user 1)
+    assert got == [(1, "a>b>c", 2), (2, "b>c>b", 1)]

@@ -252,7 +252,8 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
     return results
 
 
-def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
+def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
+                only: Optional[list[str]] = None) -> dict:
     """Fixed query set (first 64 base vectors), growing corpus: measures
     the corpus-side scaling of each ANN strategy."""
     from grower_spark.operators.similarity import (
@@ -262,7 +263,14 @@ def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
     )
 
     app = _app_url(spark)
+    from grower_spark.operators.clustering import kmeans_quantized
+
     ops = {
+        # r8: the iterative op — each timed run includes the seed collect,
+        # one centroid-update rollup, and both assignment passes
+        "embedding_kmeans": lambda c, q: kmeans_quantized(
+            c, k=8, n_iter=2
+        ).where(F.col("dist_sq_q") >= 0),
         "ann_brute_np": lambda c, q: cosine_topk_np(c, q, k=10),
         "ann_lsh": lambda c, q: lsh_ann_topk(c, q, k=10, n_planes=8, dim=64),
         "ann_lsh_multiprobe": lambda c, q: lsh_ann_topk(
@@ -272,6 +280,8 @@ def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
             c, q, k=10, n_cells=16, n_probe=2, dim=64
         ),
     }
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only}
     results: dict = {}
     for factor in factors:
         path = os.path.join(out_dir, f"x{factor}", "embeddings.parquet")
@@ -506,7 +516,8 @@ def main() -> int:
         return 0
     spark = _session("scale-run", ui=True)
     if args.embeddings:
-        res = run_ann_ops(spark, args.out, factors, args.runs)
+        res = run_ann_ops(spark, args.out, factors, args.runs,
+                          only=args.ops.split(",") if args.ops else None)
     elif args.events:
         res = run_events_ops(spark, args.out, factors, args.runs)
     else:
