@@ -2522,6 +2522,29 @@ FROM (
 """
 
 
+def q_kmeans_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced representatives (r8): the 10 most-central members
+    of each k-means cluster — deterministic coreset selection
+    (operators/clustering.py::kmeans_representatives).  The k-means
+    passes + one cluster-keyed top-m window."""
+    from grower_spark.operators.clustering import kmeans_representatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_representatives(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER,
+                                  m=10)
+
+
+def oracle_kmeans_representatives() -> str:
+    return f"""
+SELECT vec_id, cluster, dist_sq_q,
+  CAST(row_number() OVER (
+    PARTITION BY cluster ORDER BY dist_sq_q, vec_id
+  ) AS INTEGER) AS rank
+FROM ({oracle_embedding_kmeans()})
+QUALIFY rank <= 10
+"""
+
+
 def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe fact⋈dim equi-join (operators/skew.py::salted_join): the
     events fact is salted, the customer dim replicated per salt, so one hot
@@ -5058,6 +5081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_novelty": q_doc_novelty,
     "doc_top_terms": q_doc_top_terms,
     "events_top_paths": q_events_top_paths,
+    "kmeans_representatives": q_kmeans_representatives,
     # --- 22+: last certified r5, retained in-window (tail spills to 51+
     # as new r8 rows land above) ---
     "ann_ivf": q_ann_ivf,
@@ -5252,6 +5276,7 @@ ORACLES: dict[str, str] = {
     "doc_novelty": oracle_doc_novelty(),
     "doc_top_terms": oracle_doc_top_terms(),
     "events_top_paths": oracle_events_top_paths(),
+    "kmeans_representatives": oracle_kmeans_representatives(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

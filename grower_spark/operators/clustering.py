@@ -68,6 +68,37 @@ def _assign(q: DataFrame, cents: list[list[int]], id_col: str) -> DataFrame:
     )
 
 
+def kmeans_representatives(emb: DataFrame, k: int = 8, n_iter: int = 2,
+                           m: int = 10, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Cluster-balanced representative selection: the ``m`` most central
+    members of each k-means cluster (smallest exact squared distance to
+    the final centroid; ties to the lowest id) — the deterministic
+    coreset / "show me each topic" sample that a random draw can't give.
+
+    Plan: the ``kmeans_quantized`` passes plus ONE cluster-keyed top-m
+    window.  The window has k partitions, so k should grow with the
+    corpus (k ~ sqrt(n) is the usual IVF sizing); per-partition work is
+    a sort of that cluster's members, the same grouped-top-k shape as
+    events_topk_per_user.
+
+    Output: ``(id_col, cluster int, dist_sq_q bigint, rank int)``.
+    """
+    from pyspark.sql import Window
+
+    if m <= 0:
+        raise ValueError("m must be positive")
+    assigned = kmeans_quantized(emb, k=k, n_iter=n_iter, id_col=id_col,
+                                vec_col=vec_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("dist_sq_q"), F.asc(id_col)
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= m)
+    )
+
+
 def kmeans_quantized(emb: DataFrame, k: int = 8, n_iter: int = 2,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:

@@ -620,3 +620,20 @@ def test_top_event_paths_hand_computed(spark):
            for r in top_event_paths(ev, length=3, k=10).collect()]
     # a>b>c twice (users 1, 2); b>c>b once (user 1)
     assert got == [(1, "a>b>c", 2), (2, "b>c>b", 1)]
+
+
+def test_kmeans_representatives_top_m(spark):
+    """Per-cluster top-m by centrality, ties to the lowest id; a cluster
+    with fewer than m members yields them all."""
+    from grower_spark.operators.clustering import kmeans_representatives
+
+    rows = [
+        (1, [0.0]), (2, [10.0]),           # seeds
+        (3, [0.1]), (4, [0.2]), (5, [9.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_representatives(emb, k=2, n_iter=1, m=2)
+    got = {(r["cluster"], r["rank"]): r["vec_id"] for r in out.collect()}
+    # c0 members {1,3,4} dist 0, .1^2, .2^2 -> top2 = 1, 3
+    # c1 members {2,5} dist 0, .1^2 -> 2, 5
+    assert got == {(0, 1): 1, (0, 2): 3, (1, 1): 2, (1, 2): 5}
