@@ -110,6 +110,16 @@ BENCH_QUERIES = [
     ("events_cusum", "collect"),
     ("events_winsorized", "collect"),
     ("events_robust_stats", "collect"),
+    # new r8 rows
+    ("bigram_lm_score_join", "noop"),
+    ("events_session_funnel", "noop"),
+    ("source_overlap", "collect"),
+    ("embedding_kmeans", "noop"),
+    ("kmeans_representatives", "collect"),
+    ("dedup_keep_best", "noop"),
+    ("doc_novelty", "noop"),
+    ("doc_top_terms", "noop"),
+    ("events_top_paths", "collect"),
 ]
 
 
