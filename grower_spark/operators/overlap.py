@@ -49,10 +49,14 @@ def source_overlap_matrix(docs: DataFrame, shingle_n: int = 3,
         F.explode(shingles(F.col(text_col), shingle_n)).alias("gram"),
     )
     # collect_set dedups (source, gram) within the group, so no separate
-    # distinct pass is needed — one corpus shuffle total
+    # distinct pass is needed — one corpus shuffle total.  by_gram feeds
+    # TWO rollups (pair counts and per-source totals); without lineage
+    # truncation the corpus-scale gram aggregation would execute twice
+    # (measured: 4 exchanges instead of the intended 1+2 bounded), so
+    # materialize it once (the duplicate_clusters pair-set precedent).
     by_gram = g.groupBy("gram").agg(
         F.sort_array(F.collect_set("_src")).alias("_ss")
-    )
+    ).localCheckpoint()
     ss = F.col("_ss")
     pair_structs = F.flatten(
         F.transform(
