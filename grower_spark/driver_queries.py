@@ -1950,6 +1950,54 @@ LEFT JOIN t3 USING (user_id, session_seq)
 """
 
 
+def q_events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step timing (r8): per step, users reached and the exact
+    median time from the previous step — the same single-fold funnel
+    pass carrying advance TIMES (greedy == min-chain, so the oracle's
+    closed form re-derives identical gaps), then a step-cardinality
+    rollup with percentile_disc."""
+    from grower_spark.operators.funnel import funnel_step_times
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_step_times(ev, _FUNNEL_STEPS)
+
+
+def oracle_events_funnel_timing() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""
+WITH t1 AS (
+  SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+  WHERE event_type = '{s1}' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = '{s2}' AND epoch_ns(e.ts) > t1.t GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = '{s3}' AND epoch_ns(e.ts) > t2.t GROUP BY 1
+),
+g2 AS (
+  SELECT t2.t - t1.t AS gap FROM t2 JOIN t1 USING (user_id)
+),
+g3 AS (
+  SELECT t3.t - t2.t AS gap FROM t3 JOIN t2 USING (user_id)
+)
+SELECT CAST(2 AS INTEGER) AS step, '{s2}' AS step_name,
+  CAST(count(*) AS BIGINT) AS n_reached,
+  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+    AS p50_gap
+FROM g2 HAVING count(*) > 0
+UNION ALL
+SELECT CAST(3 AS INTEGER), '{s3}',
+  CAST(count(*) AS BIGINT),
+  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+FROM g3 HAVING count(*) > 0
+"""
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (r7): users bucketed by first-activity
     week, counted per (cohort, week offset) — the companion report to
@@ -5082,6 +5130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_top_terms": q_doc_top_terms,
     "events_top_paths": q_events_top_paths,
     "kmeans_representatives": q_kmeans_representatives,
+    "events_funnel_timing": q_events_funnel_timing,
     # --- 22+: last certified r5, retained in-window (tail spills to 51+
     # as new r8 rows land above) ---
     "ann_ivf": q_ann_ivf,
@@ -5277,6 +5326,7 @@ ORACLES: dict[str, str] = {
     "doc_top_terms": oracle_doc_top_terms(),
     "events_top_paths": oracle_events_top_paths(),
     "kmeans_representatives": oracle_kmeans_representatives(),
+    "events_funnel_timing": oracle_events_funnel_timing(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

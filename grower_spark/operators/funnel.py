@@ -146,6 +146,77 @@ def sessionized_funnel_depth(events: DataFrame, steps: list[str],
     )
 
 
+def funnel_step_times(events: DataFrame, steps: list[str],
+                      user_col: str = "user_id", ts_col: str = "ts_ns",
+                      type_col: str = "event_type") -> DataFrame:
+    """Funnel TIMING: for each step k >= 2, how many users reached it and
+    the exact median time from the previous step (``percentile_disc`` —
+    a real data value, discrete-percentile ties identical on both
+    engines).  The same single-fold pass as ``funnel_depth``, but the
+    accumulator carries the chain's advance TIMES (greedy
+    earliest-advance == the min-chain closed form, inductively), so the
+    per-user output is the time vector and the report is a
+    step-cardinality rollup over per-step gaps.
+
+    Output: ``(step int, step_name, n_reached bigint,
+    p50_gap bigint)`` — gaps in ``ts_col`` units, one row per step
+    2..len(steps), absent if no user reached the step.
+    """
+    if len(steps) < 2:
+        raise ValueError("steps must have at least 2 entries")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(type_col).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "e"))).alias("_seq")
+    )
+    init = F.struct(
+        F.array().cast("array<long>").alias("ts"),
+        F.lit(_T_NEG_INF).cast("long").alias("t"),
+    )
+
+    def step(acc, x):
+        d = F.size(acc.ts)
+        advance = (
+            (d < F.lit(len(steps)))
+            & (x.e == F.element_at(steps_arr, d + 1))
+            & (x.t > acc.t)
+        )
+        return F.when(
+            advance,
+            F.struct(
+                F.concat(acc.ts, F.array(x.t)).alias("ts"), x.t.alias("t")
+            ),
+        ).otherwise(acc)
+
+    times = F.aggregate(F.col("_seq"), init, step).getField("ts")
+    per_user = seq.select(times.alias("_ts"))
+    ks = F.explode(F.sequence(F.lit(2), F.lit(len(steps)))).alias("step")
+    gaps = per_user.select("_ts", ks).where(
+        F.size("_ts") >= F.col("step")
+    ).select(
+        "step",
+        (F.element_at("_ts", F.col("step"))
+         - F.element_at("_ts", F.col("step") - 1)).alias("_gap"),
+    )
+    return (
+        gaps.groupBy("step")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _gap)")
+            .cast("long").alias("p50_gap"),
+        )
+        .select(
+            F.col("step").cast("int").alias("step"),
+            F.element_at(steps_arr, F.col("step")).alias("step_name"),
+            "n_reached", "p50_gap",
+        )
+    )
+
+
 def funnel_counts(events: DataFrame, steps: list[str],
                   user_col: str = "user_id", ts_col: str = "ts_ns",
                   type_col: str = "event_type") -> DataFrame:

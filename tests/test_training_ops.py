@@ -637,3 +637,25 @@ def test_kmeans_representatives_top_m(spark):
     # c0 members {1,3,4} dist 0, .1^2, .2^2 -> top2 = 1, 3
     # c1 members {2,5} dist 0, .1^2 -> 2, 5
     assert got == {(0, 1): 1, (0, 2): 3, (1, 1): 2, (1, 2): 5}
+
+
+def test_funnel_step_times_hand_computed(spark):
+    """Advance times follow the greedy/min-chain: per step, count of
+    users reaching it and the discrete median gap from the previous
+    step; steps nobody reaches are absent."""
+    from grower_spark.operators.funnel import funnel_step_times
+
+    rows = [
+        # u1: view@10 click@30 purchase@70 -> gaps 20, 40
+        (1, 10, "view"), (1, 30, "click"), (1, 70, "purchase"),
+        # u2: view@10 click@20 -> gap 10
+        (2, 10, "view"), (2, 20, "click"),
+        # u3: only a view
+        (3, 10, "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_ns long, event_type string")
+    got = {r["step"]: (r["step_name"], r["n_reached"], r["p50_gap"])
+           for r in funnel_step_times(ev, ["view", "click", "purchase"]).collect()}
+    # click gaps {20, 10}: percentile_disc(0.5) picks 10 (first value at
+    # cum dist >= 0.5 of 2 rows); purchase gap {40}
+    assert got == {2: ("click", 2, 10), 3: ("purchase", 1, 40)}
