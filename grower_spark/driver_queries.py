@@ -1998,6 +1998,46 @@ FROM g3 HAVING count(*) > 0
 """
 
 
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/stickiness engagement panel (r8): per calendar day,
+    distinct actives, trailing-7-day distinct actives, and DAU/WAU in
+    basis points (operators/retention.py::active_user_stats).  The
+    trailing distinct is an explode-into-window-ends pass — linear,
+    never a day-range self-join."""
+    from grower_spark.operators.retention import active_user_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return active_user_stats(ev, window_days=7)
+
+
+def oracle_events_dau_wau() -> str:
+    return """
+WITH act AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM act),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM b
+),
+dau AS (SELECT day, count(*) AS n FROM act GROUP BY 1),
+trail AS (
+  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+  FROM act, unnest(range(0, 7)) AS u(i)
+),
+wau AS (SELECT day, count(*) AS n FROM trail GROUP BY 1)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+  CAST(coalesce(dau.n, 0) AS BIGINT) AS dau,
+  CAST(coalesce(wau.n, 0) AS BIGINT) AS wau,
+  CAST(CASE WHEN coalesce(wau.n, 0) > 0
+       THEN (coalesce(dau.n, 0) * 10000) // wau.n ELSE 0 END AS BIGINT)
+    AS stickiness_bp
+FROM spine s LEFT JOIN dau USING (day) LEFT JOIN wau USING (day)
+"""
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (r7): users bucketed by first-activity
     week, counted per (cohort, week offset) — the companion report to
@@ -5131,6 +5171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_top_paths": q_events_top_paths,
     "kmeans_representatives": q_kmeans_representatives,
     "events_funnel_timing": q_events_funnel_timing,
+    "events_dau_wau": q_events_dau_wau,
     # --- 22+: last certified r5, retained in-window (tail spills to 51+
     # as new r8 rows land above) ---
     "ann_ivf": q_ann_ivf,
@@ -5327,6 +5368,7 @@ ORACLES: dict[str, str] = {
     "events_top_paths": oracle_events_top_paths(),
     "kmeans_representatives": oracle_kmeans_representatives(),
     "events_funnel_timing": oracle_events_funnel_timing(),
+    "events_dau_wau": oracle_events_dau_wau(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),

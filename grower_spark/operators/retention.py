@@ -49,6 +49,67 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
     )
 
 
+def active_user_stats(events: DataFrame, window_days: int = 7,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """DAU / WAU / stickiness: per calendar day, the distinct active
+    users that day, the distinct users active in the trailing
+    ``window_days`` window, and the stickiness ratio (DAU/WAU in basis
+    points) — the standard engagement panel.
+
+    The trailing-window distinct is computed WITHOUT a distinct-over-
+    window (which Spark cannot do) or a day-range self-join: each
+    (user, day) activity row explodes into the ``window_days`` window
+    ends it contributes to, then one distinct+count per window end —
+    linear in activity rows × window size, never events².  Days inside
+    the span with no activity still appear (their trailing window can be
+    non-empty); stickiness is 0 where WAU is 0.
+
+    Output: ``(day yyyy-MM-dd string, dau bigint, wau bigint,
+    stickiness_bp bigint)``.
+    """
+    if window_days <= 0:
+        raise ValueError("window_days must be positive")
+    act = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(user_col).alias("user_id"),
+    ).distinct()
+    bounds = act.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"), F.col("hi")
+    )
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    trail = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", window_days - 1))
+        ).alias("day"),
+    ).distinct()
+    wau = trail.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    out = (
+        spine.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .where(F.col("day") <= F.col("hi"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.coalesce(F.col("wau"), F.lit(0)).cast("long").alias("wau"),
+        )
+    )
+    return out.withColumn(
+        "stickiness_bp",
+        F.when(
+            F.col("wau") > 0, F.expr("(dau * 10000) div wau")
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+
+
 def top_event_paths(events: DataFrame, length: int = 3, k: int = 20,
                     user_col: str = "user_id", ts_col: str = "ts_ns",
                     type_col: str = "event_type") -> DataFrame:

@@ -659,3 +659,34 @@ def test_funnel_step_times_hand_computed(spark):
     # click gaps {20, 10}: percentile_disc(0.5) picks 10 (first value at
     # cum dist >= 0.5 of 2 rows); purchase gap {40}
     assert got == {2: ("click", 2, 10), 3: ("purchase", 1, 40)}
+
+
+def test_active_user_stats_hand_computed(spark):
+    """DAU/WAU panel: trailing-window distinct via window-end explosion;
+    gap days appear with dau 0 but non-empty trailing window; stickiness
+    is integer bp."""
+    import datetime as dt
+
+    from grower_spark.operators.retention import active_user_stats
+
+    utc = dt.timezone.utc
+
+    def ts(d, h=12):
+        return dt.datetime(2024, 1, d, h, tzinfo=utc)
+
+    rows = [
+        (1, ts(1)), (2, ts(1)),           # day 1: users {1,2}
+        (1, ts(2)), (1, ts(2, 13)),       # day 2: {1} (dup event same day)
+        (3, ts(5)),                       # days 3-4: nobody
+        (None, ts(5)),                    # NULL user ignored
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"]: (r["dau"], r["wau"], r["stickiness_bp"])
+           for r in active_user_stats(ev, window_days=3).collect()}
+    assert got == {
+        "2024-01-01": (2, 2, 10000),
+        "2024-01-02": (1, 2, 5000),   # window {1,2} from day1 + {1}
+        "2024-01-03": (0, 2, 0),      # trailing {1,2}
+        "2024-01-04": (0, 1, 0),      # trailing {1} from day2
+        "2024-01-05": (1, 1, 10000),
+    }
