@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     ("doc_novelty", "noop"),
     ("doc_top_terms", "noop"),
     ("events_top_paths", "collect"),
+    ("events_funnel_timing", "collect"),
+    ("events_dau_wau", "collect"),
 ]
 
 
