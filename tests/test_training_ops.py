@@ -690,3 +690,20 @@ def test_active_user_stats_hand_computed(spark):
         "2024-01-04": (0, 1, 0),      # trailing {1} from day2
         "2024-01-05": (1, 1, 10000),
     }
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    """The whole point of the quantized design: layout must not change a
+    single assignment or distance (no float accumulation-order drift,
+    total tie orders everywhere)."""
+    from grower_spark.operators.clustering import kmeans_quantized
+
+    rows = [(i, [((i * 37) % 11) / 3.0, ((i * 53) % 7) / 2.0])
+            for i in range(1, 200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(tuple(r) for r in kmeans_quantized(emb, k=4, n_iter=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in kmeans_quantized(emb.repartition(13), k=4, n_iter=3).collect()
+    )
+    assert a == b
