@@ -5122,7 +5122,7 @@ FROM (
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
 # Window layout (r8, per VERDICT r7 items 1-2; sections are
-# 1-8 / 9-13 / 14-20 / 21-37 / 38-50):
+# 1-8 / 9-13 / 14-24 / 25-41 / 42-50):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay certified.
 #   9-13  : must-(re)certify — dedup_substring (r7's only driver RED;
@@ -5131,14 +5131,16 @@ FROM (
 #           official driver check (events_transitions/_winsorized/
 #           _robust_stats, added late in r7 at 51-53), and events_cusum
 #           (oracle changed in r8: floored bucket starts).
-#   14-20 : the seven NEW r8 rows (bigram broadcast-join scoring,
+#   14-24 : the eleven NEW r8 rows (bigram broadcast-join scoring,
 #           sessionized funnel, source overlap matrix, quantized k-means,
 #           quality-aware canonical selection, n-gram novelty, TF-IDF
-#           top terms) — every new operator certifies in its debut round.
-#   21-37 : the 17 rows last certified in r5, retained from the r7 window.
-#   38-50 : thirteen r7-certified rows retained for back-to-back stability
-#           evidence (media decode, LM family, cluster_split, analytics);
-#           lm_tail_keep rotates to 51+ to make room.
+#           top terms, event path mining, k-means representatives,
+#           funnel step timing, DAU/WAU) — every new operator certifies
+#           in its debut round.
+#   25-41 : the 17 rows last certified in r5, retained from the r7 window.
+#   42-50 : nine r7-certified rows retained for back-to-back stability
+#           evidence (media decode, LM family, cluster_split); the other
+#           r7-certified rows rotate to 51+ to make room for the debuts.
 #   51+   : everything driver-certified green in r6/r7, rotated out —
 #           all covered by the committed CORRECTNESS_LOCAL_r{N}.json
 #           full-registry artifact each round.
@@ -5160,7 +5162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # events_cusum's ORACLE changed this round (floored bucket starts) —
     # it re-certifies with the must-check group rather than riding at 51+
     "events_cusum": q_events_cusum,
-    # --- 14-20: NEW r8 rows (inserted as they land this round) ---
+    # --- 14-24: the eleven NEW r8 rows ---
     "bigram_lm_score_join": q_bigram_lm_score_join,
     "events_session_funnel": q_events_session_funnel,
     "source_overlap": q_source_overlap,
@@ -5172,8 +5174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_representatives": q_kmeans_representatives,
     "events_funnel_timing": q_events_funnel_timing,
     "events_dau_wau": q_events_dau_wau,
-    # --- 22+: last certified r5, retained in-window (tail spills to 51+
-    # as new r8 rows land above) ---
+    # --- 25-41: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -5191,7 +5192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontaminate": q_doc_decontaminate,
     "events_sample_stratified": q_events_sample_stratified,
     "text_repetition": q_text_repetition,
-    # --- 38-50: r7-certified retained for stability evidence (lm_tail_keep is position 50; everything after rides at 51+) ---
+    # --- 42-50: r7-certified retained for stability evidence (window ends at multimodal_decode_mp4; the rest rides at 51+) ---
     # new r7 rows: real stdlib PNG/WAV decode, driver-certified
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_wav": q_multimodal_decode_wav,
