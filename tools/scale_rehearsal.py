@@ -195,11 +195,14 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
     from grower_spark.operators.anomaly import rate_cusum
     from grower_spark.operators.funnel import (
         funnel_depth,
+        funnel_step_times,
         sessionized_funnel_depth,
     )
     from grower_spark.operators.retention import (
+        active_user_stats,
         event_transitions,
         retention_cohorts,
+        top_event_paths,
     )
 
     steps = ["view", "click", "purchase"]
@@ -220,6 +223,16 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
         ),
         "events_cusum": lambda d: rate_cusum(d).where(
             F.col("cusum_max") >= 0
+        ),
+        # r8 additions
+        "events_top_paths": lambda d: top_event_paths(d).where(
+            F.col("n") >= 0
+        ),
+        "events_funnel_timing": lambda d: funnel_step_times(d, steps).where(
+            F.col("n_reached") >= 0
+        ),
+        "events_dau_wau": lambda d: active_user_stats(d).where(
+            F.col("wau") >= 0
         ),
     }
     results: dict = {}
