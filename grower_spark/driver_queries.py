@@ -5115,6 +5115,113 @@ FROM (
 """
 
 
+_NB_VOCAB_K = 128
+
+
+def q_nb_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identification (r8): fit per-class
+    add-one token models on the even-doc_id labeled split (shared top-k
+    vocab + per-class OOV bucket + doc-count priors), then score EVERY
+    document under every class in one zero-shuffle map pass and predict
+    the argmin — the supervised counterpart of the heuristic
+    text_lang_id row and the fastText-lid role in a corpus pipeline.
+    Integer micro-nat contract end-to-end (per-token, OOV, and prior
+    costs all floor(-ln p * 1e6) BIGINTs), so sums are order-insensitive
+    and the argmin is engine-exact; ties break to the lexicographically
+    smallest class in both engines."""
+    from grower_spark.operators.classify import fit_nb_classifier, nb_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_nb_classifier(
+        docs.where(F.col("doc_id") % 2 == 0),
+        label_col="lang", vocab_k=_NB_VOCAB_K, alpha=1.0,
+    )
+    return nb_score(docs, model, label_col="lang")
+
+
+def oracle_nb_lang_score() -> str:
+    # Same fit re-derived in SQL: the training split is even doc_ids with
+    # non-NULL labels, the vocab is the split-wide top-k by (tf desc,
+    # token asc), and every (class, token) cost is an integer micro-nat
+    # computed ONCE per model entry — the per-document aggregation is
+    # pure BIGINT sums, so GROUP BY needs no ordering guarantees.
+    return f"""
+WITH tr AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+),
+cls AS (SELECT DISTINCT lang FROM tr),
+tok_tr AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM tr WHERE text IS NOT NULL
+),
+v AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok_tr GROUP BY 1),
+topv AS (SELECT token FROM v ORDER BY tf DESC, token LIMIT {_NB_VOCAB_K}),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM topv),
+cn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c FROM tok_tr GROUP BY 1),
+ct AS (
+  SELECT t.lang, t.token, CAST(count(*) AS BIGINT) AS n_tc
+  FROM tok_tr t JOIN topv USING (token) GROUP BY 1, 2
+),
+costs AS (
+  SELECT c.lang, tv.token,
+    CAST(floor(-ln((coalesce(ct.n_tc, 0) + 1.0)
+      / (coalesce(cn.n_c, 0) + 1.0 * ((SELECT v FROM nv) + 1))) * 1e6)
+      AS BIGINT) AS cost
+  FROM cls c CROSS JOIN topv tv
+  LEFT JOIN ct ON ct.lang = c.lang AND ct.token = tv.token
+  LEFT JOIN cn ON cn.lang = c.lang
+),
+oov AS (
+  SELECT c.lang,
+    CAST(floor(-ln(((coalesce(cn.n_c, 0) - coalesce(s.n_v, 0)) + 1.0)
+      / (coalesce(cn.n_c, 0) + 1.0 * ((SELECT v FROM nv) + 1))) * 1e6)
+      AS BIGINT) AS cost
+  FROM cls c
+  LEFT JOIN cn ON cn.lang = c.lang
+  LEFT JOIN (SELECT lang, sum(n_tc) AS n_v FROM ct GROUP BY 1) s
+    ON s.lang = c.lang
+),
+prior AS (
+  SELECT c.lang,
+    CAST(floor(-ln((coalesce(d.n_docs, 0) + 1.0)
+      / ((SELECT count(*) FROM tr) + 1.0 * (SELECT count(*) FROM cls)))
+      * 1e6) AS BIGINT) AS cost
+  FROM cls c
+  LEFT JOIN (SELECT lang, count(*) AS n_docs FROM tr GROUP BY 1) d
+    ON d.lang = c.lang
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+tokc AS (
+  SELECT t.doc_id, c.lang,
+    CAST(sum(coalesce(costs.cost, oov.cost)) AS BIGINT) AS s
+  FROM tok t CROSS JOIN cls c
+  LEFT JOIN costs ON costs.lang = c.lang AND costs.token = t.token
+  LEFT JOIN oov ON oov.lang = c.lang
+  GROUP BY 1, 2
+),
+total AS (
+  SELECT d.doc_id, c.lang AS cand,
+    CAST(prior.cost + coalesce(tokc.s, 0) AS BIGINT) AS score
+  FROM documents d CROSS JOIN cls c
+  JOIN prior ON prior.lang = c.lang
+  LEFT JOIN tokc ON tokc.doc_id = d.doc_id AND tokc.lang = c.lang
+),
+best AS (
+  SELECT doc_id, cand, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, cand ASC)
+      AS rn
+  FROM total
+)
+SELECT d.doc_id, d.lang, b.cand AS pred_lang,
+  CAST(b.score AS BIGINT) AS nll_micro,
+  CAST(d.lang IS NOT DISTINCT FROM b.cand AS INTEGER) AS correct
+FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -5174,7 +5281,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_representatives": q_kmeans_representatives,
     "events_funnel_timing": q_events_funnel_timing,
     "events_dau_wau": q_events_dau_wau,
-    # --- 25-41: last certified r5, retained in-window ---
+    "nb_lang_score": q_nb_lang_score,
+    # --- 26-42: last certified r5, retained in-window ---
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -5370,6 +5478,7 @@ ORACLES: dict[str, str] = {
     "kmeans_representatives": oracle_kmeans_representatives(),
     "events_funnel_timing": oracle_events_funnel_timing(),
     "events_dau_wau": oracle_events_dau_wau(),
+    "nb_lang_score": oracle_nb_lang_score(),
     "events_retention": oracle_events_retention(),
     "events_transitions": oracle_events_transitions(),
     "lm_tail_keep": oracle_lm_tail_keep(),
