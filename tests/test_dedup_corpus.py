@@ -290,3 +290,39 @@ def test_batch_build_keep_best_quality(spark):
     assert sorted(r.doc_id for r in keep2.collect()) == [10]
     assert sorted((r.doc_id, r.kept_id, r.reason) for r in drops2.collect()) \
         == [(12, 10, "near-dup"), (13, 10, "exact")]
+
+
+def test_keep_best_null_text_docs_survive_both_modes(spark):
+    """ADVICE-r8: NULL-text docs hash to h60=NULL; the quality path's
+    exact-grouping window must NOT collapse them into one fake duplicate
+    family (SQL windows group NULL partition keys together, unlike the
+    default path's join which never matches NULL).  Both modes must
+    produce the SAME keep/drop partition: all NULL-text docs kept."""
+    from tools.dedup_corpus import build_keep_drop
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame([
+        (1, base),
+        (2, base),          # exact dup of 1
+        (3, None),          # NULL text
+        (4, None),          # NULL text — must NOT be deduped against 3
+        (5, None),          # NULL text
+    ], "doc_id long, text string")
+
+    keep_d, drops_d = build_keep_drop(docs, min_shared_bands=1)
+    keep_q, drops_q = build_keep_drop(
+        docs, min_shared_bands=1,
+        quality_df=spark.createDataFrame(
+            [(1, 1), (2, 5), (3, 9), (4, 1), (5, 1)],
+            "doc_id long, quality int"),
+    )
+    kept_default = sorted(r.doc_id for r in keep_d.collect())
+    kept_quality = sorted(r.doc_id for r in keep_q.collect())
+    # default: min-id keeps 1; quality: q(2)=5 keeps 2 — but ALL
+    # NULL-text docs survive in both modes (same partition sizes).
+    assert kept_default == [1, 3, 4, 5]
+    assert kept_quality == [2, 3, 4, 5]
+    assert sorted((r.doc_id, r.reason) for r in drops_d.collect()) == \
+        [(2, "exact")]
+    assert sorted((r.doc_id, r.reason) for r in drops_q.collect()) == \
+        [(1, "exact")]

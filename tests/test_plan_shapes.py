@@ -366,3 +366,36 @@ def test_sessionized_funnel_single_shuffle(spark):
     assert stats["shuffles"] == 1, stats
     assert stats["joins"] == 0, stats
     assert stats["codegen_stages"] >= 1, stats
+
+
+def test_keep_best_corpus_side_never_shuffled(spark):
+    """r8-judge rewrite pin: keep_best_per_cluster must never shuffle the
+    corpus.  The cluster table (pair-graph-sized, lineage cut by
+    localCheckpoint) joins the corpus twice — inner for duplicate members,
+    anti for singletons — and AQE must broadcast BOTH (2 broadcasts,
+    2 joins).  The only Exchange allowed is the members-side window's
+    cluster_id hash-partitioning, which is duplicate-population-sized
+    (shuffles == 1).  The old plan coalesced cluster_id onto every doc
+    and hash-partitioned the FULL corpus for 1-row singleton windows."""
+    import pyspark.sql.functions as F
+
+    from grower_spark.operators.dedup import keep_best_per_cluster
+    from tools.explain_all import plan_stats
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("int").alias("q"),
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = keep_best_per_cluster(docs, pairs, "q")
+    stats = plan_stats(out)
+    assert stats["broadcasts"] == 2, stats
+    assert stats["joins"] == 2, stats
+    assert stats["shuffles"] == 1, stats
+    # and the decision is still right: 2000 docs audited, one keeper in
+    # each of the two clusters, all 1995 singletons kept
+    rows = out.collect()
+    assert len(rows) == 2000
+    assert sum(r["kept"] for r in rows) == 1995 + 2

@@ -71,9 +71,17 @@ def build_keep_drop(docs, id_col: str = "doc_id", text_col: str = "text",
         q = quality_df.select(
             F.col(id_col), F.col(quality_df.columns[1]).alias("_q")
         )
-        exact_map = _best_in(keyed.join(q, id_col, "left"), "h60").select(
-            id_col, "keep_id"
-        )
+        # NULL-text docs hash to h60=NULL; the window's partitionBy would
+        # collapse ALL of them into one "duplicate group" (SQL windows
+        # group NULL keys together) and drop every one but the argmax.
+        # The default path's inner join on h60 never matches NULL keys,
+        # so those docs are kept — match that: exclude NULL h60 from the
+        # exact grouping entirely (they fall through to `keep` via the
+        # final left_anti, same as the non-quality mode).
+        exact_map = _best_in(
+            keyed.where(F.col("h60").isNotNull()).join(q, id_col, "left"),
+            "h60",
+        ).select(id_col, "keep_id")
     else:
         exact = exact_dedup(norm, text_col="text_norm", id_col=id_col)
         exact_map = keyed.join(

@@ -153,7 +153,7 @@ def generate_events(spark, base_dir: str, out_dir: str, factor: int) -> str:
     """×N the events table along the axis real product data grows: MORE
     USERS (user_id * factor + rep), events-per-user constant.  Replica 0
     is verbatim; other replicas jitter each event's timestamp by a
-    deterministic ±12 h keyed by the new event_id, so replica users land
+    deterministic ±24 h keyed by the new event_id, so replica users land
     in different sessions / cohort weeks instead of being exact time
     clones."""
     from grower_spark.io_tables import load_table
@@ -171,9 +171,14 @@ def generate_events(spark, base_dir: str, out_dir: str, factor: int) -> str:
     new_ts_ns = F.when(F.col("rep") == 0, F.col("ts_ns")).otherwise(
         F.col("ts_ns") + jitter_ns
     )
-    out = big.select(
+    out = big.withColumn("_new_ts_ns", new_ts_ns).select(
         new_eid.alias("event_id"),
-        F.timestamp_micros((new_ts_ns / 1000).cast("long")).alias("ts"),
+        # `div` (integer division), never float `/`: epoch-nanos exceed
+        # 2^53, so a double round-trip drifts the micros — the exact
+        # pitfall io_tables.py documents.  Replica 0 must be verbatim.
+        F.timestamp_micros(
+            F.expr("_new_ts_ns div 1000").cast("long")
+        ).alias("ts"),
         new_uid.alias("user_id"),
         "event_type", "value", "props",
     )
@@ -335,6 +340,19 @@ def _shuffle_totals(app_url: str) -> tuple[int, int]:
     )
 
 
+def _shuffle_records(app_url: str) -> int:
+    """Cumulative shuffle-WRITE record count across all completed stages.
+    At local rehearsal scale shuffle BYTES lie (sequential int64 keys
+    lz4-compress to ~KB regardless of row count); records through the
+    Exchange are the metric that actually scales with the data — a plan
+    that exchanges the full corpus shows corpus-linear records even when
+    its bytes round to 0.0 MB."""
+    with urllib.request.urlopen(f"{app_url}/stages", timeout=10) as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteRecords", 0) for s in stages
+               if s.get("status") == "COMPLETE")
+
+
 def _app_url(spark) -> str:
     app_id = spark.sparkContext.applicationId
     port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
@@ -425,6 +443,67 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
             ops["lm_score"] = lambda d, m=lm: lm_score(d, m).where(
                 F.col("xent_micro") >= 0
             )
+        if only and ("keep_best" in only or "keep_best_corpuswin" in only):
+            # r8-judge item 2: quality-aware canonical selection.  The
+            # pair graph is computed OUTSIDE the timed loop over a FIXED
+            # 1-in-20 subset of the corpus, so duplicates stay a small
+            # fraction while the corpus grows — the realistic regime
+            # (≫90% singletons) the plan rewrite targets.  (The default
+            # rehearsal corpus makes ~every doc a near-dup of its base,
+            # which degenerates pair-graph ≈ corpus and measures only the
+            # clustering, not the corpus-side resolution.)  `keep_best`
+            # is the production plan (pair-graph window + measured
+            # broadcast joins, corpus never exchanged);
+            # `keep_best_corpuswin` is the RETIRED r8 plan kept as the
+            # measured counterfactual — coalesce(cluster_id, id) onto
+            # every doc, then ONE window that hash-partitions the FULL
+            # corpus.  Shuffle bytes should stay ~flat across the decade
+            # for the new plan and grow ~linearly with the corpus for
+            # the old one.
+            from pyspark.sql import Window
+
+            from grower_spark.operators.dedup import (
+                keep_best_per_cluster,
+                duplicate_clusters,
+                minhash_lsh_pairs,
+            )
+
+            pairs_kb = minhash_lsh_pairs(
+                docs.where(F.col("doc_id") % 20 == 0),
+                num_perm=16, bands=4, shingle_n=3, hash_fn="xxhash",
+            ).localCheckpoint()
+            docs_q = docs.select(
+                "doc_id", (F.xxhash64("doc_id") % 100).alias("q")
+            )
+            if "keep_best" in only:
+                # kept >= 1 (the keepers), NOT an always-true kept >= 0:
+                # Catalyst constant-folds cast(bool as int) >= 0 to true
+                # and then PRUNES the unreferenced window under count()
+                # — the rehearsal would time nothing (measured: the old
+                # plan's 50k-row corpus window showed 760 shuffle
+                # records before this fix, 50k+ after).
+                ops["keep_best"] = lambda d, p=pairs_kb, dq=docs_q: (
+                    keep_best_per_cluster(dq, p, "q", backend="star")
+                    .where(F.col("kept") >= 1)
+                )
+            if "keep_best_corpuswin" in only:
+                def _old_plan(d, p=pairs_kb, dq=docs_q):
+                    cl = duplicate_clusters(p, backend="star").select(
+                        F.col("doc_id"), "cluster_id"
+                    )
+                    withc = dq.join(cl, "doc_id", "left").select(
+                        "doc_id", "q",
+                        F.coalesce("cluster_id", "doc_id").cast("long")
+                        .alias("cluster_id"),
+                    )
+                    w = Window.partitionBy("cluster_id").orderBy(
+                        F.desc("q"), F.asc("doc_id")
+                    )
+                    return withc.select(
+                        "doc_id", "cluster_id", "q",
+                        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+                    ).where(F.col("kept") >= 1)
+                ops["keep_best_corpuswin"] = _old_plan
         if only and "shard_shuffle" in only:
             from grower_spark.operators.sampling import shard_shuffle
 
@@ -469,15 +548,17 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
                 )
         for name, mk in ops.items():
             mk(docs).count()  # warmup discarded (JIT + file listing)
-            wall, sread, swrite, rows = [], [], [], 0
+            wall, sread, swrite, srec, rows = [], [], [], [], 0
             for _ in range(runs):
                 r0, w0 = _shuffle_totals(app)
+                c0 = _shuffle_records(app)
                 t0 = time.monotonic()
                 rows = mk(docs).count()
                 wall.append(time.monotonic() - t0)
                 r1, w1 = _shuffle_totals(app)
                 sread.append(r1 - r0)
                 swrite.append(w1 - w0)
+                srec.append(_shuffle_records(app) - c0)
             wall.sort()
             med = wall[len(wall) // 2]
             results[f"x{factor}"]["ops"][name] = {
@@ -486,9 +567,11 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
                 "wall_all_s": [round(x, 3) for x in wall],
                 "shuffle_read_mb": round(max(sread) / 1e6, 2),
                 "shuffle_write_mb": round(max(swrite) / 1e6, 2),
+                "shuffle_write_records": max(srec),
             }
             print(f"  x{factor} {name}: {med:.2f}s rows={rows} "
-                  f"shw={max(swrite)/1e6:.1f}MB", file=sys.stderr)
+                  f"shw={max(swrite)/1e6:.1f}MB shrec={max(srec)}",
+                  file=sys.stderr)
     return results
 
 
