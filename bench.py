@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     ("events_top_paths", "collect"),
     ("events_funnel_timing", "collect"),
     ("events_dau_wau", "collect"),
+    ("nb_lang_score", "noop"),
 ]
 
 
@@ -226,10 +227,25 @@ def main() -> None:
             cur_sum = sum(timings[q] for q in common)
             prev_sum = sum(prev[q] for q in common)
             ratio = round(cur_sum / max(prev_sum, 1e-9), 3)
+            # Per-query drift gate (r8 verdict item 4): name every query
+            # whose median moved >1.4x vs the committed snapshot in
+            # EITHER direction.  Protocol: before committing a new
+            # snapshot, re-run the listed queries isolated
+            # (SPARK_GRAFT_BENCH_ONLY=<list>) on an idle host and carry
+            # the re-run numbers in the snapshot commit message — a
+            # query-level 1.4x is exactly the spread host contention
+            # produces here, so a flagged row is unattributed until
+            # isolated.
+            per_query = sorted(
+                q for q in common
+                if max(timings[q], prev[q]) / max(min(timings[q], prev[q]),
+                                                  1e-9) > 1.4
+            )
             drift = {
                 "common_queries": len(common),
                 "sum_vs_committed": ratio,
                 "flagged": abs(ratio - 1.0) > 0.10,
+                "per_query_over_1_4x": per_query,
             }
     except (OSError, ValueError):
         pass
