@@ -87,10 +87,19 @@ def _make_session_fn(gap_seconds: int):
                 n = 0
             end_us = max(end_us, t)
             n += 1
-        state.update((start_us, end_us, n))
         # event-time timeout: close the open session once the watermark
-        # passes its end by the gap
-        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+        # passes its end by the gap.  If the watermark ALREADY passed it
+        # (an old-session user touched by a later batch), registering the
+        # timer would throw INVALID_TIMEOUT_TIMESTAMP — and the session is
+        # semantically over (sub-watermark rows are dropped at the
+        # operator, nothing can extend it): close it now.
+        timeout_ms = end_us // 1000 + gap_seconds * 1000
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            closed.append([user_id, start_us, end_us, n])
+            state.remove()
+        else:
+            state.update((start_us, end_us, n))
+            state.setTimeoutTimestamp(timeout_ms)
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -112,6 +121,133 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
         _make_session_fn(gap_seconds),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# --- sessionized funnel over a stream (r9, VERDICT r8 item 5) ---------------
+
+FUNNEL_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("funnel_depth", T.IntegerType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("adv_us", T.LongType()),
+    ]
+)
+
+_T_NEG_INF_US = -(1 << 62)
+
+
+def _make_session_funnel_fn(gap_seconds: int, steps: list[str]):
+    gap_us = gap_seconds * 1_000_000
+    n_steps = len(steps)
+    step_index = {s: i for i, s in enumerate(steps)}
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events",
+            "funnel_depth"]
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, depth, _adv = state.get
+            state.remove()
+            yield pd.DataFrame([[user_id, start_us, end_us, n, depth]],
+                               columns=cols)
+            return
+        evs: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            evs.extend(
+                (int(t), str(e)) for t, e in zip(pdf["ts_us"], pdf["e"])
+            )
+        evs.sort()  # (ts, type) — the same tie order as the batch
+        # array_sort(struct(t, e)) fold
+        closed: list[list] = []
+        if state.exists:
+            start_us, end_us, n, depth, adv_us = state.get
+        else:
+            start_us = end_us = evs[0][0]
+            n, depth, adv_us = 0, 0, _T_NEG_INF_US
+        for t, e in evs:
+            if t - end_us > gap_us:
+                closed.append([user_id, start_us, end_us, n, depth])
+                start_us, n, depth, adv_us = t, 0, 0, _T_NEG_INF_US
+            end_us = max(end_us, t)
+            n += 1
+            if depth < n_steps and step_index.get(e) == depth and t > adv_us:
+                depth += 1
+                adv_us = t
+        # A timeout below the current watermark is ILLEGAL to register —
+        # and semantically the session is already over: the operator drops
+        # sub-watermark input rows, so nothing can extend a session whose
+        # end + gap the watermark has passed.  Close it now instead of
+        # waiting for a timer that could never be set.
+        timeout_ms = end_us // 1000 + gap_seconds * 1000
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            closed.append([user_id, start_us, end_us, n, depth])
+            state.remove()
+        else:
+            state.update((start_us, end_us, n, depth, adv_us))
+            state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return fn
+
+
+def streaming_session_funnel(events: DataFrame, steps: list[str],
+                             gap_seconds: int = 1800,
+                             watermark: str = "1 hour") -> DataFrame:
+    """Sessionized funnel over a stream: the batch
+    ``operators.funnel.sessionized_funnel_depth`` semantics (gap-based
+    sessions over ALL events; within each session a single left-to-right
+    fold advancing on ``steps`` in order, each strictly after the last
+    advance) run incrementally with per-user state + event-time timeout.
+    Emits one row per CLOSED session (in-batch gap or watermark timeout):
+    ``(user_id, session_start_us, session_end_us, n_events,
+    funnel_depth)``.
+
+    State per key is O(len(steps)) — session bounds, counters, the fold
+    cursor — so the store is bounded by user cardinality, not event
+    volume (the applyInPandasWithState analog of the batch one-shuffle
+    plan; the only shuffle is on user_id).
+
+    Ordering contract: the fold is exact when each user's events arrive
+    in non-decreasing event-time order ACROSS micro-batches (within a
+    batch they are sorted here).  An intra-session event that arrives in
+    a later batch with an earlier timestamp still extends/keeps the
+    session alive and is counted, but cannot retroactively advance a
+    fold the cursor already passed — the standard incremental-fold
+    trade; exact replay is the batch operator's job.  ``events`` needs
+    ``ts`` (timestamp), ``user_id`` and ``event_type``.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("e"),
+        "ts",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_session_funnel_fn(gap_seconds, list(steps)),
+        outputStructType=FUNNEL_SESSION_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

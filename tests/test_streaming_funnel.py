@@ -1,0 +1,229 @@
+"""Streaming sessionized funnel (r9, VERDICT r8 item 5): the batch
+sessionized_funnel_depth semantics run incrementally over micro-batched
+streams — streaming-equals-batch pin, watermark-timeout behavior, and the
+reference's flagship domain end-to-end: nginx access-log lines -> parse
+(P1-P9) -> sessionize -> funnel, one streaming pipeline."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from grower_spark.streaming.stateful import streaming_session_funnel
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, ["user_id", "ts_str", "event_type"]).select(
+        "user_id", F.col("ts_str").cast("timestamp").alias("ts"), "event_type"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _us(s):
+    return int(datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1_000_000)
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path):
+    """Closed streaming sessions must carry exactly the batch operator's
+    (n_events, funnel_depth) per (user, session-ordinal) — same gap, same
+    steps, same strictly-after fold — for in-order arrival."""
+    from grower_spark.operators.funnel import sessionized_funnel_depth
+
+    rows_b1 = [
+        # user 1, session 1: full funnel with distractor events
+        (1, "2024-01-01 09:00:00", "view"),
+        (1, "2024-01-01 09:01:00", "scroll"),
+        (1, "2024-01-01 09:02:00", "click"),
+        (1, "2024-01-01 09:03:00", "purchase"),
+        # user 1, session 2 (>30min gap): out-of-order steps -> depth 1
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 11:01:00", "view"),
+        # user 2, session 1: view only
+        (2, "2024-01-01 09:00:00", "view"),
+    ]
+    rows_b2 = [
+        # user 2's session CONTINUES across the batch boundary (in-order)
+        (2, "2024-01-01 09:10:00", "click"),
+        (2, "2024-01-01 09:11:00", "purchase"),
+        # user 3: simultaneous view+click (strictly-after excludes click)
+        (3, "2024-01-01 09:00:00", "view"),
+        (3, "2024-01-01 09:00:00", "click"),
+        (3, "2024-01-01 09:05:00", "click"),
+    ]
+    sentinel = [(99, "2024-01-03 00:00:00", "noop")]  # times everyone out
+    _write_events(spark, str(tmp_path / "in" / "b1"), rows_b1)
+    _write_events(spark, str(tmp_path / "in" / "b2"), rows_b2)
+    _write_events(spark, str(tmp_path / "in" / "b3"), sentinel)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    out = streaming_session_funnel(stream, STEPS, gap_seconds=1800,
+                                   watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = [
+        r for r in spark.sql("select * from sfunnel").collect()
+        if r["user_id"] != 99
+    ]
+    # session ordinal by start time -> comparable to batch session_seq
+    got = {}
+    for r in sorted(streamed, key=lambda r: (r["user_id"], r["session_start_us"])):
+        seq = sum(1 for k in got if k[0] == r["user_id"]) + 1
+        got[(r["user_id"], seq)] = (r["n_events"], r["funnel_depth"])
+
+    batch_events = spark.createDataFrame(
+        rows_b1 + rows_b2, ["user_id", "ts_str", "event_type"]
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts_str").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    expected = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["funnel_depth"])
+        for r in sessionized_funnel_depth(
+            batch_events, STEPS, gap=1800 * 1_000_000, ts_col="ts_us"
+        ).collect()
+    }
+    assert got == expected
+    # and the hand-checked values, so the pin can't be trivially green
+    assert expected[(1, 1)] == (4, 3)
+    assert expected[(1, 2)] == (2, 1)
+    assert expected[(2, 1)] == (3, 3)   # session spans the batch boundary
+    assert expected[(3, 1)] == (3, 2)   # tie click excluded, later click advances
+
+
+def test_streaming_funnel_timeout_and_gap_close(spark, tmp_path):
+    """A session closes EITHER on an in-batch gap or on the event-time
+    timeout once the watermark passes session_end + gap; open sessions
+    never emit in append mode."""
+    _write_events(spark, str(tmp_path / "in" / "b1"), [
+        (1, "2024-01-01 09:00:00", "view"),
+        (1, "2024-01-01 09:05:00", "click"),
+        # same batch, >30 min later -> first session closes on the gap
+        (1, "2024-01-01 10:00:00", "view"),
+    ])
+    # advances the watermark far enough to time out user 1's open session
+    _write_events(spark, str(tmp_path / "in" / "b2"), [
+        (2, "2024-01-01 20:00:00", "view"),
+    ])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    out = streaming_session_funnel(stream, STEPS, gap_seconds=1800,
+                                   watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel_to")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start_us"]):
+            (r["session_end_us"], r["n_events"], r["funnel_depth"])
+        for r in spark.sql("select * from sfunnel_to").collect()
+    }
+    # gap-closed: view->click chains to depth 2
+    assert got[(1, _us("2024-01-01 09:00:00"))] == (
+        _us("2024-01-01 09:05:00"), 2, 2)
+    # timeout-closed: the 10:00 singleton
+    assert got[(1, _us("2024-01-01 10:00:00"))] == (
+        _us("2024-01-01 10:00:00"), 1, 1)
+    # user 2's session is still open -> absent
+    assert not any(u == 2 for u, _ in got)
+
+
+def test_nginx_stream_to_session_funnel_end_to_end(spark, tmp_path):
+    """The reference's flagship domain, end to end in ONE streaming
+    pipeline: raw nginx access-log lines on disk -> the config-compiled
+    LogPipeline parse (P1-P9: format->regex, casts, time parse) ->
+    per-IP gap sessionization with an in-session funnel
+    (view page -> add to cart -> checkout), closed sessions emitted.
+    Reference parity: internal/services/filelog/impl.go:189-216 runs the
+    same scan->parse chain but stops at the insert; the funnel is the
+    analytics layer its users build downstream."""
+    from grower_spark.config import PipelineConfig
+    from grower_spark.plans.pipeline import LogPipeline
+    from grower_spark.sources.file import stream_lines
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    lines_b1 = [
+        # ip 10.0.0.1: full funnel in one sitting
+        '10.0.0.1 [2024-01-01T09:00:00Z] "GET /product HTTP/1.1" 200',
+        '10.0.0.1 [2024-01-01T09:01:00Z] "POST /cart HTTP/1.1" 200',
+        '10.0.0.1 [2024-01-01T09:02:00Z] "POST /checkout HTTP/1.1" 200',
+        # ip 10.0.0.2: browses, never buys
+        '10.0.0.2 [2024-01-01T09:00:30Z] "GET /product HTTP/1.1" 200',
+        '10.0.0.2 [2024-01-01T09:03:00Z] "GET /product HTTP/1.1" 304',
+        'this line does not parse',
+    ]
+    lines_b2 = [
+        # far-future line: advances the watermark, times out both sessions
+        '10.0.0.9 [2024-01-02T09:00:00Z] "GET /product HTTP/1.1" 200',
+    ]
+    (logs / "access.log.1").write_text("\n".join(lines_b1) + "\n")
+    (logs / "access.log.2").write_text("\n".join(lines_b2) + "\n")
+
+    cfg = PipelineConfig.from_dict({
+        "nginx": {
+            "log_format":
+                '$remote_addr [$time_iso8601] "$request_method $request_uri'
+                ' $server_protocol" $status',
+        },
+        "scheme": {
+            "logs_table": "t.access",
+            "columns": {
+                "remote_addr": "remote_addr",
+                "time_iso8601": "time_iso8601",
+                "request_method": "request_method",
+                "request_uri": "request_uri",
+                "server_protocol": "server_protocol",
+                "status": "status",
+            },
+        },
+    })
+    lines = stream_lines(spark, str(logs), max_files_per_trigger=1)
+    good, _bad = LogPipeline(cfg).parse_with_deadletter(lines)
+    events = good.select(
+        # IP as the session key: hash to the operator's long user_id,
+        # deterministic and collision-checked at this cardinality
+        F.xxhash64("remote_addr").alias("user_id"),
+        F.col("time_iso8601").alias("ts"),
+        F.col("request_uri").alias("event_type"),
+    )
+    out = streaming_session_funnel(
+        events, ["/product", "/cart", "/checkout"],
+        gap_seconds=1800, watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nginx_funnel")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from nginx_funnel").collect()
+    ip1 = [r for r in rows if r["user_id"] ==
+           spark.sql("select xxhash64('10.0.0.1') h").collect()[0]["h"]]
+    ip2 = [r for r in rows if r["user_id"] ==
+           spark.sql("select xxhash64('10.0.0.2') h").collect()[0]["h"]]
+    assert len(ip1) == 1 and (ip1[0]["n_events"], ip1[0]["funnel_depth"]) == (3, 3)
+    assert len(ip2) == 1 and (ip2[0]["n_events"], ip2[0]["funnel_depth"]) == (2, 1)
