@@ -68,6 +68,49 @@ def _assign(q: DataFrame, cents: list[list[int]], id_col: str) -> DataFrame:
     )
 
 
+def _assign_np(q: DataFrame, cents: list[list[int]], id_col: str) -> DataFrame:
+    """Vectorized assignment twin of ``_assign`` — the production path
+    for large k·dim, where the literal-centroid Catalyst tree stops
+    scaling (k·dim literals: plan CONSTRUCTION alone dominates past
+    ~k=64 at dim 64 — measured, see SCALE.md r9 k-means leg).  One
+    ``mapInPandas`` pass; the centroid matrix rides in the closure
+    (k·dim int64 — model-sized).  Math is EXACT int64, identical to the
+    HOF fold: |x|² - 2x·c + |c|² with every term ≤ dim·(1e7)², and ties
+    argmin-to-lowest-cluster (np.argmin returns the first minimum) —
+    bit-identical output, pinned by test_kmeans_np_assign_parity."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.array(cents, dtype=np.int64)          # k × dim
+    c_sq = (C * C).sum(axis=1)                   # k
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("_xq", T.ArrayType(T.LongType())),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("dist_sq_q", T.LongType()),
+    ])
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["_xq"]), dtype=np.int64)   # b × dim
+            x_sq = (X * X).sum(axis=1)                       # b
+            d = x_sq[:, None] - 2 * (X @ C.T) + c_sq[None, :]  # b × k
+            best = d.argmin(axis=1)                          # first-min tie
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "_xq": pdf["_xq"],
+                "cluster": best.astype("int32"),
+                "dist_sq_q": d[np.arange(len(X)), best],
+            })
+
+    return q.mapInPandas(assign, schema)
+
+
 def kmeans_representatives(emb: DataFrame, k: int = 8, n_iter: int = 2,
                            m: int = 10, id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
@@ -101,16 +144,37 @@ def kmeans_representatives(emb: DataFrame, k: int = 8, n_iter: int = 2,
 
 def kmeans_quantized(emb: DataFrame, k: int = 8, n_iter: int = 2,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     assigner: str = "hof") -> DataFrame:
     """Deterministic Lloyd k-means: ``n_iter`` assignment passes with
     ``n_iter - 1`` integer-mean centroid updates in between, seeded by
     the ``k`` lowest-id vectors (cluster c = the c-th seed in id order).
 
     Output: ``(id_col, cluster int, dist_sq_q bigint)`` — the final
     assignment and its exact integer squared distance in micro² units.
+
+    ``assigner`` picks the assignment kernel; both are exact int64 and
+    bit-identical (parity pinned):
+
+    - ``"hof"`` (default): centroids as plan literals, argmin as a
+      Catalyst ``array_min`` fold — zero Python, oracle-exact, the
+      certified path.  Plan size is k·dim literals, and the tree's
+      construction+compilation grows superlinearly in k at fixed data
+      (measured warm at ×10/20k vecs, dim 64, n_iter=2, dated
+      2026-08-14: k=8 1.1 s, k=64 4.8 s, k=256 18.8 s).
+    - ``"np"``: one vectorized int64 matmul per Arrow batch via
+      ``mapInPandas``; the centroid matrix rides in the closure.
+      Same ×10 leg: k=8 0.9 s, k=64 0.8 s, k=256 0.9 s — FLAT in k
+      (data volume bound, not plan bound).
+
+    Cutover guidance: the docstring's own sizing rule is k ~ sqrt(n),
+    so any real corpus wants k ≥ 64 — use ``"np"`` there; ``"hof"``
+    stays the default because it is the oracle-certifiable zero-Python
+    path and wins nothing is lost at the k ≤ 16 of the driver rows.
     """
     if k <= 0 or n_iter <= 0:
         raise ValueError("k and n_iter must be positive")
+    assign_fn = _assign_np if assigner == "np" else _assign
     q = _quantize(emb, id_col, vec_col)
     # bounded collect: the k seed vectors (k·dim int64s — model-sized)
     seeds = q.orderBy(id_col).limit(k).collect()
@@ -118,7 +182,7 @@ def kmeans_quantized(emb: DataFrame, k: int = 8, n_iter: int = 2,
         return _assign(q, [[0]], id_col).select(id_col, "cluster", "dist_sq_q")
     cents = [list(r["_xq"]) for r in seeds]
     for it in range(n_iter - 1):
-        assigned = _assign(q, cents, id_col)
+        assigned = assign_fn(q, cents, id_col)
         comp = assigned.select(
             "cluster", F.posexplode("_xq").alias("_pos", "_v")
         )
@@ -132,4 +196,4 @@ def kmeans_quantized(emb: DataFrame, k: int = 8, n_iter: int = 2,
         for r in rows:
             new_cents[r["cluster"]][r["_pos"]] = r["_s"] // r["_n"]
         cents = new_cents
-    return _assign(q, cents, id_col).select(id_col, "cluster", "dist_sq_q")
+    return assign_fn(q, cents, id_col).select(id_col, "cluster", "dist_sq_q")

@@ -707,3 +707,22 @@ def test_kmeans_deterministic_under_repartition(spark):
         for r in kmeans_quantized(emb.repartition(13), k=4, n_iter=3).collect()
     )
     assert a == b
+
+
+def test_kmeans_np_assign_parity(spark):
+    """The vectorized int64 assignment kernel (assigner='np') must be
+    BIT-IDENTICAL to the literal-centroid Catalyst fold — same clusters,
+    same exact squared distances, same first-min tie resolution — on
+    real testdata embeddings across a multi-iteration fit (centroid
+    trajectories must match too, or the final assignment diverges)."""
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    hof = {r["vec_id"]: (r["cluster"], r["dist_sq_q"])
+           for r in kmeans_quantized(emb, k=7, n_iter=3).collect()}
+    np_ = {r["vec_id"]: (r["cluster"], r["dist_sq_q"])
+           for r in kmeans_quantized(emb, k=7, n_iter=3,
+                                     assigner="np").collect()}
+    assert hof == np_
+    assert len(hof) == 500
