@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     ("events_funnel_timing", "collect"),
     ("events_dau_wau", "collect"),
     ("nb_lang_score", "noop"),
+    ("doc_bm25", "collect"),
+    ("cluster_balanced_sample", "noop"),
 ]
 
 

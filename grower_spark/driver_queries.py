@@ -1055,6 +1055,83 @@ QUALIFY rank <= 3
 """
 
 
+BM25_QUERIES = [
+    (0, "fast hash join"),
+    (1, "window agg stream"),
+    (2, "slow scan filter table"),
+    (3, "vector merge sort"),
+]
+BM25_TOPK = 5
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (r9): rank documents against a literal query
+    set with the exact-integer BM25 contract (operators/text.py::
+    bm25_topk — k1=1.2/b=0.75 folded into an integer ratio, idf_micro
+    floored).  One tf shuffle + a query-term-bounded df rollup + the
+    1-row totals broadcast; candidates bounded by documents containing
+    query terms.  No reference counterpart (superset surface)."""
+    from grower_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, k=BM25_TOPK)
+
+
+def oracle_doc_bm25() -> str:
+    qvalues = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in BM25_QUERIES)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS sum_len
+  FROM docs
+),
+tok AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+  FROM docs
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+q(qid, qtext) AS (VALUES {qvalues}),
+qt AS (
+  SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q
+),
+dfq AS (
+  SELECT tf.term, CAST(count(*) AS BIGINT) AS df
+  FROM tf JOIN (SELECT DISTINCT term FROM qt) qd ON qd.term = tf.term
+  GROUP BY 1
+),
+cand AS (
+  SELECT qt.qid, tf.doc_id,
+    CAST(floor(ln((tot.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+               * 1000000) AS BIGINT) AS idf,
+    tf.tf, tf.dl, tot.n_docs, tot.sum_len
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dfq ON dfq.term = tf.term
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT qid, doc_id,
+    CAST(sum((idf * 22 * tf * sum_len)
+             // (10 * tf * sum_len + 3 * sum_len + 9 * dl * n_docs))
+         AS BIGINT) AS score_micro
+  FROM cand GROUP BY 1, 2
+)
+SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_micro,
+  CAST(row_number() OVER (
+    PARTITION BY qid ORDER BY score_micro DESC, doc_id
+  ) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOPK}
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit-ish (60-bit) content fingerprint: md5 prefix as bigint."""
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
@@ -2630,6 +2707,43 @@ SELECT vec_id, cluster, dist_sq_q,
   ) AS INTEGER) AS rank
 FROM ({oracle_embedding_kmeans()})
 QUALIFY rank <= 10
+"""
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced downsampling (r9): every k-means cluster contributes
+    the same number of vectors (the smallest cluster's size), members
+    picked by engine-portable md5 rank within the cluster
+    (operators/sampling.py::cluster_balanced_sample over the certified
+    kmeans_quantized assignment) — the curation step that stops a
+    majority topic from dominating a training mix."""
+    from grower_spark.operators.clustering import kmeans_quantized
+    from grower_spark.operators.sampling import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_quantized(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    return cluster_balanced_sample(assigned, salt="cbs")
+
+
+def oracle_cluster_balanced_sample() -> str:
+    h = _DUCK_MD5_60.format(x="'cbs|' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH asg AS (SELECT vec_id, cluster FROM ({oracle_embedding_kmeans()})),
+target AS (
+  SELECT min(n) AS t FROM (
+    SELECT cluster, count(*) AS n FROM asg GROUP BY 1
+  )
+),
+ranked AS (
+  SELECT vec_id, cluster,
+    CAST(row_number() OVER (
+      PARTITION BY cluster ORDER BY {h}, vec_id
+    ) AS INTEGER) AS pick_rank
+  FROM asg
+)
+SELECT vec_id, cluster, pick_rank
+FROM ranked CROSS JOIN target
+WHERE pick_rank <= target.t
 """
 
 
@@ -5275,6 +5389,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
     "cluster_split": q_cluster_split,
     # --- 15-…: NEW r9 rows (debut certification) ---
+    "doc_bm25": q_doc_bm25,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     # --- …-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
@@ -5311,11 +5427,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
-    "events_sliding_window": q_events_sliding_window,
-    "events_rollup": q_events_rollup,
     # --- 51+: r8-certified green, rotated out; then the r6/r7 rows
     # queued for the r10 window (covered each round by the full-registry
     # CORRECTNESS_LOCAL artifact) ---
+    "events_sliding_window": q_events_sliding_window,
+    "events_rollup": q_events_rollup,
     "dedup_substring": q_dedup_substring,
     "events_transitions": q_events_transitions,
     "events_winsorized": q_events_winsorized,
@@ -5420,6 +5536,8 @@ ORACLES: dict[str, str] = {
     "events_rollup": oracle_events_rollup(),
     "events_exact_stats": oracle_events_exact_stats(),
     "events_sketches": oracle_events_sketches(),
+    "doc_bm25": oracle_doc_bm25(),
+    "cluster_balanced_sample": oracle_cluster_balanced_sample(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),

@@ -196,3 +196,47 @@ def cluster_safe_split(docs: DataFrame, pairs: DataFrame,
         rep.cast("long").alias("split_key"),
         split_column(rep, holdout_permille, salt, out_values).alias("split"),
     )
+
+
+def cluster_balanced_sample(assigned: DataFrame, per_cluster: int = 0,
+                            id_col: str = "vec_id",
+                            cluster_col: str = "cluster",
+                            salt: str = "cbs") -> DataFrame:
+    """Topic-balanced downsampling: keep the same number of members from
+    EVERY cluster — the curation step that stops a corpus's majority
+    topic from dominating a training mix.  ``assigned`` is any
+    (id, cluster) table (``kmeans_quantized`` output, an IVF cell
+    assignment, SemDeDup cells...).
+
+    ``per_cluster`` = 0 targets the SMALLEST cluster's size (strict
+    balance, pure downsampling — no cluster is oversampled); > 0 caps
+    every cluster at that size.  WITHIN a cluster the kept members are
+    the lowest (md5_60(salt|id), id) ranks — engine-portable determinism
+    (same rows in DuckDB), membership independent of partitioning, and
+    stable under reruns, unlike rand()-based sampling.
+
+    Plan: one cluster-keyed window for the hash rank (k partitions, the
+    same grouped-top-n shape as kmeans_representatives) plus a
+    k-row-bounded count rollup broadcast back for the ``min`` target —
+    no collect, no second corpus pass.
+
+    Output: ``(id_col, cluster_col, pick_rank int)`` — kept rows only.
+    """
+    from pyspark.sql import Window
+
+    if per_cluster < 0:
+        raise ValueError("per_cluster must be >= 0")
+    h = md5_60(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(cluster_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = assigned.select(
+        id_col, cluster_col,
+        F.row_number().over(w).cast("int").alias("pick_rank"),
+    )
+    if per_cluster > 0:
+        return ranked.where(F.col("pick_rank") <= per_cluster)
+    sizes = assigned.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).agg(F.min("_n").alias("_target"))  # k rows -> 1 row
+    return ranked.crossJoin(F.broadcast(sizes)).where(
+        F.col("pick_rank") <= F.col("_target")
+    ).select(id_col, cluster_col, "pick_rank")

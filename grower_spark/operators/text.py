@@ -901,3 +901,105 @@ def bigram_lm_score_join(df: DataFrame, model: dict, id_col: str = "doc_id",
             F.col("n_bigrams") > 0, F.expr("nll_micro_sum div n_bigrams")
         ).otherwise(F.lit(0)).cast("long"),
     )
+
+
+# --- BM25 retrieval (r9) -----------------------------------------------------
+
+def bm25_topk(df: DataFrame, queries: list[tuple[int, str]], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 top-k retrieval: rank documents against a bounded query set —
+    the text-retrieval primitive a training-data platform needs for
+    query-based corpus search, retrieval-based decontamination (find the
+    documents most similar to a benchmark question), and curation
+    spot-checks.  No reference counterpart (superset surface).
+
+    Scoring is Robertson/Lucene BM25 with k1=1.2, b=0.75, pinned to the
+    repo's integer-micro contract so every value is EXACT on any engine
+    (no float accumulation order anywhere):
+
+        idf_micro(t)   = floor(ln((N - df + 0.5)/(df + 0.5) + 1) * 1e6)
+        score_term     = floor(idf_micro * 22 * tf * S
+                               / (10*tf*S + 3*S + 9*dl*N))
+        score_micro    = sum(score_term over matched terms)   -- int64
+
+    where N = docs, S = total corpus tokens, dl = doc tokens: with
+    k1=6/5, b=3/4 the classic tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    becomes the integer ratio 22*tf*S / (10*tf*S + 3*S + 9*dl*N)
+    exactly.  Overflow bound: idf_micro*22*tf*S must stay under 2^63 —
+    holds to ~1e9 corpus tokens with tf ≤ 1e3; past that, partition the
+    corpus or drop to the double-precision variant of the ratio (the
+    ranking is unaffected by the representation; only cross-engine
+    hash-certification needs the integers).
+
+    Plan shape (100 TB): one corpus-keyed tf shuffle (doc_id, term),
+    one vocabulary-sized df rollup, the (N, S) totals attached as a
+    1-row broadcast; the query side is a plan-literal explode joined on
+    term, so candidate volume is bounded by the documents containing
+    query terms — never corpus × queries.  Final top-k window partitions
+    by qid (query-count partitions).
+
+    Output: ``(qid, doc_id, score_micro, rank)``, ranks 1..k per query
+    by (score DESC, doc_id ASC).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    docs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = docs.select(
+        id_col, F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    tf = toks.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("_toks")).cast("long").alias("sum_len"),
+    )
+    qdf = spark.createDataFrame(queries, schema="qid long, qtext string")
+    qterms = qdf.select(
+        "qid", F.explode(F.array_distinct(_tokens(F.col("qtext")))).alias("term")
+    )
+    # df only for the bounded query-term set: the vocabulary-sized rollup
+    # is semi-joined down BEFORE it is broadcast (broadcasting the full
+    # vocab table would be a corpus-vocabulary-sized relation at 100 TB)
+    dfreq = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    cand = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        # 1-row constant attach (same pattern as decontam's corpus stats)
+        .crossJoin(F.broadcast(totals))
+    )
+    idf_micro = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ) * F.lit(1_000_000.0)
+    ).cast("long")
+    term_score = F.expr(
+        "_idf * 22L * tf * sum_len div "
+        "(10L * tf * sum_len + 3L * sum_len + 9L * dl * n_docs)"
+    )
+    scored = cand.withColumn("_idf", idf_micro).select(
+        "qid", id_col, term_score.alias("_s")
+    ).groupBy("qid", id_col).agg(
+        F.sum("_s").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

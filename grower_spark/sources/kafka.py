@@ -26,6 +26,11 @@ kafka-clients*.jar, `import PIL`, `import google.protobuf`, kafka-python):
 all still absent.  Unchanged.
 2026-08-14 r8: re-probed (pyspark/jars grep for kafka, kafka CLI on PATH,
 `import PIL`, `import google.protobuf`): all still absent.  Unchanged.
+2026-08-14 r9: re-probed (spark-sql-kafka* glob, :9092 connect refused,
+`import PIL`, `import google.protobuf`): all still absent.  Unchanged;
+the transformWithState e2e stays auto-skipped, the wire-codec path
+stays the drivable Kafka stand-in, stdlib media kernels stay the decode
+surface.
 """
 
 from __future__ import annotations

@@ -726,3 +726,66 @@ def test_kmeans_np_assign_parity(spark):
                                      assigner="np").collect()}
     assert hof == np_
     assert len(hof) == 500
+
+
+def test_bm25_topk_hand_computed(spark):
+    """Exact integer BM25 against an independent python recomputation:
+    idf on (N, df), the k1=1.2/b=0.75 ratio as the integer form
+    22*tf*S / (10*tf*S + 3*S + 9*dl*N), absent query terms score
+    nothing, ranks tie to the lowest doc_id."""
+    import math
+
+    from grower_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a d"), (3, "e e e"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {(r["qid"], r["doc_id"]): (r["score_micro"], r["rank"])
+           for r in bm25_topk(docs, [(0, "a e zzz")], k=10).collect()}
+
+    N, S = 3, 9
+    def idf_micro(df_):
+        return math.floor(math.log((N - df_ + 0.5) / (df_ + 0.5) + 1) * 1e6)
+    def term(df_, tf, dl):
+        return (idf_micro(df_) * 22 * tf * S) // (10 * tf * S + 3 * S + 9 * dl * N)
+
+    exp = {
+        (0, 1): term(2, 2, 4),   # 'a' in doc 1
+        (0, 2): term(2, 1, 2),   # 'a' in doc 2
+        (0, 3): term(1, 3, 3),   # 'e' in doc 3
+    }
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0][1]))
+    expected = {key: (score, i + 1) for i, (key, score) in enumerate(ranked)}
+    assert got == expected
+    # doc 3 is the clear winner: rare term, high tf, short doc
+    assert got[(0, 3)][1] == 1
+
+
+def test_cluster_balanced_sample(spark):
+    """Strict balance: every cluster contributes exactly min-cluster-size
+    members; per_cluster>0 caps instead; selection is md5-deterministic
+    (stable across runs/partitionings) and never oversamples."""
+    from grower_spark.operators.sampling import cluster_balanced_sample
+
+    assigned = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(i, 1) for i in range(100, 103)]
+        + [(i, 2) for i in range(200, 206)],
+        "vec_id long, cluster int",
+    )
+    out = cluster_balanced_sample(assigned).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r["cluster"], []).append(r["vec_id"])
+    # smallest cluster has 3 -> every cluster keeps exactly 3
+    assert {c: len(v) for c, v in by_c.items()} == {0: 3, 1: 3, 2: 3}
+    # deterministic: a repartitioned rerun picks the SAME members
+    out2 = cluster_balanced_sample(assigned.repartition(7)).collect()
+    assert {(r["vec_id"], r["cluster"]) for r in out2} == \
+        {(r["vec_id"], r["cluster"]) for r in out}
+    # capped mode
+    capped = cluster_balanced_sample(assigned, per_cluster=5).collect()
+    counts = {}
+    for r in capped:
+        counts[r["cluster"]] = counts.get(r["cluster"], 0) + 1
+    assert counts == {0: 5, 1: 3, 2: 5}
