@@ -253,6 +253,38 @@ def streaming_session_funnel(events: DataFrame, steps: list[str],
     )
 
 
+def streaming_dau(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Exact streaming DAU: per calendar day, the distinct active users —
+    the streaming twin of ``operators.retention.active_user_stats``'s
+    ``dau`` column (WAU's trailing window wants the batch replay; its
+    explode trick composes here too but stacks a third stateful
+    operator, so the panel's streaming surface is DAU + stickiness
+    downstream).
+
+    Streaming has no ``count(DISTINCT)``; the supported composition is
+    two chained stateful operators: ``dropDuplicatesWithinWatermark`` on
+    (user_id, day) — state bounded by active (user, day) pairs inside
+    the watermark, exactly the dedup the batch ``.distinct()`` does —
+    into a watermarked 1-day tumbling count, emitted in append mode once
+    the watermark passes the day.  ``events`` needs ``ts`` + ``user_id``.
+
+    Output: ``(day yyyy-MM-dd string, dau bigint)`` per closed day.
+    """
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .select("ts", F.to_date("ts").alias("day"), "user_id")
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+    )
+    return (
+        deduped.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "dau",
+        )
+    )
+
+
 # --- transformWithState (Spark 4 native stateful API) -----------------------
 
 PROFILE_SCHEMA = T.StructType(

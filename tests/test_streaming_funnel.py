@@ -227,3 +227,50 @@ def test_nginx_stream_to_session_funnel_end_to_end(spark, tmp_path):
            spark.sql("select xxhash64('10.0.0.2') h").collect()[0]["h"]]
     assert len(ip1) == 1 and (ip1[0]["n_events"], ip1[0]["funnel_depth"]) == (3, 3)
     assert len(ip2) == 1 and (ip2[0]["n_events"], ip2[0]["funnel_depth"]) == (2, 1)
+
+
+def test_streaming_dau_equals_batch(spark, tmp_path):
+    """Closed-day streaming DAU must equal the batch panel's dau column
+    (active_user_stats) for every day the watermark finalized — the
+    dedup-then-count composition is exactly the batch .distinct()."""
+    from grower_spark.operators.retention import active_user_stats
+    from grower_spark.streaming.stateful import streaming_dau
+
+    rows = [
+        (1, "2024-01-01 09:00:00", "a"),
+        (1, "2024-01-01 17:00:00", "a"),   # same user+day: one DAU
+        (2, "2024-01-01 10:00:00", "a"),
+        (1, "2024-01-02 09:00:00", "a"),
+        (3, "2024-01-03 09:00:00", "a"),
+        (3, "2024-01-03 10:00:00", "a"),
+    ]
+    sentinel = [(99, "2024-01-10 00:00:00", "a")]  # closes all real days
+    _write_events(spark, str(tmp_path / "in" / "b1"), rows[:3])
+    _write_events(spark, str(tmp_path / "in" / "b2"), rows[3:])
+    _write_events(spark, str(tmp_path / "in" / "b3"), sentinel)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        streaming_dau(stream, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("sdau")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["day"]: r["dau"]
+           for r in spark.sql("select * from sdau").collect()
+           if r["day"] < "2024-01-10"}
+
+    batch = spark.createDataFrame(rows, ["user_id", "ts_str", "event_type"]) \
+        .select("user_id", F.col("ts_str").cast("timestamp").alias("ts"))
+    expected = {r["day"]: r["dau"]
+                for r in active_user_stats(batch).collect() if r["dau"] > 0}
+    assert got == expected
+    assert expected == {"2024-01-01": 2, "2024-01-02": 1, "2024-01-03": 1}
