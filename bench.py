@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     ("nb_lang_score", "noop"),
     ("doc_bm25", "collect"),
     ("cluster_balanced_sample", "noop"),
+    ("nginx_session_funnel", "noop"),
 ]
 
 

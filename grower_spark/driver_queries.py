@@ -1132,6 +1132,89 @@ QUALIFY rank <= {BM25_TOPK}
 """
 
 
+def q_nginx_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship domain end-to-end, batch-certified (r9): raw nginx
+    access-log lines -> the config-compiled parse pipeline (P1-P9) ->
+    per-user gap sessionization -> in-session funnel over the request
+    path (view -> click -> purchase in one sitting).  The streaming twin
+    (streaming_session_funnel over the same parse) is pinned
+    streaming-equals-batch in tests/test_streaming_funnel.py; this row
+    certifies the composed batch semantics against a full SQL
+    re-derivation: independent regex parse, lag-window sessions,
+    min-chain funnel.  Users are the log's authenticated remote_user
+    (hyphen-scrubbed anonymous lines carry no session identity and are
+    excluded); timestamps are epoch seconds, gap 30 min."""
+    from grower_spark.operators.funnel import sessionized_funnel_depth
+
+    parsed = _parsed(spark, sf_dir)
+    ev = parsed.where(F.col("remote_user") != "").select(
+        F.col("remote_user").alias("visitor"),
+        F.to_unix_timestamp("time_local").alias("t_epoch"),
+        F.regexp_extract("request", r"^GET /([a-z]+)/", 1).alias("step"),
+    )
+    return sessionized_funnel_depth(
+        ev, _FUNNEL_STEPS, gap=1800, user_col="visitor",
+        ts_col="t_epoch", type_col="step",
+    ).withColumnRenamed("user_id", "visitor")
+
+
+def oracle_nginx_session_funnel() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    return (
+        ORACLE_PARSED_CTE
+        + f""",
+pe AS (
+  SELECT remote_user AS visitor, tl_epoch AS t,
+    regexp_extract(request, '^GET /([a-z]+)/', 1) AS e
+  FROM parsed WHERE remote_user <> ''
+),
+g AS (
+  SELECT visitor, t, e,
+    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+    THEN 1 ELSE 0 END AS new_session
+  FROM pe
+  WINDOW w AS (PARTITION BY visitor ORDER BY t)
+),
+s AS (
+  SELECT visitor, t, e,
+    sum(new_session) OVER (PARTITION BY visitor ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+),
+t1 AS (
+  SELECT visitor, session_seq, min(t) AS t FROM s
+  WHERE e = '{s1}' GROUP BY 1, 2
+),
+t2 AS (
+  SELECT s.visitor, s.session_seq, min(s.t) AS t
+  FROM s JOIN t1 ON t1.visitor = s.visitor
+              AND t1.session_seq = s.session_seq
+  WHERE s.e = '{s2}' AND s.t > t1.t GROUP BY 1, 2
+),
+t3 AS (
+  SELECT s.visitor, s.session_seq, min(s.t) AS t
+  FROM s JOIN t2 ON t2.visitor = s.visitor
+              AND t2.session_seq = s.session_seq
+  WHERE s.e = '{s3}' AND s.t > t2.t GROUP BY 1, 2
+),
+sess AS (
+  SELECT visitor, session_seq, count(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT sess.visitor,
+  CAST(sess.session_seq AS BIGINT) AS session_seq,
+  CAST(sess.n_events AS BIGINT) AS n_events,
+  CAST(CAST(t1.t IS NOT NULL AS INTEGER)
+     + CAST(t2.t IS NOT NULL AS INTEGER)
+     + CAST(t3.t IS NOT NULL AS INTEGER) AS INTEGER) AS funnel_depth
+FROM sess
+LEFT JOIN t1 USING (visitor, session_seq)
+LEFT JOIN t2 USING (visitor, session_seq)
+LEFT JOIN t3 USING (visitor, session_seq)
+"""
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit-ish (60-bit) content fingerprint: md5 prefix as bigint."""
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
@@ -5391,6 +5474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 15-…: NEW r9 rows (debut certification) ---
     "doc_bm25": q_doc_bm25,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "nginx_session_funnel": q_nginx_session_funnel,
     # --- …-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
@@ -5430,6 +5514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51+: r8-certified green, rotated out; then the r6/r7 rows
     # queued for the r10 window (covered each round by the full-registry
     # CORRECTNESS_LOCAL artifact) ---
+    "events_session_window": q_events_session_window,
     "events_sliding_window": q_events_sliding_window,
     "events_rollup": q_events_rollup,
     "dedup_substring": q_dedup_substring,
@@ -5538,6 +5623,7 @@ ORACLES: dict[str, str] = {
     "events_sketches": oracle_events_sketches(),
     "doc_bm25": oracle_doc_bm25(),
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
+    "nginx_session_funnel": oracle_nginx_session_funnel(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),
