@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     ("doc_bm25", "collect"),
     ("cluster_balanced_sample", "noop"),
     ("nginx_session_funnel", "noop"),
+    ("corpus_token_budget", "noop"),
 ]
 
 

@@ -1132,6 +1132,47 @@ QUALIFY rank <= {BM25_TOPK}
 """
 
 
+TOKEN_BUDGET = 20_000
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (r9): the best documents by the 0..4
+    quality score until 20k cumulative tokens — the "top N tokens by
+    quality" curation cut, computed WITHOUT a global sort
+    (operators/sampling.py::select_within_token_budget: a quality-
+    cardinality rollup locates the boundary stratum; only that one
+    stratum gets a per-doc running-sum window).  The oracle runs the
+    global-sort definition directly — row-identity IS the check."""
+    from grower_spark.operators.sampling import select_within_token_budget
+    from grower_spark.operators.text import quality_signals
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    sig = quality_signals(docs).select("doc_id", "quality_score", "n_tokens")
+    return select_within_token_budget(sig, TOKEN_BUDGET)
+
+
+def oracle_corpus_token_budget() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_duck_quality_score()} AS quality_score,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+o AS (
+  SELECT doc_id, quality_score, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_tokens
+  FROM t
+)
+SELECT doc_id, CAST(quality_score AS BIGINT) AS quality_score,
+       n_tokens, cum_tokens
+FROM o WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 def q_nginx_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship domain end-to-end, batch-certified (r9): raw nginx
     access-log lines -> the config-compiled parse pipeline (P1-P9) ->
@@ -5475,6 +5516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25": q_doc_bm25,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "nginx_session_funnel": q_nginx_session_funnel,
+    "corpus_token_budget": q_corpus_token_budget,
     # --- …-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
@@ -5509,11 +5551,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontam": q_semantic_decontam,
     # top-ups to 50 (displaced one-for-one by new r9 rows above)
     "events_window_agg": q_events_window_agg,
-    "events_sessionize": q_events_sessionize,
-    "events_session_window": q_events_session_window,
     # --- 51+: r8-certified green, rotated out; then the r6/r7 rows
     # queued for the r10 window (covered each round by the full-registry
     # CORRECTNESS_LOCAL artifact) ---
+    "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
     "events_sliding_window": q_events_sliding_window,
     "events_rollup": q_events_rollup,
@@ -5624,6 +5665,7 @@ ORACLES: dict[str, str] = {
     "doc_bm25": oracle_doc_bm25(),
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
     "nginx_session_funnel": oracle_nginx_session_funnel(),
+    "corpus_token_budget": oracle_corpus_token_budget(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),

@@ -240,3 +240,91 @@ def cluster_balanced_sample(assigned: DataFrame, per_cluster: int = 0,
     return ranked.crossJoin(F.broadcast(sizes)).where(
         F.col("pick_rank") <= F.col("_target")
     ).select(id_col, cluster_col, "pick_rank")
+
+
+def select_within_token_budget(docs: DataFrame, budget_tokens: int,
+                               quality_col: str = "quality_score",
+                               tokens_col: str = "n_tokens",
+                               id_col: str = "doc_id",
+                               bucket_col: str | None = None) -> DataFrame:
+    """Token-budget corpus selection: keep the best documents by
+    ``quality_col`` (ties to the lowest id) until the cumulative
+    ``tokens_col`` would exceed ``budget_tokens`` — the standard greedy
+    curation policy ("give me the top N-billion tokens by quality").
+
+    Semantically this is a GLOBAL sort by (quality DESC, id ASC) with a
+    running-sum cutoff — but a global window is a single-partition sort
+    of the whole corpus, the classic scale-killer.  The plan here is the
+    two-pass boundary-bucket form:
+
+      1. one quality-keyed rollup (sum tokens, count per quality value)
+         whose cumulative sums — computed in a window over the
+         QUALITY-CARDINALITY-sized aggregate, not the corpus — locate
+         the boundary quality B: every doc with quality > B fits
+         entirely; docs below B are out.
+      2. docs with quality == B get the exact per-doc running sum,
+         ordered by id, offset by the higher-quality total — a window
+         over ONE quality stratum, bounded by the stratum, not the
+         corpus.
+
+    The result is row-identical to the global-sort definition (the
+    oracle runs exactly that).  Contract: ``quality_col`` must be
+    integral with bounded cardinality (a 0..4 score, a micro-score
+    ``div``-quantized to buckets...) — the stage-1 rollup is
+    quality-cardinality-sized and the boundary stratum must fit a
+    single partition's sort.  Pass ``bucket_col`` to quantize inline.
+
+    Output: the KEPT rows ``(id_col, quality_col, tokens_col,
+    cum_tokens bigint)`` with the running total in global greedy order.
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    q = F.col(bucket_col) if bucket_col else F.col(quality_col)
+    base = docs.select(
+        F.col(id_col), q.cast("long").alias("_q"),
+        F.col(tokens_col).cast("long").alias("_t"),
+    ).where(F.col("_t").isNotNull())
+    # stage 1: quality-cardinality-sized rollup + its own tiny window
+    strata = base.groupBy("_q").agg(F.sum("_t").alias("_sum"))
+    ws = Window.orderBy(F.desc("_q")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    strata = strata.select(
+        "_q", F.sum("_sum").over(ws).alias("_cum_through"),
+        (F.sum("_sum").over(ws) - F.col("_sum")).alias("_cum_above"),
+    )
+    # boundary stratum: the highest quality whose full inclusion would
+    # overflow the budget; strata strictly above it fit entirely
+    boundary = strata.where(
+        (F.col("_cum_through") > budget_tokens)
+        & (F.col("_cum_above") <= budget_tokens)
+    ).select(
+        F.col("_q").alias("_bq"), F.col("_cum_above").alias("_offset")
+    )
+    whole = base.join(
+        F.broadcast(strata.where(F.col("_cum_through") <= budget_tokens)
+                    .select("_q", "_cum_above")),
+        "_q",
+    )
+    # whole strata still need per-doc running sums for the cum_tokens
+    # audit — but each window is ONE stratum (partitionBy), never global
+    wd = Window.partitionBy("_q").orderBy(F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    whole_out = whole.select(
+        id_col, "_q", "_t",
+        (F.col("_cum_above") + F.sum("_t").over(wd)).alias("cum_tokens"),
+    )
+    part = base.join(F.broadcast(boundary), base["_q"] == F.col("_bq"))
+    part_out = part.select(
+        id_col, "_q", "_t",
+        (F.col("_offset") + F.sum("_t").over(wd)).alias("cum_tokens"),
+    ).where(F.col("cum_tokens") <= budget_tokens)
+    return whole_out.unionByName(part_out).select(
+        id_col,
+        F.col("_q").alias(quality_col if not bucket_col else bucket_col),
+        F.col("_t").alias(tokens_col),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )

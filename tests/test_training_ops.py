@@ -789,3 +789,26 @@ def test_cluster_balanced_sample(spark):
     for r in capped:
         counts[r["cluster"]] = counts.get(r["cluster"], 0) + 1
     assert counts == {0: 5, 1: 3, 2: 5}
+
+
+def test_select_within_token_budget(spark):
+    """Row-identical to the global (quality DESC, id ASC) greedy prefix:
+    whole strata above the boundary keep, the boundary stratum keeps its
+    in-order prefix, everything after the first overflow drops (even
+    docs that would individually fit)."""
+    from grower_spark.operators.sampling import select_within_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, 3, 10), (2, 3, 5), (3, 2, 10), (4, 2, 4), (5, 1, 100)],
+        "doc_id long, quality_score int, n_tokens int",
+    )
+
+    def run(budget):
+        return {r["doc_id"]: r["cum_tokens"]
+                for r in select_within_token_budget(docs, budget).collect()}
+
+    assert run(27) == {1: 10, 2: 15, 3: 25}   # boundary mid-stratum
+    assert run(15) == {1: 10, 2: 15}          # boundary stratum all-drop
+    assert run(9) == {}                        # prefix: doc 2 fits but is
+    #                                            behind the overflowing doc 1
+    assert run(1_000_000) == {1: 10, 2: 15, 3: 25, 4: 29, 5: 129}  # all fit
