@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     ("cluster_balanced_sample", "noop"),
     ("nginx_session_funnel", "noop"),
     ("corpus_token_budget", "noop"),
+    ("events_hourly_baseline", "noop"),
 ]
 
 

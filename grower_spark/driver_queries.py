@@ -1132,6 +1132,47 @@ QUALIFY rank <= {BM25_TOPK}
 """
 
 
+def q_events_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal-profile anomaly detection (r9): every (type, day, hour)
+    traffic cell scored against its (type, hour-of-day) median/MAD
+    baseline (operators/anomaly.py::hourly_baseline_outliers) — the
+    seasonal complement to CUSUM's changepoint view.  One event shuffle
+    to bounded cells, two cell-level median passes."""
+    from grower_spark.operators.anomaly import hourly_baseline_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return hourly_baseline_outliers(ev)
+
+
+def oracle_events_hourly_baseline() -> str:
+    return """
+WITH cells AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+    CAST(hour(ts) AS INTEGER) AS hod,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT event_type, hod, quantile_cont(n, 0.5) AS med
+  FROM cells GROUP BY 1, 2
+),
+d AS (
+  SELECT c.event_type, c.day, c.hod, c.n, abs(c.n - m.med) AS ad
+  FROM cells c JOIN m USING (event_type, hod)
+),
+md AS (
+  SELECT event_type, hod, quantile_cont(ad, 0.5) AS mad
+  FROM d GROUP BY 1, 2
+)
+SELECT d.event_type, d.day, d.hod, d.n,
+  m.med, md.mad,
+  CAST((md.mad > 0 AND d.ad > 3.0 * md.mad) AS INTEGER) AS is_outlier
+FROM d
+JOIN m USING (event_type, hod)
+JOIN md USING (event_type, hod)
+"""
+
+
 TOKEN_BUDGET = 20_000
 
 
@@ -5517,6 +5558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "nginx_session_funnel": q_nginx_session_funnel,
     "corpus_token_budget": q_corpus_token_budget,
+    "events_hourly_baseline": q_events_hourly_baseline,
     # --- …-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
@@ -5549,11 +5591,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_outliers": q_events_outliers,
     "source_mix": q_source_mix,
     "semantic_decontam": q_semantic_decontam,
-    # top-ups to 50 (displaced one-for-one by new r9 rows above)
-    "events_window_agg": q_events_window_agg,
     # --- 51+: r8-certified green, rotated out; then the r6/r7 rows
     # queued for the r10 window (covered each round by the full-registry
     # CORRECTNESS_LOCAL artifact) ---
+    "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
     "events_sliding_window": q_events_sliding_window,
@@ -5666,6 +5707,7 @@ ORACLES: dict[str, str] = {
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
     "nginx_session_funnel": oracle_nginx_session_funnel(),
     "corpus_token_budget": oracle_corpus_token_budget(),
+    "events_hourly_baseline": oracle_events_hourly_baseline(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),

@@ -108,3 +108,50 @@ def rate_cusum(events: DataFrame, bucket_secs: int = 60,
         F.col("cusum_max").cast("long"),
         F.col("_am.bk").cast("long").alias("peak_bucket"),
     )
+
+
+def hourly_baseline_outliers(events: DataFrame, ts_col: str = "ts",
+                             type_col: str = "event_type",
+                             z_cut: float = 3.0) -> DataFrame:
+    """Seasonal anomaly detection: each (type, day, hour-of-day) traffic
+    cell is scored against that (type, hour-of-day)'s OWN baseline —
+    median and MAD of its per-day counts — so "3am is always quiet" and
+    "9am is always busy" stop registering as anomalies the way a single
+    global threshold (or CUSUM against a flat mean) makes them.  The
+    standard diurnal-profile guard an access-log operator wants beside
+    ``rate_cusum``'s changepoint view.
+
+    Plan: ONE event shuffle to (type, day, hod) cell counts — output
+    bounded by types × days × 24, not events — then two median passes
+    over the CELLS (the robust_stats pattern, group = (type, hod)) and
+    a broadcast join back.  A zero MAD flags nothing (comparison is
+    multiplied out, never divided).  Exact interpolated medians over
+    integer counts are engine-identical (midpoints are binary
+    fractions) — oracle-checkable end to end.
+
+    Output: ``(event_type, day yyyy-MM-dd, hod int, n bigint,
+    med double, mad double, is_outlier int)``.
+    """
+    from pyspark.sql import functions as F
+
+    cells = events.where(F.col(ts_col).isNotNull()).groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"),
+        F.hour(ts_col).cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = cells.groupBy("event_type", "hod").agg(
+        F.expr("percentile(n, 0.5D)").alias("med")
+    )
+    dev = cells.join(med, ["event_type", "hod"]).withColumn(
+        "_ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "hod").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(_ad, 0.5D)").alias("mad"),
+    )
+    return dev.drop("med").join(mad, ["event_type", "hod"]).select(
+        "event_type", "day", "hod", "n", "med", "mad",
+        (
+            (F.col("mad") > 0) & (F.col("_ad") > F.lit(z_cut) * F.col("mad"))
+        ).cast("int").alias("is_outlier"),
+    )

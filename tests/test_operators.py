@@ -503,3 +503,58 @@ def test_semantic_contamination_empty_bench_and_zero_norm(spark):
              for r in semantic_contamination(corpus, bench2).collect()}
     # zero-norm pairs score 0 on both sides, never NaN/throw
     assert rows2 == {1: (0.0, 0), 2: (0.0, 0)}
+
+
+def test_hourly_baseline_outliers(spark):
+    """Per (type, hour-of-day) median/MAD baseline: a spike in an hour
+    that is NORMALLY quiet flags, while a consistently busy hour does
+    not; zero-MAD profiles flag nothing."""
+    from grower_spark.operators.anomaly import hourly_baseline_outliers
+
+    rows = []
+    # 9am is always busy (5 events every day) -> never an outlier
+    for d in range(1, 8):
+        for i in range(5):
+            rows.append((f"2024-01-0{d} 09:00:{i:02d}", "view"))
+    # 3am is normally quiet (1 event) except day 4's burst of 9
+    for d in range(1, 8):
+        n = 9 if d == 4 else 1
+        for i in range(n):
+            rows.append((f"2024-01-0{d} 03:00:{i:02d}", "view"))
+    ev = spark.createDataFrame(rows, ["ts_str", "event_type"]).select(
+        F.col("ts_str").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {(r["day"], r["hod"]): (r["n"], r["is_outlier"])
+           for r in hourly_baseline_outliers(ev).collect()}
+    # the 3am burst: med=1, mad=0 over {1,1,1,9,1,1,1}? mad: deviations
+    # {0,0,0,8,0,0,0} -> median 0 -> zero MAD flags nothing, by design
+    assert out[("2024-01-04", 3)] == (9, 0)
+    # make MAD nonzero: alternate 1/3 events at 5am, day 4 spikes to 30
+    rows2 = []
+    for d in range(1, 8):
+        n = 30 if d == 4 else (1 if d % 2 else 3)
+        for i in range(n):
+            rows2.append((f"2024-01-0{d} 05:00:{i:02d}", "view"))
+    ev2 = spark.createDataFrame(rows2, ["ts_str", "event_type"]).select(
+        F.col("ts_str").cast("timestamp").alias("ts"), "event_type"
+    )
+    out2 = {r["day"]: r["is_outlier"]
+            for r in hourly_baseline_outliers(ev2).collect()}
+    # counts {1,3,1,30,1,3,1}: med=1, |dev|={0,2,0,29,0,2,0}, mad... dev
+    # sorted {0,0,0,0,2,2,29} -> mad=0? median of 7 values = 4th = 0.
+    # Still zero-MAD. Use 4 ones and 3 threes for mad>0:
+    assert out2["2024-01-04"] in (0, 1)  # see the mad>0 case below
+    rows3 = []
+    pattern = {1: 1, 2: 3, 3: 1, 4: 30, 5: 3, 6: 1, 7: 3}
+    for d, n in pattern.items():
+        for i in range(n):
+            rows3.append((f"2024-01-0{d} 06:{i // 60:02d}:{i % 60:02d}", "view"))
+    ev3 = spark.createDataFrame(rows3, ["ts_str", "event_type"]).select(
+        F.col("ts_str").cast("timestamp").alias("ts"), "event_type"
+    )
+    out3 = {r["day"]: (r["n"], r["med"], r["mad"], r["is_outlier"])
+            for r in hourly_baseline_outliers(ev3).collect()}
+    # counts {1,3,1,30,3,1,3}: med=3, |dev|={2,0,2,27,0,2,0} sorted
+    # {0,0,0,2,2,2,27} -> mad=2; 27 > 3*2 -> day 4 flags, others do not
+    assert out3["2024-01-04"] == (30, 3.0, 2.0, 1)
+    assert all(v[3] == 0 for d, v in out3.items() if d != "2024-01-04")
