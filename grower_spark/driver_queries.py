@@ -5508,7 +5508,8 @@ FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
 # Window layout (r9, per VERDICT r8 items 1-4 and ADVICE r8 item 1;
-# sections are 1-8 / 9-14 / 15-x / x-50):
+# sections are 1-8 / 9-14 / 15-19 / 20-50 — exactly 50, AST-checked for
+# duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
@@ -5521,20 +5522,23 @@ FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
 #           they missed their intended r8 check), and cluster_split
 #           (r8 perf-weak row, isolation-measured r9 — keep the
 #           correctness row fresh alongside).
-#   15-…  : NEW r9 rows — every new operator certifies in its debut
-#           round.
-#   …-50  : rotation by staleness — the 22 TPC-H rows plus the nine
+#   15-19 : the five NEW r9 rows (BM25 retrieval, cluster-balanced
+#           sampling, the nginx parse→sessionize→funnel composition,
+#           token-budget selection, hourly-baseline anomaly) — every
+#           new operator certifies in its debut round.
+#   20-50 : rotation by staleness — the 22 TPC-H rows plus the nine
 #           r6-certified ops (semdedup … semantic_decontam), all last
-#           driver-certified r6/r7, now the registry's oldest
-#           certifications; topped up to exactly 50 from the head of
-#           the 51+ section (each new r9 row added above displaces one
-#           top-up row back).
-#   51+   : everything driver-certified green in r8 (the r8 debuts, the
-#           r5-retained block, the media/LM stability rows), then the
-#           remaining r6/r7 rows queued to rotate into the r10 window
-#           (events_window_agg … ann_lsh_multiprobe) — all covered every
-#           round by the committed CORRECTNESS_LOCAL_r{N}.json
-#           full-registry artifact.
+#           driver-certified r6/r7, the registry's oldest
+#           certifications.  The five new rows above displaced the five
+#           intended top-ups (events_window_agg … events_rollup) back
+#           to the 51+ head.
+#   51+   : the displaced top-ups, then everything driver-certified
+#           green in r8 (the r8 debuts, the r5-retained block, the
+#           media/LM stability rows), then the remaining r6/r7 rows
+#           queued to rotate into the r10 window (events_topk_per_user
+#           … ann_lsh_multiprobe) — all covered every round by the
+#           committed CORRECTNESS_LOCAL_r{N}.json full-registry
+#           artifact.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 1-8: §2 core, keep certified every round ---
     "nginx_parse_agg": q_nginx_parse_agg,
