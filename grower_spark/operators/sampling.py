@@ -282,10 +282,15 @@ def select_within_token_budget(docs: DataFrame, budget_tokens: int,
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     q = F.col(bucket_col) if bucket_col else F.col(quality_col)
+    # three consumers (strata rollup, whole-strata join, boundary join)
+    # would each recompute the upstream quality/token derivation —
+    # measured as a triple corpus scan with duplicated regex work when
+    # fed from quality_signals.  The projection is 3 narrow columns, so
+    # materialize it once; every branch reads the checkpoint.
     base = docs.select(
         F.col(id_col), q.cast("long").alias("_q"),
         F.col(tokens_col).cast("long").alias("_t"),
-    ).where(F.col("_t").isNotNull())
+    ).where(F.col("_t").isNotNull()).localCheckpoint()
     # stage 1: quality-cardinality-sized rollup + its own tiny window
     strata = base.groupBy("_q").agg(F.sum("_t").alias("_sum"))
     ws = Window.orderBy(F.desc("_q")).rowsBetween(
