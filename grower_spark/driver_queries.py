@@ -933,7 +933,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup decision when duplicates differ in extraction quality.  Full
     audit output: every doc with its cluster, quality, and the keep
     decision.  The oracle closes the identical pair set with a recursive
-    CTE and applies the same argmax window."""
+    CTE and applies the same argmax window.  (Plan-audit note: regex ×2
+    is inherent here — the pair path and the quality path are separate
+    genuine consumers of the document text.)"""
     from grower_spark.operators.dedup import (
         keep_best_per_cluster,
         ngram_jaccard_pairs,
