@@ -128,6 +128,12 @@ BENCH_QUERIES = [
     ("nginx_session_funnel", "noop"),
     ("corpus_token_budget", "noop"),
     ("events_hourly_baseline", "noop"),
+    ("nginx_top_clients", "collect"),
+    ("nginx_ip_prefix", "collect"),
+    ("events_lifecycle", "collect"),
+    ("events_value_deciles", "collect"),
+    ("doc_containment", "noop"),
+    ("embedding_density", "noop"),
 ]
 
 

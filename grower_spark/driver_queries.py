@@ -5504,6 +5504,277 @@ FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
 
 
 # ---------------------------------------------------------------------------
+# r9 session-2 rows: heavy-hitter / network log panels, growth accounting,
+# value segmentation, asymmetric containment dedup, density outliers
+# ---------------------------------------------------------------------------
+
+TOP_CLIENTS_K = 20
+
+
+def q_nginx_top_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k client IPs by request count over the parsed access log —
+    the heavy-hitter abuse panel (who hammers us, how many bytes, how
+    erroneous, how broad).  One client-keyed aggregation with map-side
+    partials (client cardinality << request count), then a rank over
+    the aggregated table — at 100 TB that rank is a top-k
+    TakeOrdered over per-client rows, never a raw-event sort.  Tie
+    order (cnt DESC, addr ASC) is total, so the report is stable."""
+    parsed = _parsed(spark, sf_dir)
+    ep = F.regexp_extract("request", r"^GET /([^/]+)/", 1)
+    agg = parsed.groupBy(F.col("remote_addr").alias("client")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("bytes_sent").cast("long").alias("sum_bytes"),
+        F.sum(F.when(F.col("status") >= 500, 1).otherwise(0))
+        .cast("long").alias("n_5xx"),
+        F.countDistinct(ep).cast("long").alias("n_endpoints"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("client"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_CLIENTS_K)
+        .select("rank", "client", "cnt", "sum_bytes", "n_5xx", "n_endpoints")
+    )
+
+
+def oracle_nginx_top_clients() -> str:
+    return (
+        ORACLE_PARSED_CTE
+        + f"""
+, per_client AS (
+  SELECT remote_addr AS client,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(bytes_sent) AS BIGINT) AS sum_bytes,
+    CAST(count(*) FILTER (WHERE status >= 500) AS BIGINT) AS n_5xx,
+    CAST(count(DISTINCT regexp_extract(request, '^GET /([^/]+)/', 1))
+         AS BIGINT) AS n_endpoints
+  FROM parsed GROUP BY 1
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, client ASC) AS INTEGER)
+    AS rank
+  FROM per_client
+)
+SELECT rank, client, cnt, sum_bytes, n_5xx, n_endpoints
+FROM ranked WHERE rank <= {TOP_CLIENTS_K}
+"""
+    )
+
+
+def q_nginx_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network-level (/16 prefix) traffic rollup over the parsed access
+    log: requests, bytes, distinct clients, error basis points per
+    prefix — the view that surfaces scanner subnets and per-network
+    error skew that per-IP panels fragment.  One prefix-keyed
+    aggregation; the exact distinct-client count rides the same shuffle
+    (Spark plans it as a two-phase partial distinct), everything else
+    combines map-side.  Prefix cardinality is bounded (<= 2^16 for
+    IPv4), so the result is a small table at any corpus size."""
+    parsed = _parsed(spark, sf_dir)
+    prefix = F.regexp_extract("remote_addr", r"^([0-9]+\.[0-9]+)\.", 1)
+    agg = parsed.groupBy(prefix.alias("prefix16")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("bytes_sent").cast("long").alias("sum_bytes"),
+        F.countDistinct("remote_addr").cast("long").alias("n_clients"),
+        F.sum(F.when(F.col("status") >= 500, 1).otherwise(0))
+        .cast("long").alias("n_5xx"),
+    )
+    return agg.select(
+        "prefix16", "cnt", "sum_bytes", "n_clients",
+        F.expr("(n_5xx * 10000) div cnt").cast("long").alias("err_bp"),
+    )
+
+
+def oracle_nginx_ip_prefix() -> str:
+    return (
+        ORACLE_PARSED_CTE
+        + """
+, per_prefix AS (
+  SELECT regexp_extract(remote_addr, '^([0-9]+\\.[0-9]+)\\.', 1) AS prefix16,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(bytes_sent) AS BIGINT) AS sum_bytes,
+    CAST(count(DISTINCT remote_addr) AS BIGINT) AS n_clients,
+    CAST(count(*) FILTER (WHERE status >= 500) AS BIGINT) AS n_5xx
+  FROM parsed GROUP BY 1
+)
+SELECT prefix16, cnt, sum_bytes, n_clients,
+  CAST(n_5xx * 10000 // cnt AS BIGINT) AS err_bp
+FROM per_prefix
+"""
+    )
+
+
+def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (new/retained/resurrected/churned) —
+    see operators/retention.py::user_lifecycle for the plan contract."""
+    from grower_spark.operators.retention import user_lifecycle
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_lifecycle(ev)
+
+
+def oracle_events_lifecycle() -> str:
+    return """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+seq AS (
+  SELECT user_id, week,
+    lag(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+  FROM act
+),
+counts AS (
+  SELECT week,
+    CAST(count(*) FILTER (WHERE prev_week IS NULL) AS BIGINT) AS n_new,
+    CAST(count(*) FILTER (WHERE prev_week = week - INTERVAL 7 DAY)
+         AS BIGINT) AS n_retained,
+    CAST(count(*) FILTER (WHERE prev_week IS NOT NULL
+                          AND prev_week <> week - INTERVAL 7 DAY)
+         AS BIGINT) AS n_resurrected
+  FROM seq GROUP BY 1
+),
+churn AS (
+  SELECT week + INTERVAL 7 DAY AS week,
+    CAST(count(*) AS BIGINT) AS n_churned
+  FROM seq
+  WHERE (next_week IS NULL OR next_week > week + INTERVAL 7 DAY)
+    AND week + INTERVAL 7 DAY <= (SELECT max(week) FROM act)
+  GROUP BY 1
+)
+SELECT strftime(coalesce(c.week, ch.week), '%Y-%m-%d') AS week,
+  CAST(coalesce(c.n_new, 0) AS BIGINT) AS n_new,
+  CAST(coalesce(c.n_retained, 0) AS BIGINT) AS n_retained,
+  CAST(coalesce(c.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+  CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+FROM counts c FULL OUTER JOIN churn ch ON c.week = ch.week
+"""
+
+
+def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-value decile segmentation — see
+    operators/retention.py::value_deciles for the fixed-point and plan
+    contract."""
+    from grower_spark.operators.retention import value_deciles
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_deciles(ev, n_buckets=10)
+
+
+def oracle_events_value_deciles() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_centis
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT total_centis,
+    CAST(ntile(10) OVER (ORDER BY total_centis DESC, user_id ASC) AS INTEGER)
+      AS decile
+  FROM per_user
+)
+SELECT decile,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(total_centis) AS BIGINT) AS sum_centis,
+  CAST(min(total_centis) AS BIGINT) AS min_centis,
+  CAST(max(total_centis) AS BIGINT) AS max_centis
+FROM ranked GROUP BY 1
+"""
+
+
+CONTAINMENT_THRESHOLD = 0.25
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs — the sub-document companion
+    to dedup_ngram_jaccard (quote/excerpt inclusion that the symmetric
+    metric under-scores).  Same single-shuffle inverted-index core;
+    see operators/dedup.py::ngram_containment_pairs."""
+    from grower_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return ngram_containment_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=CONTAINMENT_THRESHOLD,
+        max_shingle_df=JACCARD_MAX_DF,
+    )
+
+
+def oracle_doc_containment() -> str:
+    return f"""
+WITH shing AS (
+  SELECT doc_id, {_duck_shingles()} AS sh FROM documents
+),
+inv0 AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM shing
+),
+rare AS (
+  SELECT s FROM inv0 GROUP BY s HAVING count(DISTINCT doc_id) <= {JACCARD_MAX_DF}
+),
+inv AS (
+  SELECT inv0.* FROM inv0 JOIN rare ON inv0.s = rare.s
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, inter, CAST(size_a AS INTEGER) AS size_a,
+       CAST(size_b AS INTEGER) AS size_b,
+       round(inter / size_a, 4) AS cont_a_r4,
+       round(inter / size_b, 4) AS cont_b_r4
+FROM pairs
+WHERE greatest(round(inter / size_a, 4), round(inter / size_b, 4))
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+DENSITY_TAU = 0.2
+DENSITY_PANEL_MOD = 11
+DENSITY_MIN_CLOSE = 1
+
+
+def q_embedding_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based embedding outlier filter against a deterministic
+    reference panel — see operators/similarity.py::density_vs_panel.
+    The panel here is the ``vec_id % 11`` systematic sample (at
+    100 TB: a fixed broadcastable reference set, e.g. 10k vectors)."""
+    from grower_spark.operators.similarity import density_vs_panel
+
+    emb = _cpu_spread(spark, load_table(spark, sf_dir, "embeddings"))
+    panel = emb.where(
+        F.col("vec_id") % DENSITY_PANEL_MOD == 0
+    ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    return density_vs_panel(
+        emb, panel, tau=DENSITY_TAU, min_close=DENSITY_MIN_CLOSE
+    )
+
+
+def oracle_embedding_density() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+p AS (SELECT * FROM v WHERE vec_id % {DENSITY_PANEL_MOD} = 0),
+j AS (
+  SELECT a.vec_id,
+    CAST(count(*) FILTER (
+      WHERE a.vec_id <> p.vec_id
+        AND round(
+          list_dot_product(a.vec, p.vec)
+          / (sqrt(list_dot_product(a.vec, a.vec))
+             * sqrt(list_dot_product(p.vec, p.vec))), 4) >= {DENSITY_TAU}
+    ) AS BIGINT) AS n_close
+  FROM v a CROSS JOIN p GROUP BY 1
+)
+SELECT vec_id, n_close,
+  CAST(n_close < {DENSITY_MIN_CLOSE} AS INTEGER) AS is_outlier
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
 
@@ -5528,19 +5799,24 @@ FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
 #           sampling, the nginx parse→sessionize→funnel composition,
 #           token-budget selection, hourly-baseline anomaly) — every
 #           new operator certifies in its debut round.
-#   20-50 : rotation by staleness — the 22 TPC-H rows plus the nine
+#   20-25 : the six NEW r9 session-2 rows (top-clients heavy hitters,
+#           /16 prefix rollup, lifecycle growth accounting, value
+#           deciles, containment dedup, embedding-density outliers) —
+#           same debut-round rule.
+#   26-50 : rotation by staleness — TPC-H q1-q16 plus the nine
 #           r6-certified ops (semdedup … semantic_decontam), all last
 #           driver-certified r6/r7, the registry's oldest
-#           certifications.  The five new rows above displaced the five
-#           intended top-ups (events_window_agg … events_rollup) back
-#           to the 51+ head.
-#   51+   : the displaced top-ups, then everything driver-certified
-#           green in r8 (the r8 debuts, the r5-retained block, the
-#           media/LM stability rows), then the remaining r6/r7 rows
-#           queued to rotate into the r10 window (events_topk_per_user
-#           … ann_lsh_multiprobe) — all covered every round by the
-#           committed CORRECTNESS_LOCAL_r{N}.json full-registry
-#           artifact.
+#           certifications.  The session-2 rows displaced tpch_q17-q22
+#           (r6/r7-certified, fresher than the nine ops) to the 51+
+#           head.
+#   51+   : tpch_q17-q22, the displaced r9 top-ups
+#           (events_window_agg … events_rollup), then everything
+#           driver-certified green in r8 (the r8 debuts, the
+#           r5-retained block, the media/LM stability rows), then the
+#           remaining r6/r7 rows queued to rotate into the r10 window
+#           (events_topk_per_user … ann_lsh_multiprobe) — all covered
+#           every round by the committed CORRECTNESS_LOCAL_r{N}.json
+#           full-registry artifact.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 1-8: §2 core, keep certified every round ---
     "nginx_parse_agg": q_nginx_parse_agg,
@@ -5565,6 +5841,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_session_funnel": q_nginx_session_funnel,
     "corpus_token_budget": q_corpus_token_budget,
     "events_hourly_baseline": q_events_hourly_baseline,
+    # --- 20-25: the six NEW r9 session-2 rows ---
+    "nginx_top_clients": q_nginx_top_clients,
+    "nginx_ip_prefix": q_nginx_ip_prefix,
+    "events_lifecycle": q_events_lifecycle,
+    "events_value_deciles": q_events_value_deciles,
+    "doc_containment": q_doc_containment,
+    "embedding_density": q_embedding_density,
     # --- …-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
@@ -5582,12 +5865,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
     "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
     "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
     "corpus_vocab": q_corpus_vocab,
@@ -5600,6 +5877,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51+: r8-certified green, rotated out; then the r6/r7 rows
     # queued for the r10 window (covered each round by the full-registry
     # CORRECTNESS_LOCAL artifact) ---
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
@@ -5714,6 +5997,12 @@ ORACLES: dict[str, str] = {
     "nginx_session_funnel": oracle_nginx_session_funnel(),
     "corpus_token_budget": oracle_corpus_token_budget(),
     "events_hourly_baseline": oracle_events_hourly_baseline(),
+    "nginx_top_clients": oracle_nginx_top_clients(),
+    "nginx_ip_prefix": oracle_nginx_ip_prefix(),
+    "events_lifecycle": oracle_events_lifecycle(),
+    "events_value_deciles": oracle_events_value_deciles(),
+    "doc_containment": oracle_doc_containment(),
+    "embedding_density": oracle_embedding_density(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),

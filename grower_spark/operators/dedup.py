@@ -754,6 +754,28 @@ def ngram_jaccard_pairs(
     lists longer than the cap (stop-shingles) — REQUIRED at corpus scale,
     since one shingle shared by k docs emits k^2/2 pairs.
     """
+    inter = _pair_intersections(df, id_col, text_col, shingle_n, max_shingle_df)
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return inter.select(
+        "id_a", "id_b", "inter", "size_a", "size_b", F.round(jac, 4).alias("jaccard_r4")
+    ).where(F.round(jac, 4) >= threshold)
+
+
+def _pair_intersections(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_shingle_df: Optional[int] = 1000,
+) -> DataFrame:
+    """Shared pair-emit core for the set-similarity family: the exact
+    shingle-intersection table ``(id_a, id_b, size_a, size_b, inter)``
+    for every doc pair sharing >= 1 retained shingle, via inverted-index
+    grouping (one shuffle keyed by shingle, posting-list pair emit,
+    per-pair count) — the plan documented on :func:`ngram_jaccard_pairs`.
+    Jaccard, containment, overlap- and Dice-coefficient variants are all
+    pure column arithmetic over this one frame.
+    """
     arr = df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sharr")
     ).withColumn("sz", F.size("_sharr"))
@@ -782,13 +804,45 @@ def ngram_jaccard_pairs(
         )
     )
     pairs = postings.select(F.explode(pair_arr).alias("p")).select("p.*")
-    inter = pairs.groupBy("id_a", "id_b", "size_a", "size_b").agg(
+    return pairs.groupBy("id_a", "id_b", "size_a", "size_b").agg(
         F.count(F.lit(1)).alias("inter")
     )
-    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.25,
+    max_shingle_df: Optional[int] = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: ``inter/|A|`` and
+    ``inter/|B|`` for doc pairs sharing shingles, kept where the larger
+    side reaches ``threshold``.
+
+    Containment is the sub-document companion to Jaccard: a short doc
+    wholly quoted inside a long one has containment ~1.0 on the short
+    side but Jaccard ~|A|/|B| — far below any dedup bar — so
+    excerpt/quote/boilerplate inclusion is invisible to the symmetric
+    metric.  The default threshold sits intentionally BELOW the Jaccard
+    dedup bar for exactly that reason.
+
+    Same single-shuffle inverted-index plan as
+    :func:`ngram_jaccard_pairs` (shared core ``_pair_intersections``,
+    incl. the ``max_shingle_df`` stop-shingle cap the pair emit needs at
+    corpus scale); the metric swap is column arithmetic only.
+
+    Output: ``(id_a, id_b, inter, size_a, size_b, cont_a_r4, cont_b_r4)``
+    where ``cont_a_r4 = round(inter/size_a, 4)``.
+    """
+    inter = _pair_intersections(df, id_col, text_col, shingle_n, max_shingle_df)
+    c_a = F.round(F.col("inter") / F.col("size_a"), 4)
+    c_b = F.round(F.col("inter") / F.col("size_b"), 4)
     return inter.select(
-        "id_a", "id_b", "inter", "size_a", "size_b", F.round(jac, 4).alias("jaccard_r4")
-    ).where(F.round(jac, 4) >= threshold)
+        "id_a", "id_b", "inter", "size_a", "size_b",
+        c_a.alias("cont_a_r4"), c_b.alias("cont_b_r4"),
+    ).where(F.greatest(c_a, c_b) >= threshold)
 
 
 def ngram_jaccard_pairs_prefix(

@@ -110,6 +110,141 @@ def active_user_stats(events: DataFrame, window_days: int = 7,
     )
 
 
+def user_lifecycle(events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """Weekly growth accounting: every active user-week is classified as
+    ``new`` (first-ever week), ``retained`` (also active the immediately
+    preceding week) or ``resurrected`` (active before, but not last
+    week); ``churned`` counts users active in week w-1 but not in w.
+    This is the standard new/retained/resurrected/churned panel that
+    decomposes WAU change week over week.
+
+    Plan shape — ONE pass, three shuffles, no self-join and no
+    recomputed subtree: a distinct over (user, monday-truncated week)
+    is the only stage that sees raw events (map-side partials); one
+    user-keyed lag/lead window classifies each active week AND emits
+    the churn marker for week w+7 from the same rows (explode of a
+    2-struct array, map-side); one week-keyed rollup with four
+    conditional sums produces the panel.  Churn is censored at the
+    corpus max week via a 1-row broadcast bound computed from a
+    column-pruned scan of the raw timestamps (cheaper than recomputing
+    the distinct a second time).
+
+    Output: ``(week yyyy-MM-dd string, n_new, n_retained,
+    n_resurrected, n_churned)`` — a row for every week with any
+    non-zero count, zeros filled elsewhere.
+    """
+    from pyspark.sql import Window
+
+    week7 = F.expr("INTERVAL 7 DAYS")
+    clean = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    )
+    act = clean.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("week", F.col(ts_col)).alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = act.select(
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    status = (
+        F.when(F.col("prev_week").isNull(), F.lit("new"))
+        .when(F.col("prev_week") == F.col("week") - week7, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    churned_next = (
+        F.col("next_week").isNull()
+        | (F.col("next_week") > F.col("week") + week7)
+    )
+    marks = seq.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("week").alias("wk"), status.alias("st")),
+                F.struct(
+                    (F.col("week") + week7).alias("wk"),
+                    F.when(churned_next, F.lit("churned")).alias("st"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.wk", "m.st").where(F.col("st").isNotNull())
+    # censor churn markers past the corpus max week: 1-row bound from a
+    # ts-only scan of the raw table, broadcast and filtered map-side
+    max_week = clean.agg(
+        F.date_trunc("week", F.max(ts_col)).alias("max_week")
+    )
+    kept = marks.crossJoin(F.broadcast(max_week)).where(
+        (F.col("st") != "churned") | (F.col("wk") <= F.col("max_week"))
+    )
+    counts = kept.groupBy("wk").agg(
+        *[
+            F.sum(F.when(F.col("st") == s, 1).otherwise(0))
+            .cast("long").alias(f"n_{s}")
+            for s in ("new", "retained", "resurrected", "churned")
+        ]
+    )
+    return counts.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "n_new", "n_retained", "n_resurrected", "n_churned",
+    )
+
+
+def value_deciles(events: DataFrame, n_buckets: int = 10,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """User-value decile segmentation: rank users by lifetime value and
+    report per-decile population and value share — the "whale curve"
+    behind pricing and prioritization questions.
+
+    Values are fixed-point centi-units (``round(value*100)`` summed as
+    BIGINT) so the per-user totals — and therefore the decile
+    boundaries — are exact integers on every engine; a float sum's
+    order-dependence could flip a boundary user between buckets.
+    ``ntile`` runs over (total DESC, user_id ASC), a total order.
+
+    Plan shape: one user-keyed aggregation (map-side partials) shrinks
+    events to user cardinality; the rank over that user-sized table is
+    the DISTRIBUTED exact global row_number (range repartition +
+    per-partition offsets, operators/ranking.py) — an unpartitioned
+    ``ntile`` window would drag every user through one partition, the
+    classic scale-killer this module avoids.  NTILE bucket arithmetic
+    is then a literal expression over the exact rank, matching the
+    window-function semantics bucket for bucket.
+
+    Output: ``(decile int, n_users bigint, sum_centis bigint,
+    min_centis bigint, max_centis bigint)``.
+    """
+    from grower_spark.operators.ranking import (
+        global_row_number, ntile_from_rank,
+    )
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    per_user = events.where(F.col(user_col).isNotNull()).groupBy(
+        F.col(user_col).alias("user_id")
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long").alias("total_centis")
+    )
+    ranked_df, n_users = global_row_number(
+        per_user, [F.desc("total_centis"), F.asc("user_id")], out_col="_rn"
+    )
+    if n_users == 0:
+        ranked = ranked_df.withColumn("decile", F.lit(None).cast("int"))
+    else:
+        ranked = ranked_df.withColumn(
+            "decile", ntile_from_rank(F.col("_rn"), n_users, n_buckets)
+        )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("total_centis").cast("long").alias("sum_centis"),
+        F.min("total_centis").cast("long").alias("min_centis"),
+        F.max("total_centis").cast("long").alias("max_centis"),
+    )
+
+
 def top_event_paths(events: DataFrame, length: int = 3, k: int = 20,
                     user_col: str = "user_id", ts_col: str = "ts_ns",
                     type_col: str = "event_type") -> DataFrame:

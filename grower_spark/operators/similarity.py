@@ -618,3 +618,52 @@ def lsh_ann_topk(
         )
     cand = c.join(F.broadcast(q), "_bkt").where(F.col(id_col) != F.col(qid_col))
     return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
+
+
+def density_vs_panel(
+    corpus: DataFrame,
+    panel: DataFrame,
+    tau: float = 0.2,
+    min_close: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pid_col: str = "pid",
+    pvec_col: str = "pvec",
+) -> DataFrame:
+    """Embedding-density estimate against a FIXED reference panel, for
+    density-based outlier filtering: per corpus vector, how many panel
+    vectors lie within cosine >= ``tau``; vectors with fewer than
+    ``min_close`` close references are flagged ``is_outlier`` — points
+    in no populated region of the embedding space (OCR garbage, format
+    noise, adversarial spam) that a quality pipeline drops or routes to
+    review.
+
+    Scale contract: the panel is the BOUNDED side (a deterministic
+    reference sample, thousands of vectors at 100 TB — the caller picks
+    it; it must fit in a broadcast).  The plan is then one broadcast
+    nested-loop pass: corpus x panel scoring, map-side, followed by a
+    corpus-keyed count — linear in corpus size, embarrassingly
+    parallel, no corpus shuffle at all when the count groups on the
+    already-unique ``id_col`` (partial aggregation collapses each group
+    to one row before the exchange).  Never corpus x corpus: true
+    per-point kNN density is quadratic; density-vs-panel is the
+    standard linear estimator of the same signal.
+
+    Self-pairs (panel drawn from the corpus, same id) are excluded so a
+    panel member's own density is not inflated by its self-similarity.
+
+    Output: ``(vec_id, n_close bigint, is_outlier int)``.
+    """
+    pairs = corpus.crossJoin(F.broadcast(panel))
+    close = (
+        (F.round(cosine(F.col(vec_col), F.col(pvec_col)), 4) >= tau)
+        & (F.col(id_col) != F.col(pid_col))
+    ).cast("long")
+    counted = pairs.groupBy(id_col).agg(
+        F.sum(close).cast("long").alias("n_close")
+    )
+    return counted.select(
+        id_col,
+        "n_close",
+        (F.col("n_close") < min_close).cast("int").alias("is_outlier"),
+    )
