@@ -31,6 +31,9 @@ all still absent.  Unchanged.
 the transformWithState e2e stays auto-skipped, the wire-codec path
 stays the drivable Kafka stand-in, stdlib media kernels stay the decode
 surface.
+2026-08-15 r9 (second session): re-probed (spark-sql-kafka* recursive
+glob under /opt, `import PIL` / `import google.protobuf` /
+`import kafka`): all still absent.  Unchanged.
 """
 
 from __future__ import annotations

@@ -187,3 +187,37 @@ def test_global_row_number_empty_and_tiny(spark):
     res = ranked.withColumn("nt", ntile_from_rank(F.col("rn"), n, 10)).collect()
     by_id = {r["id"]: (r["rn"], r["nt"]) for r in res}
     assert by_id[1] == (1, 1) and by_id[2] == (2, 2)
+
+
+def test_density_np_parity_with_hof(spark):
+    """The BLAS density kernel must agree with the HOF fold row-for-row
+    on real test embeddings (rounding boundary absence pinned here) and
+    its plan must be shuffle-free."""
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.similarity import (
+        density_vs_panel, density_vs_panel_np,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    panel = emb.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    hof = density_vs_panel(emb, panel, tau=0.2)
+    np_ = density_vs_panel_np(emb, panel, tau=0.2)
+    assert np_.exceptAll(hof.select("vec_id", "n_close", "is_outlier")).count() == 0
+    assert hof.exceptAll(np_).count() == 0
+    plan = np_._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "np density must be fully map-side"
+
+
+def test_density_np_empty_panel(spark):
+    from grower_spark.operators.similarity import density_vs_panel_np
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    panel = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    out = density_vs_panel_np(emb, panel).collect()
+    assert out[0]["n_close"] == 0 and out[0]["is_outlier"] == 1

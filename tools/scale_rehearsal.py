@@ -208,6 +208,8 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
         event_transitions,
         retention_cohorts,
         top_event_paths,
+        user_lifecycle,
+        value_deciles,
     )
 
     steps = ["view", "click", "purchase"]
@@ -238,6 +240,16 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
         ),
         "events_dau_wau": lambda d: active_user_stats(d).where(
             F.col("wau") >= 0
+        ),
+        # r9 session-2 additions: growth accounting (one window pass,
+        # user-week shuffle) and decile segmentation (user rollup +
+        # distributed global rank — walls should track users, and the
+        # rank must never collapse to one partition)
+        "events_lifecycle": lambda d: user_lifecycle(d).where(
+            F.col("n_new") >= 0
+        ),
+        "events_value_deciles": lambda d: value_deciles(d).where(
+            F.col("n_users") >= 0
         ),
     }
     results: dict = {}
@@ -276,6 +288,8 @@ def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
     the corpus-side scaling of each ANN strategy."""
     from grower_spark.operators.similarity import (
         cosine_topk_np,
+        density_vs_panel,
+        density_vs_panel_np,
         ivf_ann_topk,
         lsh_ann_topk,
     )
@@ -297,6 +311,26 @@ def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
         "ann_ivf": lambda c, q: ivf_ann_topk(
             c, q, k=10, n_cells=16, n_probe=2, dim=64
         ),
+        # r9 session-2: density outlier filter vs a FIXED panel (base-id
+        # range, ~1/11 of the base 5000-vector table at every factor) —
+        # the production contract is a bounded broadcast reference set,
+        # so wall should be linear in the corpus and shuffle ~flat
+        "embedding_density": lambda c, q: density_vs_panel(
+            c,
+            c.where((F.col("vec_id") < 5000) & (F.col("vec_id") % 11 == 0))
+             .select(F.col("vec_id").alias("pid"),
+                     F.col("embedding").alias("pvec")),
+            tau=0.2,
+        ).where(F.col("n_close") >= 0),
+        # BLAS twin: same contract, matmul kernel (the production path
+        # at real dims/panels — parity pytest pins row equality)
+        "embedding_density_np": lambda c, q: density_vs_panel_np(
+            c,
+            c.where((F.col("vec_id") < 5000) & (F.col("vec_id") % 11 == 0))
+             .select(F.col("vec_id").alias("pid"),
+                     F.col("embedding").alias("pvec")),
+            tau=0.2,
+        ).where(F.col("n_close") >= 0),
     }
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
@@ -370,6 +404,7 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
     from grower_spark.operators.dedup import (
         drop_common_paragraphs,
         minhash_lsh_pairs,
+        ngram_containment_pairs,
         ngram_jaccard_pairs,
         ngram_jaccard_pairs_prefix,
     )
@@ -389,6 +424,11 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
         "drop_common_paragraphs": lambda d: drop_common_paragraphs(
             d.select("doc_id", F.col("text_par").alias("text")),
             min_df=PARA_MIN_DF,
+        ),
+        # r9 session-2: containment shares ngram_jaccard's pair-emit core,
+        # so its scaling exponent should match ngram_jaccard_base
+        "doc_containment": lambda d: ngram_containment_pairs(
+            d, threshold=0.25, max_shingle_df=cap
         ),
     }
     if only:
