@@ -134,24 +134,61 @@ def hourly_baseline_outliers(events: DataFrame, ts_col: str = "ts",
     """
     from pyspark.sql import functions as F
 
-    cells = events.where(F.col(ts_col).isNotNull()).groupBy(
+    cells = hourly_cells(events, ts_col=ts_col, type_col=type_col)
+    mad = hourly_baselines_from_cells(cells)
+    return score_hourly_cells(cells, mad, z_cut=z_cut)
+
+
+def hourly_cells(events: DataFrame, ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """(type, day, hour-of-day) traffic cell counts — the bounded frame
+    (types × days × 24) every hourly-baseline step runs over."""
+    from pyspark.sql import functions as F
+
+    return events.where(F.col(ts_col).isNotNull()).groupBy(
         F.col(type_col).alias("event_type"),
         F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"),
         F.hour(ts_col).cast("int").alias("hod"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def hourly_baselines_from_cells(cells: DataFrame) -> DataFrame:
+    """Fit the (type, hour-of-day) diurnal baseline — median and MAD of
+    the per-day cell counts — over a trusted history window.  This is
+    the MODEL step of the streaming twin
+    (``streaming/stateful.py::streaming_hourly_anomaly``): fit offline
+    on history, broadcast the bounded (types × 24)-row result against
+    the live stream.  Output: ``(event_type, hod, med, mad)``."""
+    from pyspark.sql import functions as F
+
     med = cells.groupBy("event_type", "hod").agg(
         F.expr("percentile(n, 0.5D)").alias("med")
     )
     dev = cells.join(med, ["event_type", "hod"]).withColumn(
         "_ad", F.abs(F.col("n") - F.col("med"))
     )
-    mad = dev.groupBy("event_type", "hod").agg(
+    return dev.groupBy("event_type", "hod").agg(
         F.first("med").alias("med"),
         F.expr("percentile(_ad, 0.5D)").alias("mad"),
     )
-    return dev.drop("med").join(mad, ["event_type", "hod"]).select(
+
+
+def score_hourly_cells(cells: DataFrame, baselines: DataFrame,
+                       z_cut: float = 3.0) -> DataFrame:
+    """Score traffic cells against fitted (type, hod) baselines.  A cell
+    with no baseline row (type/hod unseen in history) scores med/mad
+    NULL and is_outlier 0 — unseen traffic shapes are a coverage gap to
+    close upstream, not an alert.  A zero MAD flags nothing (multiplied
+    comparison, never a division)."""
+    from pyspark.sql import functions as F
+
+    joined = cells.join(F.broadcast(baselines), ["event_type", "hod"], "left")
+    ad = F.abs(F.col("n") - F.col("med"))
+    return joined.select(
         "event_type", "day", "hod", "n", "med", "mad",
-        (
-            (F.col("mad") > 0) & (F.col("_ad") > F.lit(z_cut) * F.col("mad"))
-        ).cast("int").alias("is_outlier"),
+        F.coalesce(
+            ((F.col("mad") > 0) & (ad > F.lit(z_cut) * F.col("mad")))
+            .cast("int"),
+            F.lit(0),
+        ).alias("is_outlier"),
     )

@@ -285,6 +285,43 @@ def streaming_dau(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def streaming_hourly_anomaly(events: DataFrame, baselines: DataFrame,
+                             z_cut: float = 3.0,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of
+    ``operators.anomaly.hourly_baseline_outliers``: the diurnal
+    (type, hour-of-day) median/MAD baselines are fit OFFLINE on a
+    trusted history window (``hourly_baselines_from_cells`` — the
+    model step; percentile aggregation can't run inside an unbounded
+    stream), then each live hour cell is scored the moment the
+    watermark closes it.
+
+    Plan: one watermarked 1-hour tumbling count per (window, type) —
+    the only stateful operator, state bounded by types × open windows —
+    then a STREAM-STATIC broadcast join against the bounded
+    (types × 24)-row baseline table and the same multiplied-out MAD
+    comparison as batch.  Append mode: each (type, day, hod) row is
+    emitted exactly once, when its hour closes.
+
+    Output matches the batch op row-for-row on closed cells:
+    ``(event_type, day, hod, n, med, mad, is_outlier)``.
+    """
+    from grower_spark.operators.anomaly import score_hourly_cells
+
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cells = counts.select(
+        "event_type",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        F.hour(F.col("w.start")).cast("int").alias("hod"),
+        "n",
+    )
+    return score_hourly_cells(cells, baselines, z_cut=z_cut)
+
+
 # --- transformWithState (Spark 4 native stateful API) -----------------------
 
 PROFILE_SCHEMA = T.StructType(

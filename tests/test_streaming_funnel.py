@@ -274,3 +274,61 @@ def test_streaming_dau_equals_batch(spark, tmp_path):
                 for r in active_user_stats(batch).collect() if r["dau"] > 0}
     assert got == expected
     assert expected == {"2024-01-01": 2, "2024-01-02": 1, "2024-01-03": 1}
+
+
+def test_streaming_hourly_anomaly_equals_batch(spark, tmp_path):
+    """Closed-cell streaming hourly anomaly must equal the batch
+    hourly_baseline_outliers row-for-row when the baselines are fit on
+    the same history: the stream adds only the watermark lifecycle, not
+    semantics.  The spike hour (20 events vs a baseline median of ~2)
+    must flag in BOTH."""
+    from grower_spark.operators.anomaly import (
+        hourly_baselines_from_cells,
+        hourly_baseline_outliers,
+        hourly_cells,
+    )
+    from grower_spark.streaming.stateful import streaming_hourly_anomaly
+
+    rows = []
+    # 6 quiet days: type "a" sees 2-3 events in the 09:00 hour (the
+    # alternation keeps the baseline MAD nonzero — perfectly uniform
+    # history would have MAD 0, which by contract flags nothing) and 1
+    # at 17:00
+    for d in range(1, 7):
+        rows += [(1, f"2024-01-0{d} 09:10:00", "a"),
+                 (2, f"2024-01-0{d} 09:40:00", "a"),
+                 (1, f"2024-01-0{d} 17:05:00", "a")]
+        if d % 2 == 0:
+            rows.append((3, f"2024-01-0{d} 09:50:00", "a"))
+    # day 7: a 20-event spike in the 09:00 hour
+    spike = [(10 + i, f"2024-01-07 09:{i:02d}:00", "a") for i in range(20)]
+    sentinel = [(99, "2024-01-20 00:00:00", "zzz")]  # closes everything real
+    _write_events(spark, str(tmp_path / "ha" / "b1"), rows)
+    _write_events(spark, str(tmp_path / "ha" / "b2"), spike)
+    _write_events(spark, str(tmp_path / "ha" / "b3"), sentinel)
+
+    batch = spark.read.schema("user_id long, ts timestamp, event_type string") \
+        .parquet(str(tmp_path / "ha" / "b1"), str(tmp_path / "ha" / "b2"))
+    baselines = hourly_baselines_from_cells(hourly_cells(batch))
+    want = {tuple(r) for r in hourly_baseline_outliers(batch).collect()}
+    # sanity: the spike actually flags in batch
+    assert any(r[1] == "2024-01-07" and r[2] == 9 and r[6] == 1 for r in want)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ha" / "*"))
+    )
+    q = (
+        streaming_hourly_anomaly(stream, baselines, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("shourly")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ha"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from shourly").collect()
+           if r["event_type"] != "zzz"}
+    assert got == want
