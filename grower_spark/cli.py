@@ -11,6 +11,8 @@ Subcommands map to the reference's binaries:
   without it, Spark's Kafka connector is required on the classpath)
 - ``syslog``   — cmd/syslog: RFC3164 listeners (tcp/udp/unixgram) ->
   envelope strip -> parse -> typed rows, one process
+- ``layout``   — superset: rewrite a parquet table z-ordered on given
+  columns (operators/zorder.py — multi-dimensional row-group skipping)
 
 Flag names keep the reference's spelling (buffer-size, scrape-interval,
 parallelism, ...) so operators can carry their runbooks over.
@@ -222,6 +224,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="lines per spool file (reference buffer-size)")
     rx.add_argument("--flush-interval", type=float, default=0.25)
 
+    ly = sub.add_parser(
+        "layout",
+        help="rewrite a parquet table z-ordered on the given columns "
+             "(multi-dimensional row-group skipping)",
+    )
+    ly.add_argument("--input", required=True, help="input parquet path")
+    ly.add_argument("--output", required=True, help="output parquet path")
+    ly.add_argument("--cols", required=True,
+                    help="comma-separated numeric/timestamp layout columns")
+    ly.add_argument("--bits", type=int, default=8,
+                    help="rank bits per dimension (2^bits equi-depth cells)")
+    ly.add_argument("--num-files", type=int, default=32)
+
     return p
 
 
@@ -347,6 +362,20 @@ def main(argv: list[str] | None = None) -> int:
         done.wait()
         rx.stop()
         print(f"received={rx.n_received} spool_files={rx.n_flushed_files}")
+        return 0
+
+    if args.command == "layout":
+        from grower_spark.operators.zorder import write_zordered
+        from grower_spark.session import get_spark
+
+        spark = get_spark("grower-spark-layout")
+        df = spark.read.parquet(args.input)
+        cols = [c for c in args.cols.split(",") if c]
+        write_zordered(
+            df, args.output, cols, bits=args.bits, num_files=args.num_files
+        )
+        n = spark.read.parquet(args.output).count()
+        print(f"z-ordered {n} rows on ({', '.join(cols)}) -> {args.output}")
         return 0
 
     from grower_spark.config import ConfigError, PipelineConfig

@@ -107,3 +107,22 @@ def test_zorder_null_and_constant_columns(spark):
     assert by_id[1] is not None  # NULL ranks 0, key defined
     # constant column contributes a constant 0 rank: keys ordered by a
     assert by_id[1] <= by_id[2] <= by_id[3]
+
+
+def test_layout_cli_end_to_end(spark, tmp_path):
+    """`cli layout` rewrites a parquet table z-ordered — same row set,
+    multiple files, reads back clean."""
+    from grower_spark.cli import main
+
+    src = str(tmp_path / "in.parquet")
+    dst = str(tmp_path / "out.parquet")
+    _mk(spark).limit(20_000).write.parquet(src)
+    rc = main([
+        "layout", "--input", src, "--output", dst,
+        "--cols", "a,b", "--bits", "6", "--num-files", "4",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(dst)
+    assert back.count() == 20_000
+    assert back.select(F.sum("id")).first()[0] == \
+        spark.read.parquet(src).select(F.sum("id")).first()[0]
