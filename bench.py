@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     ("events_value_deciles", "collect"),
     ("doc_containment", "noop"),
     ("embedding_density", "noop"),
+    ("corpus_diff", "noop"),
 ]
 
 

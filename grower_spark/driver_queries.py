@@ -5774,6 +5774,54 @@ FROM j
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py): two deterministic views of the
+    documents table stand in for consecutive dataset releases —
+    ``old`` drops ids ending in 7 (these become `added`), ``new`` drops
+    ids ending in 3 (`removed`) and revises the text of ids ending in 1
+    (`changed`); everything else is `unchanged`.  One full-outer hash
+    join on doc_id over map-side (id, hash) projections."""
+    from grower_spark.operators.diff import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 7)
+    new = docs.where(F.col("doc_id") % 10 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+def oracle_corpus_diff() -> str:
+    h = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+    return f"""
+WITH old AS (
+  SELECT doc_id, {h} AS h FROM documents WHERE doc_id % 10 <> 7
+),
+new AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(
+      CASE WHEN doc_id % 10 = 1 THEN text || ' [rev2]' ELSE text END
+    ), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 10 <> 3
+),
+j AS (
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+    old.h AS ho, new.h AS hn,
+    (old.doc_id IS NOT NULL) AS po, (new.doc_id IS NOT NULL) AS pn
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT doc_id,
+  CASE WHEN NOT po THEN 'added'
+       WHEN NOT pn THEN 'removed'
+       WHEN ho IS NOT DISTINCT FROM hn THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -5799,17 +5847,17 @@ FROM j
 #           sampling, the nginx parse→sessionize→funnel composition,
 #           token-budget selection, hourly-baseline anomaly) — every
 #           new operator certifies in its debut round.
-#   20-25 : the six NEW r9 session-2 rows (top-clients heavy hitters,
+#   20-26 : the seven NEW r9 session-2 rows (top-clients heavy hitters,
 #           /16 prefix rollup, lifecycle growth accounting, value
-#           deciles, containment dedup, embedding-density outliers) —
-#           same debut-round rule.
-#   26-50 : rotation by staleness — TPC-H q1-q16 plus the nine
+#           deciles, containment dedup, embedding-density outliers,
+#           snapshot diff) — same debut-round rule.
+#   27-50 : rotation by staleness — TPC-H q1-q15 plus the nine
 #           r6-certified ops (semdedup … semantic_decontam), all last
 #           driver-certified r6/r7, the registry's oldest
-#           certifications.  The session-2 rows displaced tpch_q17-q22
+#           certifications.  The session-2 rows displaced tpch_q16-q22
 #           (r6/r7-certified, fresher than the nine ops) to the 51+
 #           head.
-#   51+   : tpch_q17-q22, the displaced r9 top-ups
+#   51+   : tpch_q16-q22, the displaced r9 top-ups
 #           (events_window_agg … events_rollup), then everything
 #           driver-certified green in r8 (the r8 debuts, the
 #           r5-retained block, the media/LM stability rows), then the
@@ -5848,6 +5896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_deciles": q_events_value_deciles,
     "doc_containment": q_doc_containment,
     "embedding_density": q_embedding_density,
+    "corpus_diff": q_corpus_diff,
     # --- …-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
@@ -5864,7 +5913,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
     "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
     "corpus_vocab": q_corpus_vocab,
@@ -5877,6 +5925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51+: r8-certified green, rotated out; then the r6/r7 rows
     # queued for the r10 window (covered each round by the full-registry
     # CORRECTNESS_LOCAL artifact) ---
+    "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
@@ -6003,6 +6052,7 @@ ORACLES: dict[str, str] = {
     "events_value_deciles": oracle_events_value_deciles(),
     "doc_containment": oracle_doc_containment(),
     "embedding_density": oracle_embedding_density(),
+    "corpus_diff": oracle_corpus_diff(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),

@@ -221,3 +221,28 @@ def test_density_np_empty_panel(spark):
     )
     out = density_vs_panel_np(emb, panel).collect()
     assert out[0]["n_close"] == 0 and out[0]["is_outlier"] == 1
+
+
+def test_corpus_diff_statuses_and_null_text(spark):
+    from grower_spark.operators.diff import corpus_diff, corpus_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None), (6, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None), (6, "filled")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",  # NULL -> NULL is not a change
+        6: "changed",    # NULL -> text IS (null-safe compare)
+    }
+    summary = {r["status"]: r["n_docs"]
+               for r in corpus_diff_summary(old, new).collect()}
+    assert summary == {"unchanged": 2, "changed": 2, "removed": 1, "added": 1}
