@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     ("doc_containment", "noop"),
     ("embedding_density", "noop"),
     ("corpus_diff", "noop"),
+    ("sample_weighted", "noop"),
+    ("quality_adaptive", "collect"),
+    ("embedding_diversity", "collect"),
+    ("term_affinity", "collect"),
 ]
 
 

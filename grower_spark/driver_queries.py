@@ -5822,6 +5822,148 @@ FROM j
 """
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson sampling (operators/sampling.py): inclusion
+    probability proportional to document length (n_chars), expected 500
+    rows — the token-weighted corpus downsample used when a char budget,
+    not a doc budget, is the constraint.  One scalar aggregate broadcast
+    + a pure map-side integer filter; zero shuffles after W."""
+    from grower_spark.operators.sampling import weighted_poisson_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_poisson_sample(
+        docs, "n_chars", target_rows=500, key_col="doc_id", salt="wps"
+    ).select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def oracle_sample_weighted() -> str:
+    return """
+WITH w AS (SELECT CAST(sum(n_chars) AS BIGINT) AS wt FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents, w
+WHERE (CAST(('0x' || substr(md5('wps|' || CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1000000) * wt
+      < 1000000 * 500 * n_chars
+"""
+
+
+def q_quality_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality gate (operators/sampling.py): keep
+    the top 300 permille of each language by alpha-ratio permille score.
+    The cutoff adapts to each language's own score distribution — no
+    corpus-scale per-language window, just a bounded (lang, score)
+    histogram + broadcast cutoffs.  Emits the per-language audit."""
+    from grower_spark.operators.sampling import adaptive_quality_cut
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    score = F.round(
+        F.lit(1000.0) * n_alpha / F.greatest(F.length("text"), F.lit(1))
+    ).cast("long")
+    scored = docs.select("lang", score.alias("score"))
+    return adaptive_quality_cut(scored, "lang", "score", keep_permille=300)
+
+
+def oracle_quality_adaptive() -> str:
+    return """
+WITH s AS (
+  SELECT lang,
+    CAST(round(1000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1)) AS BIGINT) AS score
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (SELECT lang, score, count(*) AS n FROM s GROUP BY 1, 2),
+r AS (SELECT lang, score, n,
+        sum(n) OVER (PARTITION BY lang ORDER BY score DESC) AS cum_top,
+        sum(n) OVER (PARTITION BY lang) AS total
+      FROM h),
+c AS (SELECT lang, max(score) AS cutoff, max(total) AS n_total
+      FROM r WHERE cum_top * 1000 >= 300 * total GROUP BY 1)
+SELECT s.lang,
+  CAST(max(c.n_total) AS BIGINT) AS n_total,
+  CAST(max(c.cutoff) AS BIGINT) AS cutoff,
+  CAST(count(*) AS BIGINT) AS n_kept
+FROM s JOIN c USING (lang) WHERE s.score >= c.cutoff
+GROUP BY 1
+"""
+
+
+def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diversity (operators/diversity.py): mean
+    pairwise squared distance via the moment identity E||x-y||^2 =
+    2(E||x||^2 - ||Ex||^2) — zero pair enumeration, one aggregation
+    pass, integer-exact in milli-quantized units."""
+    from grower_spark.operators.diversity import embedding_diversity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_diversity(emb, group_col="label")
+
+
+def oracle_embedding_diversity() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id, label,
+    generate_subscripts(embedding, 1) AS pos,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+d AS (SELECT label, pos,
+        CAST(sum(xq) AS BIGINT) AS s1,
+        CAST(sum(xq * xq) AS BIGINT) AS s2p
+      FROM q GROUP BY 1, 2),
+m AS (SELECT label,
+        CAST(sum(s1 * s1) AS BIGINT) AS norm_mean_sq,
+        CAST(sum(s2p) AS BIGINT) AS s2_sum
+      FROM d GROUP BY 1),
+c AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1)
+SELECT c.label, c.n, m.s2_sum, m.norm_mean_sq,
+  CAST(2 * (c.n * m.s2_sum - m.norm_mean_sq) AS DOUBLE)
+    / CAST(c.n * c.n AS DOUBLE) AS diversity
+FROM c JOIN m USING (label)
+"""
+
+
+def q_term_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token-pair affinity (operators/text.py): PMI-without-log
+    collocation mining over consecutive-token bigrams, min pair count 5.
+    Two map-combinable explode→agg shuffles + broadcast unigram joins +
+    a TakeOrderedAndProject top-k (no global sort)."""
+    from grower_spark.operators.text import term_affinity_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_affinity_topk(docs, k=50, min_count=5)
+
+
+def oracle_term_affinity() -> str:
+    return """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n,
+               CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS nb
+        FROM docs),
+tok AS (SELECT doc_id, generate_subscripts(t, 1) AS ord, unnest(t) AS tok
+        FROM docs),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+big AS (SELECT a.tok AS x, b.tok AS y, CAST(count(*) AS BIGINT) AS c_xy
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+        GROUP BY 1, 2 HAVING count(*) >= 5),
+j AS (SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
+        (CAST(c_xy AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+        / ((CAST(ux.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+           * (CAST(uy.c AS DOUBLE) / CAST(tot.n AS DOUBLE))) AS aff
+      FROM big JOIN uni ux ON big.x = ux.tok
+               JOIN uni uy ON big.y = uy.tok, tot)
+SELECT x, y, c_xy, c_x, c_y, round(aff, 4) AS affinity_r4
+FROM j ORDER BY aff DESC, x, y LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -5829,8 +5971,8 @@ FROM j
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
 # Window layout (r9, per VERDICT r8 items 1-4 and ADVICE r8 item 1;
-# sections are 1-8 / 9-14 / 15-19 / 20-50 — exactly 50, AST-checked for
-# duplicate keys in tests):
+# sections are 1-8 / 9-14 / 15-19 / 20-26 / 27-30 / 31-50 — exactly 50,
+# AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
@@ -5851,12 +5993,16 @@ FROM j
 #           /16 prefix rollup, lifecycle growth accounting, value
 #           deciles, containment dedup, embedding-density outliers,
 #           snapshot diff) — same debut-round rule.
-#   27-50 : rotation by staleness — TPC-H q1-q15 plus the nine
-#           r6-certified ops (semdedup … semantic_decontam), all last
-#           driver-certified r6/r7, the registry's oldest
-#           certifications.  The session-2 rows displaced tpch_q16-q22
-#           (r6/r7-certified, fresher than the nine ops) to the 51+
-#           head.
+#   27-30 : the four NEW r9 session-3 rows (weighted Poisson sampling,
+#           per-language adaptive quality cut, embedding diversity via
+#           the moment identity, token-pair affinity) — debut-round
+#           certification rule.
+#   31-50 : rotation by staleness — TPC-H q1-q15 plus five r6-certified
+#           ops (semdedup … shard_shuffle), all last driver-certified
+#           r6/r7, the registry's oldest certifications.  The session-2
+#           rows displaced tpch_q16-q22 and the session-3 rows displaced
+#           dedup_minhash_incremental … semantic_decontam
+#           (r7-certified, fresher) to the 51+ head.
 #   51+   : tpch_q16-q22, the displaced r9 top-ups
 #           (events_window_agg … events_rollup), then everything
 #           driver-certified green in r8 (the r8 debuts, the
@@ -5897,7 +6043,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_containment": q_doc_containment,
     "embedding_density": q_embedding_density,
     "corpus_diff": q_corpus_diff,
-    # --- …-50: staleness rotation (last certified r6/r7) + top-ups ---
+    # --- 27-30: the four NEW r9 session-3 rows ---
+    "sample_weighted": q_sample_weighted,
+    "quality_adaptive": q_quality_adaptive,
+    "embedding_diversity": q_embedding_diversity,
+    "term_affinity": q_term_affinity,
+    # --- 31-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -5918,13 +6069,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab": q_corpus_vocab,
     "tokenize_ids": q_tokenize_ids,
     "shard_shuffle": q_shard_shuffle,
+    # --- 51+: displaced by the session-3 debuts (r7-certified, covered
+    # by the full-registry CORRECTNESS_LOCAL artifact); then
+    # r8-certified green rotated out; then the r6/r7 rows queued for the
+    # r10 window ---
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "events_outliers": q_events_outliers,
     "source_mix": q_source_mix,
     "semantic_decontam": q_semantic_decontam,
-    # --- 51+: r8-certified green, rotated out; then the r6/r7 rows
-    # queued for the r10 window (covered each round by the full-registry
-    # CORRECTNESS_LOCAL artifact) ---
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
@@ -6053,6 +6205,10 @@ ORACLES: dict[str, str] = {
     "doc_containment": oracle_doc_containment(),
     "embedding_density": oracle_embedding_density(),
     "corpus_diff": oracle_corpus_diff(),
+    "sample_weighted": oracle_sample_weighted(),
+    "quality_adaptive": oracle_quality_adaptive(),
+    "embedding_diversity": oracle_embedding_diversity(),
+    "term_affinity": oracle_term_affinity(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),

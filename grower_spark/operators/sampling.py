@@ -333,3 +333,120 @@ def select_within_token_budget(docs: DataFrame, budget_tokens: int,
         F.col("_t").alias(tokens_col),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+def weighted_poisson_sample(df: DataFrame, weight_col: str, target_rows: int,
+                            key_col: str = "doc_id",
+                            salt: str = "wps") -> DataFrame:
+    """Weighted Poisson sampling: keep each row independently with
+    probability ``target_rows * w_i / W`` (W = total weight), so the
+    expected sample size is ``target_rows`` and inclusion probability is
+    proportional to weight — the standard one-pass surrogate for weighted
+    sampling without replacement when exact-k is not required (exact-k
+    A-ES keys need a global top-k AND transcendental ``ln`` whose last-ulp
+    is not engine-portable; Poisson keeps the whole decision in exact
+    integer arithmetic, which is what makes the row oracle-checkable).
+
+    Decision: keep iff  ``u * W < M * target_rows * w_i`` with
+    ``u = md5_60(salt|key) mod M`` (M = 1e6) — pure int64 cross-multiply,
+    no division, no floats.  Rows with probability ≥ 1 (w_i ≥ W/k) are
+    always kept.
+
+    Plan / 100 TB: W is ONE scalar aggregate broadcast back as a literal
+    join-free filter (the 1-row crossJoin pattern, same as
+    decontam.py); the keep decision is then a pure map-side filter —
+    zero shuffles, pushdown-friendly.  Overflow bound: u < 1e6 and
+    M*target_rows*w_i must stay under 2^63 — fine while
+    ``W < 9.2e12`` and ``target_rows * w_i < 9.2e12``; beyond that
+    (trillion-token corpora) flip the comparison to the double form
+    ``u/M < k*w/W`` (two exact-rounded divisions, engine-portable too,
+    just not integer-provable).
+
+    NULL weight or NULL key → dropped (cannot be reproducibly sampled).
+    """
+    m = 1_000_000
+    w_total = df.select(
+        F.sum(F.col(weight_col).cast("long")).alias("_w_total")
+    )
+    u = md5_60(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))) % m
+    return (
+        df.crossJoin(F.broadcast(w_total))
+        .where(
+            u * F.col("_w_total")
+            < F.lit(int(m) * int(target_rows)) * F.col(weight_col).cast("long")
+        )
+        .drop("_w_total")
+    )
+
+
+def adaptive_quality_cut(df: DataFrame, group_col: str, score_col: str,
+                         keep_permille: int) -> DataFrame:
+    """Per-group adaptive score threshold: within every group keep the
+    top ``keep_permille``/1000 of rows by integer score — a per-language
+    (or per-source) quality gate whose cutoff ADAPTS to each group's own
+    score distribution instead of a one-size-fits-all constant (a fixed
+    global cutoff silently deletes low-resource languages whose score
+    distribution sits lower).
+
+    Plan / 100 TB: NO per-group corpus window (a window partitioned by
+    language is a full corpus shuffle with catastrophic skew — one
+    partition per dominant language).  Instead: (1) one map-combinable
+    ``(group, score)`` histogram aggregation — output is model-sized
+    (groups × score cardinality; REQUIRES a bounded integer score, e.g.
+    quality milli-scores), (2) the exact cutoff per group is derived on
+    the histogram with a tiny window (rows = model), (3) cutoffs
+    broadcast-join back and the keep decision is a map-side ``score >=
+    cutoff`` filter.  Ties at the cutoff are kept, so the realized keep
+    rate is ≥ the target (documented over-keep; dropping ties instead
+    would under-keep and delete whole score classes).
+
+    Returns the per-group audit: group, n_total, cutoff, n_kept.
+    """
+    _check_permille(keep_permille, "keep_permille")
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wdesc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = (
+        Window.partitionBy(group_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = hist.select(
+        group_col, score_col, "_n",
+        F.sum("_n").over(wdesc).alias("_cum_top"),
+        F.sum("_n").over(totals).alias("_total"),
+    )
+    # smallest score whose top-cumulative count reaches the target share:
+    # cum_top*1000 >= keep_permille*total, pick max-score row that clears it
+    cutoff = (
+        ranked.where(
+            F.col("_cum_top") * 1000 >= F.lit(keep_permille) * F.col("_total")
+        )
+        .groupBy(group_col)
+        .agg(
+            F.max(score_col).alias("cutoff"),
+            F.max("_total").alias("n_total"),
+        )
+    )
+    kept = (
+        df.join(F.broadcast(cutoff), group_col)
+        .where(F.col(score_col) >= F.col("cutoff"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("cutoff").alias("_c"),
+            F.max("n_total").alias("_t"),
+        )
+    )
+    return kept.select(
+        group_col,
+        F.col("_t").cast("long").alias("n_total"),
+        F.col("_c").cast("long").alias("cutoff"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )

@@ -1005,3 +1005,86 @@ def bm25_topk(df: DataFrame, queries: list[tuple[int, str]], k: int = 10,
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def term_affinity_topk(df: DataFrame, k: int = 50, min_count: int = 5,
+                       text_col: str = "text") -> DataFrame:
+    """Top-k token-pair affinity (pointwise mutual information without
+    the log — ``p(x,y) / (p(x) p(y))`` over consecutive-token bigrams):
+    collocation mining for tokenizer-merge candidates, multi-word-entity
+    discovery, and template detection in a training corpus.  Dropping the
+    ``ln`` keeps the ranking identical (ln is monotone) while keeping the
+    value engine-portable — ``ln``'s last ulp is not, the same reason
+    weighted_poisson_sample avoids A-ES keys.
+
+    Counting: ``c_x`` = token occurrences, ``c_xy`` = consecutive-pair
+    occurrences within a document (no cross-document pairs, same contract
+    as fit_bigram_lm), ``N`` / ``N_b`` = their corpus totals.  Affinity is
+    computed as ``(c_xy/N_b) / ((c_x/N) * (c_y/N))`` — every operand an
+    exact int64, every step an exact-rounded IEEE op in a FIXED
+    parenthesization, so both engines agree bit-for-bit (the naive
+    ``c_xy*N^2`` integer numerator exceeds 2^53 and silently loses
+    exactness in the double cast).
+
+    Plan / 100 TB: one explode→agg shuffle for unigrams, one for bigrams
+    (both map-side combinable — shuffle rows bounded by partitions ×
+    vocab, not corpus); the two scalar totals ride a 1-row broadcast; the
+    unigram table joins in twice (broadcast while vocab fits an executor
+    — beyond that Catalyst degrades to a pair of vocab-keyed shuffle
+    joins, same shape as bigram_lm_score_join's production twin); the
+    final top-k is ``orderBy().limit(k)`` which Spark plans as
+    TakeOrderedAndProject — per-partition heaps merged on the driver,
+    NO global sort shuffle.  ``min_count`` prunes the hapax tail before
+    the joins (rare pairs also have degenerate affinity).
+    """
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    totals = df.where(F.col(text_col).isNotNull()).select(
+        F.sum(n_tok).alias("_n"),
+        F.sum(F.greatest(n_tok - 1, F.lit(0))).alias("_nb"),
+    )
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_structs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda p, c: F.struct(p.alias("x"), c.alias("y")),
+    )
+    big = (
+        df.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    cx = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    joined = (
+        big.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(totals))
+    )
+    aff = (
+        (F.col("c_xy").cast("double") / F.col("_nb").cast("double"))
+        / (
+            (F.col("c_x").cast("double") / F.col("_n").cast("double"))
+            * (F.col("c_y").cast("double") / F.col("_n").cast("double"))
+        )
+    )
+    return (
+        joined.select(
+            "x", "y",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            aff.alias("_aff"),
+        )
+        .orderBy(F.col("_aff").desc(), "x", "y")
+        .limit(k)
+        .select(
+            "x", "y", "c_xy", "c_x", "c_y",
+            F.round("_aff", 4).alias("affinity_r4"),
+        )
+    )

@@ -282,6 +282,39 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
     return results
 
 
+def _diversity(corpus):
+    from grower_spark.operators.diversity import embedding_diversity
+
+    return embedding_diversity(corpus, group_col="label")
+
+
+def _weighted(docs):
+    from grower_spark.operators.sampling import weighted_poisson_sample
+
+    return weighted_poisson_sample(
+        docs, "n_chars", target_rows=500, key_col="doc_id", salt="wps"
+    ).select("doc_id", "n_chars")
+
+
+def _adaptive(docs):
+    from grower_spark.operators.sampling import adaptive_quality_cut
+
+    base = docs.where(F.col("text").isNotNull())
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    score = F.round(
+        F.lit(1000.0) * n_alpha / F.greatest(F.length("text"), F.lit(1))
+    ).cast("long")
+    return adaptive_quality_cut(
+        base.select("lang", score.alias("score")), "lang", "score", 300
+    )
+
+
+def _affinity(docs):
+    from grower_spark.operators.text import term_affinity_topk
+
+    return term_affinity_topk(docs, k=50, min_count=5)
+
+
 def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
                 only: Optional[list[str]] = None) -> dict:
     """Fixed query set (first 64 base vectors), growing corpus: measures
@@ -331,6 +364,10 @@ def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
                      F.col("embedding").alias("pvec")),
             tau=0.2,
         ).where(F.col("n_close") >= 0),
+        # r9 session-3: the moment-identity diversity — O(n·d) with a
+        # model-sized output; wall should be LINEAR in the corpus and the
+        # shuffle bounded by partitions × labels × dim (the partial agg)
+        "embedding_diversity": lambda c, q: _diversity(c),
     }
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
@@ -430,6 +467,14 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
         "doc_containment": lambda d: ngram_containment_pairs(
             d, threshold=0.25, max_shingle_df=cap
         ),
+        # r9 session-3: both should be LINEAR — weighted sampling is one
+        # scalar agg + a map-side filter; the adaptive cut's shuffle is
+        # the bounded (lang, score) histogram, not the corpus
+        "sample_weighted": lambda d: _weighted(d),
+        "quality_adaptive": lambda d: _adaptive(d),
+        # term affinity: two explode→agg shuffles (map-combinable, so the
+        # shuffle tracks vocab growth, sublinear in the corpus) + top-k
+        "term_affinity": lambda d: _affinity(d),
     }
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
