@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     ("quality_adaptive", "collect"),
     ("embedding_diversity", "collect"),
     ("term_affinity", "collect"),
+    ("sample_exact_k", "noop"),
+    ("embedding_dim_stats", "collect"),
+    ("corpus_drift", "collect"),
 ]
 
 

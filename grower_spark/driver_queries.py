@@ -5964,6 +5964,137 @@ FROM j ORDER BY aff DESC, x, y LIMIT 50
 """
 
 
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-source sample (operators/sampling.py): the 30 rows
+    with the smallest portable hash keys in every source — fixed-size
+    eval panels.  Two-phase: bucket-histogram cutoffs keep ~99.9% of
+    the winners with a broadcast filter; only the boundary bucket
+    (≈1/1024 of each group) sees a rank window."""
+    from grower_spark.operators.sampling import sample_exact_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_exact_k_per_group(docs, "source", k=30, key_col="doc_id")
+
+
+def oracle_sample_exact_k() -> str:
+    return """
+WITH h AS (
+  SELECT source, doc_id,
+    CAST(('0x' || substr(md5('ekg|' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS hk
+  FROM documents
+),
+r AS (SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+      FROM h)
+SELECT source, doc_id FROM r WHERE rn <= 30
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding mean/variance (operators/diversity.py):
+    the whitening-fit table, integer-moment exact, one map-combinable
+    (pos)-keyed aggregation with a model-sized output."""
+    from grower_spark.operators.diversity import embedding_dim_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb)
+
+
+def oracle_embedding_dim_stats() -> str:
+    return """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q,
+  CAST(count(*) * sum(xq * xq) - sum(xq) * sum(xq) AS DOUBLE)
+    / CAST(count(*) * count(*) AS DOUBLE) AS var_q
+FROM q GROUP BY 1
+"""
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-distribution drift between two snapshot views
+    (operators/diff.py): the corpus_diff release fixtures (old drops ids
+    ending 7, new drops ids ending 3 and revises ids ending 1) scored by
+    alpha-ratio permille, binned by centile-of-permille into 10 bins —
+    per-bin shares + chi-square drift contributions."""
+    from grower_spark.operators.diff import distribution_drift_bins
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    def scored(d: DataFrame) -> DataFrame:
+        n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+        score = F.round(
+            F.lit(1000.0) * n_alpha / F.greatest(F.length("text"), F.lit(1))
+        ).cast("long")
+        return d.select(score.alias("score"))
+
+    old = scored(docs.where(F.col("doc_id") % 10 != 7))
+    new = scored(
+        docs.where(F.col("doc_id") % 10 != 3).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 1,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    return distribution_drift_bins(old, new, score_col="score",
+                                   n_bins=10, bin_width=100)
+
+
+def oracle_corpus_drift() -> str:
+    return """
+WITH olddocs AS (
+  SELECT text FROM documents
+  WHERE text IS NOT NULL AND doc_id % 10 <> 7
+),
+newdocs AS (
+  SELECT CASE WHEN doc_id % 10 = 1 THEN text || ' [rev2]' ELSE text END
+           AS text
+  FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 3
+),
+so AS (
+  SELECT least(CAST(floor(CAST(round(
+      1000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      / greatest(length(text), 1)) AS BIGINT) / 100.0) AS BIGINT), 9)
+    AS bin
+  FROM olddocs
+),
+sn AS (
+  SELECT least(CAST(floor(CAST(round(
+      1000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      / greatest(length(text), 1)) AS BIGINT) / 100.0) AS BIGINT), 9)
+    AS bin
+  FROM newdocs
+),
+ho AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_old FROM so GROUP BY 1),
+hn AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_new FROM sn GROUP BY 1),
+tt AS (SELECT (SELECT sum(n_old) FROM ho) AS t_old,
+              (SELECT sum(n_new) FROM hn) AS t_new)
+SELECT CAST(bin AS BIGINT) AS bin,
+  coalesce(n_old, 0) AS n_old,
+  coalesce(n_new, 0) AS n_new,
+  CAST(coalesce(n_old, 0) AS DOUBLE) / CAST(t_old AS DOUBLE) AS share_old,
+  CAST(coalesce(n_new, 0) AS DOUBLE) / CAST(t_new AS DOUBLE) AS share_new,
+  CASE WHEN coalesce(n_old, 0) > 0 THEN
+    (CAST(coalesce(n_new, 0) AS DOUBLE) / CAST(t_new AS DOUBLE)
+     - CAST(coalesce(n_old, 0) AS DOUBLE) / CAST(t_old AS DOUBLE))
+    * (CAST(coalesce(n_new, 0) AS DOUBLE) / CAST(t_new AS DOUBLE)
+       - CAST(coalesce(n_old, 0) AS DOUBLE) / CAST(t_old AS DOUBLE))
+    / (CAST(coalesce(n_old, 0) AS DOUBLE) / CAST(t_old AS DOUBLE))
+  END AS drift_contrib
+FROM ho FULL OUTER JOIN hn USING (bin), tt
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -5993,16 +6124,17 @@ FROM j ORDER BY aff DESC, x, y LIMIT 50
 #           /16 prefix rollup, lifecycle growth accounting, value
 #           deciles, containment dedup, embedding-density outliers,
 #           snapshot diff) — same debut-round rule.
-#   27-30 : the four NEW r9 session-3 rows (weighted Poisson sampling,
+#   27-33 : the seven NEW r9 session-3 rows (weighted Poisson sampling,
 #           per-language adaptive quality cut, embedding diversity via
-#           the moment identity, token-pair affinity) — debut-round
-#           certification rule.
-#   31-50 : rotation by staleness — TPC-H q1-q15 plus five r6-certified
-#           ops (semdedup … shard_shuffle), all last driver-certified
-#           r6/r7, the registry's oldest certifications.  The session-2
-#           rows displaced tpch_q16-q22 and the session-3 rows displaced
-#           dedup_minhash_incremental … semantic_decontam
-#           (r7-certified, fresher) to the 51+ head.
+#           the moment identity, token-pair affinity, exact-k per-group
+#           sampling, per-dimension whitening stats, snapshot score-
+#           distribution drift) — debut-round certification rule.
+#   34-50 : rotation by staleness — TPC-H q1-q15 plus semdedup and
+#           pii_redact, all last driver-certified r6/r7, the registry's
+#           oldest certifications.  The session-2 rows displaced
+#           tpch_q16-q22 and the session-3 rows displaced corpus_vocab …
+#           semantic_decontam (r6/r7-certified, fresher) to the 51+
+#           head.
 #   51+   : tpch_q16-q22, the displaced r9 top-ups
 #           (events_window_agg … events_rollup), then everything
 #           driver-certified green in r8 (the r8 debuts, the
@@ -6048,7 +6180,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_adaptive": q_quality_adaptive,
     "embedding_diversity": q_embedding_diversity,
     "term_affinity": q_term_affinity,
-    # --- 31-50: staleness rotation (last certified r6/r7) + top-ups ---
+    "sample_exact_k": q_sample_exact_k,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "corpus_drift": q_corpus_drift,
+    # --- 34-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -6066,13 +6201,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
-    "corpus_vocab": q_corpus_vocab,
-    "tokenize_ids": q_tokenize_ids,
-    "shard_shuffle": q_shard_shuffle,
     # --- 51+: displaced by the session-3 debuts (r7-certified, covered
     # by the full-registry CORRECTNESS_LOCAL artifact); then
     # r8-certified green rotated out; then the r6/r7 rows queued for the
     # r10 window ---
+    "corpus_vocab": q_corpus_vocab,
+    "tokenize_ids": q_tokenize_ids,
+    "shard_shuffle": q_shard_shuffle,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "events_outliers": q_events_outliers,
     "source_mix": q_source_mix,
@@ -6209,6 +6344,9 @@ ORACLES: dict[str, str] = {
     "quality_adaptive": oracle_quality_adaptive(),
     "embedding_diversity": oracle_embedding_diversity(),
     "term_affinity": oracle_term_affinity(),
+    "sample_exact_k": oracle_sample_exact_k(),
+    "embedding_dim_stats": oracle_embedding_dim_stats(),
+    "corpus_drift": oracle_corpus_drift(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),

@@ -60,3 +60,74 @@ def corpus_diff_summary(old: DataFrame, new: DataFrame,
     return corpus_diff(old, new, id_col=id_col, text_col=text_col).groupBy(
         "status"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def distribution_drift_bins(old: DataFrame, new: DataFrame,
+                            score_col: str = "score",
+                            n_bins: int = 10,
+                            bin_width: int = 100) -> DataFrame:
+    """Distribution drift between two snapshots of an integer score
+    (quality permille, length band, LM xent bucket): per-bin shares and
+    the chi-square-style contribution ``(share_new − share_old)² /
+    share_old`` — the release-gate signal for "did this filter change
+    WHAT the corpus looks like, not just how big it is".  (The classic
+    PSI multiplies by ``ln(share_new/share_old)`` — ln's last ulp is not
+    engine-portable, and the chi-square form ranks drift identically for
+    the gate's purpose.)
+
+    Emitting PER-BIN rows, not a single total, is deliberate: the bins
+    are where the diagnosis lives (which score class grew), the output
+    stays model-sized either way, and each contribution is a fixed chain
+    of exact-rounded IEEE ops on exact int64 counts — bit-identical
+    across engines — whereas a cross-bin SUM of doubles would depend on
+    summation order.
+
+    Plan: one map-combinable (bin) histogram per side (shuffle =
+    partitions × bins), a scalar total each, one n_bins-row outer join.
+    Bins: ``least(score // bin_width, n_bins − 1)``, NULL scores
+    excluded.  Empty-side bins get share 0; contribution is NULL when
+    share_old is 0 (division by zero — a brand-new score class is
+    flagged by the share columns themselves).
+    """
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        b = F.least(
+            F.floor(F.col(score_col) / F.lit(bin_width)).cast("long"),
+            F.lit(n_bins - 1),
+        )
+        return (
+            df.where(F.col(score_col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+    # each histogram feeds BOTH the join and its scalar total: without a
+    # checkpoint the corpus scan behind it executes twice per side (the
+    # source_overlap lesson); the checkpointed table is n_bins rows
+    o = hist(old, "old").localCheckpoint(eager=True)
+    n = hist(new, "new").localCheckpoint(eager=True)
+    tot_o = o.select(F.sum("n_old").alias("_to"))
+    tot_n = n.select(F.sum("n_new").alias("_tn"))
+    j = (
+        o.join(n, "bin", "full_outer")
+        .crossJoin(F.broadcast(tot_o))
+        .crossJoin(F.broadcast(tot_n))
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            "_to", "_tn",
+        )
+    )
+    share_o = F.col("n_old").cast("double") / F.col("_to").cast("double")
+    share_n = F.col("n_new").cast("double") / F.col("_tn").cast("double")
+    contrib = F.when(
+        F.col("n_old") > 0,
+        (share_n - share_o) * (share_n - share_o) / share_o,
+    )
+    return j.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_old", "n_new",
+        share_o.alias("share_old"),
+        share_n.alias("share_new"),
+        contrib.alias("drift_contrib"),
+    )

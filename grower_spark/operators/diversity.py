@@ -84,3 +84,40 @@ def embedding_diversity(emb: DataFrame, group_col: str = "label",
              / (F.col("n") * F.col("n")).cast("double")).alias("diversity"),
         )
     )
+
+
+def embedding_dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean/variance of an embedding column — the fit half
+    of whitening / standardization before ANN or clustering (a dimension
+    with 100× the variance of the rest silently dominates every euclidean
+    distance; this table is what you inspect, and what a z-score
+    transform broadcasts back).
+
+    Same integer-moment machinery as embedding_diversity: milli-quantized
+    int64 sums are summation-order-free (bit-identical on any
+    partitioning), and ``mean = S1/n`` / ``var = (n·S2 − S1²)/n²`` are
+    single exact-rounded divisions of exact int64s, so both engines agree
+    bit-for-bit.  Output is model-sized (one row per dimension);
+    ``dim`` is 1-based.  The shuffle carries partitions × dim partial
+    rows (map-side combine), never corpus × dim.
+    """
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * _Q + F.lit(0.5)).cast("long"),
+    )
+    exploded = emb.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(xq).alias("pos", "xqd")
+    )
+    agg = exploded.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xqd").alias("s1"),
+        F.sum(F.col("xqd") * F.col("xqd")).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return agg.select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias("mean_q"),
+        (var_num.cast("double")
+         / (F.col("n") * F.col("n")).cast("double")).alias("var_q"),
+    )

@@ -450,3 +450,80 @@ def adaptive_quality_cut(df: DataFrame, group_col: str, score_col: str,
         F.col("_c").cast("long").alias("cutoff"),
         F.col("n_kept").cast("long").alias("n_kept"),
     )
+
+
+def sample_exact_k_per_group(df: DataFrame, group_col: str, k: int,
+                             key_col: str = "doc_id",
+                             salt: str = "ekg") -> DataFrame:
+    """EXACT-k uniform sample per group: the k rows with the smallest
+    engine-portable hash keys in every group — fixed-size per-source /
+    per-language eval panels where Poisson's ±sqrt(k) spread is not
+    acceptable.
+
+    The textbook form is one rank window partitioned by group — a full
+    corpus shuffle with catastrophic skew (one partition per dominant
+    group).  This is the select_within_token_budget two-phase shape
+    instead:
+
+    1. one map-combinable ``(group, bucket)`` histogram over hash%1000
+       buckets (model-sized: groups × 1000),
+    2. per group, the cumulative histogram names the boundary bucket
+       where rank k lands — buckets strictly below it are kept OUTRIGHT
+       with a broadcast-join filter (no window, no sort),
+    3. only the boundary bucket's rows (≈ group/1000 of the corpus) go
+       through the rank window to pick the remaining ``k - cum_before``.
+
+    The corpus-scale path is scan + map-side filter; the window sees
+    ~0.1% of rows.  Decision is a pure function of (salt, key), so the
+    sample is partitioning-invariant and reproducible; tie-break on
+    (hash, key) makes it total.  NULL keys cannot be reproducibly
+    sampled and are dropped (hash_permille contract).
+    """
+    from pyspark.sql import Window
+
+    h = md5_60(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    # bucket by the hash's HIGH bits (h >> 50 → 1024 buckets), not
+    # h % 1000: the bucket order must be compatible with the rank order
+    # (h1 < h2 ⟹ b1 <= b2), or "all buckets below the boundary" would
+    # not be "the smallest hashes".  Shift, not division: `/` on longs
+    # is DOUBLE division in Spark and 2^60-scale values exceed double's
+    # 53-bit mantissa — boundary rows would misbucket.
+    base = df.where(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(key_col).alias("_id"),
+        h.alias("_h"), F.shiftright(h, 50).cast("long").alias("_b"),
+    )
+    hist = base.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    wasc = (
+        Window.partitionBy("_g").orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "_g", "_b", "_n",
+        (F.sum("_n").over(wasc) - F.col("_n")).alias("_cum_before"),
+    )
+    # the boundary bucket: first bucket whose cumulative count reaches k
+    boundary = (
+        cum.where((F.col("_cum_before") < k)
+                  & (F.col("_cum_before") + F.col("_n") >= k))
+        .select(F.col("_g").alias("_bg"), F.col("_b").alias("_bb"),
+                (F.lit(k) - F.col("_cum_before")).alias("_need"))
+    )
+    # groups smaller than k have NO boundary bucket: every row is below
+    # an (absent) cutoff, so keep-all semantics falls out of the left join
+    marked = base.join(
+        F.broadcast(boundary),
+        (base["_g"] == F.col("_bg")), "left",
+    )
+    whole = marked.where(
+        F.col("_bb").isNull() | (F.col("_b") < F.col("_bb"))
+    ).select("_g", "_id")
+    wrank = Window.partitionBy("_g").orderBy("_h", "_id")
+    part = (
+        marked.where(F.col("_b") == F.col("_bb"))
+        .withColumn("_r", F.row_number().over(wrank))
+        .where(F.col("_r") <= F.col("_need"))
+        .select("_g", "_id")
+    )
+    return whole.unionByName(part).select(
+        F.col("_g").alias(group_col), F.col("_id").alias(key_col)
+    )

@@ -174,3 +174,124 @@ def test_term_affinity_min_count_prunes(spark):
     pairs = {(r.x, r.y) for r in got}
     assert ("rare", "pair") not in pairs
     assert ("a", "b") in pairs
+
+
+# --- sample_exact_k_per_group -----------------------------------------------
+
+
+def test_exact_k_matches_window_definition(spark):
+    from grower_spark.functions.hashing import md5_60_py
+    from grower_spark.operators.sampling import sample_exact_k_per_group
+
+    rows = [(i, f"src{i % 5}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = sample_exact_k_per_group(df, "grp", k=25, key_col="doc_id")
+    picked = sorted((r.grp, r.doc_id) for r in got.collect())
+    # oracle definition: the 25 smallest (hash, id) per group
+    by_grp = {}
+    for i, g in rows:
+        by_grp.setdefault(g, []).append((md5_60_py(f"ekg|{i}"), i))
+    want = sorted(
+        (g, i)
+        for g, hs in by_grp.items()
+        for _, i in sorted(hs)[:25]
+    )
+    assert picked == want
+    assert len(picked) == 5 * 25
+
+
+def test_exact_k_small_group_keeps_all(spark):
+    from grower_spark.operators.sampling import sample_exact_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, "tiny") for i in range(7)] + [(100 + i, "big") for i in range(50)],
+        "doc_id long, grp string",
+    )
+    got = sample_exact_k_per_group(df, "grp", k=10, key_col="doc_id")
+    counts = {}
+    for r in got.collect():
+        counts[r.grp] = counts.get(r.grp, 0) + 1
+    assert counts == {"tiny": 7, "big": 10}
+
+
+def test_exact_k_partitioning_invariant(spark):
+    from grower_spark.operators.sampling import sample_exact_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(600)], "doc_id long, grp string"
+    )
+    a = sorted((r.grp, r.doc_id) for r in
+               sample_exact_k_per_group(df, "grp", 20).collect())
+    b = sorted((r.grp, r.doc_id) for r in
+               sample_exact_k_per_group(df.repartition(11), "grp", 20).collect())
+    assert a == b
+
+
+# --- embedding_dim_stats ----------------------------------------------------
+
+
+def test_dim_stats_exact(spark):
+    from grower_spark.operators.diversity import embedding_dim_stats
+
+    vecs = [[0.0, 1.0], [0.002, 3.0], [0.004, 5.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.dim: r for r in embedding_dim_stats(df).collect()}
+    # quantized: dim1 -> [0, 2, 4], dim2 -> [1000, 3000, 5000]
+    assert got[1].n == 3 and got[1].mean_q == 2.0
+    assert got[1].var_q == pytest.approx(8.0 / 3.0, abs=0)  # (0,2,4) var
+    assert got[2].mean_q == 3000.0
+    assert got[2].var_q == pytest.approx(8.0 / 3.0 * 1e6, abs=0)
+
+
+def test_dim_stats_partitioning_invariant_bits(spark):
+    from grower_spark.operators.diversity import embedding_dim_stats
+
+    rows = [
+        (i, [((i * 13 + d * 7) % 100 - 50) / 31.0 for d in range(6)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {r.dim: (r.mean_q, r.var_q)
+         for r in embedding_dim_stats(df).collect()}
+    b = {r.dim: (r.mean_q, r.var_q)
+         for r in embedding_dim_stats(df.repartition(9)).collect()}
+    assert a == b
+
+
+# --- distribution_drift_bins ------------------------------------------------
+
+
+def test_drift_bins_identical_snapshots_zero(spark):
+    from grower_spark.operators.diff import distribution_drift_bins
+
+    df = spark.createDataFrame(
+        [(i % 1000,) for i in range(500)], "score long"
+    )
+    got = distribution_drift_bins(df, df).collect()
+    assert all(r.drift_contrib == 0.0 for r in got)
+    assert all(r.n_old == r.n_new for r in got)
+
+
+def test_drift_bins_detects_shift(spark):
+    from grower_spark.operators.diff import distribution_drift_bins
+
+    old = spark.createDataFrame([(50,)] * 80 + [(950,)] * 20, "score long")
+    new = spark.createDataFrame([(50,)] * 20 + [(950,)] * 80, "score long")
+    got = {r.bin: r for r in distribution_drift_bins(old, new).collect()}
+    assert got[0].share_old == 0.8 and got[0].share_new == 0.2
+    # contribution: (0.2-0.8)^2/0.8 = 0.45
+    assert got[0].drift_contrib == pytest.approx(0.45, abs=1e-12)
+    assert got[9].drift_contrib == pytest.approx(0.36 / 0.2, abs=1e-12)
+
+
+def test_drift_bins_new_class_null_contrib(spark):
+    from grower_spark.operators.diff import distribution_drift_bins
+
+    old = spark.createDataFrame([(50,)] * 10, "score long")
+    new = spark.createDataFrame([(50,)] * 5 + [(550,)] * 5, "score long")
+    got = {r.bin: r for r in distribution_drift_bins(old, new).collect()}
+    assert got[5].n_old == 0 and got[5].n_new == 5
+    assert got[5].drift_contrib is None
