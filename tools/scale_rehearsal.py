@@ -315,6 +315,31 @@ def _affinity(docs):
     return term_affinity_topk(docs, k=50, min_count=5)
 
 
+def _exact_k(docs):
+    from grower_spark.operators.sampling import sample_exact_k_per_group
+
+    return sample_exact_k_per_group(docs, "source", k=30, key_col="doc_id")
+
+
+def _drift(docs):
+    from grower_spark.operators.diff import distribution_drift_bins
+
+    base = docs.where(F.col("text").isNotNull())
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    score = F.round(
+        F.lit(1000.0) * n_alpha / F.greatest(F.length("text"), F.lit(1))
+    ).cast("long")
+    scored = base.select(score.alias("score"))
+    old = base.where(F.col("doc_id") % 10 != 7).select(score.alias("score"))
+    return distribution_drift_bins(old, scored, score_col="score")
+
+
+def _dim_stats(corpus):
+    from grower_spark.operators.diversity import embedding_dim_stats
+
+    return embedding_dim_stats(corpus)
+
+
 def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
                 only: Optional[list[str]] = None) -> dict:
     """Fixed query set (first 64 base vectors), growing corpus: measures
@@ -368,6 +393,7 @@ def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
         # model-sized output; wall should be LINEAR in the corpus and the
         # shuffle bounded by partitions × labels × dim (the partial agg)
         "embedding_diversity": lambda c, q: _diversity(c),
+        "embedding_dim_stats": lambda c, q: _dim_stats(c),
     }
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
@@ -475,6 +501,12 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
         # term affinity: two explode→agg shuffles (map-combinable, so the
         # shuffle tracks vocab growth, sublinear in the corpus) + top-k
         "term_affinity": lambda d: _affinity(d),
+        # exact-k: histogram shuffle is groups × buckets × partitions;
+        # the rank window sees only the boundary buckets (~0.1%)
+        "sample_exact_k": lambda d: _exact_k(d),
+        # drift bins: two histogram shuffles (partitions × bins) + a
+        # 10-row join — wall should be pure scan growth
+        "corpus_drift": lambda d: _drift(d),
     }
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
