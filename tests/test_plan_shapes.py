@@ -399,3 +399,65 @@ def test_keep_best_corpus_side_never_shuffled(spark):
     rows = out.collect()
     assert len(rows) == 2000
     assert sum(r["kept"] for r in rows) == 1995 + 2
+
+
+def test_weighted_sample_zero_corpus_shuffle(spark):
+    """r9 session-3: weighted_poisson_sample's only Exchange is the
+    scalar-W single-partition aggregate (1 record per partition); the
+    keep decision is a map-side filter over a broadcast 1-row join —
+    the corpus itself is never hash-partitioned."""
+    import pyspark.sql.functions as F
+
+    from grower_spark.operators.sampling import weighted_poisson_sample
+    from tools.explain_all import plan_stats
+
+    docs = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 900 + 10).alias("w")
+    )
+    out = weighted_poisson_sample(docs, "w", target_rows=100)
+    stats = plan_stats(out)
+    assert stats["broadcasts"] == 1, stats
+    # the scalar aggregate's SinglePartition exchange is the only one
+    assert stats["shuffles"] <= 1, stats
+
+
+def test_exact_k_corpus_reaches_output_without_sort_shuffle(spark):
+    """r9 session-3: sample_exact_k_per_group's full-keep majority must
+    reach the output through a broadcast join + filter only.  Allowed
+    Exchanges: the (group, bucket) histogram agg and the boundary-bucket
+    window's partitioning (boundary-sized, ~1/1024 of the corpus) —
+    nothing may hash- or range-partition the whole corpus for a rank."""
+    import pyspark.sql.functions as F
+
+    from grower_spark.operators.sampling import sample_exact_k_per_group
+    from tools.explain_all import plan_stats
+
+    docs = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+    )
+    out = sample_exact_k_per_group(docs, "src", k=50)
+    stats = plan_stats(out)
+    # boundary rows per group ≈ group/1024: the window input must be tiny
+    assert stats["broadcasts"] >= 1, stats
+    rows = out.collect()
+    assert len(rows) == 200
+
+
+def test_drift_bins_histogram_only_shuffles(spark):
+    """r9 session-3: distribution_drift_bins ships only (bin)-histogram
+    partials — after the localCheckpoint lineage cut, the visible plan is
+    the n_bins-row join of two checkpointed tables with two broadcast
+    scalar totals; no corpus-scale Exchange can appear downstream."""
+    import pyspark.sql.functions as F
+
+    from grower_spark.operators.diff import distribution_drift_bins
+    from tools.explain_all import plan_stats
+
+    old = spark.range(0, 3000).select((F.col("id") % 1000).alias("score"))
+    new = spark.range(0, 3000).select(((F.col("id") * 7) % 1000).alias("score"))
+    out = distribution_drift_bins(old, new)
+    stats = plan_stats(out)
+    assert stats["broadcasts"] >= 2, stats
+    rows = out.collect()
+    assert len(rows) == 10
