@@ -527,3 +527,27 @@ def sample_exact_k_per_group(df: DataFrame, group_col: str, k: int,
     return whole.unionByName(part).select(
         F.col("_g").alias(group_col), F.col("_id").alias(key_col)
     )
+
+
+def weighted_sample_filter(df: DataFrame, weight_col: str, target_rows: int,
+                           w_total: int, key_col: str = "doc_id",
+                           salt: str = "wps") -> DataFrame:
+    """The STREAMING-COMPATIBLE form of :func:`weighted_poisson_sample`:
+    identical integer keep decision, but the total weight ``W`` is a
+    plan literal fit OFFLINE (the lm_tail_filter contract — a global
+    aggregate cannot run inside an unbounded stream, so the fit epoch's
+    W is pinned and the scoring stage is a pure stateless map filter
+    that works on batch and readStream frames alike).
+
+    Matching batch output requires the same ``w_total`` the batch
+    aggregate would compute; as a live corpus grows past the fit epoch,
+    inclusion probabilities stay pinned to the epoch's scale (documented
+    drift — refit W per epoch, exactly like the LM cutoff)."""
+    m = 1_000_000
+    if w_total <= 0:
+        raise ValueError(f"w_total must be positive, got {w_total}")
+    u = md5_60(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))) % m
+    return df.where(
+        u * F.lit(int(w_total))
+        < F.lit(int(m) * int(target_rows)) * F.col(weight_col).cast("long")
+    )

@@ -403,3 +403,64 @@ def running_profile(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_drift_bins(docs: DataFrame, baseline: DataFrame,
+                         score_col: str = "score", ts_col: str = "ts",
+                         window: str = "1 hour", watermark: str = "2 hours",
+                         n_bins: int = 10, bin_width: int = 100) -> DataFrame:
+    """Streaming twin of ``operators.diff.distribution_drift_bins``: the
+    reference score distribution is fit OFFLINE on the release snapshot
+    (``baseline`` = (bin, share_old) — model-sized, the lm_tail_filter
+    contract), and each watermark-closed ingestion window is scored
+    against it the moment it closes — "is what we're crawling TODAY
+    shaped like the release?" as a live gate instead of a post-hoc diff.
+
+    Plan: ONE stateful aggregation per window — the bins are a FIXED
+    alphabet (0..n_bins-1), so the per-bin counts are n_bins conditional
+    sums inside a single tumbling-window groupBy (a (window, bin) key
+    would also work but doubles the state rows for no reason; chained
+    windowed aggregations would need a second stateful operator).  The
+    pivoted row explodes back to (bin, n_new) rows statelessly, joins the
+    broadcast baseline, and applies the identical chi-square contribution
+    arithmetic — bit-equal to batch on the same rows (pinned in pytest).
+
+    Output per closed window × bin: ``(win_start, bin, n_new, share_new,
+    drift_contrib)``; contrib NULL where the baseline share is 0.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) / F.lit(bin_width)).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    aggs = [
+        F.sum(F.when(b == i, 1).otherwise(0)).cast("long").alias(f"_b{i}")
+        for i in range(n_bins)
+    ]
+    pivoted = (
+        docs.where(F.col(score_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(*aggs, F.count(F.lit(1)).cast("long").alias("_tn"))
+    )
+    exploded = pivoted.select(
+        F.col("w.start").alias("win_start"),
+        "_tn",
+        F.posexplode(F.array(*[F.col(f"_b{i}") for i in range(n_bins)]))
+        .alias("bin", "n_new"),
+    ).where(F.col("n_new") > 0)
+    share_n = F.col("n_new").cast("double") / F.col("_tn").cast("double")
+    contrib = F.when(
+        F.col("share_old") > 0,
+        (share_n - F.col("share_old")) * (share_n - F.col("share_old"))
+        / F.col("share_old"),
+    )
+    return (
+        exploded.join(F.broadcast(baseline), "bin", "left")
+        .select(
+            "win_start",
+            F.col("bin").cast("long").alias("bin"),
+            "n_new",
+            share_n.alias("share_new"),
+            contrib.alias("drift_contrib"),
+        )
+    )

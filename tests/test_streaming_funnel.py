@@ -332,3 +332,98 @@ def test_streaming_hourly_anomaly_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("select * from shourly").collect()
            if r["event_type"] != "zzz"}
     assert got == want
+
+
+def test_streaming_drift_bins_equals_batch(spark, tmp_path):
+    """Each watermark-closed window's drift rows must match the batch
+    distribution_drift_bins run over (old snapshot, that window's rows):
+    same bins, same counts, bit-equal shares and chi-square
+    contributions — the streaming side adds only the window lifecycle."""
+    from grower_spark.operators.diff import distribution_drift_bins
+    from grower_spark.streaming.stateful import streaming_drift_bins
+
+    old = spark.createDataFrame(
+        [(i % 1000,) for i in range(200)], "score long"
+    )
+    # one real ingestion hour: a distribution skewed to the top bins
+    win_rows = [(i, "2024-01-01 09:%02d:00" % (i % 60), 900 + (i % 100))
+                for i in range(80)]
+    win_rows += [(100 + i, "2024-01-01 09:30:00", 50) for i in range(20)]
+    sentinel = [(999, "2024-01-02 00:00:00", 10)]
+
+    def write(path, rows):
+        spark.createDataFrame(
+            rows, ["doc_id", "ts_str", "score"]
+        ).select(
+            "doc_id", F.col("ts_str").cast("timestamp").alias("ts"), "score"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    write(str(tmp_path / "dr" / "b1"), win_rows)
+    write(str(tmp_path / "dr" / "b2"), sentinel)
+
+    new_batch = spark.createDataFrame(
+        [(r[2],) for r in win_rows], "score long"
+    )
+    batch = distribution_drift_bins(old, new_batch)
+    want = {
+        (r.bin, r.n_new, r.share_new, r.drift_contrib)
+        for r in batch.collect() if r.n_new > 0
+    }
+    baseline = batch.select("bin", "share_old")
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, score long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "dr" / "*"))
+    )
+    q = (
+        streaming_drift_bins(stream, baseline)
+        .writeStream.format("memory")
+        .queryName("sdrift")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.bin, r.n_new, r.share_new, r.drift_contrib)
+        for r in spark.sql(
+            "select * from sdrift where win_start = '2024-01-01 09:00:00'"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
+    """The literal-W filter must keep exactly the batch sample's rows when
+    given the batch aggregate's W — on a readStream source."""
+    from grower_spark.operators.sampling import (
+        weighted_poisson_sample,
+        weighted_sample_filter,
+    )
+
+    rows = [(i, (i % 9) * 100 + 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    w_total = sum(r[1] for r in rows)
+    want = sorted(
+        r.doc_id for r in
+        weighted_poisson_sample(df, "w", target_rows=100).collect()
+    )
+    path = str(tmp_path / "ws")
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("doc_id long, w long").parquet(path)
+    q = (
+        weighted_sample_filter(stream, "w", 100, w_total)
+        .writeStream.format("memory")
+        .queryName("swsample")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id for r in spark.sql("select doc_id from swsample").collect()
+    )
+    assert got == want
