@@ -362,3 +362,78 @@ def test_transform_with_state_running_profile(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_sessionizer_state_survives_restart(spark, tmp_path):
+    """Exactly-once stateful recovery (r9): a session OPEN when the query
+    stops must resume from checkpointed state on restart and close with
+    ALL its events counted once — the operational contract that lets a
+    100 TB ingestion pipeline be redeployed mid-stream.  A file sink
+    (not memory, which dies with the query) proves no duplicate and no
+    split session across the restart boundary."""
+    import glob
+    import json as _json
+
+    from grower_spark.streaming.stateful import streaming_sessionize
+
+    def _us(s):
+        return int(
+            datetime.datetime.fromisoformat(s + "+00:00").timestamp()
+            * 1_000_000
+        )
+
+    indir = tmp_path / "in"
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # run 1: an OPEN session (two events, nothing can close it yet)
+    _write_events(spark, str(indir / "b1"), [
+        (1, "2024-01-01 09:00:00", "a"),
+        (1, "2024-01-01 09:10:00", "a"),
+    ])
+
+    def run_once():
+        stream = (
+            spark.readStream
+            .schema("user_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir / "*"))
+        )
+        q = (
+            streaming_sessionize(stream, gap_seconds=1800,
+                                 watermark="10 minutes")
+            .writeStream.format("json")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # stops with user 1's session still open in state
+    # run 2: one more event INSIDE the same session, a gap-opener, and a
+    # far-future row to advance the watermark and close everything
+    _write_events(spark, str(indir / "b2"), [
+        (1, "2024-01-01 09:20:00", "a"),
+        (1, "2024-01-01 12:00:00", "a"),
+    ])
+    _write_events(spark, str(indir / "b3"), [(9, "2024-01-03 00:00:00", "a")])
+    run_once()
+
+    rows = []
+    for f in glob.glob(out + "/part-*.json"):
+        with open(f) as fh:
+            rows += [_json.loads(line) for line in fh if line.strip()]
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"],
+                                                r["n_events"])
+        for r in rows if r["user_id"] == 1
+    }
+    # the pre-restart session absorbed the post-restart 09:20 event: ONE
+    # session of 3 events, not a 2-event + 1-event split, and no dupes
+    assert len(rows) == len({(r["user_id"], r["session_start_us"])
+                             for r in rows})
+    assert got[(1, _us("2024-01-01 09:00:00"))] == (
+        _us("2024-01-01 09:20:00"), 3)
+    assert got[(1, _us("2024-01-01 12:00:00"))] == (
+        _us("2024-01-01 12:00:00"), 1)
