@@ -379,29 +379,12 @@ def weighted_poisson_sample(df: DataFrame, weight_col: str, target_rows: int,
     )
 
 
-def adaptive_quality_cut(df: DataFrame, group_col: str, score_col: str,
-                         keep_permille: int) -> DataFrame:
-    """Per-group adaptive score threshold: within every group keep the
-    top ``keep_permille``/1000 of rows by integer score — a per-language
-    (or per-source) quality gate whose cutoff ADAPTS to each group's own
-    score distribution instead of a one-size-fits-all constant (a fixed
-    global cutoff silently deletes low-resource languages whose score
-    distribution sits lower).
-
-    Plan / 100 TB: NO per-group corpus window (a window partitioned by
-    language is a full corpus shuffle with catastrophic skew — one
-    partition per dominant language).  Instead: (1) one map-combinable
-    ``(group, score)`` histogram aggregation — output is model-sized
-    (groups × score cardinality; REQUIRES a bounded integer score, e.g.
-    quality milli-scores), (2) the exact cutoff per group is derived on
-    the histogram with a tiny window (rows = model), (3) cutoffs
-    broadcast-join back and the keep decision is a map-side ``score >=
-    cutoff`` filter.  Ties at the cutoff are kept, so the realized keep
-    rate is ≥ the target (documented over-keep; dropping ties instead
-    would under-keep and delete whole score classes).
-
-    Returns the per-group audit: group, n_total, cutoff, n_kept.
-    """
+def adaptive_cutoffs(df: DataFrame, group_col: str, score_col: str,
+                     keep_permille: int) -> DataFrame:
+    """Per-group score cutoffs for :func:`adaptive_quality_cut`, as a
+    broadcastable ``(group, cutoff, n_total)`` table — the model half of
+    the operator, exposed so pipelines (tools/corpus_build.py) can apply
+    the keep filter inline without the audit aggregation."""
     _check_permille(keep_permille, "keep_permille")
     from pyspark.sql import Window
 
@@ -424,7 +407,7 @@ def adaptive_quality_cut(df: DataFrame, group_col: str, score_col: str,
     )
     # smallest score whose top-cumulative count reaches the target share:
     # cum_top*1000 >= keep_permille*total, pick max-score row that clears it
-    cutoff = (
+    return (
         ranked.where(
             F.col("_cum_top") * 1000 >= F.lit(keep_permille) * F.col("_total")
         )
@@ -434,6 +417,34 @@ def adaptive_quality_cut(df: DataFrame, group_col: str, score_col: str,
             F.max("_total").alias("n_total"),
         )
     )
+
+
+def adaptive_quality_cut(df: DataFrame, group_col: str, score_col: str,
+                         keep_permille: int) -> DataFrame:
+    """Per-group adaptive score threshold: within every group keep the
+    top ``keep_permille``/1000 of rows by integer score — a per-language
+    (or per-source) quality gate whose cutoff ADAPTS to each group's own
+    score distribution instead of a one-size-fits-all constant (a fixed
+    global cutoff silently deletes low-resource languages whose score
+    distribution sits lower).
+
+    Plan / 100 TB: NO per-group corpus window (a window partitioned by
+    language is a full corpus shuffle with catastrophic skew — one
+    partition per dominant language).  Instead: (1) one map-combinable
+    ``(group, score)`` histogram aggregation — output is model-sized
+    (groups × score cardinality; REQUIRES a bounded integer score, e.g.
+    quality milli-scores), (2) the exact cutoff per group is derived on
+    the histogram with a tiny window (rows = model), (3) cutoffs
+    broadcast-join back and the keep decision is a map-side ``score >=
+    cutoff`` filter.  Ties at the cutoff are kept, so the realized keep
+    rate is ≥ the target (documented over-keep; dropping ties instead
+    would under-keep and delete whole score classes).
+
+    Returns the per-group audit: group, n_total, cutoff, n_kept.  The
+    cutoff table alone (for a pipeline's own keep filter) is
+    :func:`adaptive_cutoffs`.
+    """
+    cutoff = adaptive_cutoffs(df, group_col, score_col, keep_permille)
     kept = (
         df.join(F.broadcast(cutoff), group_col)
         .where(F.col(score_col) >= F.col("cutoff"))

@@ -194,3 +194,51 @@ def test_corpus_build_perplexity_stage(spark, raw_docs):
     assert reasons.get(400) == "perplexity"
     assert report["dropped_perplexity"] == 1
     assert not any(d < 100 and r == "perplexity" for d, r in reasons.items())
+
+
+def test_corpus_build_adaptive_quality(spark):
+    """--adaptive-quality-group: each language is cut against its OWN
+    fine-score distribution — the weaker language keeps its top rows
+    where the fixed floor would delete it wholesale; NULL-group docs are
+    auditable quality drops."""
+    rows = (
+        [(i, _distinct_doc(i), "en") for i in range(8)]
+        # "xx" docs: stopword-free so quality_score is LOWER across the
+        # board — a fixed min_quality=3 floor would drop every one
+        + [(50 + i, " ".join(f"z{i}q{k}" for k in range(14)), "xx")
+           for i in range(8)]
+        + [(99, None, "en")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    corpus, drops, report = build_corpus(
+        spark, docs, None,
+        adaptive_quality_group="lang", adaptive_keep_permille=500,
+        max_tokens=64,
+    )
+    kept = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    kept_xx = {d for d in kept if 50 <= d < 90}
+    kept_en = {d for d in kept if d < 50}
+    # both languages survive with ~half their docs (ties may over-keep)
+    assert 4 <= len(kept_en) <= 8
+    assert 4 <= len(kept_xx) <= 8
+    reasons = {r["doc_id"]: r["reason"] for r in drops.collect()}
+    assert reasons[99] == "quality"  # NULL text -> NULL fine score
+
+
+def test_corpus_build_weighted_sample(spark):
+    """--weighted-target-rows: the sample stage keeps ~N rows with
+    inclusion proportional to n_chars, reproducibly across layouts."""
+    rows = [(i, _distinct_doc(i) + " tail" * (i % 5)) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = build_corpus(spark, docs, None, weighted_target_rows=20,
+                     max_tokens=64)
+    b = build_corpus(spark, docs.repartition(7), None,
+                     weighted_target_rows=20, max_tokens=64)
+    ka = sorted(r["doc_id"] for r in a[0].select("doc_id").collect())
+    kb = sorted(r["doc_id"] for r in b[0].select("doc_id").collect())
+    assert ka == kb
+    assert 5 <= len(ka) <= 40  # expected 20, Poisson spread
+    sampled = {r["doc_id"] for r in
+               a[1].where(F.col("reason") == "sampled-out").collect()}
+    assert sampled.isdisjoint(ka)
+    assert a[2]["dropped_sampled_out"] == len(sampled)

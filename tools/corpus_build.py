@@ -67,6 +67,9 @@ def build_corpus(
     bands: int = 4,
     min_shared_bands: int = 2,
     keep_best: bool = False,
+    adaptive_quality_group: str | None = None,
+    adaptive_keep_permille: int = 700,
+    weighted_target_rows: int = 0,
 ):
     """Returns (corpus_df, drops_df, report_dict).
 
@@ -101,7 +104,33 @@ def build_corpus(
     # fail BOTH a `< min` and a `>= min` filter and silently vanish from
     # corpus AND drops — an unscorable doc is a quality drop, auditable
     # like any other
-    keep_cond = F.col("quality_score") >= min_quality
+    if adaptive_quality_group:
+        # per-group ADAPTIVE floor instead of the fixed one: keep the top
+        # keep_permille of each group (language/source) by a fine integer
+        # score — quality_score majors, alpha-ratio permille minors — so
+        # low-resource groups are cut against their OWN distribution
+        # (operators/sampling.py adaptive_cutoffs; bounded histogram, no
+        # corpus-scale per-group window)
+        from grower_spark.operators.sampling import adaptive_cutoffs
+
+        fine = (
+            F.col("quality_score").cast("long") * 1000
+            + F.least(
+                F.round(F.col("alpha_ratio_r4") * 1000).cast("long"),
+                F.lit(999),
+            )
+        )
+        scored = scored.withColumn("_fine_q", fine)
+        cuts = adaptive_cutoffs(
+            scored.where(F.col("_fine_q").isNotNull()).select(
+                adaptive_quality_group, F.col("_fine_q").alias("score")
+            ),
+            adaptive_quality_group, "score", adaptive_keep_permille,
+        ).select(adaptive_quality_group, "cutoff")
+        scored = scored.join(F.broadcast(cuts), adaptive_quality_group, "left")
+        keep_cond = F.col("_fine_q") >= F.col("cutoff")
+    else:
+        keep_cond = F.col("quality_score") >= min_quality
     bad_q = scored.where(~F.coalesce(keep_cond, F.lit(False))).select(
         F.col(id_col), F.lit("quality").alias("reason")
     )
@@ -181,8 +210,24 @@ def build_corpus(
     drops.append(dd.select(F.col(id_col), F.col("reason")))
     pool = pool.join(keep.select(id_col), id_col)
 
-    # 4. deterministic sample (reproducible on any layout)
-    if sample_permille < 1000:
+    # 4. deterministic sample (reproducible on any layout).  The weighted
+    #    variant targets an expected ROW COUNT with inclusion ∝ n_chars
+    #    (operators/sampling.py weighted_poisson_sample — integer-exact,
+    #    one scalar-W broadcast); the permille variant is the classic
+    #    uniform rate.  Both are map-side filters.
+    if weighted_target_rows:
+        from grower_spark.operators.sampling import weighted_poisson_sample
+
+        kept_w = weighted_poisson_sample(
+            pool, "n_chars", weighted_target_rows, key_col=id_col,
+            salt=sample_salt,
+        ).select(id_col)
+        sampled_out = pool.join(
+            F.broadcast(kept_w), id_col, "left_anti"
+        ).select(F.col(id_col), F.lit("sampled-out").alias("reason"))
+        drops.append(sampled_out)
+        pool = pool.join(kept_w, id_col)
+    elif sample_permille < 1000:
         u = hash_permille(F.col(id_col), sample_salt)
         sampled_out = pool.where(u >= sample_permille).select(
             F.col(id_col), F.lit("sampled-out").alias("reason")
@@ -247,6 +292,17 @@ def main() -> int:
     ap.add_argument("--keep-best", action="store_true",
                     help="duplicate families keep their highest-quality "
                          "member instead of the lowest id")
+    ap.add_argument("--adaptive-quality-group", default=None,
+                    help="replace the fixed --min-quality floor with a "
+                         "per-group adaptive cut keyed by this column "
+                         "(e.g. lang); rows with a NULL group are quality "
+                         "drops (no distribution to cut against)")
+    ap.add_argument("--adaptive-keep-permille", type=int, default=700,
+                    help="per-group keep share for --adaptive-quality-group")
+    ap.add_argument("--weighted-target-rows", type=int, default=0,
+                    help="replace the uniform --sample-permille stage with "
+                         "a weighted Poisson sample of ~this many rows, "
+                         "inclusion proportional to n_chars (0 = off)")
     ap.add_argument("--sample-permille", type=int, default=1000)
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="split docs into windows of this many tokens (0 = off)")
@@ -274,6 +330,9 @@ def main() -> int:
         sample_permille=args.sample_permille,
         chunk_tokens=args.chunk_tokens, chunk_overlap=args.chunk_overlap,
         max_tokens=args.max_tokens, keep_best=args.keep_best,
+        adaptive_quality_group=args.adaptive_quality_group,
+        adaptive_keep_permille=args.adaptive_keep_permille,
+        weighted_target_rows=args.weighted_target_rows,
     )
     corpus.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
     drops.write.mode("overwrite").parquet(os.path.join(args.out, "drops"))
