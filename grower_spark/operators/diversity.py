@@ -63,18 +63,23 @@ def embedding_diversity(emb: DataFrame, group_col: str = "label",
         "grp",
         F.posexplode("_xq").alias("pos", "xqd"),
     )
+    # the per-dim rollup already counts the vectors (rows at any one pos
+    # == n; max covers ragged short vectors) — deriving n here instead of
+    # a second corpus-side groupBy saves a full aggregation pass
+    # (r9 plan-audit fix: 3 shuffles → 2, one corpus scan)
     dims = exploded.groupBy("grp", "pos").agg(
         F.sum("xqd").alias("s1"),
         F.sum(F.col("xqd") * F.col("xqd")).alias("s2p"),
+        F.count(F.lit(1)).alias("_cnt"),
     )
     moments = dims.groupBy("grp").agg(
         F.sum(F.col("s1") * F.col("s1")).alias("norm_mean_sq"),
         F.sum("s2p").alias("s2_sum"),
+        F.max("_cnt").alias("n"),
     )
-    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     num = F.lit(2) * (F.col("n") * F.col("s2_sum") - F.col("norm_mean_sq"))
     return (
-        counts.join(moments, "grp")
+        moments
         .select(
             F.col("grp").alias(group_col),
             F.col("n").cast("long").alias("n"),

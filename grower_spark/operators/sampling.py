@@ -407,6 +407,9 @@ def adaptive_cutoffs(df: DataFrame, group_col: str, score_col: str,
     )
     # smallest score whose top-cumulative count reaches the target share:
     # cum_top*1000 >= keep_permille*total, pick max-score row that clears it
+    # the chosen cutoff row (max score among qualifying = min cum_top,
+    # cum_top is monotone decreasing in score) already KNOWS how many
+    # rows clear it — emit it, so the audit needs no second corpus pass
     return (
         ranked.where(
             F.col("_cum_top") * 1000 >= F.lit(keep_permille) * F.col("_total")
@@ -415,6 +418,7 @@ def adaptive_cutoffs(df: DataFrame, group_col: str, score_col: str,
         .agg(
             F.max(score_col).alias("cutoff"),
             F.max("_total").alias("n_total"),
+            F.min("_cum_top").alias("n_kept"),
         )
     )
 
@@ -443,22 +447,19 @@ def adaptive_quality_cut(df: DataFrame, group_col: str, score_col: str,
     Returns the per-group audit: group, n_total, cutoff, n_kept.  The
     cutoff table alone (for a pipeline's own keep filter) is
     :func:`adaptive_cutoffs`.
+
+    The audit is derived ENTIRELY from the histogram — ``n_kept`` is the
+    chosen cutoff row's own top-cumulative count, so the corpus is
+    scanned exactly once (r9 plan-audit fix: the first cut re-joined the
+    cutoffs back to the corpus for a count, re-running the caller's
+    score expression — regex ×4 in the driver row — for a number the
+    histogram already held).
     """
     cutoff = adaptive_cutoffs(df, group_col, score_col, keep_permille)
-    kept = (
-        df.join(F.broadcast(cutoff), group_col)
-        .where(F.col(score_col) >= F.col("cutoff"))
-        .groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.max("cutoff").alias("_c"),
-            F.max("n_total").alias("_t"),
-        )
-    )
-    return kept.select(
+    return cutoff.select(
         group_col,
-        F.col("_t").cast("long").alias("n_total"),
-        F.col("_c").cast("long").alias("cutoff"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("cutoff").cast("long").alias("cutoff"),
         F.col("n_kept").cast("long").alias("n_kept"),
     )
 
