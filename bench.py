@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     ("sample_exact_k", "noop"),
     ("embedding_dim_stats", "collect"),
     ("corpus_drift", "collect"),
+    ("benchmark_leakage", "collect"),
 ]
 
 

@@ -6095,6 +6095,50 @@ FROM ho FULL OUTER JOIN hn USING (bin), tt
 """
 
 
+def q_benchmark_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity report (operators/decontam.py benchmark_leakage):
+    per benchmark item, how many corpus documents share any of its
+    n-grams and how many of its grams leak — the inverse direction of
+    doc_decontaminate (same bench split: doc_id % 31 == 0, n=3), zeros
+    included so clean items are visible."""
+    from grower_spark.operators.decontam import benchmark_leakage
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    return benchmark_leakage(corpus, bench, n=DECONTAM_N)
+
+
+def oracle_benchmark_leakage() -> str:
+    n = DECONTAM_N
+    gram_h = _DUCK_MD5_60.format(x="gram")
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + {n - 1}], ' ') AS gram
+  FROM (SELECT doc_id, w,
+          unnest(range(1, greatest(len(w) - {n - 1}, 1) + 1)) AS i
+        FROM words)
+),
+hashed AS (SELECT doc_id, {gram_h} AS gram_h FROM grams),
+bg AS (SELECT doc_id AS bench_id, gram_h FROM hashed
+       WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+cg AS (SELECT doc_id, gram_h FROM hashed
+       WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0),
+hits AS (SELECT bench_id,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+           CAST(count(DISTINCT gram_h) AS BIGINT) AS n_grams_hit
+         FROM cg JOIN bg USING (gram_h) GROUP BY 1),
+ids AS (SELECT DISTINCT doc_id AS bench_id FROM documents
+        WHERE doc_id % {DECONTAM_BENCH_MOD} = 0 AND text IS NOT NULL)
+SELECT ids.bench_id,
+  coalesce(n_docs_hit, 0) AS n_docs_hit,
+  coalesce(n_grams_hit, 0) AS n_grams_hit
+FROM ids LEFT JOIN hits USING (bench_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -6124,13 +6168,14 @@ FROM ho FULL OUTER JOIN hn USING (bin), tt
 #           /16 prefix rollup, lifecycle growth accounting, value
 #           deciles, containment dedup, embedding-density outliers,
 #           snapshot diff) — same debut-round rule.
-#   27-33 : the seven NEW r9 session-3 rows (weighted Poisson sampling,
+#   27-34 : the eight NEW r9 session-3 rows (weighted Poisson sampling,
 #           per-language adaptive quality cut, embedding diversity via
 #           the moment identity, token-pair affinity, exact-k per-group
 #           sampling, per-dimension whitening stats, snapshot score-
-#           distribution drift) — debut-round certification rule.
-#   34-50 : rotation by staleness — TPC-H q1-q15 plus semdedup and
-#           pii_redact, all last driver-certified r6/r7, the registry's
+#           distribution drift, benchmark-leakage report) — debut-round
+#           certification rule.
+#   35-50 : rotation by staleness — TPC-H q1-q15 plus semdedup, all
+#           last driver-certified r6/r7, the registry's
 #           oldest certifications.  The session-2 rows displaced
 #           tpch_q16-q22 and the session-3 rows displaced corpus_vocab …
 #           semantic_decontam (r6/r7-certified, fresher) to the 51+
@@ -6183,7 +6228,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_exact_k": q_sample_exact_k,
     "embedding_dim_stats": q_embedding_dim_stats,
     "corpus_drift": q_corpus_drift,
-    # --- 34-50: staleness rotation (last certified r6/r7) + top-ups ---
+    "benchmark_leakage": q_benchmark_leakage,
+    # --- 35-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -6200,11 +6246,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
     "semdedup": q_semdedup,
-    "pii_redact": q_pii_redact,
-    # --- 51+: displaced by the session-3 debuts (r7-certified, covered
+    # --- 51+: displaced by the session-3 debuts (r6/r7-certified, covered
     # by the full-registry CORRECTNESS_LOCAL artifact); then
     # r8-certified green rotated out; then the r6/r7 rows queued for the
     # r10 window ---
+    "pii_redact": q_pii_redact,
     "corpus_vocab": q_corpus_vocab,
     "tokenize_ids": q_tokenize_ids,
     "shard_shuffle": q_shard_shuffle,
@@ -6347,6 +6393,7 @@ ORACLES: dict[str, str] = {
     "sample_exact_k": oracle_sample_exact_k(),
     "embedding_dim_stats": oracle_embedding_dim_stats(),
     "corpus_drift": oracle_corpus_drift(),
+    "benchmark_leakage": oracle_benchmark_leakage(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),

@@ -177,3 +177,49 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     bad = contamination_hits(docs, bench, id_col, text_col, n, min_hits,
                              hash_fn).select(id_col)
     return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def benchmark_leakage(docs: DataFrame, bench: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      bench_id_col: str = "bench_id",
+                      n: int = 8, hash_fn: HashFn = md5_60) -> DataFrame:
+    """The INVERSE direction of :func:`contamination_hits`: instead of
+    "which corpus docs are contaminated", report per BENCHMARK item how
+    compromised it is — ``(bench_id, n_docs_hit, n_grams_hit)`` for every
+    benchmark row, zeros included.  This is the eval-integrity report a
+    team reads before trusting a score: an item whose grams appear in
+    thousands of training documents is memorization bait even after the
+    corpus-side drop (decontamination filters the TRAINING set; this
+    audits the EVAL set).
+
+    Plan: same corpus-side single explode pass over the docs as
+    contamination_hits, joined against the broadcast benchmark gram
+    table WITH its item ids (still model-sized — ids add one int per
+    gram).  Only hit rows (tiny by construction) reach the distinct
+    aggregation; the zero rows come from a broadcast left join of the
+    bench id list.  Nothing corpus-scale is ever shuffled.
+    """
+    bgrams = bench.select(
+        F.col(id_col).alias(bench_id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    ).select(bench_id_col, hash_fn(F.col("gram")).alias("gram_h"))
+    doc_grams = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    ).select("_doc", hash_fn(F.col("gram")).alias("gram_h"))
+    hits = (
+        doc_grams.join(F.broadcast(bgrams), "gram_h")
+        .groupBy(bench_id_col)
+        .agg(
+            F.count_distinct("_doc").alias("n_docs_hit"),
+            F.count_distinct("gram_h").alias("n_grams_hit"),
+        )
+    )
+    ids = bench.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias(bench_id_col)
+    ).distinct()
+    return ids.join(hits, bench_id_col, "left").select(
+        bench_id_col,
+        F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+        F.coalesce("n_grams_hit", F.lit(0)).cast("long").alias("n_grams_hit"),
+    )

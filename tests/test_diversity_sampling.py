@@ -295,3 +295,30 @@ def test_drift_bins_new_class_null_contrib(spark):
     got = {r.bin: r for r in distribution_drift_bins(old, new).collect()}
     assert got[5].n_old == 0 and got[5].n_new == 5
     assert got[5].drift_contrib is None
+
+
+# --- benchmark_leakage ------------------------------------------------------
+
+
+def test_benchmark_leakage_attribution_and_zeros(spark):
+    from grower_spark.operators.decontam import benchmark_leakage
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),     # leaks into 2 docs
+         (2, "totally clean eval item"),    # leaks nowhere
+         (3, None)],                        # NULL text: excluded
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "intro alpha beta gamma delta outro"),
+         (11, "alpha beta gamma here too"),
+         (12, "unrelated content entirely different")],
+        "doc_id long, text string",
+    )
+    got = {r.bench_id: r for r in
+           benchmark_leakage(corpus, bench, n=3).collect()}
+    assert set(got) == {1, 2}
+    # item 1: doc 10 shares 'alpha beta gamma' + 'beta gamma delta',
+    # doc 11 shares 'alpha beta gamma' -> 2 docs, 2 distinct grams
+    assert got[1].n_docs_hit == 2 and got[1].n_grams_hit == 2
+    assert got[2].n_docs_hit == 0 and got[2].n_grams_hit == 0
