@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     ("embedding_dim_stats", "collect"),
     ("corpus_drift", "collect"),
     ("benchmark_leakage", "collect"),
+    ("lang_confusion", "collect"),
 ]
 
 

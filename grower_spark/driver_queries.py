@@ -6139,6 +6139,45 @@ FROM ids LEFT JOIN hits USING (bench_id)
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: groupBy over the
+    certified stopword language_id — the mislabeled-metadata detector
+    (a corpus whose `lang` column disagrees with its content poisons
+    every per-language decision downstream: adaptive cuts, stopword
+    quality checks, sampling mixes).  One map-side scoring pass + one
+    bounded (langs × langs) aggregation."""
+    from grower_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        language_id(docs)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def oracle_lang_confusion() -> str:
+    # the same stopword-count CASE as oracle_text_lang_id, with the
+    # declared lang threaded through and a (lang, lang_guess) rollup
+    from grower_spark.operators.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    counts = ", ".join(
+        "len(list_filter(string_split(text, ' '), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"], t))) AS c_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH counts AS (SELECT doc_id, lang, {counts} FROM documents),
+guessed AS (SELECT doc_id, lang, CASE {case} END AS lang_guess FROM counts)
+SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+FROM guessed GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -6168,14 +6207,14 @@ FROM ids LEFT JOIN hits USING (bench_id)
 #           /16 prefix rollup, lifecycle growth accounting, value
 #           deciles, containment dedup, embedding-density outliers,
 #           snapshot diff) — same debut-round rule.
-#   27-34 : the eight NEW r9 session-3 rows (weighted Poisson sampling,
+#   27-35 : the nine NEW r9 session-3 rows (weighted Poisson sampling,
 #           per-language adaptive quality cut, embedding diversity via
 #           the moment identity, token-pair affinity, exact-k per-group
 #           sampling, per-dimension whitening stats, snapshot score-
-#           distribution drift, benchmark-leakage report) — debut-round
-#           certification rule.
-#   35-50 : rotation by staleness — TPC-H q1-q15 plus semdedup, all
-#           last driver-certified r6/r7, the registry's
+#           distribution drift, benchmark-leakage report, language
+#           confusion matrix) — debut-round certification rule.
+#   36-50 : rotation by staleness — TPC-H q1-q15, all last
+#           driver-certified r6/r7, the registry's
 #           oldest certifications.  The session-2 rows displaced
 #           tpch_q16-q22 and the session-3 rows displaced corpus_vocab …
 #           semantic_decontam (r6/r7-certified, fresher) to the 51+
@@ -6229,7 +6268,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "corpus_drift": q_corpus_drift,
     "benchmark_leakage": q_benchmark_leakage,
-    # --- 35-50: staleness rotation (last certified r6/r7) + top-ups ---
+    "lang_confusion": q_lang_confusion,
+    # --- 36-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -6245,11 +6285,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
-    "semdedup": q_semdedup,
     # --- 51+: displaced by the session-3 debuts (r6/r7-certified, covered
     # by the full-registry CORRECTNESS_LOCAL artifact); then
     # r8-certified green rotated out; then the r6/r7 rows queued for the
     # r10 window ---
+    "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
     "corpus_vocab": q_corpus_vocab,
     "tokenize_ids": q_tokenize_ids,
@@ -6394,6 +6434,7 @@ ORACLES: dict[str, str] = {
     "embedding_dim_stats": oracle_embedding_dim_stats(),
     "corpus_drift": oracle_corpus_drift(),
     "benchmark_leakage": oracle_benchmark_leakage(),
+    "lang_confusion": oracle_lang_confusion(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),
