@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     ("corpus_drift", "collect"),
     ("benchmark_leakage", "collect"),
     ("lang_confusion", "collect"),
+    ("events_gap_stats", "collect"),
 ]
 
 

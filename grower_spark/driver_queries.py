@@ -6139,6 +6139,55 @@ FROM ids LEFT JOIN hits USING (bench_id)
 """
 
 
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence per type: exact p50/p90 of the gap (seconds)
+    between a user's consecutive events of the same type — the
+    engagement-rhythm panel behind notification timing and churn-risk
+    heuristics.  One (user, type)-keyed window for the lag (same
+    partitioning family as sessionize), then a bounded per-type
+    percentile aggregation; integer microsecond gaps make the
+    interpolated percentiles engine-exact (the exact_stats precedent)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us")
+    gaps = ev.withColumn("prev_us", F.lag("ts_us").over(w)).where(
+        F.col("prev_us").isNotNull()
+    ).select(
+        "event_type", (F.col("ts_us") - F.col("prev_us")).alias("gap_us")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("percentile(gap_us, array(0.5D, 0.9D))").alias("_p"),
+    ).select(
+        "event_type", "n_gaps",
+        F.floor(F.col("_p")[0] / 1000000).cast("long").alias("p50_s"),
+        F.floor(F.col("_p")[1] / 1000000).cast("long").alias("p90_s"),
+    )
+
+
+def oracle_events_gap_stats() -> str:
+    return """
+WITH e AS (
+  SELECT event_type, user_id,
+    CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+),
+g AS (
+  SELECT event_type,
+    ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts_us) AS gap_us
+  FROM e
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_gaps,
+  CAST(floor(quantile_cont(gap_us, 0.5) / 1000000) AS BIGINT) AS p50_s,
+  CAST(floor(quantile_cont(gap_us, 0.9) / 1000000) AS BIGINT) AS p90_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-vs-detected language confusion matrix: groupBy over the
     certified stopword language_id — the mislabeled-metadata detector
@@ -6207,13 +6256,14 @@ FROM guessed GROUP BY 1, 2
 #           /16 prefix rollup, lifecycle growth accounting, value
 #           deciles, containment dedup, embedding-density outliers,
 #           snapshot diff) — same debut-round rule.
-#   27-35 : the nine NEW r9 session-3 rows (weighted Poisson sampling,
+#   27-36 : the ten NEW r9 session-3 rows (weighted Poisson sampling,
 #           per-language adaptive quality cut, embedding diversity via
 #           the moment identity, token-pair affinity, exact-k per-group
 #           sampling, per-dimension whitening stats, snapshot score-
 #           distribution drift, benchmark-leakage report, language
-#           confusion matrix) — debut-round certification rule.
-#   36-50 : rotation by staleness — TPC-H q1-q15, all last
+#           confusion matrix, inter-event cadence) — debut-round
+#           certification rule.
+#   37-50 : rotation by staleness — TPC-H q1-q14, all last
 #           driver-certified r6/r7, the registry's
 #           oldest certifications.  The session-2 rows displaced
 #           tpch_q16-q22 and the session-3 rows displaced corpus_vocab …
@@ -6269,7 +6319,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drift": q_corpus_drift,
     "benchmark_leakage": q_benchmark_leakage,
     "lang_confusion": q_lang_confusion,
-    # --- 36-50: staleness rotation (last certified r6/r7) + top-ups ---
+    "events_gap_stats": q_events_gap_stats,
+    # --- 37-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -6284,11 +6335,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
-    "tpch_q15": q_tpch_q15,
     # --- 51+: displaced by the session-3 debuts (r6/r7-certified, covered
     # by the full-registry CORRECTNESS_LOCAL artifact); then
     # r8-certified green rotated out; then the r6/r7 rows queued for the
     # r10 window ---
+    "tpch_q15": q_tpch_q15,
     "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
     "corpus_vocab": q_corpus_vocab,
@@ -6435,6 +6486,7 @@ ORACLES: dict[str, str] = {
     "corpus_drift": oracle_corpus_drift(),
     "benchmark_leakage": oracle_benchmark_leakage(),
     "lang_confusion": oracle_lang_confusion(),
+    "events_gap_stats": oracle_events_gap_stats(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),
