@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     ("benchmark_leakage", "collect"),
     ("lang_confusion", "collect"),
     ("events_gap_stats", "collect"),
+    ("lsh_precision", "collect"),
 ]
 
 

@@ -6139,6 +6139,89 @@ FROM ids LEFT JOIN hits USING (bench_id)
 """
 
 
+_LPA_PERMILLE = 200
+
+
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH precision audit (operators/dedup.py lsh_precision_audit): a
+    deterministic 20% sample of the MinHash-LSH candidate pairs, each
+    verified with its exact shingle Jaccard in integer basis points —
+    the evidence behind the num_perm/bands choice.  Verify cost is
+    sample-sized: the gram table is pruned to sampled ids before the
+    intersection join."""
+    from grower_spark.operators.dedup import lsh_precision_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_precision_audit(
+        docs, num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N, hash_fn="md5",
+        sample_permille=_LPA_PERMILLE,
+    )
+
+
+def oracle_lsh_precision() -> str:
+    from grower_spark.operators.dedup import MINHASH_PRIME, minhash_perm_params
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    params = minhash_perm_params(MINHASH_PERMS)
+    base = "list_transform(sh, s -> " + _DUCK_MD5_60.format(x="s") + " % 1073741824)"
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(bh, h -> (h * {a} + {b}) % {MINHASH_PRIME})) AS sig{p}"
+        for p, (a, b) in enumerate(params)
+    )
+    band_exprs = ", ".join(
+        "'" + str(b) + "_' || "
+        + " || '_' || ".join(
+            f"CAST(sig{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    pair_key = "'lpa|' || CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)"
+    pair_u = _DUCK_MD5_60.format(x=pair_key) + " % 1000"
+    gram_h = _DUCK_MD5_60.format(x="g")
+    return f"""
+WITH shing AS (
+  SELECT doc_id, {_duck_shingles()} AS sh FROM documents
+),
+based AS (
+  SELECT doc_id, {base} AS bh FROM shing
+),
+sigs AS (
+  SELECT doc_id, {sig_exprs} FROM based
+),
+buckets AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS bucket FROM sigs
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_bands
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+                                AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sp AS (SELECT * FROM pairs WHERE {pair_u} < {_LPA_PERMILLE}),
+ga AS (
+  SELECT doc_id, {gram_h} AS gh
+  FROM (SELECT doc_id, unnest(sh) AS g FROM shing)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ga GROUP BY 1),
+inter AS (
+  SELECT sp.id_a, sp.id_b, CAST(count(*) AS BIGINT) AS ni
+  FROM sp JOIN ga a ON a.doc_id = sp.id_a
+          JOIN ga b ON b.doc_id = sp.id_b AND b.gh = a.gh
+  GROUP BY 1, 2
+)
+SELECT sp.id_a, sp.id_b, sp.n_bands,
+  coalesce(ni, 0) AS n_inter,
+  (sa.sz + sb.sz - coalesce(ni, 0)) AS n_union,
+  (10000 * coalesce(ni, 0)) // (sa.sz + sb.sz - coalesce(ni, 0))
+    AS jaccard_bp
+FROM sp LEFT JOIN inter USING (id_a, id_b)
+        JOIN sizes sa ON sa.doc_id = sp.id_a
+        JOIN sizes sb ON sb.doc_id = sp.id_b
+"""
+
+
 def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event cadence per type: exact p50/p90 of the gap (seconds)
     between a user's consecutive events of the same type — the
@@ -6256,14 +6339,14 @@ FROM guessed GROUP BY 1, 2
 #           /16 prefix rollup, lifecycle growth accounting, value
 #           deciles, containment dedup, embedding-density outliers,
 #           snapshot diff) — same debut-round rule.
-#   27-36 : the ten NEW r9 session-3 rows (weighted Poisson sampling,
+#   27-37 : the eleven NEW r9 session-3 rows (weighted Poisson sampling,
 #           per-language adaptive quality cut, embedding diversity via
 #           the moment identity, token-pair affinity, exact-k per-group
 #           sampling, per-dimension whitening stats, snapshot score-
 #           distribution drift, benchmark-leakage report, language
-#           confusion matrix, inter-event cadence) — debut-round
-#           certification rule.
-#   37-50 : rotation by staleness — TPC-H q1-q14, all last
+#           confusion matrix, inter-event cadence, LSH precision
+#           audit) — debut-round certification rule.
+#   38-50 : rotation by staleness — TPC-H q1-q13, all last
 #           driver-certified r6/r7, the registry's
 #           oldest certifications.  The session-2 rows displaced
 #           tpch_q16-q22 and the session-3 rows displaced corpus_vocab …
@@ -6320,7 +6403,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benchmark_leakage": q_benchmark_leakage,
     "lang_confusion": q_lang_confusion,
     "events_gap_stats": q_events_gap_stats,
-    # --- 37-50: staleness rotation (last certified r6/r7) + top-ups ---
+    "lsh_precision": q_lsh_precision,
+    # --- 38-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -6334,11 +6418,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q11": q_tpch_q11,
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
-    "tpch_q14": q_tpch_q14,
     # --- 51+: displaced by the session-3 debuts (r6/r7-certified, covered
     # by the full-registry CORRECTNESS_LOCAL artifact); then
     # r8-certified green rotated out; then the r6/r7 rows queued for the
     # r10 window ---
+    "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
     "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
@@ -6487,6 +6571,7 @@ ORACLES: dict[str, str] = {
     "benchmark_leakage": oracle_benchmark_leakage(),
     "lang_confusion": oracle_lang_confusion(),
     "events_gap_stats": oracle_events_gap_stats(),
+    "lsh_precision": oracle_lsh_precision(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),

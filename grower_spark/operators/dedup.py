@@ -1043,3 +1043,80 @@ def drop_common_paragraphs(
             .alias("n_dropped"),
         )
     )
+
+
+def lsh_precision_audit(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_perm: int = 16,
+                        bands: int = 4, shingle_n: int = 3,
+                        hash_fn: str = "md5", sample_permille: int = 200,
+                        salt: str = "lpa") -> DataFrame:
+    """Measure what the LSH bucketing actually trades: a deterministic
+    sample of the candidate pairs, each verified with its EXACT shingle
+    Jaccard — the methodology row behind choosing num_perm/bands (a
+    threshold tuned on faith ships either mass false-merges or silent
+    recall loss; this is the precision half of the contract, recall's
+    half is the ANN recall pytest).
+
+    Plan: candidates from :func:`minhash_lsh_pairs` (one bucket shuffle),
+    a pure-hash pair sample (engine-portable, layout-invariant), then
+    exact verification bounded by SAMPLED pairs only — the gram table is
+    semi-pruned to sampled ids before the intersection join, so the
+    verify cost is sample-sized no matter how big the candidate set is.
+    The sampled pair table is localCheckpointed: three consumers (id
+    pruning, A-side join, verdict left join) must not re-run the LSH
+    subtree.
+
+    Output per sampled pair: ``(id_a, id_b, n_bands, n_inter, n_union,
+    jaccard_bp)`` — integer basis points, exact in both engines.
+    """
+    from grower_spark.functions.hashing import md5_60
+
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle_n=shingle_n, hash_fn=hash_fn,
+    )
+    key = F.concat(
+        F.col("id_a").cast("string"), F.lit("_"), F.col("id_b").cast("string")
+    )
+    u = md5_60(F.concat(F.lit(salt + "|"), key)) % 1000
+    sampled = pairs.where(u < sample_permille).localCheckpoint(eager=True)
+    ids = (
+        sampled.select(F.col("id_a").alias("_doc"))
+        .unionByName(sampled.select(F.col("id_b").alias("_doc")))
+        .distinct()
+    )
+    grams = (
+        df.select(F.col(id_col).alias("_doc"), F.col(text_col))
+        .join(F.broadcast(ids), "_doc")
+        .select(
+            "_doc", F.explode(shingles(F.col(text_col), shingle_n)).alias("g")
+        )
+        .select("_doc", md5_60(F.col("g")).alias("gh"))
+    )
+    sizes = grams.groupBy("_doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sampled.select("id_a", "id_b")
+        .join(grams.select(F.col("_doc").alias("id_a"), "gh"), "id_a")
+        .join(grams.select(F.col("_doc").alias("id_b"), "gh"),
+              ["id_b", "gh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    out = (
+        sampled.join(inter, ["id_a", "id_b"], "left")
+        .join(F.broadcast(sizes.select(F.col("_doc").alias("id_a"),
+                                       F.col("sz").alias("_na"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col("_doc").alias("id_b"),
+                                       F.col("sz").alias("_nb"))), "id_b")
+    )
+    ni = F.coalesce(F.col("_ni"), F.lit(0))
+    union = F.col("_na") + F.col("_nb") - ni
+    return out.select(
+        "id_a", "id_b",
+        F.col("n_bands").cast("long").alias("n_bands"),
+        ni.cast("long").alias("n_inter"),
+        union.cast("long").alias("n_union"),
+    ).withColumn(
+        "jaccard_bp",
+        F.expr("(10000 * n_inter) div n_union").cast("long"),
+    )

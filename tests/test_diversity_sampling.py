@@ -322,3 +322,48 @@ def test_benchmark_leakage_attribution_and_zeros(spark):
     # doc 11 shares 'alpha beta gamma' -> 2 docs, 2 distinct grams
     assert got[1].n_docs_hit == 2 and got[1].n_grams_hit == 2
     assert got[2].n_docs_hit == 0 and got[2].n_grams_hit == 0
+
+
+# --- lsh_precision_audit ----------------------------------------------------
+
+
+def test_lsh_precision_exact_jaccard(spark):
+    from grower_spark.operators.dedup import lsh_precision_audit
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(1, base + "alpha beta gamma"),
+         (2, base + "alpha beta delta"),     # near-dup of 1
+         (3, "completely different content nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    got = lsh_precision_audit(docs, sample_permille=1000).collect()
+    assert got, "the near-dup pair must be an LSH candidate"
+    row = {(r.id_a, r.id_b): r for r in got}[(1, 2)]
+    # exact jaccard recomputed by hand over distinct 3-shingles
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+    a, b = sh(docs.collect()[0].text), sh(docs.collect()[1].text)
+    ni, nu = len(a & b), len(a | b)
+    assert row.n_inter == ni and row.n_union == nu
+    assert row.jaccard_bp == (10000 * ni) // nu
+
+
+def test_lsh_precision_sample_deterministic(spark):
+    from grower_spark.operators.dedup import lsh_precision_audit
+
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix tokens here plus w{i} and w{i + 1} tail")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {(r.id_a, r.id_b) for r in
+         lsh_precision_audit(docs, sample_permille=300).collect()}
+    b = {(r.id_a, r.id_b) for r in
+         lsh_precision_audit(docs.repartition(7),
+                             sample_permille=300).collect()}
+    full = {(r.id_a, r.id_b) for r in
+            lsh_precision_audit(docs, sample_permille=1000).collect()}
+    assert a == b
+    assert a <= full
