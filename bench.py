@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     ("lang_confusion", "collect"),
     ("events_gap_stats", "collect"),
     ("lsh_precision", "collect"),
+    ("doc_quality_outliers", "collect"),
 ]
 
 

@@ -6139,6 +6139,55 @@ FROM ids LEFT JOIN hits USING (bench_id)
 """
 
 
+def q_doc_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust quality outliers: median/MAD of the alpha-ratio
+    permille score per source, with the cross-multiplied outlier count —
+    the "which sources are shipping garbage batches" panel, reusing the
+    certified robust_stats machinery (operators/robust.py) on documents
+    instead of events.  Two bounded exact-median passes, zero-MAD groups
+    flag nothing."""
+    from grower_spark.operators.robust import robust_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    score = F.round(
+        F.lit(1000.0) * n_alpha / F.greatest(F.length("text"), F.lit(1))
+    ).cast("long")
+    return robust_stats(
+        docs.select("source", score.alias("q")), "q", "source", z_cut=3.0
+    )
+
+
+def oracle_doc_quality_outliers() -> str:
+    return """
+WITH v AS (
+  SELECT source,
+    CAST(round(1000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1)) AS BIGINT) AS v
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (SELECT source, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1),
+d AS (
+  SELECT v.source, abs(v.v - m.med) AS ad, m.med
+  FROM v JOIN m USING (source)
+),
+md AS (
+  SELECT source, first(med) AS med, quantile_cont(ad, 0.5) AS mad
+  FROM d GROUP BY 1
+)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n,
+  first(md.med) AS med,
+  first(md.mad) AS mad,
+  CAST(sum(CASE WHEN md.mad > 0 AND d.ad > 3.0 * md.mad THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_outliers
+FROM d JOIN md USING (source)
+GROUP BY 1
+"""
+
+
 _LPA_PERMILLE = 200
 
 
@@ -6339,14 +6388,15 @@ FROM guessed GROUP BY 1, 2
 #           /16 prefix rollup, lifecycle growth accounting, value
 #           deciles, containment dedup, embedding-density outliers,
 #           snapshot diff) — same debut-round rule.
-#   27-37 : the eleven NEW r9 session-3 rows (weighted Poisson sampling,
+#   27-38 : the twelve NEW r9 session-3 rows (weighted Poisson sampling,
 #           per-language adaptive quality cut, embedding diversity via
 #           the moment identity, token-pair affinity, exact-k per-group
 #           sampling, per-dimension whitening stats, snapshot score-
 #           distribution drift, benchmark-leakage report, language
 #           confusion matrix, inter-event cadence, LSH precision
-#           audit) — debut-round certification rule.
-#   38-50 : rotation by staleness — TPC-H q1-q13, all last
+#           audit, per-source robust quality outliers) — debut-round
+#           certification rule.
+#   39-50 : rotation by staleness — TPC-H q1-q12, all last
 #           driver-certified r6/r7, the registry's
 #           oldest certifications.  The session-2 rows displaced
 #           tpch_q16-q22 and the session-3 rows displaced corpus_vocab …
@@ -6404,7 +6454,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion": q_lang_confusion,
     "events_gap_stats": q_events_gap_stats,
     "lsh_precision": q_lsh_precision,
-    # --- 38-50: staleness rotation (last certified r6/r7) + top-ups ---
+    "doc_quality_outliers": q_doc_quality_outliers,
+    # --- 39-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -6417,11 +6468,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "tpch_q11": q_tpch_q11,
     "tpch_q12": q_tpch_q12,
-    "tpch_q13": q_tpch_q13,
     # --- 51+: displaced by the session-3 debuts (r6/r7-certified, covered
     # by the full-registry CORRECTNESS_LOCAL artifact); then
     # r8-certified green rotated out; then the r6/r7 rows queued for the
     # r10 window ---
+    "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
     "semdedup": q_semdedup,
@@ -6572,6 +6623,7 @@ ORACLES: dict[str, str] = {
     "lang_confusion": oracle_lang_confusion(),
     "events_gap_stats": oracle_events_gap_stats(),
     "lsh_precision": oracle_lsh_precision(),
+    "doc_quality_outliers": oracle_doc_quality_outliers(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),
