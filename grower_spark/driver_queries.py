@@ -6155,9 +6155,13 @@ def q_doc_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(
         F.lit(1000.0) * n_alpha / F.greatest(F.length("text"), F.lit(1))
     ).cast("long")
-    return robust_stats(
-        docs.select("source", score.alias("q")), "q", "source", z_cut=3.0
+    # robust_stats makes three passes (median, deviations, count) over
+    # its input: checkpoint the 2-column scored projection once so the
+    # regex runs once, not per pass (the corpus_token_budget lesson)
+    scored = docs.select("source", score.alias("q")).localCheckpoint(
+        eager=True
     )
+    return robust_stats(scored, "q", "source", z_cut=3.0)
 
 
 def oracle_doc_quality_outliers() -> str:
