@@ -464,3 +464,52 @@ def streaming_drift_bins(docs: DataFrame, baseline: DataFrame,
             contrib.alias("drift_contrib"),
         )
     )
+
+
+def streaming_contamination_monitor(docs: DataFrame,
+                                    bench_gram_hashes: list[int],
+                                    ts_col: str = "ts",
+                                    text_col: str = "text",
+                                    window: str = "1 hour",
+                                    watermark: str = "2 hours",
+                                    n: int = 8) -> DataFrame:
+    """Live contamination monitor: per watermark-closed ingestion window,
+    how many documents arrived and how many carry at least one benchmark
+    n-gram — "is the crawler eating the eval set RIGHT NOW" as a gate
+    that fires while the batch decontamination job is still hours away.
+
+    The benchmark gram hashes are fit OFFLINE (``benchmark_ngrams`` +
+    one bounded collect — eval sets are model-sized by contract, the
+    same bound semantic_contamination's broadcast row lives under) and
+    ride as a PLAN LITERAL array, so the per-row flag is a pure
+    stateless ``arrays_overlap`` — no join, no shuffle before the single
+    windowed aggregation.  Plan-literal guidance from decontam.py
+    applies: beyond ~10^5 grams switch to the broadcast-join shape.
+
+    NULL text flags clean (no grams).  Output per closed window:
+    ``(win_start, n_docs, n_contaminated)``; batch-equals-streaming is
+    pinned against contamination_hits in pytest.
+    """
+    from grower_spark.functions.hashing import md5_60
+    from grower_spark.operators.dedup import shingles
+
+    gh = F.transform(
+        shingles(F.col(text_col), n), lambda g: md5_60(g)
+    )
+    lit_set = F.array(
+        *[F.lit(int(h)).cast("long") for h in sorted(set(bench_gram_hashes))]
+    )
+    flag = F.coalesce(
+        F.arrays_overlap(gh, lit_set).cast("int"), F.lit(0)
+    )
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(flag).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "n_docs", "n_contaminated"
+        )
+    )

@@ -427,3 +427,68 @@ def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
         r.doc_id for r in spark.sql("select doc_id from swsample").collect()
     )
     assert got == want
+
+
+def test_streaming_contamination_monitor_equals_batch(spark, tmp_path):
+    """Per closed window the monitor's n_contaminated must equal the
+    count of docs contamination_hits flags on the same rows — the
+    plan-literal flag and the broadcast-join batch op agree doc-for-doc."""
+    from grower_spark.operators.decontam import (
+        benchmark_ngrams,
+        contamination_hits,
+    )
+    from grower_spark.streaming.stateful import (
+        streaming_contamination_monitor,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    win_rows = [
+        (1, "2024-01-01 09:01:00",
+         "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+        (2, "2024-01-01 09:02:00", "totally clean document content here"),
+        (3, "2024-01-01 09:03:00",
+         "another alpha beta gamma delta epsilon zeta eta theta hit"),
+        (4, "2024-01-01 09:04:00", None),
+    ]
+    sentinel = [(9, "2024-01-02 00:00:00", "late window closer text")]
+
+    def write(path, rows):
+        spark.createDataFrame(
+            rows, ["doc_id", "ts_str", "text"]
+        ).select(
+            "doc_id", F.col("ts_str").cast("timestamp").alias("ts"), "text"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    write(str(tmp_path / "cm" / "b1"), win_rows)
+    write(str(tmp_path / "cm" / "b2"), sentinel)
+
+    batch_docs = spark.createDataFrame(
+        [(r[0], r[2]) for r in win_rows], "doc_id long, text string"
+    )
+    want_contaminated = contamination_hits(batch_docs, bench, n=8).count()
+    assert want_contaminated == 2  # sanity: docs 1 and 3
+
+    hashes = [r.gram_h for r in benchmark_ngrams(bench, n=8).collect()]
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cm" / "*"))
+    )
+    q = (
+        streaming_contamination_monitor(stream, hashes, n=8)
+        .writeStream.format("memory")
+        .queryName("scontam")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.win_start.isoformat(): (r.n_docs, r.n_contaminated)
+        for r in spark.sql("select * from scontam").collect()
+    }
+    assert got["2024-01-01T09:00:00"] == (4, want_contaminated)
