@@ -237,11 +237,90 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rank bits per dimension (2^bits equi-depth cells)")
     ly.add_argument("--num-files", type=int, default=32)
 
+    rp = sub.add_parser(
+        "report",
+        help="corpus governance report: language confusion, per-source "
+             "quality outliers, and (optionally) score drift vs an older "
+             "snapshot and per-benchmark-item leakage — one JSON",
+    )
+    rp.add_argument("--input", required=True, help="documents parquet path")
+    rp.add_argument("--old", default=None,
+                    help="older snapshot parquet for score-drift bins")
+    rp.add_argument("--benchmark", default=None,
+                    help="benchmark parquet for the leakage report")
+    rp.add_argument("--decontam-n", type=int, default=8)
+    rp.add_argument("--out", default=None,
+                    help="write the JSON here as well as stdout")
+
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.command == "report":
+        import json
+
+        import pyspark.sql.functions as F
+
+        from grower_spark.operators.robust import robust_stats
+        from grower_spark.operators.text import language_id
+        from grower_spark.session import get_spark
+
+        spark = get_spark("corpus-report")
+        docs = spark.read.parquet(args.input)
+        # every panel below is model-sized by construction (langs^2,
+        # sources, bins, benchmark items) — the collects are bounded
+        report: dict = {"input": args.input}
+        confusion = (
+            language_id(docs)
+            .groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        report["lang_confusion"] = [
+            {"lang": r["lang"], "guess": r["lang_guess"], "n": r["n"]}
+            for r in confusion
+        ]
+        base = docs.where(F.col("text").isNotNull())
+        n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+        score = F.round(
+            F.lit(1000.0) * n_alpha / F.greatest(F.length("text"), F.lit(1))
+        ).cast("long")
+        scored = base.select(
+            "source", score.alias("q")
+        ).localCheckpoint(eager=True)
+        report["source_quality"] = [
+            r.asDict() for r in robust_stats(scored, "q", "source").collect()
+        ]
+        if args.old:
+            from grower_spark.operators.diff import distribution_drift_bins
+
+            old = spark.read.parquet(args.old).where(
+                F.col("text").isNotNull()
+            ).select(score.alias("score"))
+            new = base.select(score.alias("score"))
+            report["score_drift"] = [
+                r.asDict()
+                for r in distribution_drift_bins(old, new).collect()
+            ]
+        if args.benchmark:
+            from grower_spark.operators.decontam import benchmark_leakage
+
+            bench = spark.read.parquet(args.benchmark)
+            report["benchmark_leakage"] = [
+                r.asDict()
+                for r in benchmark_leakage(
+                    docs, bench, n=args.decontam_n
+                ).collect()
+            ]
+        line = json.dumps(report)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+        spark.stop()
+        return 0
 
     if args.command == "rotate":
         import os

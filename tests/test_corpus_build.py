@@ -242,3 +242,41 @@ def test_corpus_build_weighted_sample(spark):
                a[1].where(F.col("reason") == "sampled-out").collect()}
     assert sampled.isdisjoint(ka)
     assert a[2]["dropped_sampled_out"] == len(sampled)
+
+
+def test_cli_governance_report(spark, tmp_path, capsys):
+    """`cli report` bundles the governance panels into one JSON: language
+    confusion, per-source robust quality, drift vs an older snapshot,
+    and per-benchmark-item leakage."""
+    import json
+
+    from grower_spark.cli import main as cli_main
+
+    docs = spark.createDataFrame(
+        [(i, _distinct_doc(i), "en", "srcA" if i % 2 else "srcB")
+         for i in range(12)],
+        ["doc_id", "text", "lang", "source"],
+    )
+    p_docs = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(p_docs)
+    p_old = str(tmp_path / "old.parquet")
+    docs.where("doc_id % 3 != 0").write.mode("overwrite").parquet(p_old)
+    p_bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(900, _distinct_doc(1)), (901, "clean eval item nothing shared")],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(p_bench)
+    out = str(tmp_path / "report.json")
+
+    rc = cli_main([
+        "report", "--input", p_docs, "--old", p_old,
+        "--benchmark", p_bench, "--decontam-n", "3", "--out", out,
+    ])
+    assert rc == 0
+    rep = json.loads(open(out).read())
+    assert {r["lang"] for r in rep["lang_confusion"]} == {"en"}
+    assert {r["source"] for r in rep["source_quality"]} == {"srcA", "srcB"}
+    assert sum(r["n_new"] for r in rep["score_drift"]) == 12
+    leak = {r["bench_id"]: r for r in rep["benchmark_leakage"]}
+    assert leak[900]["n_docs_hit"] >= 1   # doc 1's text is in the corpus
+    assert leak[901]["n_docs_hit"] == 0
