@@ -340,6 +340,20 @@ def _dim_stats(corpus):
     return embedding_dim_stats(corpus)
 
 
+def _leakage(docs):
+    from grower_spark.operators.decontam import benchmark_leakage
+
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    corpus = docs.where(F.col("doc_id") % 31 != 0)
+    return benchmark_leakage(corpus, bench, n=3)
+
+
+def _precision(docs):
+    from grower_spark.operators.dedup import lsh_precision_audit
+
+    return lsh_precision_audit(docs, sample_permille=200)
+
+
 def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
                 only: Optional[list[str]] = None) -> dict:
     """Fixed query set (first 64 base vectors), growing corpus: measures
@@ -504,6 +518,12 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
         # exact-k: histogram shuffle is groups × buckets × partitions;
         # the rank window sees only the boundary buckets (~0.1%)
         "sample_exact_k": lambda d: _exact_k(d),
+        # leakage: corpus explode joined against broadcast bench grams —
+        # wall linear in corpus tokens, shuffle = hit rows only
+        "benchmark_leakage": lambda d: _leakage(d),
+        # precision audit: LSH candidate pass + sample-bounded verify —
+        # wall should track the LSH row, not the pair count
+        "lsh_precision": lambda d: _precision(d),
         # drift bins: two histogram shuffles (partitions × bins) + a
         # 10-row join — wall should be pure scan growth
         "corpus_drift": lambda d: _drift(d),
