@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     ("events_gap_stats", "collect"),
     ("lsh_precision", "collect"),
     ("doc_quality_outliers", "collect"),
+    ("embedding_norm_outliers", "collect"),
 ]
 
 

@@ -6192,6 +6192,55 @@ GROUP BY 1
 """
 
 
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label robust outliers on the quantized squared norm — the
+    O(n·d) embedding hygiene check (a broken encoder batch shows up as a
+    norm cluster long before a density scan would find it; density is
+    the O(n·panel) complement).  One zero-shuffle JVM fold per vector,
+    then the same robust_stats machinery as doc_quality_outliers."""
+    from grower_spark.operators.robust import robust_stats
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    nsq = F.aggregate(
+        xq, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    return robust_stats(
+        emb.select("label", nsq.alias("nsq")), "nsq", "label", z_cut=3.0
+    )
+
+
+def oracle_embedding_norm_outliers() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id, label,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+v AS (SELECT label, CAST(sum(xq * xq) AS BIGINT) AS nsq
+      FROM q GROUP BY label, vec_id),
+m AS (SELECT label, quantile_cont(nsq, 0.5) AS med FROM v GROUP BY 1),
+d AS (SELECT v.label, abs(v.nsq - m.med) AS ad, m.med
+      FROM v JOIN m USING (label)),
+md AS (SELECT label, first(med) AS med, quantile_cont(ad, 0.5) AS mad
+       FROM d GROUP BY 1)
+SELECT d.label,
+  CAST(count(*) AS BIGINT) AS n,
+  first(md.med) AS med,
+  first(md.mad) AS mad,
+  CAST(sum(CASE WHEN md.mad > 0 AND d.ad > 3.0 * md.mad THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_outliers
+FROM d JOIN md USING (label)
+GROUP BY 1
+"""
+
+
 _LPA_PERMILLE = 200
 
 
@@ -6392,15 +6441,15 @@ FROM guessed GROUP BY 1, 2
 #           /16 prefix rollup, lifecycle growth accounting, value
 #           deciles, containment dedup, embedding-density outliers,
 #           snapshot diff) — same debut-round rule.
-#   27-38 : the twelve NEW r9 session-3 rows (weighted Poisson sampling,
+#   27-39 : the thirteen NEW r9 session-3 rows (weighted Poisson sampling,
 #           per-language adaptive quality cut, embedding diversity via
 #           the moment identity, token-pair affinity, exact-k per-group
 #           sampling, per-dimension whitening stats, snapshot score-
 #           distribution drift, benchmark-leakage report, language
 #           confusion matrix, inter-event cadence, LSH precision
-#           audit, per-source robust quality outliers) — debut-round
-#           certification rule.
-#   39-50 : rotation by staleness — TPC-H q1-q12, all last
+#           audit, per-source robust quality outliers, per-label
+#           embedding norm outliers) — debut-round certification rule.
+#   40-50 : rotation by staleness — TPC-H q1-q11, all last
 #           driver-certified r6/r7, the registry's
 #           oldest certifications.  The session-2 rows displaced
 #           tpch_q16-q22 and the session-3 rows displaced corpus_vocab …
@@ -6459,7 +6508,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gap_stats": q_events_gap_stats,
     "lsh_precision": q_lsh_precision,
     "doc_quality_outliers": q_doc_quality_outliers,
-    # --- 39-50: staleness rotation (last certified r6/r7) + top-ups ---
+    "embedding_norm_outliers": q_embedding_norm_outliers,
+    # --- 40-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -6471,11 +6521,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
     "tpch_q11": q_tpch_q11,
-    "tpch_q12": q_tpch_q12,
     # --- 51+: displaced by the session-3 debuts (r6/r7-certified, covered
     # by the full-registry CORRECTNESS_LOCAL artifact); then
     # r8-certified green rotated out; then the r6/r7 rows queued for the
     # r10 window ---
+    "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
@@ -6628,6 +6678,7 @@ ORACLES: dict[str, str] = {
     "events_gap_stats": oracle_events_gap_stats(),
     "lsh_precision": oracle_lsh_precision(),
     "doc_quality_outliers": oracle_doc_quality_outliers(),
+    "embedding_norm_outliers": oracle_embedding_norm_outliers(),
     "dedup_minhash_lsh": oracle_dedup_minhash_lsh(),
     "dedup_simhash": oracle_dedup_simhash(),
     "dedup_simhash_pairs": oracle_dedup_simhash_pairs(),
