@@ -367,3 +367,100 @@ def test_lsh_precision_sample_deterministic(spark):
             lsh_precision_audit(docs, sample_permille=1000).collect()}
     assert a == b
     assert a <= full
+
+
+# --- randomized brute-force parity (seeded, deterministic) -------------------
+
+
+def test_adaptive_cutoffs_match_brute_force_over_random_cases(spark):
+    """For 15 seeded random (group, score) multisets the histogram-derived
+    cutoff and n_kept must equal the brute-force definition: the max
+    score whose top-cumulative count reaches the target share, keeping
+    ties."""
+    import random
+
+    from grower_spark.operators.sampling import adaptive_quality_cut
+
+    for seed in range(15):
+        rng = random.Random(seed)
+        keep = rng.choice([1, 100, 300, 500, 999, 1000])
+        rows = [
+            (f"g{g}", rng.randint(0, 12))
+            for g in range(rng.randint(1, 4))
+            for _ in range(rng.randint(1, 40))
+        ]
+        df = spark.createDataFrame(rows, "grp string, score long")
+        got = {r.grp: r for r in
+               adaptive_quality_cut(df, "grp", "score", keep).collect()}
+        by_g = {}
+        for g, s in rows:
+            by_g.setdefault(g, []).append(s)
+        for g, scores in by_g.items():
+            total = len(scores)
+            cum, cutoff, n_kept = 0, None, 0
+            for s in sorted(set(scores), reverse=True):
+                cum += scores.count(s)
+                if cum * 1000 >= keep * total:
+                    cutoff, n_kept = s, cum
+                    break
+            assert got[g].cutoff == cutoff, (seed, g, keep)
+            assert got[g].n_kept == n_kept, (seed, g, keep)
+            assert got[g].n_total == total, (seed, g, keep)
+
+
+def test_weighted_sample_membership_matches_python_twin(spark):
+    """Row membership is a pure function of (salt, key, w, W): the Spark
+    decision must equal the integer python twin exactly, across seeds."""
+    import random
+
+    from grower_spark.functions.hashing import md5_60_py
+    from grower_spark.operators.sampling import weighted_poisson_sample
+
+    for seed in range(10):
+        rng = random.Random(100 + seed)
+        rows = [(i, rng.randint(1, 5000)) for i in range(rng.randint(5, 300))]
+        k = rng.randint(1, 50)
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = sorted(
+            r.doc_id for r in
+            weighted_poisson_sample(df, "w", k, key_col="doc_id").collect()
+        )
+        w_total = sum(w for _, w in rows)
+        want = sorted(
+            i for i, w in rows
+            if (md5_60_py(f"wps|{i}") % 1_000_000) * w_total
+            < 1_000_000 * k * w
+        )
+        assert got == want, seed
+
+
+def test_exact_k_matches_brute_force_over_random_group_sizes(spark):
+    """Random group sizes straddling k (including < k and == k groups):
+    the two-phase plan must equal the brute 'k smallest (hash, id) per
+    group' everywhere."""
+    import random
+
+    from grower_spark.functions.hashing import md5_60_py
+    from grower_spark.operators.sampling import sample_exact_k_per_group
+
+    for seed in range(8):
+        rng = random.Random(200 + seed)
+        k = rng.randint(1, 20)
+        rows, nid = [], 0
+        for g in range(rng.randint(1, 5)):
+            for _ in range(rng.choice([k - 1 if k > 1 else 1, k, k + 7,
+                                       rng.randint(1, 60)])):
+                rows.append((nid, f"g{g}"))
+                nid += 1
+        df = spark.createDataFrame(rows, "doc_id long, grp string")
+        got = sorted(
+            (r.grp, r.doc_id) for r in
+            sample_exact_k_per_group(df, "grp", k=k).collect()
+        )
+        by_g = {}
+        for i, g in rows:
+            by_g.setdefault(g, []).append((md5_60_py(f"ekg|{i}"), i))
+        want = sorted(
+            (g, i) for g, hs in by_g.items() for _, i in sorted(hs)[:k]
+        )
+        assert got == want, (seed, k)
