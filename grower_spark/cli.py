@@ -263,10 +263,16 @@ def main(argv: list[str] | None = None) -> int:
 
         import pyspark.sql.functions as F
 
+        from pyspark.sql import SparkSession
+
         from grower_spark.operators.robust import robust_stats
         from grower_spark.operators.text import language_id
         from grower_spark.session import get_spark
 
+        # only stop a session THIS handler created: under pytest (or any
+        # host process) get_spark getOrCreate returns the caller's live
+        # session, and stopping it kills every later test in the process
+        owns_session = SparkSession.getActiveSession() is None
         spark = get_spark("corpus-report")
         docs = spark.read.parquet(args.input)
         # every panel below is model-sized by construction (langs^2,
@@ -319,7 +325,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             with open(args.out, "w") as f:
                 f.write(line + "\n")
-        spark.stop()
+        if owns_session:
+            spark.stop()
         return 0
 
     if args.command == "rotate":
