@@ -237,6 +237,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rank bits per dimension (2^bits equi-depth cells)")
     ly.add_argument("--num-files", type=int, default=32)
 
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite a parquet directory to ~target-MB files (footer-"
+             "measured, row-count-verified); the small-file sweep",
+    )
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--target-mb", type=int, default=256)
+
     rp = sub.add_parser(
         "report",
         help="corpus governance report: language confusion, per-source "
@@ -257,6 +266,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.command == "compact":
+        import json
+
+        from grower_spark.operators.compact import compact_parquet
+        from grower_spark.session import get_spark
+
+        spark = get_spark("grower-spark-compact")
+        audit = compact_parquet(
+            spark, args.input, args.output, target_mb=args.target_mb
+        )
+        print(json.dumps(audit))
+        return 0
 
     if args.command == "report":
         import json

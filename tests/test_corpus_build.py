@@ -280,3 +280,43 @@ def test_cli_governance_report(spark, tmp_path, capsys):
     leak = {r["bench_id"]: r for r in rep["benchmark_leakage"]}
     assert leak[900]["n_docs_hit"] >= 1   # doc 1's text is in the corpus
     assert leak[901]["n_docs_hit"] == 0
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """A fragmented write (many tiny files) compacts to the footer-derived
+    file count with every row accounted for."""
+    from grower_spark.operators.compact import (
+        compact_parquet,
+        parquet_footprint,
+    )
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 20000).selectExpr(
+        "id", "repeat('x', 100) AS pad"
+    ).repartition(64).write.mode("overwrite").parquet(src)
+    n_in, _, rows_in = parquet_footprint(src)
+    assert n_in == 64 and rows_in == 20000
+
+    out = str(tmp_path / "compacted")
+    audit = compact_parquet(spark, src, out, target_mb=256)
+    assert audit["files_out"] == 1          # ~2 MB of data, 256 MB target
+    assert audit["rows"] == 20000
+    got = spark.read.parquet(out).count()
+    assert got == 20000
+
+
+def test_compact_parquet_respects_target_size(spark, tmp_path):
+    from grower_spark.operators.compact import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    # incompressible pad (hash-derived) so bytes_in is real, not a run of
+    # 'y' that a column codec folds to nothing
+    spark.range(0, 40000).selectExpr(
+        "id",
+        "concat(md5(cast(id AS string)), md5(cast(id + 1 AS string)), "
+        "md5(cast(id + 2 AS string)), md5(cast(id + 3 AS string))) AS pad",
+    ).repartition(32).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "compacted2")
+    audit = compact_parquet(spark, src, out, target_mb=1)
+    # bytes_in is ~>1 MB so more than one output file, far fewer than 32
+    assert 1 < audit["files_out"] < 32
