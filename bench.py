@@ -148,6 +148,15 @@ BENCH_QUERIES = [
     ("lsh_precision", "collect"),
     ("doc_quality_outliers", "collect"),
     ("embedding_norm_outliers", "collect"),
+    # r10: the 7 registry rows the bench never covered (VERDICT r9
+    # "What's missing" #1) — with these, bench coverage == registry.
+    ("dedup_clusters", "noop"),
+    ("dedup_simhash_pairs", "noop"),
+    ("embedding_neardup", "collect"),
+    ("nginx_custom_casts", "noop"),
+    ("scalar_funcs", "noop"),
+    ("text_bpe_tokens", "noop"),
+    ("text_normalize", "noop"),
 ]
 
 
@@ -274,6 +283,38 @@ def main() -> None:
             }
     except (OSError, ValueError):
         pass
+
+    # Cross-round drift pin (r9 verdict item 3): bench_summary.json is
+    # refreshed mid-round, so by the final refresh its baseline has
+    # already absorbed any early-round drift — a clean-to-clean
+    # regression (r9's dedup_paragraphs) is invisible to the gate above.
+    # bench_prev_round.json is FROZEN at round start (a copy of the
+    # previous round's final committed snapshot; bench.py never writes
+    # it) and gives a second, round-stable comparison.  Caveat recorded
+    # in the artifact: this host's wall clock drifts 1.3-1.7x
+    # round-over-round on git-identical queries (r10 control
+    # measurement: doc_fingerprint/doc_rolling_hash61/text_repetition,
+    # all untouched since r8, at 1.5-1.7x under load) — a flagged row
+    # here is unattributed until isolated against those controls.
+    if drift is not None and sf == "0.1":
+        try:
+            with open(os.path.join(here, "bench_prev_round.json")) as f:
+                prevr = json.load(f).get("queries", {})
+            common = [q for q in timings if q in prevr and prevr[q] > 0]
+            if common:
+                cur_sum = sum(timings[q] for q in common)
+                prev_sum = sum(prevr[q] for q in common)
+                drift["vs_prev_round"] = {
+                    "common_queries": len(common),
+                    "sum_ratio": round(cur_sum / max(prev_sum, 1e-9), 3),
+                    "per_query_over_1_4x": sorted(
+                        q for q in common
+                        if max(timings[q], prevr[q])
+                        / max(min(timings[q], prevr[q]), 1e-9) > 1.4
+                    ),
+                }
+        except (OSError, ValueError):
+            pass
 
     summary = {
         "metric": "headline_total",

@@ -2526,7 +2526,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=SIMHASH_BITS, hash_fn="md5").select("doc_id", "simhash")
 
 
-def oracle_dedup_simhash() -> str:
+def oracle_dedup_simhash(bits: int = SIMHASH_BITS) -> str:
     th = (
         "list_transform(string_split(text, ' '), t -> "
         + _DUCK_MD5_60.format(x="t")
@@ -2535,7 +2535,7 @@ def oracle_dedup_simhash() -> str:
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(th, h -> (h >> {i}) % 2 = 1)) > len(th)"
         f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     )
     return f"""
 WITH hashed AS (SELECT doc_id, {th} AS th FROM documents)
@@ -2543,26 +2543,42 @@ SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed
 """
 
 
+# Pair-blocking config (r10 rework): the r9 row used bits=32 with 8
+# single-block keys of 4 bits each — 16 possible values per key, so every
+# bucket held ~n/16 docs and the posting-list pair emit was quadratic in
+# the corpus (measured 26.6 s / ~6M candidate pairs at sf0.1 the first
+# time the row was benched).  Now: 56-bit simhash (within the 60-bit md5
+# token hash), 8 blocks of 7 bits, keys = all C(8,2)=28 two-block
+# combinations -> 14-bit keys (16,384 values), so bucket load scales as
+# n/2^14 per key space and the candidate set approaches the true near-dup
+# count.  Recall guarantee intact: 6 flips corrupt <= 6 of 8 blocks,
+# leaving >= 2 clean blocks = one emitted combination (combo <= bands -
+# max_hamming).
+SIMHASH_PAIR_BITS = 56
 SIMHASH_PAIR_BANDS = 8
+SIMHASH_PAIR_COMBO = 2
 SIMHASH_MAX_HAMMING = 6
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded simhash near-dup pairs: bands > max_hamming gives total
-    recall by pigeonhole, so the oracle is the naive all-pairs hamming
-    filter while the Spark plan only ever shuffles on band keys."""
+    """Banded simhash near-dup pairs: blocking on every C(bands, combo)
+    block combination with combo <= bands - max_hamming gives total
+    recall by pigeonhole (Manku et al., WWW 2007), so the oracle is the
+    naive all-pairs hamming filter while the Spark plan only ever
+    shuffles on combination keys."""
     from grower_spark.operators.dedup import simhash_banded_pairs
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
     return simhash_banded_pairs(
-        docs, bits=SIMHASH_BITS, bands=SIMHASH_PAIR_BANDS,
+        docs, bits=SIMHASH_PAIR_BITS, bands=SIMHASH_PAIR_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING, hash_fn="md5",
+        combo=SIMHASH_PAIR_COMBO,
     )
 
 
 def oracle_dedup_simhash_pairs() -> str:
     return f"""
-WITH sh AS ({oracle_dedup_simhash()})
+WITH sh AS ({oracle_dedup_simhash(bits=SIMHASH_PAIR_BITS)})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -661,26 +661,42 @@ def simhash_banded_pairs(
     bands: int = 8,
     max_hamming: int = 6,
     hash_fn: str = "md5",
+    combo: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with a PROVABLE recall guarantee: the simhash is
-    split into ``bands`` bit-windows and pairs block on any shared band.
+    split into ``bands`` bit-blocks and pairs block on any shared
+    combination of ``combo`` blocks (Manku/Jain/Das Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007 — the permuted-table
+    construction, expressed as explicit block-combination keys).
 
-    Pigeonhole: a pair within ``max_hamming`` bit flips has its flips
-    spread over ``bands`` windows, so when ``bands > max_hamming`` at
-    least one window is flip-free and the pair shares that band — banded
-    blocking finds EVERY pair with hamming <= max_hamming (unlike the
-    single-prefix blocking of ``simhash_dedup_pairs``, which misses pairs
-    whose flips land in the prefix).  The oracle can therefore be the
-    naive all-pairs hamming filter.
+    Pigeonhole: ``max_hamming`` bit flips corrupt at most ``max_hamming``
+    blocks, leaving >= ``bands - max_hamming`` blocks flip-free — so as
+    long as ``combo <= bands - max_hamming``, the specific combination
+    made of ``combo`` flip-free blocks is one of the emitted keys and the
+    pair shares it.  Blocking on all C(bands, combo) combinations
+    therefore finds EVERY pair with hamming <= max_hamming, and the
+    oracle can be the naive all-pairs hamming filter.
 
-    Plan: simhash map-side -> explode (band, window-value) keys -> ONE
-    shuffle grouping by band key -> ordered pairs from each posting list
-    (signature carried in the posting struct, computed once) -> pair
-    dedupe across bands -> exact hamming filter.
+    ``combo`` is the selectivity dial the single-band scheme lacks: with
+    ``combo=1`` (the classic banding) the key is one block of
+    ``bits/bands`` bits — at bits=32, bands=8 that is a 4-bit key with 16
+    possible values, so EVERY key bucket holds ~n/16 documents and the
+    posting-list pair emit is quadratic in corpus size (measured at
+    sf0.1: ~6M candidate pairs from 5k docs — a plan that dies at scale).
+    ``combo=2`` doubles the key width (28 keys/doc instead of 8, but each
+    bucket is ~2^w times sparser); the candidate count approaches the
+    true near-dup count instead of n^2.  Cost model: keys/doc =
+    C(bands, combo), expected bucket load = n / 2^(combo*bits/bands).
+
+    Plan: simhash map-side -> explode combination keys -> ONE shuffle
+    grouping by key -> ordered pairs from each posting list (signature
+    carried in the posting struct, computed once) -> pair dedupe across
+    keys -> exact hamming filter.
     """
-    if bands <= max_hamming:
+    if combo < 1 or combo > bands - max_hamming:
         raise ValueError(
-            f"recall guarantee needs bands > max_hamming, got {bands} <= {max_hamming}"
+            "recall guarantee needs 1 <= combo <= bands - max_hamming, "
+            f"got combo={combo}, bands={bands}, max_hamming={max_hamming}"
         )
     if bits % bands:
         raise ValueError(f"bits {bits} not divisible by bands {bands}")
@@ -688,16 +704,22 @@ def simhash_banded_pairs(
     h = simhash(df, text_col, bits, hash_fn).select(
         F.col(id_col).alias("_id"), "simhash"
     )
+
+    def block(b: int):
+        return (
+            F.shiftright(F.col("simhash"), b * w)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .cast("string")
+        )
+
+    from itertools import combinations
+
     band_keys = F.array(
         *[
             F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                F.shiftright(F.col("simhash"), b * w)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .cast("string"),
+                "_", F.lit("-".join(map(str, bs))), *[block(b) for b in bs]
             )
-            for b in range(bands)
+            for bs in combinations(range(bands), combo)
         ]
     )
     buckets = h.select("_id", "simhash", F.explode(band_keys).alias("bucket"))

@@ -271,8 +271,27 @@ def test_simhash_banded_pairs_total_recall(spark):
     }
     assert got == naive and naive  # non-vacuous
 
-    with pytest.raises(ValueError, match="bands > max_hamming"):
+    # combination keys (combo=2, the scale config): same total recall —
+    # 6 flips corrupt <= 6 of 8 blocks, so >= one 2-block combo is clean
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_banded_pairs(
+            df, bits=56, bands=8, max_hamming=6, combo=2
+        ).collect()
+    }
+    sh56 = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=56).collect()}
+    naive56 = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sh56[a] ^ sh56[b]).count("1") <= 6
+    }
+    assert got2 == naive56 and naive56  # non-vacuous
+
+    with pytest.raises(ValueError, match="combo <= bands - max_hamming"):
         simhash_banded_pairs(df, bands=4, max_hamming=6)
+    with pytest.raises(ValueError, match="combo <= bands - max_hamming"):
+        simhash_banded_pairs(df, bands=8, max_hamming=6, combo=3)
     with pytest.raises(ValueError, match="not divisible"):
         simhash_banded_pairs(df, bits=32, bands=7)
 
