@@ -6503,7 +6503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_session_funnel": q_nginx_session_funnel,
     "corpus_token_budget": q_corpus_token_budget,
     "events_hourly_baseline": q_events_hourly_baseline,
-    # --- 20-25: the six NEW r9 session-2 rows ---
+    # --- 20-26: the seven NEW r9 session-2 rows ---
     "nginx_top_clients": q_nginx_top_clients,
     "nginx_ip_prefix": q_nginx_ip_prefix,
     "events_lifecycle": q_events_lifecycle,
@@ -6511,7 +6511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_containment": q_doc_containment,
     "embedding_density": q_embedding_density,
     "corpus_diff": q_corpus_diff,
-    # --- 27-30: the four NEW r9 session-3 rows ---
+    # --- 27-39: the thirteen NEW r9 session-3 rows ---
     "sample_weighted": q_sample_weighted,
     "quality_adaptive": q_quality_adaptive,
     "embedding_diversity": q_embedding_diversity,

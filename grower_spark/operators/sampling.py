@@ -489,7 +489,11 @@ def sample_exact_k_per_group(df: DataFrame, group_col: str, k: int,
     ~0.1% of rows.  Decision is a pure function of (salt, key), so the
     sample is partitioning-invariant and reproducible; tie-break on
     (hash, key) makes it total.  NULL keys cannot be reproducibly
-    sampled and are dropped (hash_permille contract).
+    sampled and are dropped (hash_permille contract).  A NULL GROUP is a
+    real group (untagged source/lang rows are plausible corpus inputs)
+    and gets exact-k like any other: the boundary join is null-safe —
+    plain ``==`` would null-reject, silently keeping ALL NULL-group rows
+    (the r9 advice finding).
     """
     from pyspark.sql import Window
 
@@ -524,7 +528,7 @@ def sample_exact_k_per_group(df: DataFrame, group_col: str, k: int,
     # an (absent) cutoff, so keep-all semantics falls out of the left join
     marked = base.join(
         F.broadcast(boundary),
-        (base["_g"] == F.col("_bg")), "left",
+        base["_g"].eqNullSafe(F.col("_bg")), "left",
     )
     whole = marked.where(
         F.col("_bb").isNull() | (F.col("_b") < F.col("_bb"))

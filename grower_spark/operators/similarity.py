@@ -652,13 +652,23 @@ def density_vs_panel(
     Self-pairs (panel drawn from the corpus, same id) are excluded so a
     panel member's own density is not inflated by its self-similarity.
 
+    Edge contract (pinned to the np twin and the SQL-FILTER oracle, r9
+    advice): a corpus row with a NULL embedding scores close to nothing
+    (``n_close = 0``, outlier by default) rather than emitting NULLs,
+    and an EMPTY panel yields every corpus row with ``n_close = 0`` —
+    the join is a left join on a literal-true condition (a cross join
+    that keeps the corpus side), not a row-destroying ``crossJoin``.
+
     Output: ``(vec_id, n_close bigint, is_outlier int)``.
     """
-    pairs = corpus.crossJoin(F.broadcast(panel))
-    close = (
-        (F.round(cosine(F.col(vec_col), F.col(pvec_col)), 4) >= tau)
-        & (F.col(id_col) != F.col(pid_col))
-    ).cast("long")
+    pairs = corpus.join(F.broadcast(panel), F.lit(True), "left")
+    close = F.coalesce(
+        (
+            (F.round(cosine(F.col(vec_col), F.col(pvec_col)), 4) >= tau)
+            & (F.col(id_col) != F.col(pid_col))
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     counted = pairs.groupBy(id_col).agg(
         F.sum(close).cast("long").alias("n_close")
     )
@@ -724,15 +734,25 @@ def density_vs_panel_np(
             if not len(batch):
                 continue
             ids = batch["vec_id"].to_numpy(dtype=np.int64)
-            cmat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
-            )
-            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-            sims = np.round(cmat @ pn.T, 4)
-            close = sims >= tau
-            # exclude self-pairs (panel drawn from the corpus)
-            close &= ids[:, None] != pids_[None, :]
-            n_close = close.sum(axis=1).astype(np.int64)
+            # NULL embeddings score close to nothing (n_close=0) — the
+            # HOF twin's coalesce contract, kept bit-identical here
+            vecs = list(batch["embedding"])
+            valid = np.array([v is not None for v in vecs], dtype=bool)
+            n_close = np.zeros(len(ids), dtype=np.int64)
+            if valid.any():
+                cmat = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v, ok in zip(vecs, valid)
+                        if ok
+                    ]
+                )
+                cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+                sims = np.round(cmat @ pn.T, 4)
+                close = sims >= tau
+                # exclude self-pairs (panel drawn from the corpus)
+                close &= ids[valid][:, None] != pids_[None, :]
+                n_close[valid] = close.sum(axis=1).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "vec_id": ids,

@@ -425,8 +425,13 @@ def streaming_drift_bins(docs: DataFrame, baseline: DataFrame,
     broadcast baseline, and applies the identical chi-square contribution
     arithmetic — bit-equal to batch on the same rows (pinned in pytest).
 
-    Output per closed window × bin: ``(win_start, bin, n_new, share_new,
-    drift_contrib)``; contrib NULL where the baseline share is 0.
+    Output per closed window × bin: ALL ``n_bins`` rows (the bins are a
+    fixed alphabet and the pivoted row already holds every count) — a
+    score class present in the baseline but ABSENT from a live window
+    (share_new=0, contrib=share_old) is the strongest drift signal and
+    must surface, not vanish (r9 advice: the old ``n_new > 0`` filter
+    silently dropped exactly those rows).  Contrib NULL where the
+    baseline share is 0 or the bin is missing from the baseline.
     """
     b = F.least(
         F.floor(F.col(score_col) / F.lit(bin_width)).cast("long"),
@@ -447,7 +452,7 @@ def streaming_drift_bins(docs: DataFrame, baseline: DataFrame,
         "_tn",
         F.posexplode(F.array(*[F.col(f"_b{i}") for i in range(n_bins)]))
         .alias("bin", "n_new"),
-    ).where(F.col("n_new") > 0)
+    )
     share_n = F.col("n_new").cast("double") / F.col("_tn").cast("double")
     contrib = F.when(
         F.col("share_old") > 0,
@@ -493,6 +498,15 @@ def streaming_contamination_monitor(docs: DataFrame,
     from grower_spark.functions.hashing import md5_60
     from grower_spark.operators.dedup import shingles
 
+    if not bench_gram_hashes:
+        # F.array() with zero elements is a void-typed array and
+        # arrays_overlap against array<long> fails analysis with an
+        # unhelpful error mid-stream (r9 advice); an empty benchmark is
+        # a caller bug — there is nothing to monitor for.
+        raise ValueError(
+            "bench_gram_hashes is empty: fit benchmark_ngrams first "
+            "(an empty gram set would flag nothing, silently)"
+        )
     gh = F.transform(
         shingles(F.col(text_col), n), lambda g: md5_60(g)
     )

@@ -145,6 +145,37 @@ def test_density_vs_panel_self_exclusion(spark):
     assert out[1]["n_close"] == 0 and out[1]["is_outlier"] == 1
 
 
+def test_density_twins_agree_on_null_vec_and_empty_panel(spark):
+    """The r9-advice edges: a NULL corpus embedding yields (n_close=0,
+    is_outlier=1) in BOTH twins (not NULL / not a crash), and an empty
+    panel yields every corpus row with n_close=0 in BOTH twins (the HOF
+    version used a row-destroying crossJoin)."""
+    from grower_spark.operators.similarity import (
+        density_vs_panel,
+        density_vs_panel_np,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    panel = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "pid long, pvec array<float>"
+    )
+    for fn in (density_vs_panel, density_vs_panel_np):
+        out = {r["vec_id"]: r for r in fn(emb, panel, tau=0.8).collect()}
+        assert len(out) == 3, fn.__name__
+        assert out[1]["n_close"] == 0 and out[1]["is_outlier"] == 1
+        assert out[0]["n_close"] == 1 and out[0]["is_outlier"] == 0
+
+    empty_panel = panel.where(F.lit(False))
+    for fn in (density_vs_panel, density_vs_panel_np):
+        out = {r["vec_id"]: r for r in fn(emb, empty_panel, tau=0.8).collect()}
+        assert len(out) == 3, fn.__name__
+        assert all(r["n_close"] == 0 and r["is_outlier"] == 1
+                   for r in out.values())
+
+
 def test_global_row_number_matches_window(spark):
     """The distributed two-phase rank must equal the single-partition
     window row_number on the same total order, and the NTILE arithmetic

@@ -214,6 +214,25 @@ def test_exact_k_small_group_keeps_all(spark):
     assert counts == {"tiny": 7, "big": 10}
 
 
+def test_exact_k_null_group_is_a_real_group(spark):
+    """A NULL group (untagged source/lang) must get exact-k like any
+    other group — the window definition (and the DuckDB oracle) treats
+    NULLs as one partition.  Before the null-safe boundary join, NULL
+    rows never matched their boundary bucket and were ALL kept (r9
+    advice, medium)."""
+    from grower_spark.operators.sampling import sample_exact_k_per_group
+
+    rows = [(i, None) for i in range(200)] + [
+        (1000 + i, "tagged") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = sample_exact_k_per_group(df, "grp", k=30, key_col="doc_id")
+    counts = {}
+    for r in got.collect():
+        counts[r.grp] = counts.get(r.grp, 0) + 1
+    assert counts == {None: 30, "tagged": 30}
+
+
 def test_exact_k_partitioning_invariant(spark):
     from grower_spark.operators.sampling import sample_exact_k_per_group
 

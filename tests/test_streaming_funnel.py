@@ -365,10 +365,16 @@ def test_streaming_drift_bins_equals_batch(spark, tmp_path):
         [(r[2],) for r in win_rows], "score long"
     )
     batch = distribution_drift_bins(old, new_batch)
+    # NO n_new>0 filter: the old snapshot covers all 10 bins while the
+    # window hits only bins 0 and 9, so bins 1-8 are VANISHED classes
+    # (share_new=0, contrib=share_old — the strongest drift signal) and
+    # the streaming side must emit them too (r9 advice: the old filter
+    # masked exactly these rows on both sides of this comparison)
     want = {
         (r.bin, r.n_new, r.share_new, r.drift_contrib)
-        for r in batch.collect() if r.n_new > 0
+        for r in batch.collect()
     }
+    assert any(n == 0 for (_, n, _, _) in want)  # non-vacuous: vanished bins
     baseline = batch.select("bin", "share_old")
 
     stream = (
@@ -392,7 +398,21 @@ def test_streaming_drift_bins_equals_batch(spark, tmp_path):
             "select * from sdrift where win_start = '2024-01-01 09:00:00'"
         ).collect()
     }
-    assert got == want
+    # streaming emits the FULL fixed alphabet per window; batch's outer
+    # join emits only bins present in old ∪ new.  On that union the rows
+    # must be identical, and the streaming-only rows are exactly the
+    # all-zero fillers (n_new=0, share_new=0, no baseline -> contrib NULL)
+    want_bins = {b for (b, _, _, _) in want}
+    assert {t for t in got if t[0] in want_bins} == want
+    assert all(
+        t[1] == 0 and t[2] == 0.0 and t[3] is None
+        for t in got if t[0] not in want_bins
+    )
+    # the vanished class itself (bin 1: in the baseline, absent from the
+    # window) surfaces with contrib == share_old — the signal the old
+    # n_new>0 filter dropped
+    vanished = [t for t in got if t[0] == 1]
+    assert vanished == [(1, 0, 0.0, 0.5)]
 
 
 def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
@@ -492,3 +512,19 @@ def test_streaming_contamination_monitor_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from scontam").collect()
     }
     assert got["2024-01-01T09:00:00"] == (4, want_contaminated)
+
+
+def test_streaming_contamination_monitor_rejects_empty_hashes(spark):
+    """An empty gram list would build a void-typed F.array() whose
+    arrays_overlap fails analysis mid-stream — reject it upfront."""
+    import pytest
+
+    from grower_spark.streaming.stateful import (
+        streaming_contamination_monitor,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    ).withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="bench_gram_hashes is empty"):
+        streaming_contamination_monitor(df, [])

@@ -126,8 +126,15 @@ def build_corpus(
                 adaptive_quality_group, F.col("_fine_q").alias("score")
             ),
             adaptive_quality_group, "score", adaptive_keep_permille,
-        ).select(adaptive_quality_group, "cutoff")
-        scored = scored.join(F.broadcast(cuts), adaptive_quality_group, "left")
+        ).select(F.col(adaptive_quality_group).alias("_cut_g"), "cutoff")
+        # null-safe: a NULL group is a real group (the cutoff table holds
+        # a NULL-group row) and a USING join would null-reject it, sending
+        # every untagged row to the quality drop list (r9 advice finding)
+        scored = scored.join(
+            F.broadcast(cuts),
+            F.col(adaptive_quality_group).eqNullSafe(F.col("_cut_g")),
+            "left",
+        ).drop("_cut_g")
         keep_cond = F.col("_fine_q") >= F.col("cutoff")
     else:
         keep_cond = F.col("quality_score") >= min_quality
