@@ -157,6 +157,12 @@ BENCH_QUERIES = [
     ("scalar_funcs", "noop"),
     ("text_bpe_tokens", "noop"),
     ("text_normalize", "noop"),
+    # r10: the driver-certifiable streaming row — a real Structured
+    # Streaming run (file source -> parse -> applyInPandasWithState
+    # funnel) to completion per invocation; its wall is micro-batch
+    # machinery + state store, not the batch operators, so expect ~9 s
+    # at sf0.1 (documented honest cost, not a regression).
+    ("streaming_session_funnel", "noop"),
 ]
 
 

@@ -1299,6 +1299,208 @@ LEFT JOIN t3 USING (visitor, session_seq)
     )
 
 
+# unique memory-sink / checkpoint suffix per in-session replay run (the
+# bench calls the query repeatedly; a reused checkpoint would replay
+# nothing and a reused table name collides)
+_REPLAY_SEQ = [0]
+
+
+def q_streaming_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship STREAMING path, driver-certified (r10, VERDICT r9
+    missing item 4): the same nginx lines as ``nginx_session_funnel``
+    are staged as a bounded time-ordered file sequence and replayed
+    through the real Structured Streaming pipeline — ``stream_lines``
+    file source -> config-compiled parse (P1-P9) -> per-user
+    ``applyInPandasWithState`` sessionized funnel — to completion, and
+    the CLOSED sessions are the result.  A far-future sentinel line
+    advances the watermark past every real session's end + gap, so all
+    sessions close and the output is batch-expressible: the oracle is
+    the batch SQL re-derivation (lag-window sessions + min-chain
+    funnel) extended with session bounds.  The equals-batch pytest pins
+    the operator; this row makes the DRIVER's oracle run against the
+    stateful streaming path too.
+
+    Replay contract: slices partition event time into contiguous ranges
+    (every event in slice k+1 is >= every event in slice k), so each
+    user's events arrive in non-decreasing event-time order across
+    micro-batches — the regime where the incremental fold is exact.
+    The staging writes are bounded (one tiny text file per slice); the
+    only driver-side collects are two scalar time bounds."""
+    import os
+    import shutil
+    from datetime import datetime, timezone
+    from glob import glob
+
+    from grower_spark.sources.file import stream_lines
+    from grower_spark.streaming.stateful import streaming_session_funnel
+
+    gap_s, wm_s, n_slices = 1800, 3600, 3
+    sentinel_uid = 9_999_999_999
+
+    # --- stage: time-sliced line files + sentinel -----------------------
+    _synth_lines(spark, sf_dir)  # registers the events_src view
+    # the shared template renders only `value`; slicing needs the event
+    # time, so re-render with ts carried alongside
+    head, tail = SYNTH_LINES_SPARK_SQL.rsplit("FROM", 1)
+    lines_ts = spark.sql(head + ", ts FROM" + tail)
+    b = lines_ts.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]  # bounded: two scalars
+    lo_us, hi_us = int(b["lo"]), int(b["hi"])
+    span = max(hi_us - lo_us + 1, 1)
+    sl = F.least(
+        F.floor(((F.unix_micros("ts") - F.lit(lo_us)) * n_slices) / F.lit(span)),
+        F.lit(n_slices - 1),
+    )
+
+    base = "/tmp/grower_replay_{}_{}".format(
+        spark.sparkContext.applicationId.replace("-", "_"),
+        os.path.basename(os.path.abspath(sf_dir)),
+    )
+    replay, staging = os.path.join(base, "replay"), os.path.join(base, "stage")
+    # the staged replay is a pure function of sf_dir (deterministic synth
+    # + deterministic slicing), so within a session it is built once and
+    # re-streamed on every call (the bench runs this row 7x); the
+    # checkpoint below is always fresh, so each call replays fully
+    if len(glob(os.path.join(replay, "*.log"))) == n_slices + 1:
+        return _run_funnel_replay(spark, base, replay, gap_s, wm_s,
+                                  sentinel_uid)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(replay)
+    for i in range(n_slices):
+        lines_ts.where(sl == i).select("value").coalesce(1).write.mode(
+            "overwrite"
+        ).text(staging)
+        shutil.move(
+            glob(os.path.join(staging, "part-*"))[0],
+            os.path.join(replay, f"{i:03d}.log"),
+        )
+    # sentinel: one parseable line far enough out that watermark(sentinel)
+    # = sentinel - wm_s > hi + gap_s, timing out every real session
+    sent_dt = datetime.fromtimestamp(
+        hi_us // 1_000_000 + gap_s + wm_s + 3600, tz=timezone.utc
+    )
+    sent_tl = sent_dt.strftime("%d/%b/%Y:%H:%M:%S")
+    with open(os.path.join(replay, f"{n_slices:03d}.log"), "w") as f:
+        f.write(
+            f"10.0.0.1 - u{sentinel_uid} [{sent_tl} +0000] "
+            f'"GET /view/0 HTTP/1.1" 200 1 0.01 "GET"\n'
+        )
+    # the file source picks files oldest-mtime-first: pin the replay order
+    t0 = 1_000_000_000
+    for i, path in enumerate(sorted(glob(os.path.join(replay, "*.log")))):
+        os.utime(path, (t0 + i, t0 + i))
+    return _run_funnel_replay(spark, base, replay, gap_s, wm_s, sentinel_uid)
+
+
+def _run_funnel_replay(spark: SparkSession, base: str, replay: str,
+                       gap_s: int, wm_s: int, sentinel_uid: int) -> DataFrame:
+    import os
+
+    from grower_spark.sources.file import stream_lines
+    from grower_spark.streaming.stateful import streaming_session_funnel
+
+    raw = stream_lines(spark, replay, max_files_per_trigger=1)
+    parsed = _pipeline().parse(raw)
+    ev = parsed.where(F.col("remote_user") != "").select(
+        F.substring("remote_user", 2, 18).cast("long").alias("user_id"),
+        F.col("time_local").alias("ts"),
+        F.regexp_extract("request", r"^GET /([a-z]+)/", 1).alias("event_type"),
+    )
+    out = streaming_session_funnel(
+        ev, _FUNNEL_STEPS, gap_seconds=gap_s, watermark=f"{wm_s} seconds"
+    )
+    _REPLAY_SEQ[0] += 1
+    name = f"ssf_replay_{_REPLAY_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        spark.table(name)
+        .where(F.col("user_id") != sentinel_uid)
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                "visitor"
+            ),
+            "session_start_us",
+            "session_end_us",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("funnel_depth").cast("int").alias("funnel_depth"),
+        )
+    )
+
+
+def oracle_streaming_session_funnel() -> str:
+    # identical session/funnel derivation as oracle_nginx_session_funnel,
+    # plus the session bounds the streaming operator emits; the sentinel
+    # exists only in the replay directory, never in the oracle's tables
+    s1, s2, s3 = _FUNNEL_STEPS
+    return (
+        ORACLE_PARSED_CTE
+        + f""",
+pe AS (
+  SELECT remote_user AS visitor, tl_epoch AS t,
+    regexp_extract(request, '^GET /([a-z]+)/', 1) AS e
+  FROM parsed WHERE remote_user <> ''
+),
+g AS (
+  SELECT visitor, t, e,
+    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+    THEN 1 ELSE 0 END AS new_session
+  FROM pe
+  WINDOW w AS (PARTITION BY visitor ORDER BY t)
+),
+s AS (
+  SELECT visitor, t, e,
+    sum(new_session) OVER (PARTITION BY visitor ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+),
+t1 AS (
+  SELECT visitor, session_seq, min(t) AS t FROM s
+  WHERE e = '{s1}' GROUP BY 1, 2
+),
+t2 AS (
+  SELECT s.visitor, s.session_seq, min(s.t) AS t
+  FROM s JOIN t1 ON t1.visitor = s.visitor
+              AND t1.session_seq = s.session_seq
+  WHERE s.e = '{s2}' AND s.t > t1.t GROUP BY 1, 2
+),
+t3 AS (
+  SELECT s.visitor, s.session_seq, min(s.t) AS t
+  FROM s JOIN t2 ON t2.visitor = s.visitor
+              AND t2.session_seq = s.session_seq
+  WHERE s.e = '{s3}' AND s.t > t2.t GROUP BY 1, 2
+),
+sess AS (
+  SELECT visitor, session_seq, count(*) AS n_events,
+    min(t) AS t_lo, max(t) AS t_hi
+  FROM s GROUP BY 1, 2
+)
+SELECT sess.visitor,
+  CAST(sess.t_lo * 1000000 AS BIGINT) AS session_start_us,
+  CAST(sess.t_hi * 1000000 AS BIGINT) AS session_end_us,
+  CAST(sess.n_events AS BIGINT) AS n_events,
+  CAST(CAST(t1.t IS NOT NULL AS INTEGER)
+     + CAST(t2.t IS NOT NULL AS INTEGER)
+     + CAST(t3.t IS NOT NULL AS INTEGER) AS INTEGER) AS funnel_depth
+FROM sess
+LEFT JOIN t1 USING (visitor, session_seq)
+LEFT JOIN t2 USING (visitor, session_seq)
+LEFT JOIN t3 USING (visitor, session_seq)
+"""
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit-ish (60-bit) content fingerprint: md5 prefix as bigint."""
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
@@ -6501,6 +6703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25": q_doc_bm25,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "nginx_session_funnel": q_nginx_session_funnel,
+    "streaming_session_funnel": q_streaming_session_funnel,
     "corpus_token_budget": q_corpus_token_budget,
     "events_hourly_baseline": q_events_hourly_baseline,
     # --- 20-26: the seven NEW r9 session-2 rows ---
@@ -6673,6 +6876,7 @@ ORACLES: dict[str, str] = {
     "doc_bm25": oracle_doc_bm25(),
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
     "nginx_session_funnel": oracle_nginx_session_funnel(),
+    "streaming_session_funnel": oracle_streaming_session_funnel(),
     "corpus_token_budget": oracle_corpus_token_budget(),
     "events_hourly_baseline": oracle_events_hourly_baseline(),
     "nginx_top_clients": oracle_nginx_top_clients(),
