@@ -6459,23 +6459,29 @@ GROUP BY 1
 """
 
 
-_LPA_PERMILLE = 200
+# audit size is a PAIR BUDGET, not a fixed fraction (r10, promoted from
+# SCALE.md's r9 note): permille = clamp(ceil(1000*budget/candidates), 1,
+# 1000), so the verify cost is flat in duplicate density — on the small
+# testdata (candidates <= budget) this degrades to audit-everything,
+# and the x10 rehearsal leg pins the flat-at-budget regime
+_LPA_PAIR_BUDGET = 200
 
 
 def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH precision audit (operators/dedup.py lsh_precision_audit): a
-    deterministic 20% sample of the MinHash-LSH candidate pairs, each
-    verified with its exact shingle Jaccard in integer basis points —
-    the evidence behind the num_perm/bands choice.  Verify cost is
-    sample-sized: the gram table is pruned to sampled ids before the
-    intersection join."""
+    deterministic PAIR-BUDGET-sized sample of the MinHash-LSH candidate
+    pairs, each verified with its exact shingle Jaccard in integer basis
+    points — the evidence behind the num_perm/bands choice.  Verify cost
+    is budget-bounded: the sample rate derives from the candidate count
+    and the gram table is pruned to sampled ids before the intersection
+    join."""
     from grower_spark.operators.dedup import lsh_precision_audit
 
     docs = load_table(spark, sf_dir, "documents")
     return lsh_precision_audit(
         docs, num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
         shingle_n=SHINGLE_N, hash_fn="md5",
-        sample_permille=_LPA_PERMILLE,
+        pair_budget=_LPA_PAIR_BUDGET,
     )
 
 
@@ -6519,7 +6525,12 @@ pairs AS (
                                 AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
-sp AS (SELECT * FROM pairs WHERE {pair_u} < {_LPA_PERMILLE}),
+sp AS (
+  SELECT * FROM pairs
+  WHERE {pair_u} < LEAST(1000, GREATEST(1,
+    (1000 * {_LPA_PAIR_BUDGET} + (SELECT count(*) FROM pairs) - 1)
+      // (SELECT count(*) FROM pairs)))
+),
 ga AS (
   SELECT doc_id, {gram_h} AS gh
   FROM (SELECT doc_id, unnest(sh) AS g FROM shing)

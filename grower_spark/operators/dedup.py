@@ -1071,7 +1071,8 @@ def lsh_precision_audit(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_perm: int = 16,
                         bands: int = 4, shingle_n: int = 3,
                         hash_fn: str = "md5", sample_permille: int = 200,
-                        salt: str = "lpa") -> DataFrame:
+                        salt: str = "lpa",
+                        pair_budget: Optional[int] = None) -> DataFrame:
     """Measure what the LSH bucketing actually trades: a deterministic
     sample of the candidate pairs, each verified with its EXACT shingle
     Jaccard — the methodology row behind choosing num_perm/bands (a
@@ -1079,14 +1080,26 @@ def lsh_precision_audit(df: DataFrame, id_col: str = "doc_id",
     recall loss; this is the precision half of the contract, recall's
     half is the ANN recall pytest).
 
+    Sizing (r10, promoted from SCALE.md's r9 audit-leg note): a FIXED
+    ``sample_permille`` makes the audit grow with the candidate set —
+    on duplicate-dense corpora the r9 ×10 leg grew 49 → 13k sampled
+    pairs for no extra statistical power.  ``pair_budget`` sizes the
+    rate instead: ``permille = clamp(ceil(1000 * budget / candidates),
+    1, 1000)`` — the audit pays a FLAT, chosen cost (thousands of pairs
+    is full power) no matter how duplicate-dense the corpus is, and
+    degrades to audit-everything when candidates <= budget.  When set,
+    it overrides ``sample_permille``.
+
     Plan: candidates from :func:`minhash_lsh_pairs` (one bucket shuffle),
-    a pure-hash pair sample (engine-portable, layout-invariant), then
-    exact verification bounded by SAMPLED pairs only — the gram table is
-    semi-pruned to sampled ids before the intersection join, so the
-    verify cost is sample-sized no matter how big the candidate set is.
-    The sampled pair table is localCheckpointed: three consumers (id
-    pruning, A-side join, verdict left join) must not re-run the LSH
-    subtree.
+    localCheckpointed ONCE — the budget's count, the pair sample, and
+    the three verify consumers (id pruning, A-side join, verdict left
+    join) all reuse it without re-running the LSH subtree (the
+    checkpoint is candidate-set-sized: the same order as the bucket
+    shuffle that produced it).  Then a pure-hash pair sample
+    (engine-portable, layout-invariant) and exact verification bounded
+    by SAMPLED pairs only — the gram table is semi-pruned to sampled
+    ids before the intersection join, so the verify cost is
+    sample-sized no matter how big the candidate set is.
 
     Output per sampled pair: ``(id_a, id_b, n_bands, n_inter, n_union,
     jaccard_bp)`` — integer basis points, exact in both engines.
@@ -1096,12 +1109,19 @@ def lsh_precision_audit(df: DataFrame, id_col: str = "doc_id",
     pairs = minhash_lsh_pairs(
         df, id_col=id_col, text_col=text_col, num_perm=num_perm,
         bands=bands, shingle_n=shingle_n, hash_fn=hash_fn,
-    )
+    ).localCheckpoint(eager=True)
+    if pair_budget is not None:
+        if pair_budget < 1:
+            raise ValueError(f"pair_budget must be >= 1, got {pair_budget}")
+        n_cand = pairs.count()  # bounded: one scalar off the checkpoint
+        sample_permille = max(
+            1, min(1000, -(-pair_budget * 1000 // max(n_cand, 1)))
+        )
     key = F.concat(
         F.col("id_a").cast("string"), F.lit("_"), F.col("id_b").cast("string")
     )
     u = md5_60(F.concat(F.lit(salt + "|"), key)) % 1000
-    sampled = pairs.where(u < sample_permille).localCheckpoint(eager=True)
+    sampled = pairs.where(u < sample_permille)
     ids = (
         sampled.select(F.col("id_a").alias("_doc"))
         .unionByName(sampled.select(F.col("id_b").alias("_doc")))

@@ -388,6 +388,36 @@ def test_lsh_precision_sample_deterministic(spark):
     assert a <= full
 
 
+def test_lsh_precision_pair_budget_bounds_the_audit(spark):
+    """pair_budget sizes the sample to a flat cost: on a duplicate-dense
+    corpus the audited pair count stays near the budget (hash sampling:
+    expected = budget, spread ~sqrt), degrades to audit-everything when
+    candidates <= budget, and overrides sample_permille."""
+    import pytest
+
+    from grower_spark.operators.dedup import lsh_precision_audit
+
+    # duplicate-dense: 120 docs in 30 near-identical quads -> dense
+    # candidate set
+    docs = spark.createDataFrame(
+        [(i, f"shared boilerplate prefix tokens c{i // 4} plus w{i % 4}")
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    full = lsh_precision_audit(docs, sample_permille=1000).count()
+    assert full >= 100  # dense enough to make the budget bind
+    budget = 20
+    got = lsh_precision_audit(docs, pair_budget=budget).count()
+    # permille = ceil(1000*20/full); realized count is hash-binomial
+    # around budget — assert the ORDER, not the exact draw
+    assert got <= 3 * budget, (got, full)
+    assert got >= budget // 3, (got, full)
+    # degenerate: budget >= candidates -> audit everything
+    assert lsh_precision_audit(docs, pair_budget=10 * full).count() == full
+    with pytest.raises(ValueError, match="pair_budget"):
+        lsh_precision_audit(docs, pair_budget=0)
+
+
 # --- randomized brute-force parity (seeded, deterministic) -------------------
 
 

@@ -351,7 +351,10 @@ def _leakage(docs):
 def _precision(docs):
     from grower_spark.operators.dedup import lsh_precision_audit
 
-    return lsh_precision_audit(docs, sample_permille=200)
+    # r10: budget-sized (the r9 leg measured the fixed-permille audit
+    # growing 49 -> 13k pairs at x10 on duplicate-dense replicas; the
+    # budget keeps the verify side flat at ~200 pairs at every factor)
+    return lsh_precision_audit(docs, pair_budget=200)
 
 
 def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
