@@ -5964,8 +5964,13 @@ def q_embedding_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = emb.where(
         F.col("vec_id") % DENSITY_PANEL_MOD == 0
     ).select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+    # kernel pinned: the oracle's HALF_UP rounding is the HOF path's; the
+    # auto dispatch (r10) would pick the BLAS twin here (dim 64 x ~45
+    # panel rows at sf0.1 sits near the cutover) whose half-even np.round
+    # could flip a boundary cosine — production callers use the default
     return density_vs_panel(
-        emb, panel, tau=DENSITY_TAU, min_close=DENSITY_MIN_CLOSE
+        emb, panel, tau=DENSITY_TAU, min_close=DENSITY_MIN_CLOSE,
+        kernel="hof",
     )
 
 

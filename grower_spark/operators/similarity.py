@@ -620,6 +620,16 @@ def lsh_ann_topk(
     return _rerank_topk(cand, queries, k, id_col, vec_col, qid_col, qvec_col, scorer)
 
 
+# kernel auto-cutover for density_vs_panel: use the BLAS twin when
+# dim × panel_rows reaches this.  Measured r10 (SCALE.md, 20k corpus,
+# warm): np wins 3.8× already at 64×256 (4.9 s vs 1.3 s), 30× at
+# 64×1024, >180× at 512×1024; the HOF fold's cost is the expression
+# interpreter evaluating dim×panel multiplies per corpus row, so it only
+# stays competitive when that product is small.  The threshold keeps the
+# oracle-exact HOF path for tiny panels and tiny dims.
+DENSITY_NP_CUTOVER = 8192
+
+
 def density_vs_panel(
     corpus: DataFrame,
     panel: DataFrame,
@@ -629,6 +639,7 @@ def density_vs_panel(
     vec_col: str = "embedding",
     pid_col: str = "pid",
     pvec_col: str = "pvec",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Embedding-density estimate against a FIXED reference panel, for
     density-based outlier filtering: per corpus vector, how many panel
@@ -659,8 +670,30 @@ def density_vs_panel(
     the join is a left join on a literal-true condition (a cross join
     that keeps the corpus side), not a row-destroying ``crossJoin``.
 
+    ``kernel`` (r10, VERDICT r9 item 7): ``"auto"`` (default) picks the
+    scoring kernel by measured cutover — the Catalyst HOF fold when
+    ``dim × panel_rows < DENSITY_NP_CUTOVER``, else the
+    :func:`density_vs_panel_np` BLAS twin (same rows; rounding is
+    np.round half-even vs the HOF's HALF_UP, divergent only on an exact
+    5e-5 cosine boundary — parity-pinned in pytest).  The peek at the
+    panel's shape is two tiny jobs on a model-sized frame (the np path
+    collects the whole panel anyway).  ``"hof"`` pins the zero-Python
+    oracle-exact path (the driver row's choice); ``"np"`` forces BLAS.
+
     Output: ``(vec_id, n_close bigint, is_outlier int)``.
     """
+    if kernel not in ("auto", "hof", "np"):
+        raise ValueError(f"kernel must be auto|hof|np, got {kernel!r}")
+    if kernel == "auto":
+        first = panel.select(pvec_col).first()
+        dim = len(first[0]) if first is not None and first[0] is not None else 0
+        kernel = (
+            "np" if dim * panel.count() >= DENSITY_NP_CUTOVER else "hof"
+        )
+    if kernel == "np":
+        return density_vs_panel_np(
+            corpus, panel, tau, min_close, id_col, vec_col, pid_col, pvec_col
+        )
     pairs = corpus.join(F.broadcast(panel), F.lit(True), "left")
     close = F.coalesce(
         (

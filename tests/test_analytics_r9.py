@@ -176,6 +176,54 @@ def test_density_twins_agree_on_null_vec_and_empty_panel(spark):
                    for r in out.values())
 
 
+def test_density_kernel_auto_dispatch(spark):
+    """kernel='auto' must route by dim x panel_rows (DENSITY_NP_CUTOVER)
+    and both routes must produce the same rows as the explicitly-pinned
+    kernels on the same inputs."""
+    import numpy as np
+
+    from grower_spark.operators.similarity import (
+        DENSITY_NP_CUTOVER,
+        density_vs_panel,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    n_panel_big = DENSITY_NP_CUTOVER // dim + 8   # above cutover
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(dim).astype("float32").tolist())
+         for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    big_panel = spark.createDataFrame(
+        [(1000 + i, rng.standard_normal(dim).astype("float32").tolist())
+         for i in range(n_panel_big)],
+        "pid long, pvec array<float>",
+    )
+    small_panel = big_panel.where(F.col("pid") < 1016)  # 16 rows: below
+
+    for panel, forced, marker in (
+        (big_panel, "np", "MapInPandas"),
+        (small_panel, "hof", "BroadcastNestedLoopJoin"),
+    ):
+        routed = density_vs_panel(corpus, panel, tau=0.3)
+        # the route itself, not just its output: np renders MapInPandas,
+        # hof a broadcast NLJ
+        phys = routed._jdf.queryExecution().sparkPlan().toString()
+        assert marker in phys, (forced, phys[:400])
+        auto = sorted(tuple(r) for r in routed.collect())
+        pinned = sorted(
+            tuple(r) for r in
+            density_vs_panel(corpus, panel, tau=0.3, kernel=forced).collect()
+        )
+        assert auto == pinned and len(auto) == 300
+
+    import pytest
+
+    with pytest.raises(ValueError, match="kernel"):
+        density_vs_panel(corpus, small_panel, kernel="blas")
+
+
 def test_global_row_number_matches_window(spark):
     """The distributed two-phase rank must equal the single-partition
     window row_number on the same total order, and the NTILE arithmetic
