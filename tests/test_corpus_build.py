@@ -320,3 +320,100 @@ def test_compact_parquet_respects_target_size(spark, tmp_path):
     audit = compact_parquet(spark, src, out, target_mb=1)
     # bytes_in is ~>1 MB so more than one output file, far fewer than 32
     assert 1 < audit["files_out"] < 32
+
+
+def test_corpus_build_zorder_layout_skips_row_groups(spark, tmp_path):
+    """--layout zorder wired into the build (VERDICT r9 item 8): the
+    written corpus table's row-group min/max stats prune a selective box
+    filter on BOTH layout columns, measured straight from the parquet
+    footers; row count is footer-verified across the rewrite and the
+    compact target sizes the file count."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tools.corpus_build import write_corpus_layout
+
+    def rg_stats(path, col):
+        out = []
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.get_field_index(col)
+            for i in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(i).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    def hit_fraction(stats, lo, hi):
+        return sum(1 for mn, mx in stats if not (mx < lo or mn > hi)) / len(
+            stats
+        )
+
+    # corpus-like rows with two decorrelated numeric read-filter columns
+    # (e.g. quality milli-score and a length band) riding through the
+    # build untouched
+    docs = spark.range(40_000).select(
+        F.col("id").alias("doc_id"),
+        # per-doc-unique content words (shared shingles would dedup the
+        # corpus away), stopword-rich so quality keeps them
+        F.format_string(
+            "the q%da and q%db of q%dc is q%dd it q%de that q%df in "
+            "q%dg you q%dh to q%di",
+            *([F.col("id")] * 9),
+        ).alias("text"),
+        (F.col("id") % 1000).alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("b"),
+    )
+    corpus, _drops, _report = build_corpus(
+        spark, docs, None, min_quality=0, max_top_word_bp=10_000,
+        max_tokens=64,
+    )
+    out = str(tmp_path / "zc")
+    audit = write_corpus_layout(
+        spark, corpus, out, layout="zorder", zorder_cols=["a", "b"],
+        compact_target_mb=1,
+        write_options={"parquet.block.size": 16 * 1024},
+    )
+    cpath = os.path.join(out, "corpus")
+    assert audit["layout"] == "zorder" and audit["rows"] == 40_000
+    sa, sb = rg_stats(cpath, "a"), rg_stats(cpath, "b")
+    assert len(sa) > 30, "need many row groups for the measurement"
+    # 5%-selective slabs prune most row groups on EITHER column
+    assert hit_fraction(sa, 0, 49) < 0.5
+    assert hit_fraction(sb, 0, 49) < 0.5
+    # and the data is intact
+    got = spark.read.parquet(cpath)
+    assert got.count() == 40_000
+    assert got.where((F.col("a") < 50) & (F.col("b") < 50)).count() == (
+        docs.where((F.col("a") < 50) & (F.col("b") < 50)).count()
+    )
+
+
+def test_corpus_build_compact_layout(spark, tmp_path):
+    """--compact-target-mb alone: footer-measured compaction of the
+    corpus write (many input partitions -> ~target-sized files)."""
+    import os
+
+    from tools.corpus_build import write_corpus_layout
+
+    docs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.format_string(
+            "the c%da and c%db of c%dc is c%dd it c%de that c%df in "
+            "c%dg you c%dh to c%di",
+            *([F.col("id")] * 9),
+        ).alias("text"),
+    )
+    corpus, _d, _r = build_corpus(
+        spark, docs, None, min_quality=0, max_top_word_bp=10_000,
+        max_tokens=64,
+    )
+    out = str(tmp_path / "cc")
+    audit = write_corpus_layout(
+        spark, corpus.repartition(64), out, compact_target_mb=256
+    )
+    assert audit["layout"] == "compacted"
+    assert audit["files_out"] == 1  # tiny table -> one target-sized file
+    assert audit["rows"] == 2_000
+    assert spark.read.parquet(os.path.join(out, "corpus")).count() == 2_000

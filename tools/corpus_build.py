@@ -278,6 +278,85 @@ def build_corpus(
     return corpus, all_drops, report
 
 
+def write_corpus_layout(spark, corpus, out_dir: str, layout: str = "plain",
+                        zorder_cols: list[str] | None = None,
+                        zorder_bits: int = 8,
+                        compact_target_mb: int = 0,
+                        write_options: dict | None = None) -> dict:
+    """Terminal corpus write with the read-side layout applied (VERDICT
+    r9 item 8: the z-order + compaction tools wired into the build path
+    instead of standalone).  Returns the layout audit for the report.
+
+    - ``layout='plain'``: one parquet write; with ``compact_target_mb``
+      the write is footer-measured compaction (staging write -> measured
+      bytes-per-row -> one repartition to ~target-sized files).
+    - ``layout='zorder'``: staging write, then a range-repartitioned
+      Morton-ordered rewrite on ``zorder_cols`` so row-group min/max
+      stats prune selective filters on ANY of those columns; with
+      ``compact_target_mb`` the file count comes from the staging
+      footprint instead of the default 32.
+
+    The staging pass exists so the rewrite reads plain parquet instead
+    of re-running the whole pipeline DAG (same reasoning as the shard
+    write), and so the file count can be MEASURED from real compressed
+    bytes — the compaction contract.  Row counts are footer-verified
+    across the rewrite.
+    """
+    import shutil
+
+    from grower_spark.operators.compact import (
+        compact_parquet,
+        parquet_footprint,
+    )
+    from grower_spark.operators.zorder import write_zordered
+
+    corpus_path = os.path.join(out_dir, "corpus")
+    if layout not in ("plain", "zorder"):
+        raise ValueError(f"layout must be plain|zorder, got {layout!r}")
+    if layout == "plain" and not compact_target_mb:
+        writer = corpus.write.mode("overwrite")
+        for k, v in (write_options or {}).items():
+            writer = writer.option(k, v)
+        writer.parquet(corpus_path)
+        return {"layout": "plain"}
+
+    staging = os.path.join(out_dir, "_corpus_staging")
+    corpus.write.mode("overwrite").parquet(staging)
+    try:
+        if layout == "zorder":
+            if not zorder_cols:
+                raise ValueError("layout='zorder' needs zorder_cols")
+            n_files = 32
+            n_in, bytes_in, rows_in = parquet_footprint(staging)
+            if compact_target_mb:
+                n_files = max(
+                    1, -(-bytes_in // (compact_target_mb * 1024 * 1024))
+                )
+            write_zordered(
+                spark.read.parquet(staging), corpus_path, zorder_cols,
+                bits=zorder_bits, num_files=n_files,
+                write_options=write_options,
+            )
+            n_out, bytes_out, rows_out = parquet_footprint(corpus_path)
+            if rows_out != rows_in:
+                raise RuntimeError(
+                    f"zorder rewrite row mismatch: {rows_in} -> {rows_out}"
+                )
+            return {
+                "layout": "zorder", "zorder_cols": list(zorder_cols),
+                "files_in": n_in, "files_out": n_out,
+                "bytes_in": bytes_in, "bytes_out": bytes_out,
+                "rows": rows_out,
+            }
+        audit = compact_parquet(
+            spark, staging, corpus_path, target_mb=compact_target_mb
+        )
+        audit["layout"] = "compacted"
+        return audit
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
@@ -320,6 +399,16 @@ def main() -> int:
                          "training shards with a verification manifest "
                          "(0 = off)")
     ap.add_argument("--shard-salt", default="corpus")
+    ap.add_argument("--layout", choices=["plain", "zorder"], default="plain",
+                    help="corpus table layout: zorder range-rewrites on "
+                         "--zorder-cols for multi-column row-group skipping")
+    ap.add_argument("--zorder-cols", default=None,
+                    help="comma-separated numeric/timestamp columns for "
+                         "--layout zorder")
+    ap.add_argument("--zorder-bits", type=int, default=8)
+    ap.add_argument("--compact-target-mb", type=int, default=0,
+                    help="footer-measured compaction of the corpus write "
+                         "to ~this file size (0 = off)")
     args = ap.parse_args()
 
     from grower_spark.session import get_spark
@@ -341,7 +430,12 @@ def main() -> int:
         adaptive_keep_permille=args.adaptive_keep_permille,
         weighted_target_rows=args.weighted_target_rows,
     )
-    corpus.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
+    report["layout"] = write_corpus_layout(
+        spark, corpus, args.out, layout=args.layout,
+        zorder_cols=[c for c in (args.zorder_cols or "").split(",") if c],
+        zorder_bits=args.zorder_bits,
+        compact_target_mb=args.compact_target_mb,
+    )
     drops.write.mode("overwrite").parquet(os.path.join(args.out, "drops"))
     if args.n_shards:
         # terminal stage: the packed corpus as deterministic training
