@@ -6652,51 +6652,30 @@ FROM guessed GROUP BY 1, 2
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r9, per VERDICT r8 items 1-4 and ADVICE r8 item 1;
-# sections are 1-8 / 9-14 / 15-19 / 20-26 / 27-30 / 31-50 — exactly 50,
-# AST-checked for duplicate keys in tests):
+# Window layout (r10; sections are 1-8 / 9-13 / 14-24 / 25-44 / 45-50 —
+# exactly 50, AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
-#   9-14  : must-(re)certify this round — dedup_keep_best (plan REWRITTEN
-#           r9: pair-graph window + measured broadcast, same rows),
-#           nb_lang_score (r8's evidence gap: driver-green but absent
-#           from the local artifact / plan audit / bench),
-#           corpus_report + multimodal_decode_meta + multimodal_decode_mp4
-#           (ADVICE r8: the window off-by-one pushed them to 51-53, so
-#           they missed their intended r8 check), and cluster_split
-#           (r8 perf-weak row, isolation-measured r9 — keep the
-#           correctness row fresh alongside).
-#   15-19 : the five NEW r9 rows (BM25 retrieval, cluster-balanced
-#           sampling, the nginx parse→sessionize→funnel composition,
-#           token-budget selection, hourly-baseline anomaly) — every
-#           new operator certifies in its debut round.
-#   20-26 : the seven NEW r9 session-2 rows (top-clients heavy hitters,
-#           /16 prefix rollup, lifecycle growth accounting, value
-#           deciles, containment dedup, embedding-density outliers,
-#           snapshot diff) — same debut-round rule.
-#   27-39 : the thirteen NEW r9 session-3 rows (weighted Poisson sampling,
-#           per-language adaptive quality cut, embedding diversity via
-#           the moment identity, token-pair affinity, exact-k per-group
-#           sampling, per-dimension whitening stats, snapshot score-
-#           distribution drift, benchmark-leakage report, language
-#           confusion matrix, inter-event cadence, LSH precision
-#           audit, per-source robust quality outliers, per-label
-#           embedding norm outliers) — debut-round certification rule.
-#   40-50 : rotation by staleness — TPC-H q1-q11, all last
-#           driver-certified r6/r7, the registry's
-#           oldest certifications.  The session-2 rows displaced
-#           tpch_q16-q22 and the session-3 rows displaced corpus_vocab …
-#           semantic_decontam (r6/r7-certified, fresher) to the 51+
-#           head.
-#   51+   : tpch_q16-q22, the displaced r9 top-ups
-#           (events_window_agg … events_rollup), then everything
-#           driver-certified green in r8 (the r8 debuts, the
-#           r5-retained block, the media/LM stability rows), then the
-#           remaining r6/r7 rows queued to rotate into the r10 window
-#           (events_topk_per_user … ann_lsh_multiprobe) — all covered
-#           every round by the committed CORRECTNESS_LOCAL_r{N}.json
-#           full-registry artifact.
+#   9-13  : must-certify this round — streaming_session_funnel (NEW:
+#           the stateful streaming path under the driver's oracle),
+#           dedup_simhash_pairs (REWORKED: 56-bit combination-block
+#           keys — new result set), lsh_precision (REWORKED:
+#           pair-budget sizing — new sample), embedding_density
+#           (edge-contract fix + kernel dispatch, kernel pinned hof)
+#           and sample_exact_k (null-safe group join) — every
+#           changed/new row certifies in its change round.
+#   14-24 : staleness rotation — tpch_q12..q22, last driver-certified
+#           r6, the registry's oldest certifications.
+#   25-44 : staleness rotation — the r6-certified events/dedup/text/ANN
+#           block (events_window_agg … ann_lsh_multiprobe).
+#   45-50 : staleness rotation — the r7-certified block (semdedup,
+#           pii_redact, corpus_vocab, tokenize_ids, shard_shuffle,
+#           dedup_minhash_incremental).
+#   51+   : everything r8/r9-driver-certified (the r9 debuts, TPC-H
+#           q1-q11, keep_best and the multimodal/report rows, then the
+#           r7/r8 remainder) — all covered every round by the committed
+#           CORRECTNESS_LOCAL_r{N}.json full-registry artifact.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 1-8: §2 core, keep certified every round ---
     "nginx_parse_agg": q_nginx_parse_agg,
@@ -6707,44 +6686,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_error_rate": q_nginx_error_rate,
     "nginx_latency_percentiles": q_nginx_latency_percentiles,
     "syslog_extract": q_syslog_extract,
-    # --- 9-14: must-(re)certify — r9 plan rewrite, the r8 evidence gap,
-    # the three ADVICE-r8 orphans, the isolation-watched row ---
+    # --- 9-13: r10 must-certify (new / changed this round) ---
+    "streaming_session_funnel": q_streaming_session_funnel,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "lsh_precision": q_lsh_precision,
+    "embedding_density": q_embedding_density,
+    "sample_exact_k": q_sample_exact_k,
+    # --- 14-24: staleness rotation, tpch_q12-q22 (last driver r6) ---
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    # --- 25-44: staleness rotation, the r6-certified block ---
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
+    "events_sliding_window": q_events_sliding_window,
+    "events_rollup": q_events_rollup,
+    "events_topk_per_user": q_events_topk_per_user,
+    "events_exact_stats": q_events_exact_stats,
+    "events_sketches": q_events_sketches,
+    "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_neardup": q_embedding_neardup,
+    "dedup_simhash": q_dedup_simhash,
+    "salted_agg_users": q_salted_agg_users,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "ann_cosine_topk_np": q_ann_cosine_topk_np,
+    "ann_lsh": q_ann_lsh,
+    # --- 45-50: staleness rotation, the r7-certified block ---
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "semdedup": q_semdedup,
+    "pii_redact": q_pii_redact,
+    "corpus_vocab": q_corpus_vocab,
+    "tokenize_ids": q_tokenize_ids,
+    "shard_shuffle": q_shard_shuffle,
+    # --- 51+: r8/r9-driver-certified rows rotated out (covered by the
+    # full-registry CORRECTNESS_LOCAL artifact) ---
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_keep_best": q_dedup_keep_best,
     "nb_lang_score": q_nb_lang_score,
     "corpus_report": q_corpus_report,
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
     "cluster_split": q_cluster_split,
-    # --- 15-…: NEW r9 rows (debut certification) ---
     "doc_bm25": q_doc_bm25,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "nginx_session_funnel": q_nginx_session_funnel,
-    "streaming_session_funnel": q_streaming_session_funnel,
     "corpus_token_budget": q_corpus_token_budget,
     "events_hourly_baseline": q_events_hourly_baseline,
-    # --- 20-26: the seven NEW r9 session-2 rows ---
     "nginx_top_clients": q_nginx_top_clients,
     "nginx_ip_prefix": q_nginx_ip_prefix,
     "events_lifecycle": q_events_lifecycle,
     "events_value_deciles": q_events_value_deciles,
     "doc_containment": q_doc_containment,
-    "embedding_density": q_embedding_density,
     "corpus_diff": q_corpus_diff,
-    # --- 27-39: the thirteen NEW r9 session-3 rows ---
     "sample_weighted": q_sample_weighted,
     "quality_adaptive": q_quality_adaptive,
     "embedding_diversity": q_embedding_diversity,
     "term_affinity": q_term_affinity,
-    "sample_exact_k": q_sample_exact_k,
     "embedding_dim_stats": q_embedding_dim_stats,
     "corpus_drift": q_corpus_drift,
     "benchmark_leakage": q_benchmark_leakage,
     "lang_confusion": q_lang_confusion,
     "events_gap_stats": q_events_gap_stats,
-    "lsh_precision": q_lsh_precision,
     "doc_quality_outliers": q_doc_quality_outliers,
     "embedding_norm_outliers": q_embedding_norm_outliers,
-    # --- 40-50: staleness rotation (last certified r6/r7) + top-ups ---
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -6756,35 +6774,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
     "tpch_q11": q_tpch_q11,
-    # --- 51+: displaced by the session-3 debuts (r6/r7-certified, covered
-    # by the full-registry CORRECTNESS_LOCAL artifact); then
-    # r8-certified green rotated out; then the r6/r7 rows queued for the
-    # r10 window ---
-    "tpch_q12": q_tpch_q12,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q15": q_tpch_q15,
-    "semdedup": q_semdedup,
-    "pii_redact": q_pii_redact,
-    "corpus_vocab": q_corpus_vocab,
-    "tokenize_ids": q_tokenize_ids,
-    "shard_shuffle": q_shard_shuffle,
-    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "events_outliers": q_events_outliers,
     "source_mix": q_source_mix,
     "semantic_decontam": q_semantic_decontam,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "events_window_agg": q_events_window_agg,
-    "events_sessionize": q_events_sessionize,
-    "events_session_window": q_events_session_window,
-    "events_sliding_window": q_events_sliding_window,
-    "events_rollup": q_events_rollup,
     "dedup_substring": q_dedup_substring,
     "events_transitions": q_events_transitions,
     "events_winsorized": q_events_winsorized,
@@ -6827,23 +6819,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "lm_tail_keep": q_lm_tail_keep,
-    "events_topk_per_user": q_events_topk_per_user,
-    "events_exact_stats": q_events_exact_stats,
-    "events_sketches": q_events_sketches,
-    "text_stats": q_text_stats,
-    "doc_fingerprint": q_doc_fingerprint,
-    "embedding_neardup": q_embedding_neardup,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "salted_agg_users": q_salted_agg_users,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "ann_cosine_topk_np": q_ann_cosine_topk_np,
-    "ann_lsh": q_ann_lsh,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
 }
 
 ORACLES: dict[str, str] = {

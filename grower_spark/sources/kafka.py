@@ -34,6 +34,10 @@ surface.
 2026-08-15 r9 (second session): re-probed (spark-sql-kafka* recursive
 glob under /opt, `import PIL` / `import google.protobuf` /
 `import kafka`): all still absent.  Unchanged.
+2026-08-15 r10: re-probed (filesystem-wide find for spark-sql-kafka* /
+kafka-clients*.jar, pyspark/jars listing, :9092 connect refused,
+`import PIL`, `import google.protobuf`): all still absent.  Unchanged;
+same standing fallbacks.
 """
 
 from __future__ import annotations
