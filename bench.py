@@ -163,6 +163,12 @@ BENCH_QUERIES = [
     # machinery + state store, not the batch operators, so expect ~9 s
     # at sf0.1 (documented honest cost, not a regression).
     ("streaming_session_funnel", "noop"),
+    # r10 debuts
+    ("doc_gopher_rules", "noop"),
+    ("token_heavy_hitters", "collect"),
+    ("events_split_leakage", "collect"),
+    ("lang_fertility", "collect"),
+    ("dedup_cluster_sizes", "collect"),
 ]
 
 

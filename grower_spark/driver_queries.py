@@ -6646,14 +6646,235 @@ FROM guessed GROUP BY 1, 2
 """
 
 
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (operators/text.py gopher_rules —
+    Rae et al. 2021 §A1.1) as one map-side expression pass: per-doc
+    integer signals, the seven rule flags, and the combined pass bit.
+    NULL-text rows are excluded on both sides (no rules to evaluate)."""
+    from grower_spark.operators.text import gopher_rules
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull()
+    )
+    flags = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_alpha_words", "ok_stopwords", "ok_bullet_lines",
+        "ok_ellipsis_lines",
+    ]
+    return gopher_rules(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_bp", "alpha_word_bp",
+        "n_stop_hits", "bullet_line_bp", "ellipsis_line_bp",
+        *[F.col(f).cast("int").alias(f) for f in flags],
+        "gopher_pass",
+    )
+
+
+def oracle_doc_gopher_rules() -> str:
+    from grower_spark.operators.text import STOPWORDS_EN
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+    string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL
+),
+sig AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    GREATEST(len(toks), 1) AS nw1,
+    COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS sum_len,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ell,
+    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_w,
+    len(list_filter(toks, t -> list_contains([{stop}], t))) AS n_stop_hits,
+    GREATEST(len(lines), 1) AS n_lines,
+    len(list_filter(lines, ln -> regexp_matches(ln, '^\\s*[-*•]')))
+      AS n_bullet,
+    len(list_filter(lines, ln -> regexp_matches(ln, '(\\.\\.\\.|…)\\s*$')))
+      AS n_ell_end
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words,
+    CAST(sum_len // nw1 AS BIGINT) AS mean_word_len,
+    CAST(((n_hash + n_ell) * 10000) // nw1 AS BIGINT) AS symbol_bp,
+    CAST((n_alpha_w * 10000) // nw1 AS BIGINT) AS alpha_word_bp,
+    CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+    CAST((n_bullet * 10000) // n_lines AS BIGINT) AS bullet_line_bp,
+    CAST((n_ell_end * 10000) // n_lines AS BIGINT) AS ellipsis_line_bp
+  FROM sig
+)
+SELECT *,
+  CAST(ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+   AND ok_alpha_words AND ok_stopwords AND ok_bullet_lines
+   AND ok_ellipsis_lines AS INTEGER) AS gopher_pass
+FROM (
+  SELECT *,
+    CAST(n_words BETWEEN 5 AND 100000 AS INTEGER) AS ok_word_count,
+    CAST(mean_word_len BETWEEN 3 AND 10 AS INTEGER) AS ok_mean_word_len,
+    CAST(symbol_bp <= 1000 AS INTEGER) AS ok_symbol_ratio,
+    CAST(alpha_word_bp >= 8000 AS INTEGER) AS ok_alpha_words,
+    CAST(n_stop_hits >= 2 AS INTEGER) AS ok_stopwords,
+    CAST(bullet_line_bp <= 9000 AS INTEGER) AS ok_bullet_lines,
+    CAST(ellipsis_line_bp <= 3000 AS INTEGER) AS ok_ellipsis_lines
+  FROM m
+)
+"""
+
+
+HH_THRESHOLD_PERMILLE = 5
+HH_K = 512
+
+
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters with exact verified output
+    (operators/sketch.py): tokens holding >= 0.5% of all occurrences.
+    The sketch only proposes candidates under bounded per-partial
+    state; membership and counts come from an exact candidate-pruned
+    pass, so the oracle is the naive unnest+count+HAVING."""
+    from grower_spark.operators.sketch import mg_heavy_hitters
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    return mg_heavy_hitters(
+        docs, threshold_permille=HH_THRESHOLD_PERMILLE, k=HH_K
+    )
+
+
+def oracle_token_heavy_hitters() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST((count(*) * 10000) // (SELECT GREATEST(n, 1) FROM tot) AS BIGINT)
+    AS share_bp
+FROM toks GROUP BY token
+HAVING count(*) * 1000 >= {HH_THRESHOLD_PERMILLE} * (SELECT n FROM tot)
+"""
+
+
+SPLIT_TRAIN_PERMILLE = 800
+
+
+def q_events_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split audit with user-leakage measurement
+    (operators/sampling.py time_split_leakage): cut at 80% of the event
+    stream's time span, report split sizes and the users with events on
+    BOTH sides — the silent eval contaminator of temporal splits."""
+    from grower_spark.operators.sampling import time_split_leakage
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_split_leakage(ev, train_permille=SPLIT_TRAIN_PERMILLE)
+
+
+def oracle_events_split_leakage() -> str:
+    p = SPLIT_TRAIN_PERMILLE
+    return f"""
+WITH b AS (
+  SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS lo,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS hi
+  FROM events
+),
+c AS (SELECT lo + ((hi - lo) * {p}) // 1000 AS cut FROM b),
+pu AS (
+  SELECT user_id,
+    min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+    count(*) FILTER (WHERE epoch_us(ts) < (SELECT cut FROM c)) AS n_tr,
+    count(*) FILTER (WHERE epoch_us(ts) >= (SELECT cut FROM c)) AS n_te
+  FROM events GROUP BY 1
+)
+SELECT
+  CAST((SELECT cut FROM c) AS BIGINT) AS cutoff_us,
+  CAST(sum(n_tr) AS BIGINT) AS n_train_events,
+  CAST(sum(n_te) AS BIGINT) AS n_test_events,
+  CAST(count(*) FILTER (WHERE t0 < (SELECT cut FROM c)) AS BIGINT)
+    AS n_train_users,
+  CAST(count(*) FILTER (WHERE t1 >= (SELECT cut FROM c)) AS BIGINT)
+    AS n_test_users,
+  CAST(count(*) FILTER (WHERE t0 < (SELECT cut FROM c)
+                          AND t1 >= (SELECT cut FROM c)) AS BIGINT)
+    AS n_leaked_users,
+  CAST((count(*) FILTER (WHERE t0 < (SELECT cut FROM c)
+                           AND t1 >= (SELECT cut FROM c)) * 10000)
+       // GREATEST(count(*) FILTER (WHERE t0 < (SELECT cut FROM c)), 1)
+       AS BIGINT) AS leaked_bp
+FROM pu
+"""
+
+
+def q_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility panel (operators/text.py
+    fertility_stats): docs, tokens/doc and chars/token x100 — the
+    context-window cost comparison across languages."""
+    from grower_spark.operators.text import fertility_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fertility_stats(docs)
+
+
+def oracle_lang_fertility() -> str:
+    return """
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+  CAST((sum(len(string_split(text, ' '))) * 100)
+       // GREATEST(count(*), 1) AS BIGINT) AS tokens_per_doc_x100,
+  CAST((sum(length(text)) * 100)
+       // GREATEST(sum(len(string_split(text, ' '))), 1) AS BIGINT)
+    AS chars_per_token_x100
+FROM documents WHERE text IS NOT NULL
+GROUP BY lang
+"""
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram — the dedup governance rollup
+    (how much duplication, in what clump sizes): duplicate_clusters over
+    the certified ngram-jaccard pair graph, then two model-sized
+    aggregations (cluster -> size, size -> count)."""
+    from grower_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_df=JACCARD_MAX_DF,
+    )
+    clusters = duplicate_clusters(pairs, backend="star")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"),
+             "n_clusters")
+
+
+def oracle_dedup_cluster_sizes() -> str:
+    return f"""
+WITH cl AS ({oracle_dedup_clusters()}),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY cluster_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r10; sections are 1-8 / 9-13 / 14-24 / 25-44 / 45-50 —
-# exactly 50, AST-checked for duplicate keys in tests):
+# Window layout (r10; sections are 1-8 / 9-13 / 14-18 / 19-29 / 30-49 /
+# 50 — exactly 50, AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
@@ -6665,14 +6886,17 @@ FROM guessed GROUP BY 1, 2
 #           (edge-contract fix + kernel dispatch, kernel pinned hof)
 #           and sample_exact_k (null-safe group join) — every
 #           changed/new row certifies in its change round.
-#   14-24 : staleness rotation — tpch_q12..q22, last driver-certified
+#   14-18 : the five NEW r10 rows (Gopher quality rules, Misra-Gries
+#           heavy hitters with exact verified output, temporal-split
+#           user-leakage audit, per-language tokenizer fertility,
+#           near-dup cluster size histogram) — debut certification.
+#   19-29 : staleness rotation — tpch_q12..q22, last driver-certified
 #           r6, the registry's oldest certifications.
-#   25-44 : staleness rotation — the r6-certified events/dedup/text/ANN
-#           block (events_window_agg … ann_lsh_multiprobe).
-#   45-50 : staleness rotation — the r7-certified block (semdedup,
-#           pii_redact, corpus_vocab, tokenize_ids, shard_shuffle,
-#           dedup_minhash_incremental).
-#   51+   : everything r8/r9-driver-certified (the r9 debuts, TPC-H
+#   30-49 : staleness rotation — the r6-certified events/dedup/text/ANN
+#           block (events_window_agg … ann_lsh).
+#   50    : ann_lsh_multiprobe (r6-certified tail).
+#   51+   : the r7 block (semdedup … dedup_minhash_incremental), then
+#           everything r8/r9-driver-certified (the r9 debuts, TPC-H
 #           q1-q11, keep_best and the multimodal/report rows, then the
 #           r7/r8 remainder) — all covered every round by the committed
 #           CORRECTNESS_LOCAL_r{N}.json full-registry artifact.
@@ -6692,6 +6916,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_precision": q_lsh_precision,
     "embedding_density": q_embedding_density,
     "sample_exact_k": q_sample_exact_k,
+    # --- 14-18: NEW r10 rows (debut certification) ---
+    "doc_gopher_rules": q_doc_gopher_rules,
+    "token_heavy_hitters": q_token_heavy_hitters,
+    "events_split_leakage": q_events_split_leakage,
+    "lang_fertility": q_lang_fertility,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     # --- 14-24: staleness rotation, tpch_q12-q22 (last driver r6) ---
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
@@ -6725,15 +6955,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
     "ann_lsh": q_ann_lsh,
-    # --- 45-50: staleness rotation, the r7-certified block ---
+    # --- 50: staleness rotation tail (r6-certified) ---
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    # --- 51+: the r7 block displaced by the r10 debuts, then
+    # r8/r9-driver-certified rows rotated out (all covered by the
+    # full-registry CORRECTNESS_LOCAL artifact) ---
     "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
     "corpus_vocab": q_corpus_vocab,
     "tokenize_ids": q_tokenize_ids,
     "shard_shuffle": q_shard_shuffle,
-    # --- 51+: r8/r9-driver-certified rows rotated out (covered by the
-    # full-registry CORRECTNESS_LOCAL artifact) ---
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_keep_best": q_dedup_keep_best,
     "nb_lang_score": q_nb_lang_score,
@@ -6868,6 +7099,11 @@ ORACLES: dict[str, str] = {
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
     "nginx_session_funnel": oracle_nginx_session_funnel(),
     "streaming_session_funnel": oracle_streaming_session_funnel(),
+    "doc_gopher_rules": oracle_doc_gopher_rules(),
+    "token_heavy_hitters": oracle_token_heavy_hitters(),
+    "events_split_leakage": oracle_events_split_leakage(),
+    "lang_fertility": oracle_lang_fertility(),
+    "dedup_cluster_sizes": oracle_dedup_cluster_sizes(),
     "corpus_token_budget": oracle_corpus_token_budget(),
     "events_hourly_baseline": oracle_events_hourly_baseline(),
     "nginx_top_clients": oracle_nginx_top_clients(),

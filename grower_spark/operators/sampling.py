@@ -567,3 +567,56 @@ def weighted_sample_filter(df: DataFrame, weight_col: str, target_rows: int,
         u * F.lit(int(w_total))
         < F.lit(int(m) * int(target_rows)) * F.col(weight_col).cast("long")
     )
+
+
+def time_split_leakage(df: DataFrame, ts_col: str = "ts",
+                       user_col: str = "user_id",
+                       train_permille: int = 800) -> DataFrame:
+    """Temporal train/test split audit: cut the event stream at
+    ``train_permille``/1000 of its time span and report the split sizes
+    plus USER LEAKAGE — users with events on both sides of the cut.
+    Entity leakage across a temporal split is the classic silent eval
+    contaminator (the model "generalizes" to users it memorized), and
+    the leaked share is the go/no-go number for user-keyed splitting.
+
+    Plan / 100 TB: two scalar time bounds (one agg), the cutoff as a
+    plan literal, then ONE user-keyed aggregation emitting each user's
+    (min_ts, max_ts) — leakage is a map-side flag over that model-sized
+    user table; event counts ride the same single pass as conditional
+    sums.  No window, no join, one shuffle on user_id.
+
+    Output (single row): ``(cutoff_us, n_train_events, n_test_events,
+    n_train_users, n_test_users, n_leaked_users, leaked_bp)`` —
+    leaked_bp = leaked users per 10,000 train users.
+    """
+    _check_permille(train_permille, "train_permille")
+    us = F.unix_micros(F.col(ts_col))
+    b = df.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    ).collect()[0]  # bounded: two scalars
+    if b["lo"] is None:
+        raise ValueError("time_split_leakage needs at least one row")
+    lo, hi = int(b["lo"]), int(b["hi"])
+    cutoff = lo + ((hi - lo) * train_permille) // 1000
+    per_user = df.groupBy(user_col).agg(
+        F.min(us).alias("_t0"),
+        F.max(us).alias("_t1"),
+        F.sum((us < cutoff).cast("long")).alias("_n_tr"),
+        F.sum((us >= cutoff).cast("long")).alias("_n_te"),
+    )
+    in_train = F.col("_t0") < cutoff
+    in_test = F.col("_t1") >= cutoff
+    return per_user.agg(
+        F.lit(cutoff).cast("long").alias("cutoff_us"),
+        F.sum("_n_tr").cast("long").alias("n_train_events"),
+        F.sum("_n_te").cast("long").alias("n_test_events"),
+        F.sum(in_train.cast("long")).cast("long").alias("n_train_users"),
+        F.sum(in_test.cast("long")).cast("long").alias("n_test_users"),
+        F.sum((in_train & in_test).cast("long")).cast("long")
+        .alias("n_leaked_users"),
+    ).select(
+        "*",
+        (F.col("n_leaked_users") * 10000
+         / F.greatest(F.col("n_train_users"), F.lit(1)))
+        .cast("long").alias("leaked_bp"),
+    )

@@ -1088,3 +1088,127 @@ def term_affinity_topk(df: DataFrame, k: int = 50, min_count: int = 5,
             F.round("_aff", 4).alias("affinity_r4"),
         )
     )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 5, max_words: int = 100_000,
+                 min_mean_word_len: int = 3, max_mean_word_len: int = 10,
+                 max_symbol_ratio_bp: int = 1000,
+                 min_alpha_word_bp: int = 8000,
+                 min_stopwords: int = 2,
+                 max_bullet_line_bp: int = 9000,
+                 max_ellipsis_line_bp: int = 3000) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al., "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    §A1.1 — the published repetition-free subset), as pure column
+    expressions: one map-side pass, no UDF, no shuffle.
+
+    Per-doc integer signals and boolean rule flags, plus ``gopher_pass``
+    (all rules hold).  Ratios are integer basis points so the flags are
+    engine-exact:
+
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+      (integer-floored mean, exact in both engines);
+    - symbol-to-word ratio (``#`` and ``...`` occurrences per word)
+      <= max_symbol_ratio_bp;
+    - >= min_alpha_word_bp of words contain an alphabetic character;
+    - >= min_stopwords stopword hits (the paper's "stop word" rule);
+    - line rules on newline-delimited docs: <= max_bullet_line_bp of
+      lines start with a bullet, <= max_ellipsis_line_bp end with an
+      ellipsis (docs without newlines have one line and typically pass
+      — exercised with multi-line fixtures in pytest).
+
+    Output: ``(input columns..., n_words, mean_word_len, symbol_bp,
+    alpha_word_bp, n_stop_hits, bullet_line_bp, ellipsis_line_bp,
+    ok_* x7, gopher_pass int)``.
+    """
+    toks = _tokens(F.col(text_col))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_words = F.greatest(F.size(toks), F.lit(0))
+    nw1 = F.greatest(n_words, F.lit(1))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = (sum_len / nw1).cast("long")
+    n_hash = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), r"#", "")
+    )
+    n_ell = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\.|…"), F.lit(0))
+    )
+    symbol_bp = ((n_hash + n_ell) * 10000 / nw1).cast("long")
+    n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_bp = (n_alpha_w * 10000 / nw1).cast("long")
+    n_stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*([-*•])"))
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    bullet_bp = (n_bullet * 10000 / n_lines).cast("long")
+    ell_bp = (n_ell_end * 10000 / n_lines).cast("long")
+    out = df.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_bp.alias("symbol_bp"),
+        alpha_bp.alias("alpha_word_bp"),
+        n_stop_hits.cast("long").alias("n_stop_hits"),
+        bullet_bp.alias("bullet_line_bp"),
+        ell_bp.alias("ellipsis_line_bp"),
+    )
+    checks = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("symbol_bp") <= max_symbol_ratio_bp,
+        "ok_alpha_words": F.col("alpha_word_bp") >= min_alpha_word_bp,
+        "ok_stopwords": F.col("n_stop_hits") >= min_stopwords,
+        "ok_bullet_lines": F.col("bullet_line_bp") <= max_bullet_line_bp,
+        "ok_ellipsis_lines": F.col("ellipsis_line_bp") <= max_ellipsis_line_bp,
+    }
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+    passed = None
+    for name in checks:
+        passed = F.col(name) if passed is None else (passed & F.col(name))
+    return out.withColumn("gopher_pass", passed.cast("int"))
+
+
+def fertility_stats(df: DataFrame, text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer-fertility panel: docs, whitespace tokens
+    per doc and characters per token (x100 fixed-point) — the quick
+    read on how token-hungry each language is under a given
+    tokenization, i.e. the relative context-window cost per language
+    (the published tokenizer-parity concern: identical text budgets buy
+    unequal token budgets across languages).
+
+    One map-combinable aggregation over (lang); integer outputs only.
+    NULL text rows carry no tokens and are excluded (they would deflate
+    fertility with zeros that say nothing about the language).
+    """
+    toks = _tokens(F.col(text_col))
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+            F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        )
+        .select(
+            lang_col,
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") * 100 / F.greatest(F.col("n_docs"), F.lit(1)))
+            .cast("long").alias("tokens_per_doc_x100"),
+            (F.col("n_chars") * 100 / F.greatest(F.col("n_tokens"), F.lit(1)))
+            .cast("long").alias("chars_per_token_x100"),
+        )
+    )
