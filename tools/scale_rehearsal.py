@@ -251,6 +251,9 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
         "events_value_deciles": lambda d: value_deciles(d).where(
             F.col("n_users") >= 0
         ),
+        # r10: split leakage — one user-keyed agg + a scalar rollup; wall
+        # should track events linearly, shuffle should track USERS
+        "events_split_leakage": lambda d: _split_leakage(d),
     }
     results: dict = {}
     for factor in factors:
@@ -355,6 +358,49 @@ def _precision(docs):
     # growing 49 -> 13k pairs at x10 on duplicate-dense replicas; the
     # budget keeps the verify side flat at ~200 pairs at every factor)
     return lsh_precision_audit(docs, pair_budget=200)
+
+
+def _split_leakage(ev):
+    from grower_spark.operators.sampling import time_split_leakage
+
+    return time_split_leakage(ev, train_permille=800)
+
+
+def _gopher(docs):
+    from grower_spark.operators.text import gopher_rules
+
+    return gopher_rules(docs).select("doc_id", "gopher_pass").where(
+        F.col("gopher_pass") >= 0
+    )
+
+
+def _heavy_hitters(docs):
+    from grower_spark.operators.sketch import mg_heavy_hitters
+
+    return mg_heavy_hitters(docs, threshold_permille=5, k=512)
+
+
+def _cluster_sizes(docs, cap):
+    from grower_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=JACCARD_PROD_THRESHOLD, max_shingle_df=cap
+    )
+    sizes = duplicate_clusters(pairs, backend="star").groupBy(
+        "cluster_id"
+    ).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def _fertility(docs):
+    from grower_spark.operators.text import fertility_stats
+
+    return fertility_stats(docs)
 
 
 def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
@@ -530,6 +576,14 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
         # drift bins: two histogram shuffles (partitions × bins) + a
         # 10-row join — wall should be pure scan growth
         "corpus_drift": lambda d: _drift(d),
+        # r10 debuts: gopher is pure map-side (wall = scan growth, one
+        # spread shuffle); heavy hitters' shuffle is candidates + the
+        # pruned exact counts (bounded by (k-1) x batches, NOT vocab);
+        # cluster_sizes inherits the pair-emit + CC family scaling
+        "doc_gopher_rules": lambda d: _gopher(d),
+        "token_heavy_hitters": lambda d: _heavy_hitters(d),
+        "dedup_cluster_sizes": lambda d: _cluster_sizes(d, cap),
+        "lang_fertility": lambda d: _fertility(d),
     }
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
