@@ -169,6 +169,10 @@ BENCH_QUERIES = [
     ("events_split_leakage", "collect"),
     ("lang_fertility", "collect"),
     ("dedup_cluster_sizes", "collect"),
+    ("dedup_prefix", "noop"),
+    ("doc_fineweb_filters", "noop"),
+    ("source_dedup_rates", "collect"),
+    ("doc_length_histogram", "collect"),
 ]
 
 

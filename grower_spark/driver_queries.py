@@ -6867,6 +6867,178 @@ FROM sz GROUP BY cluster_size
 """
 
 
+PREFIX_DEDUP_TOKENS = 8
+
+
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-token template dedup (operators/dedup.py prefix_dedup):
+    docs sharing their first 8 whitespace tokens group together — the
+    form-letter/template catcher exact dedup and Jaccard both miss.
+    Per-doc audit with group size and the keep decision."""
+    from grower_spark.operators.dedup import prefix_dedup
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull()
+    )
+    return prefix_dedup(docs, n_tokens=PREFIX_DEDUP_TOKENS)
+
+
+def oracle_dedup_prefix() -> str:
+    n = PREFIX_DEDUP_TOKENS
+    ph = _DUCK_MD5_60.format(
+        x=f"array_to_string(string_split(text, ' ')[1:{n}], ' ')"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {ph} AS prefix_h60
+  FROM documents WHERE text IS NOT NULL
+),
+grp AS (
+  SELECT prefix_h60, min(doc_id) AS keep_id, count(*) AS n
+  FROM keyed GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT k.doc_id, k.prefix_h60,
+  CAST(COALESCE(g.n, 1) AS BIGINT) AS n_same_prefix,
+  CAST(CASE WHEN g.keep_id IS NULL OR g.keep_id = k.doc_id
+       THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM keyed k LEFT JOIN grp g USING (prefix_h60)
+"""
+
+
+def q_doc_fineweb_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb heuristic filter panel (operators/text.py
+    fineweb_filters): sentence stats, numeric/uppercase token shares,
+    the C4 verbatim flags, intra-doc duplicate-line and terminal-
+    punctuation line shares — one map-side pass."""
+    from grower_spark.operators.text import fineweb_filters
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull()
+    )
+    return fineweb_filters(docs).select(
+        "doc_id", "n_sentences", "words_per_sentence_x100",
+        "numeric_word_bp", "upper_word_bp", "has_lorem", "has_curly",
+        "dup_line_bp", "terminal_punct_line_bp",
+    )
+
+
+def oracle_doc_fineweb_filters() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, text,
+    string_split(text, ' ') AS toks,
+    list_filter(string_split_regex(text, '[.!?]'),
+                s -> length(trim(s)) > 0) AS sents,
+    string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(len(sents) AS BIGINT) AS n_sentences,
+  CAST((len(toks) * 100) // GREATEST(len(sents), 1) AS BIGINT)
+    AS words_per_sentence_x100,
+  CAST((len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) * 10000)
+       // GREATEST(len(toks), 1) AS BIGINT) AS numeric_word_bp,
+  CAST((len(list_filter(toks, t -> regexp_matches(t, '^[A-Z]{2,}$'))) * 10000)
+       // GREATEST(len(toks), 1) AS BIGINT) AS upper_word_bp,
+  CAST(contains(lower(text), 'lorem ipsum') AS INTEGER) AS has_lorem,
+  CAST(contains(text, '{') AS INTEGER) AS has_curly,
+  CAST(((len(lines) - len(list_distinct(lines))) * 10000)
+       // GREATEST(len(lines), 1) AS BIGINT) AS dup_line_bp,
+  CAST((len(list_filter(lines, ln -> regexp_matches(ln, '[.!?]\\s*$')))
+        * 10000) // GREATEST(len(lines), 1) AS BIGINT)
+    AS terminal_punct_line_bp
+FROM base
+"""
+
+
+def q_source_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication governance rollup: how much of each
+    source's volume is exact-duplicate content (docs whose full-text
+    60-bit hash occurs >= 2 times corpus-wide).  The table that tells a
+    curation pipeline WHICH feed is rotten.  One hash-keyed group
+    (narrow rows), one broadcast-back of the model-sized duplicate-group
+    table, one source rollup."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    from grower_spark.functions.hashing import md5_60
+
+    keyed = docs.select("doc_id", "source", md5_60(F.col("text")).alias("h"))
+    dup_groups = (
+        keyed.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("h", F.lit(1).alias("_is_dup"))
+    )
+    return (
+        keyed.join(F.broadcast(dup_groups), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_is_dup"), F.lit(0))).cast("long")
+            .alias("n_exact_dup_docs"),
+        )
+        .select(
+            "source", "n_docs", "n_exact_dup_docs",
+            (F.col("n_exact_dup_docs") * 10000
+             / F.greatest(F.col("n_docs"), F.lit(1)))
+            .cast("long").alias("exact_dup_bp"),
+        )
+    )
+
+
+def oracle_source_dedup_rates() -> str:
+    h = _DUCK_MD5_60.format(x="text")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, {h} AS h
+  FROM documents WHERE text IS NOT NULL
+),
+dup AS (SELECT h FROM keyed GROUP BY h HAVING count(*) >= 2)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE h IN (SELECT h FROM dup)) AS BIGINT)
+    AS n_exact_dup_docs,
+  CAST((count(*) FILTER (WHERE h IN (SELECT h FROM dup)) * 10000)
+       // GREATEST(count(*), 1) AS BIGINT) AS exact_dup_bp
+FROM keyed GROUP BY source
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram with power-of-two buckets (bucket = bit
+    length of the token count — integer-exact in both engines, no
+    float log2): the sequence-length profile that sizes context-window
+    packing and flags truncation risk.  One map-side bucket expression +
+    one bounded aggregation (<= 64 buckets)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bucket = F.length(F.conv(n_tok.cast("string"), 10, 2))
+    return (
+        docs.select(bucket.cast("long").alias("len_bucket"),
+                    n_tok.alias("_n"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def oracle_doc_length_histogram() -> str:
+    return """
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(length(printf('%b', n)) AS BIGINT) AS len_bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -6886,16 +7058,19 @@ FROM sz GROUP BY cluster_size
 #           (edge-contract fix + kernel dispatch, kernel pinned hof)
 #           and sample_exact_k (null-safe group join) — every
 #           changed/new row certifies in its change round.
-#   14-18 : the five NEW r10 rows (Gopher quality rules, Misra-Gries
+#   14-22 : the nine NEW r10 rows (Gopher quality rules, Misra-Gries
 #           heavy hitters with exact verified output, temporal-split
 #           user-leakage audit, per-language tokenizer fertility,
-#           near-dup cluster size histogram) — debut certification.
-#   19-29 : staleness rotation — tpch_q12..q22, last driver-certified
+#           near-dup cluster size histogram, leading-token template
+#           dedup, C4/FineWeb filter panel, per-source dedup-rate
+#           governance, power-of-two length histogram) — debut
+#           certification.
+#   23-33 : staleness rotation — tpch_q12..q22, last driver-certified
 #           r6, the registry's oldest certifications.
-#   30-49 : staleness rotation — the r6-certified events/dedup/text/ANN
-#           block (events_window_agg … ann_lsh).
-#   50    : ann_lsh_multiprobe (r6-certified tail).
-#   51+   : the r7 block (semdedup … dedup_minhash_incremental), then
+#   34-50 : staleness rotation — the r6-certified events/dedup/text
+#           block (events_window_agg … dedup_clusters).
+#   51+   : the r6 ANN tail (embedding_neardup_lsh … ann_lsh_multiprobe,
+#           displaced by the r10 debuts) and the r7 block, then
 #           everything r8/r9-driver-certified (the r9 debuts, TPC-H
 #           q1-q11, keep_best and the multimodal/report rows, then the
 #           r7/r8 remainder) — all covered every round by the committed
@@ -6916,12 +7091,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_precision": q_lsh_precision,
     "embedding_density": q_embedding_density,
     "sample_exact_k": q_sample_exact_k,
-    # --- 14-18: NEW r10 rows (debut certification) ---
+    # --- 14-22: NEW r10 rows (debut certification) ---
     "doc_gopher_rules": q_doc_gopher_rules,
     "token_heavy_hitters": q_token_heavy_hitters,
     "events_split_leakage": q_events_split_leakage,
     "lang_fertility": q_lang_fertility,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "dedup_prefix": q_dedup_prefix,
+    "doc_fineweb_filters": q_doc_fineweb_filters,
+    "source_dedup_rates": q_source_dedup_rates,
+    "doc_length_histogram": q_doc_length_histogram,
     # --- 14-24: staleness rotation, tpch_q12-q22 (last driver r6) ---
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
@@ -7099,6 +7278,10 @@ ORACLES: dict[str, str] = {
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
     "nginx_session_funnel": oracle_nginx_session_funnel(),
     "streaming_session_funnel": oracle_streaming_session_funnel(),
+    "dedup_prefix": oracle_dedup_prefix(),
+    "doc_fineweb_filters": oracle_doc_fineweb_filters(),
+    "source_dedup_rates": oracle_source_dedup_rates(),
+    "doc_length_histogram": oracle_doc_length_histogram(),
     "doc_gopher_rules": oracle_doc_gopher_rules(),
     "token_heavy_hitters": oracle_token_heavy_hitters(),
     "events_split_leakage": oracle_events_split_leakage(),

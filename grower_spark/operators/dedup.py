@@ -1162,3 +1162,45 @@ def lsh_precision_audit(df: DataFrame, id_col: str = "doc_id",
         "jaccard_bp",
         F.expr("(10000 * n_inter) div n_union").cast("long"),
     )
+
+
+def prefix_dedup(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n_tokens: int = 8) -> DataFrame:
+    """Template/boilerplate dedup by LEADING-TOKEN fingerprint: docs
+    sharing their first ``n_tokens`` whitespace tokens form a group —
+    the cheap catcher for form letters, scaffolded pages, and scraped
+    templates whose bodies differ but whose openings are identical
+    (invisible to exact dedup, below threshold for Jaccard when the
+    unique tail dominates).
+
+    Per-doc audit: ``(id_col, prefix_h60, n_same_prefix, keep int)`` —
+    keep = lowest id of the group.  One hash-keyed aggregation plus a
+    broadcast-back join of the model-sized duplicate-group table (groups
+    with >= 2 members only; singletons flag keep=1 via the left join
+    miss).  Shuffle rows are (60-bit hash, id) — never text.
+    """
+    if n_tokens <= 0:
+        raise ValueError(f"n_tokens must be positive, got {n_tokens}")
+    prefix = F.concat_ws(
+        " ", F.slice(_tokens(F.col(text_col)), 1, n_tokens)
+    )
+    keyed = df.select(
+        F.col(id_col), md5_60(prefix).alias("prefix_h60")
+    )
+    groups = (
+        keyed.groupBy("prefix_h60")
+        .agg(
+            F.min(id_col).alias("_keep_id"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") >= 2)
+    )
+    return keyed.join(F.broadcast(groups), "prefix_h60", "left").select(
+        id_col,
+        "prefix_h60",
+        F.coalesce(F.col("_n"), F.lit(1)).cast("long").alias("n_same_prefix"),
+        F.when(
+            F.col("_keep_id").isNull() | (F.col("_keep_id") == F.col(id_col)),
+            1,
+        ).otherwise(0).cast("int").alias("keep"),
+    )

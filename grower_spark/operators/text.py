@@ -1212,3 +1212,56 @@ def fertility_stats(df: DataFrame, text_col: str = "text",
             .cast("long").alias("chars_per_token_x100"),
         )
     )
+
+
+def fineweb_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/FineWeb-style heuristic filter panel (Raffel et al. 2020 §2.2;
+    Penedo et al. 2024) as one map-side expression pass — the
+    complementary panel to :func:`gopher_rules` (which covers the Gopher
+    paper's rules): per-doc integer signals + flags, fixed-point only.
+
+    - ``n_sentences`` / ``words_per_sentence_x100``: sentence segments by
+      terminal punctuation — C4 drops pages with too few sentences;
+    - ``numeric_word_bp`` / ``upper_word_bp``: digit-only and
+      all-uppercase token shares — boilerplate/table indicators;
+    - ``has_lorem`` / ``has_curly``: the C4 verbatim rules ("lorem
+      ipsum" placeholder text; ``{`` as a code smell);
+    - ``dup_line_bp``: share of newline-delimited lines that repeat
+      within the doc (intra-doc boilerplate);
+    - ``terminal_punct_line_bp``: share of lines ending in terminal
+      punctuation (C4 keeps only such lines; here a per-doc signal).
+
+    Single-line docs degrade honestly (line signals over one line);
+    multi-line behavior is pinned in pytest.
+    """
+    toks = _tokens(F.col(text_col))
+    nw1 = F.greatest(F.size(toks), F.lit(1))
+    sentences = F.filter(
+        F.split(F.col(text_col), r"[.!?]"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    n_sent = F.greatest(F.size(sentences), F.lit(1))
+    n_numeric = F.size(F.filter(toks, lambda t: t.rlike(r"^[0-9]+$")))
+    n_upper = F.size(
+        F.filter(toks, lambda t: t.rlike(r"^[A-Z]{2,}$"))
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_dup_lines = F.size(lines) - F.size(F.array_distinct(lines))
+    n_term = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"[.!?]\s*$"))
+    )
+    return df.select(
+        "*",
+        F.size(sentences).cast("long").alias("n_sentences"),
+        (F.size(toks) * 100 / n_sent).cast("long")
+        .alias("words_per_sentence_x100"),
+        (n_numeric * 10000 / nw1).cast("long").alias("numeric_word_bp"),
+        (n_upper * 10000 / nw1).cast("long").alias("upper_word_bp"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").cast("int")
+        .alias("has_lorem"),
+        F.col(text_col).contains("{").cast("int").alias("has_curly"),
+        (n_dup_lines * 10000 / n_lines).cast("long").alias("dup_line_bp"),
+        (n_term * 10000 / n_lines).cast("long")
+        .alias("terminal_punct_line_bp"),
+    )

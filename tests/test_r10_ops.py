@@ -129,3 +129,53 @@ def test_fertility_stats_exact(spark):
     assert out["en"]["chars_per_token_x100"] == (22 * 100) // 5
     # de: the NULL-text doc is excluded
     assert out["de"]["n_docs"] == 1 and out["de"]["n_tokens"] == 1
+
+
+def test_prefix_dedup_groups_and_keep(spark):
+    from grower_spark.operators.dedup import prefix_dedup
+
+    head = "dear valued customer thank you for your purchase"
+    rows = [
+        (1, head + " of widget alpha and more unique tail one"),
+        (2, head + " of gadget beta with a different unique tail"),
+        (3, "completely unrelated document about rivers and mountains"),
+        (4, head + " of gizmo gamma third member of the template"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prefix_dedup(df, n_tokens=8).collect()}
+    assert out[1]["n_same_prefix"] == 3 and out[1]["keep"] == 1
+    assert out[2]["n_same_prefix"] == 3 and out[2]["keep"] == 0
+    assert out[4]["keep"] == 0
+    assert out[3]["n_same_prefix"] == 1 and out[3]["keep"] == 1
+    # group identity: same hash for the templated docs, different for 3
+    assert out[1]["prefix_h60"] == out[2]["prefix_h60"]
+    assert out[1]["prefix_h60"] != out[3]["prefix_h60"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_tokens"):
+        prefix_dedup(df, n_tokens=0)
+
+
+def test_fineweb_filters_multiline_signals(spark):
+    from grower_spark.operators.text import fineweb_filters
+
+    rows = [
+        (1, "First sentence here. Second one too! A third?\n"
+            "First sentence here. Second one too! A third?\n"
+            "a line without terminal punctuation"),
+        (2, "lorem ipsum dolor sit amet { code: true }"),
+        (3, "THE 42 BIG 7 numbers 99 and CAPS"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fineweb_filters(df).collect()}
+    # doc 1: 3 lines, one duplicated -> 1/3 dup lines; 2/3 end in punct
+    assert out[1]["dup_line_bp"] == 3333
+    assert out[1]["terminal_punct_line_bp"] == 6666
+    assert out[1]["n_sentences"] == 7  # 3+3 + the trailing line fragment
+    # doc 2: the C4 verbatim flags
+    assert out[2]["has_lorem"] == 1 and out[2]["has_curly"] == 1
+    assert out[1]["has_lorem"] == 0 and out[1]["has_curly"] == 0
+    # doc 3: 8 tokens, 3 numeric (42, 7, 99), 3 all-caps >= 2 chars
+    assert out[3]["numeric_word_bp"] == 3750
+    assert out[3]["upper_word_bp"] == 3750
