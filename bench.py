@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     ("doc_fineweb_filters", "noop"),
     ("source_dedup_rates", "collect"),
     ("doc_length_histogram", "collect"),
+    ("source_pii_rates", "collect"),
+    ("events_burstiness", "collect"),
+    ("user_type_diversity", "collect"),
+    ("events_churn", "collect"),
 ]
 
 

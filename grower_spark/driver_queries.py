@@ -7039,6 +7039,180 @@ FROM t GROUP BY 1
 """
 
 
+def q_source_pii_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure governance rollup over the same
+    deterministic PII-augmented text as the certified pii_redact row:
+    docs with any PII hit per 10k, and total hits — the table that
+    routes a feed to the redaction pipeline.  One map-side regex pass +
+    one source-keyed aggregation."""
+    from grower_spark.operators.pii import pii_signals
+
+    docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull()
+    )
+    synth = docs.withColumn(
+        "pii_text", F.expr(_PII_SYNTH_SQL.format(s="string"))
+    )
+    sig = pii_signals(synth, text_col="pii_text")
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_pii") > 0).cast("long")).cast("long")
+            .alias("n_docs_with_pii"),
+            F.sum("n_pii").cast("long").alias("n_pii_hits"),
+        )
+        .select(
+            "source", "n_docs", "n_docs_with_pii", "n_pii_hits",
+            (F.col("n_docs_with_pii") * 10000
+             / F.greatest(F.col("n_docs"), F.lit(1)))
+            .cast("long").alias("pii_doc_bp"),
+        )
+    )
+
+
+def oracle_source_pii_rates() -> str:
+    from grower_spark.operators.pii import PII_PATTERNS
+
+    synth = _PII_SYNTH_SQL.format(s="VARCHAR")
+    total = " + ".join(
+        f"len(regexp_extract_all(pii_text, '{pat}'))"
+        for pat in PII_PATTERNS.values()
+    )
+    return f"""
+WITH synth AS (
+  SELECT doc_id, source, {synth} AS pii_text
+  FROM documents WHERE text IS NOT NULL
+),
+sig AS (SELECT source, ({total}) AS n_pii FROM synth)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE n_pii > 0) AS BIGINT) AS n_docs_with_pii,
+  CAST(sum(n_pii) AS BIGINT) AS n_pii_hits,
+  CAST((count(*) FILTER (WHERE n_pii > 0) * 10000)
+       // GREATEST(count(*), 1) AS BIGINT) AS pii_doc_bp
+FROM sig GROUP BY source
+"""
+
+
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burstiness (operators/anomaly.py rate_fano): the Fano
+    factor of per-minute event counts in integer x100 fixed point —
+    Poisson-steady ~100, bursty/bot traffic far above."""
+    from grower_spark.operators.anomaly import rate_fano
+
+    ev = load_table(spark, sf_dir, "events")
+    return rate_fano(ev, bucket_secs=60)
+
+
+def oracle_events_burstiness() -> str:
+    return """
+WITH pb AS (
+  SELECT event_type, epoch_us(ts) // 60000000 AS b, count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(c) AS BIGINT) AS n_events,
+  CAST(((count(*) * sum(c * c) - sum(c) * sum(c)) * 100)
+       // (count(*) * sum(c)) AS BIGINT) AS fano_x100
+FROM pb GROUP BY event_type
+"""
+
+
+def q_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity histogram: distinct event types per
+    (user, day), rolled to (n_types, n_user_days) — single-type
+    user-days at volume are the classic bot signature; the daily grain
+    keeps the histogram discriminative on active users (lifetime
+    distinct saturates at the type alphabet).  Two model-sized
+    aggregations (the first is a user x day x type distinct,
+    map-combinable)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000L")
+    per_ud = ev.groupBy("user_id", day.alias("_day")).agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    return per_ud.groupBy("n_types").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days")
+    ).select(F.col("n_types").cast("long").alias("n_types"), "n_user_days")
+
+
+def oracle_user_type_diversity() -> str:
+    return """
+WITH pu AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+    count(DISTINCT event_type) AS n_types
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(n_types AS BIGINT) AS n_types,
+  CAST(count(*) AS BIGINT) AS n_user_days
+FROM pu GROUP BY n_types
+"""
+
+
+CHURN_RECENT_PERMILLE = 800
+
+
+def q_events_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type churn across the stream's last 20% of time span: users
+    active in a type before the cut who never touch it after — the
+    engagement-decay read per product surface.  One (type, user)
+    min/max aggregation; the cut is a plan literal from two scalar
+    bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    b = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    cut = lo + ((hi - lo) * CHURN_RECENT_PERMILLE) // 1000
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.min(us).alias("_t0"), F.max(us).alias("_t1")
+    )
+    before = F.col("_t0") < cut
+    after = F.col("_t1") >= cut
+    return pu.groupBy("event_type").agg(
+        F.sum(before.cast("long")).cast("long").alias("n_users_before"),
+        F.sum(after.cast("long")).cast("long").alias("n_users_after"),
+        F.sum((before & ~after).cast("long")).cast("long")
+        .alias("n_churned"),
+    ).select(
+        "event_type", "n_users_before", "n_users_after", "n_churned",
+        (F.col("n_churned") * 10000
+         / F.greatest(F.col("n_users_before"), F.lit(1)))
+        .cast("long").alias("churn_bp"),
+    )
+
+
+def oracle_events_churn() -> str:
+    p = CHURN_RECENT_PERMILLE
+    return f"""
+WITH b AS (
+  SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS lo,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS hi
+  FROM events
+),
+c AS (SELECT lo + ((hi - lo) * {p}) // 1000 AS cut FROM b),
+pu AS (
+  SELECT event_type, user_id,
+    min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+  CAST(count(*) FILTER (WHERE t0 < (SELECT cut FROM c)) AS BIGINT)
+    AS n_users_before,
+  CAST(count(*) FILTER (WHERE t1 >= (SELECT cut FROM c)) AS BIGINT)
+    AS n_users_after,
+  CAST(count(*) FILTER (WHERE t0 < (SELECT cut FROM c)
+                          AND NOT t1 >= (SELECT cut FROM c)) AS BIGINT)
+    AS n_churned,
+  CAST((count(*) FILTER (WHERE t0 < (SELECT cut FROM c)
+                           AND NOT t1 >= (SELECT cut FROM c)) * 10000)
+       // GREATEST(count(*) FILTER (WHERE t0 < (SELECT cut FROM c)), 1)
+       AS BIGINT) AS churn_bp
+FROM pu GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -7058,22 +7232,23 @@ FROM t GROUP BY 1
 #           (edge-contract fix + kernel dispatch, kernel pinned hof)
 #           and sample_exact_k (null-safe group join) — every
 #           changed/new row certifies in its change round.
-#   14-22 : the nine NEW r10 rows (Gopher quality rules, Misra-Gries
-#           heavy hitters with exact verified output, temporal-split
-#           user-leakage audit, per-language tokenizer fertility,
+#   14-26 : the thirteen NEW r10 rows (Gopher quality rules, Misra-
+#           Gries heavy hitters with exact verified output, temporal-
+#           split user-leakage audit, per-language tokenizer fertility,
 #           near-dup cluster size histogram, leading-token template
 #           dedup, C4/FineWeb filter panel, per-source dedup-rate
-#           governance, power-of-two length histogram) — debut
-#           certification.
-#   23-33 : staleness rotation — tpch_q12..q22, last driver-certified
+#           governance, power-of-two length histogram, per-source PII
+#           exposure, per-type Fano burstiness, behavioral-diversity
+#           histogram, per-type churn) — debut certification.
+#   27-37 : staleness rotation — tpch_q12..q22, last driver-certified
 #           r6, the registry's oldest certifications.
-#   34-50 : staleness rotation — the r6-certified events/dedup/text
-#           block (events_window_agg … dedup_clusters).
-#   51+   : the r6 ANN tail (embedding_neardup_lsh … ann_lsh_multiprobe,
-#           displaced by the r10 debuts) and the r7 block, then
-#           everything r8/r9-driver-certified (the r9 debuts, TPC-H
-#           q1-q11, keep_best and the multimodal/report rows, then the
-#           r7/r8 remainder) — all covered every round by the committed
+#   38-50 : staleness rotation — the head of the r6-certified block
+#           (events_window_agg … salted_agg_users).
+#   51+   : the rest of the r6 block and the r7 block (displaced by the
+#           r10 debuts; queued for the r11 window), then everything
+#           r8/r9-driver-certified (the r9 debuts, TPC-H q1-q11,
+#           keep_best and the multimodal/report rows, then the r7/r8
+#           remainder) — all covered every round by the committed
 #           CORRECTNESS_LOCAL_r{N}.json full-registry artifact.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 1-8: §2 core, keep certified every round ---
@@ -7101,6 +7276,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fineweb_filters": q_doc_fineweb_filters,
     "source_dedup_rates": q_source_dedup_rates,
     "doc_length_histogram": q_doc_length_histogram,
+    "source_pii_rates": q_source_pii_rates,
+    "events_burstiness": q_events_burstiness,
+    "user_type_diversity": q_user_type_diversity,
+    "events_churn": q_events_churn,
     # --- 14-24: staleness rotation, tpch_q12-q22 (last driver r6) ---
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
@@ -7282,6 +7461,10 @@ ORACLES: dict[str, str] = {
     "doc_fineweb_filters": oracle_doc_fineweb_filters(),
     "source_dedup_rates": oracle_source_dedup_rates(),
     "doc_length_histogram": oracle_doc_length_histogram(),
+    "source_pii_rates": oracle_source_pii_rates(),
+    "events_burstiness": oracle_events_burstiness(),
+    "user_type_diversity": oracle_user_type_diversity(),
+    "events_churn": oracle_events_churn(),
     "doc_gopher_rules": oracle_doc_gopher_rules(),
     "token_heavy_hitters": oracle_token_heavy_hitters(),
     "events_split_leakage": oracle_events_split_leakage(),

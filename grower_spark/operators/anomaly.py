@@ -192,3 +192,41 @@ def score_hourly_cells(cells: DataFrame, baselines: DataFrame,
             F.lit(0),
         ).alias("is_outlier"),
     )
+
+
+def rate_fano(events: DataFrame, ts_col: str = "ts",
+              type_col: str = "event_type",
+              bucket_secs: int = 60) -> DataFrame:
+    """Per-type burstiness: the Fano factor (variance/mean) of
+    per-bucket event counts, integer-exact in x100 fixed point — the
+    dispersion read that separates steady traffic (Fano ~= 1, Poisson)
+    from bursty/bot traffic (Fano >> 1) without any distributional fit.
+
+    Exactness: over the n observed buckets with counts c_i,
+    ``fano_x100 = floor(100 * (n*sum(c^2) - sum(c)^2) / (n * sum(c)))``
+    — pure int64 arithmetic, identical on every engine (no float
+    variance, no ddof ambiguity; population variance over OBSERVED
+    buckets — empty buckets are not rows, the standard simplification,
+    documented).  Plan: one map-side bucket key + two model-sized
+    aggregations (type x buckets, then type).
+    """
+    if bucket_secs <= 0:
+        raise ValueError(f"bucket_secs must be positive, got {bucket_secs}")
+    # integer `div`, not float `/`: exact bucket edges on every engine
+    b = F.expr(f"unix_micros({ts_col}) div {bucket_secs * 1_000_000}L")
+    per_bucket = events.groupBy(
+        F.col(type_col), b.alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg = per_bucket.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_c").cast("long").alias("n_events"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sumsq"),
+    )
+    return agg.selectExpr(
+        type_col,
+        "n_buckets",
+        "n_events",
+        # integer div end-to-end: no float variance, no ulp drift
+        "CAST(((n_buckets * _sumsq - n_events * n_events) * 100)"
+        " div (n_buckets * n_events) AS BIGINT) AS fano_x100",
+    )

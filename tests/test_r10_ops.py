@@ -179,3 +179,31 @@ def test_fineweb_filters_multiline_signals(spark):
     # doc 3: 8 tokens, 3 numeric (42, 7, 99), 3 all-caps >= 2 chars
     assert out[3]["numeric_word_bp"] == 3750
     assert out[3]["upper_word_bp"] == 3750
+
+
+def test_rate_fano_exact(spark):
+    from grower_spark.operators.anomaly import rate_fano
+
+    # type "a": counts [1, 3] over two minutes -> n=2 sum=4 sumsq=10
+    # fano_x100 = floor(100*(2*10 - 16)/(2*4)) = floor(400/8) = 50
+    rows = [
+        ("a", "2024-01-01 10:00:10"),
+        ("a", "2024-01-01 10:01:05"),
+        ("a", "2024-01-01 10:01:20"),
+        ("a", "2024-01-01 10:01:40"),
+        # type "b": perfectly steady [2, 2] -> variance 0 -> fano 0
+        ("b", "2024-01-01 10:00:01"),
+        ("b", "2024-01-01 10:00:02"),
+        ("b", "2024-01-01 10:01:01"),
+        ("b", "2024-01-01 10:01:02"),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts_str"]).select(
+        "event_type", F.col("ts_str").cast("timestamp").alias("ts")
+    )
+    out = {r["event_type"]: r for r in rate_fano(df).collect()}
+    assert out["a"]["n_buckets"] == 2 and out["a"]["n_events"] == 4
+    assert out["a"]["fano_x100"] == 50
+    assert out["b"]["fano_x100"] == 0
+
+    with pytest.raises(ValueError, match="bucket_secs"):
+        rate_fano(df, bucket_secs=0)
