@@ -1123,7 +1123,13 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     alpha_word_bp, n_stop_hits, bullet_line_bp, ellipsis_line_bp,
     ok_* x7, gopher_pass int)``.
     """
-    toks = _tokens(F.col(text_col))
+    # token/line arrays materialized as columns: every signal below
+    # consumes them, and inlined they would re-split the text once per
+    # consumer (the quality_signals n_alpha lesson — 4+ splits per row)
+    staged = df.withColumn("_gt", _tokens(F.col(text_col))).withColumn(
+        "_gl", F.split(F.col(text_col), "\n")
+    )
+    toks, lines = F.col("_gt"), F.col("_gl")
     stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     n_words = F.greatest(F.size(toks), F.lit(0))
     nw1 = F.greatest(n_words, F.lit(1))
@@ -1141,7 +1147,6 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     n_alpha_w = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     alpha_bp = (n_alpha_w * 10000 / nw1).cast("long")
     n_stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    lines = F.split(F.col(text_col), "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     n_bullet = F.size(
         F.filter(lines, lambda ln: ln.rlike(r"^\s*([-*•])"))
@@ -1151,8 +1156,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     )
     bullet_bp = (n_bullet * 10000 / n_lines).cast("long")
     ell_bp = (n_ell_end * 10000 / n_lines).cast("long")
-    out = df.select(
-        "*",
+    out = staged.select(
+        *[F.col(c) for c in df.columns],
         n_words.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_bp.alias("symbol_bp"),
