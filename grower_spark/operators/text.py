@@ -1239,25 +1239,33 @@ def fineweb_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
     Single-line docs degrade honestly (line signals over one line);
     multi-line behavior is pinned in pytest.
     """
-    toks = _tokens(F.col(text_col))
-    nw1 = F.greatest(F.size(toks), F.lit(1))
-    sentences = F.filter(
-        F.split(F.col(text_col), r"[.!?]"),
-        lambda s: F.length(F.trim(s)) > 0,
+    # arrays staged as columns (the gopher_rules lesson: inlined splits
+    # re-execute once per consuming signal)
+    staged = (
+        df.withColumn("_ft", _tokens(F.col(text_col)))
+        .withColumn(
+            "_fs",
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]"),
+                lambda s: F.length(F.trim(s)) > 0,
+            ),
+        )
+        .withColumn("_fl", F.split(F.col(text_col), "\n"))
     )
+    toks, sentences, lines = F.col("_ft"), F.col("_fs"), F.col("_fl")
+    nw1 = F.greatest(F.size(toks), F.lit(1))
     n_sent = F.greatest(F.size(sentences), F.lit(1))
     n_numeric = F.size(F.filter(toks, lambda t: t.rlike(r"^[0-9]+$")))
     n_upper = F.size(
         F.filter(toks, lambda t: t.rlike(r"^[A-Z]{2,}$"))
     )
-    lines = F.split(F.col(text_col), "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     n_dup_lines = F.size(lines) - F.size(F.array_distinct(lines))
     n_term = F.size(
         F.filter(lines, lambda ln: ln.rlike(r"[.!?]\s*$"))
     )
-    return df.select(
-        "*",
+    return staged.select(
+        *[F.col(c) for c in df.columns],
         F.size(sentences).cast("long").alias("n_sentences"),
         (F.size(toks) * 100 / n_sent).cast("long")
         .alias("words_per_sentence_x100"),
