@@ -321,6 +321,39 @@ def main(argv: list[str] | None = None) -> int:
         report["source_quality"] = [
             r.asDict() for r in robust_stats(scored, "q", "source").collect()
         ]
+        # r10 panels: per-source exact-duplicate share (which feed is
+        # rotten) and the Gopher-rule pass rate per source (which feed
+        # ships low-quality pages) — both source-cardinality rollups
+        from grower_spark.functions.hashing import md5_60
+        from grower_spark.operators.text import gopher_rules
+
+        keyed = base.select("doc_id", "source", md5_60(F.col("text")).alias("h"))
+        dup_g = (
+            keyed.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= 2).select("h", F.lit(1).alias("_is_dup"))
+        )
+        report["source_dedup"] = [
+            r.asDict()
+            for r in keyed.join(F.broadcast(dup_g), "h", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.coalesce(F.col("_is_dup"), F.lit(0))).alias(
+                    "n_exact_dup_docs"
+                ),
+            )
+            .collect()
+        ]
+        report["source_gopher"] = [
+            r.asDict()
+            for r in gopher_rules(base)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("gopher_pass").alias("n_pass"),
+            )
+            .collect()
+        ]
         if args.old:
             from grower_spark.operators.diff import distribution_drift_bins
 

@@ -280,6 +280,13 @@ def test_cli_governance_report(spark, tmp_path, capsys):
     leak = {r["bench_id"]: r for r in rep["benchmark_leakage"]}
     assert leak[900]["n_docs_hit"] >= 1   # doc 1's text is in the corpus
     assert leak[901]["n_docs_hit"] == 0
+    # r10 panels: per-source dedup + gopher pass rates
+    dd = {r["source"]: r for r in rep["source_dedup"]}
+    assert dd["srcA"]["n_docs"] + dd["srcB"]["n_docs"] == 12
+    assert all(r["n_exact_dup_docs"] == 0 for r in rep["source_dedup"])
+    gp = {r["source"]: r for r in rep["source_gopher"]}
+    assert set(gp) == {"srcA", "srcB"}
+    assert all(0 <= r["n_pass"] <= r["n_docs"] for r in rep["source_gopher"])
 
 
 def test_compact_parquet_merges_small_files(spark, tmp_path):
