@@ -177,6 +177,10 @@ BENCH_QUERIES = [
     ("events_burstiness", "collect"),
     ("user_type_diversity", "collect"),
     ("events_churn", "collect"),
+    # second streaming replay row (windowed stateful agg path); like the
+    # funnel replay, the wall is micro-batch + state machinery (~7 s
+    # warm at sf0.1, documented honest cost)
+    ("streaming_drift_gate", "noop"),
 ]
 
 

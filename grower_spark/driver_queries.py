@@ -7213,6 +7213,174 @@ FROM pu GROUP BY event_type
 """
 
 
+DRIFT_GATE_BASELINE_PERMILLE = 500
+
+
+def q_streaming_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND driver-certified streaming path (the funnel replay
+    covers applyInPandasWithState; this covers the WINDOWED STATEFUL
+    AGGREGATION): the events stream replayed as a bounded time-ordered
+    parquet sequence through ``streaming_drift_bins`` — each
+    watermark-closed ingestion hour scored against an offline-fit
+    baseline distribution — to completion.  A far-future sentinel closes
+    every real window, so the result is batch-expressible and the
+    oracle is the per-(window, bin) share/chi-square re-derivation in
+    SQL.  Baseline = the score distribution of the stream's first half
+    (fit epoch), score = floor(value*10) into 10 width-100 bins.
+
+    Output per closed hour x bin (all 10 bins — the r10 vanished-class
+    contract): ``(win_start_s, bin, n_new, share_new, drift_contrib)``.
+    """
+    import os
+    import shutil
+    from glob import glob
+
+    from grower_spark.streaming.stateful import streaming_drift_bins
+
+    wm_s, n_slices = 3600, 3
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(
+        "ts", F.floor(F.col("value") * 10).cast("long").alias("score")
+    )
+    us = F.unix_micros("ts")
+    b = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    mid = lo + ((hi - lo) * DRIFT_GATE_BASELINE_PERMILLE) // 1000
+
+    # offline fit: the first half's bin shares (same bin arithmetic as
+    # the operator: least(floor(score/100), 9))
+    bin_col = F.least(F.floor(F.col("score") / 100).cast("long"), F.lit(9))
+    ref = ev.where(us < mid).select(bin_col.alias("bin"))
+    ref_hist = ref.groupBy("bin").agg(F.count(F.lit(1)).alias("_n"))
+    total_ref = ref.count()  # bounded: one scalar
+    baseline = ref_hist.select(
+        "bin",
+        (F.col("_n") / F.lit(float(max(total_ref, 1)))).alias("share_old"),
+    )
+
+    base = "/tmp/grower_driftgate_{}_{}".format(
+        spark.sparkContext.applicationId.replace("-", "_"),
+        os.path.basename(os.path.abspath(sf_dir)),
+    )
+    replay, staging = os.path.join(base, "replay"), os.path.join(base, "stage")
+    if len(glob(os.path.join(replay, "*", "*.parquet"))) < n_slices + 1:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(replay)
+        span = max(hi - lo + 1, 1)
+        sl = F.least(
+            F.floor(((us - F.lit(lo)) * n_slices) / F.lit(span)),
+            F.lit(n_slices - 1),
+        )
+        for i in range(n_slices):
+            ev.where(sl == i).coalesce(1).write.mode("overwrite").parquet(
+                staging
+            )
+            os.makedirs(os.path.join(replay, f"{i:03d}"))
+            shutil.move(
+                glob(os.path.join(staging, "part-*"))[0],
+                os.path.join(replay, f"{i:03d}", "part.parquet"),
+            )
+        # sentinel: watermark(sentinel) = sentinel - wm_s > hi + window,
+        # closing every real hour window
+        sent_us = hi + (3600 + wm_s + 3600) * 1_000_000
+        spark.createDataFrame(
+            [(sent_us,)], "sent_us long"
+        ).select(
+            F.timestamp_micros(F.col("sent_us")).alias("ts"),
+            F.lit(0).cast("long").alias("score"),
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.join(replay, f"{n_slices:03d}"))
+        shutil.move(
+            glob(os.path.join(staging, "part-*"))[0],
+            os.path.join(replay, f"{n_slices:03d}", "part.parquet"),
+        )
+        t0 = 1_000_000_000
+        for i, d in enumerate(sorted(glob(os.path.join(replay, "*")))):
+            for p in glob(os.path.join(d, "*.parquet")):
+                os.utime(p, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, score long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay, "*"))
+    )
+    out = streaming_drift_bins(
+        stream, baseline, score_col="score", ts_col="ts",
+        window="1 hour", watermark=f"{wm_s} seconds",
+    )
+    _REPLAY_SEQ[0] += 1
+    name = f"sdg_replay_{_REPLAY_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        spark.table(name)
+        .where(F.unix_micros("win_start") <= hi)  # drop the sentinel window
+        .select(
+            (F.unix_micros("win_start") / 1_000_000).cast("long")
+            .alias("win_start_s"),
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_new").cast("long").alias("n_new"),
+            "share_new",
+            "drift_contrib",
+        )
+    )
+
+
+def oracle_streaming_drift_gate() -> str:
+    p = DRIFT_GATE_BASELINE_PERMILLE
+    return f"""
+WITH ev AS (
+  SELECT ts, CAST(floor(value * 10) AS BIGINT) AS score,
+    CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+c AS (SELECT lo + ((hi - lo) * {p}) // 1000 AS mid FROM b),
+binned AS (
+  SELECT us, LEAST(score // 100, 9) AS bin,
+    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s
+  FROM ev
+),
+ref AS (SELECT bin FROM binned WHERE us < (SELECT mid FROM c)),
+baseline AS (
+  SELECT bin,
+    count(*) / CAST(GREATEST((SELECT count(*) FROM ref), 1) AS DOUBLE)
+      AS share_old
+  FROM ref GROUP BY bin
+),
+wins AS (
+  SELECT win_start_s, count(*) AS tn FROM binned GROUP BY 1
+),
+pc AS (
+  SELECT win_start_s, bin, count(*) AS n FROM binned GROUP BY 1, 2
+),
+cells AS (
+  SELECT w.win_start_s, g.bin, w.tn, COALESCE(pc.n, 0) AS n_new
+  FROM wins w
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+  LEFT JOIN pc ON pc.win_start_s = w.win_start_s AND pc.bin = g.bin
+)
+SELECT win_start_s, CAST(bin AS BIGINT) AS bin,
+  CAST(n_new AS BIGINT) AS n_new,
+  n_new / CAST(tn AS DOUBLE) AS share_new,
+  CASE WHEN share_old > 0 THEN
+    (n_new / CAST(tn AS DOUBLE) - share_old)
+    * (n_new / CAST(tn AS DOUBLE) - share_old) / share_old
+  END AS drift_contrib
+FROM cells LEFT JOIN baseline USING (bin)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
@@ -7232,18 +7400,21 @@ FROM pu GROUP BY event_type
 #           (edge-contract fix + kernel dispatch, kernel pinned hof)
 #           and sample_exact_k (null-safe group join) — every
 #           changed/new row certifies in its change round.
-#   14-26 : the thirteen NEW r10 rows (Gopher quality rules, Misra-
+#   14-27 : the fourteen NEW r10 rows (Gopher quality rules, Misra-
 #           Gries heavy hitters with exact verified output, temporal-
 #           split user-leakage audit, per-language tokenizer fertility,
 #           near-dup cluster size histogram, leading-token template
 #           dedup, C4/FineWeb filter panel, per-source dedup-rate
 #           governance, power-of-two length histogram, per-source PII
 #           exposure, per-type Fano burstiness, behavioral-diversity
-#           histogram, per-type churn) — debut certification.
-#   27-37 : staleness rotation — tpch_q12..q22, last driver-certified
+#           histogram, per-type churn, and the streaming drift-gate
+#           replay — the second certified streaming path: windowed
+#           stateful aggregation, complementing the funnel's
+#           applyInPandasWithState) — debut certification.
+#   28-38 : staleness rotation — tpch_q12..q22, last driver-certified
 #           r6, the registry's oldest certifications.
-#   38-50 : staleness rotation — the head of the r6-certified block
-#           (events_window_agg … salted_agg_users).
+#   39-50 : staleness rotation — the head of the r6-certified block
+#           (events_window_agg … dedup_simhash).
 #   51+   : the rest of the r6 block and the r7 block (displaced by the
 #           r10 debuts; queued for the r11 window), then everything
 #           r8/r9-driver-certified (the r9 debuts, TPC-H q1-q11,
@@ -7280,6 +7451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_burstiness": q_events_burstiness,
     "user_type_diversity": q_user_type_diversity,
     "events_churn": q_events_churn,
+    "streaming_drift_gate": q_streaming_drift_gate,
     # --- 14-24: staleness rotation, tpch_q12-q22 (last driver r6) ---
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
@@ -7465,6 +7637,7 @@ ORACLES: dict[str, str] = {
     "events_burstiness": oracle_events_burstiness(),
     "user_type_diversity": oracle_user_type_diversity(),
     "events_churn": oracle_events_churn(),
+    "streaming_drift_gate": oracle_streaming_drift_gate(),
     "doc_gopher_rules": oracle_doc_gopher_rules(),
     "token_heavy_hitters": oracle_token_heavy_hitters(),
     "events_split_leakage": oracle_events_split_leakage(),
