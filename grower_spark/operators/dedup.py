@@ -1178,6 +1178,11 @@ def prefix_dedup(df: DataFrame, text_col: str = "text",
     broadcast-back join of the model-sized duplicate-group table (groups
     with >= 2 members only; singletons flag keep=1 via the left join
     miss).  Shuffle rows are (60-bit hash, id) — never text.
+
+    Edge contract: NULL-text rows hash like empty text (``concat_ws``
+    drops NULL parts), so all empty/NULL docs form ONE group — which is
+    the honest template-dedup answer for them; filter them upstream if
+    they should not compete (the driver row does).
     """
     if n_tokens <= 0:
         raise ValueError(f"n_tokens must be positive, got {n_tokens}")
