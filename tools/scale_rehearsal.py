@@ -254,6 +254,12 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
         # r10: split leakage — one user-keyed agg + a scalar rollup; wall
         # should track events linearly, shuffle should track USERS
         "events_split_leakage": lambda d: _split_leakage(d),
+        # r10: burstiness (two bounded aggs: type x minutes, then type),
+        # diversity (user x day x type distinct -> tiny histogram), and
+        # churn (one (type, user) min/max agg) — all model-sized shuffles
+        "events_burstiness": lambda d: _burstiness(d),
+        "user_type_diversity": lambda d: _type_diversity(d),
+        "events_churn": lambda d: _churn(d),
     }
     results: dict = {}
     for factor in factors:
@@ -364,6 +370,33 @@ def _split_leakage(ev):
     from grower_spark.operators.sampling import time_split_leakage
 
     return time_split_leakage(ev, train_permille=800)
+
+
+def _burstiness(ev):
+    from grower_spark.operators.anomaly import rate_fano
+
+    return rate_fano(ev, bucket_secs=60)
+
+
+def _type_diversity(ev):
+    day = F.expr("unix_micros(ts) div 86400000000L")
+    per_ud = ev.groupBy("user_id", day.alias("_day")).agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    return per_ud.groupBy("n_types").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _churn(ev):
+    us = F.unix_micros("ts")
+    b = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    cut = int(b["lo"]) + ((int(b["hi"]) - int(b["lo"])) * 800) // 1000
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.min(us).alias("_t0"), F.max(us).alias("_t1")
+    )
+    return pu.groupBy("event_type").agg(
+        F.sum(((F.col("_t0") < cut) & ~(F.col("_t1") >= cut)).cast("long"))
+        .alias("n_churned")
+    )
 
 
 def _gopher(docs):
