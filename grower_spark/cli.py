@@ -327,20 +327,24 @@ def main(argv: list[str] | None = None) -> int:
         from grower_spark.functions.hashing import md5_60
         from grower_spark.operators.text import gopher_rules
 
+        from pyspark.sql import Window
+
         keyed = base.select("doc_id", "source", md5_60(F.col("text")).alias("h"))
-        dup_g = (
-            keyed.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") >= 2).select("h", F.lit(1).alias("_is_dup"))
-        )
+        # window count over the content hash, not a broadcast-back of
+        # the duplicate-group table: that table scales with the corpus
+        # on duplicate-dense feeds (same fix as prefix_dedup)
         report["source_dedup"] = [
             r.asDict()
-            for r in keyed.join(F.broadcast(dup_g), "h", "left")
+            for r in keyed.withColumn(
+                "_is_dup",
+                F.when(
+                    F.count(F.lit(1)).over(Window.partitionBy("h")) >= 2, 1
+                ).otherwise(0),
+            )
             .groupBy("source")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.coalesce(F.col("_is_dup"), F.lit(0))).alias(
-                    "n_exact_dup_docs"
-                ),
+                F.sum("_is_dup").alias("n_exact_dup_docs"),
             )
             .collect()
         ]

@@ -6955,27 +6955,28 @@ def q_source_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication governance rollup: how much of each
     source's volume is exact-duplicate content (docs whose full-text
     60-bit hash occurs >= 2 times corpus-wide).  The table that tells a
-    curation pipeline WHICH feed is rotten.  One hash-keyed group
-    (narrow rows), one broadcast-back of the model-sized duplicate-group
-    table, one source rollup."""
+    curation pipeline WHICH feed is rotten.  One narrow hash shuffle on
+    the content hash feeding a window count (the duplicate-group table
+    scales with the corpus on duplicate-dense feeds, so no broadcast —
+    same fix as prefix_dedup), one source rollup."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
+    from pyspark.sql import Window
+
     from grower_spark.functions.hashing import md5_60
 
     keyed = docs.select("doc_id", "source", md5_60(F.col("text")).alias("h"))
-    dup_groups = (
-        keyed.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 2)
-        .select("h", F.lit(1).alias("_is_dup"))
-    )
+    wh = Window.partitionBy("h")
     return (
-        keyed.join(F.broadcast(dup_groups), "h", "left")
+        keyed.withColumn(
+            "_is_dup",
+            F.when(F.count(F.lit(1)).over(wh) >= 2, 1).otherwise(0),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.coalesce(F.col("_is_dup"), F.lit(0))).cast("long")
-            .alias("n_exact_dup_docs"),
+            F.sum("_is_dup").cast("long").alias("n_exact_dup_docs"),
         )
         .select(
             "source", "n_docs", "n_exact_dup_docs",

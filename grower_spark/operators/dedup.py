@@ -1174,10 +1174,17 @@ def prefix_dedup(df: DataFrame, text_col: str = "text",
     unique tail dominates).
 
     Per-doc audit: ``(id_col, prefix_h60, n_same_prefix, keep int)`` —
-    keep = lowest id of the group.  One hash-keyed aggregation plus a
-    broadcast-back join of the model-sized duplicate-group table (groups
-    with >= 2 members only; singletons flag keep=1 via the left join
-    miss).  Shuffle rows are (60-bit hash, id) — never text.
+    keep = lowest id of the group.  ONE narrow hash shuffle on the
+    60-bit prefix hash feeding a window (``count(*)/min(id) over
+    (partition by prefix_h60)``) — no broadcast anywhere.  The earlier
+    broadcast-back form was a scale bug: the duplicate-group table is
+    proportional to the number of template FAMILIES, which on heavily
+    templated web corpora (this operator's whole point) grows with the
+    corpus, so a forced ``F.broadcast`` would OOM the driver at 100 TB.
+    The window needs the same single shuffle and its per-group buffers
+    spill (UnsafeExternalSorter), so even a pathological mega-family is
+    disk-bounded, not memory-bounded.  Shuffle rows are
+    (60-bit hash, id) — never text.
 
     Edge contract: NULL-text rows hash like empty text (``concat_ws``
     drops NULL parts), so all empty/NULL docs form ONE group — which is
@@ -1189,23 +1196,16 @@ def prefix_dedup(df: DataFrame, text_col: str = "text",
     prefix = F.concat_ws(
         " ", F.slice(_tokens(F.col(text_col)), 1, n_tokens)
     )
+    from pyspark.sql import Window
+
     keyed = df.select(
         F.col(id_col), md5_60(prefix).alias("prefix_h60")
     )
-    groups = (
-        keyed.groupBy("prefix_h60")
-        .agg(
-            F.min(id_col).alias("_keep_id"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .where(F.col("_n") >= 2)
-    )
-    return keyed.join(F.broadcast(groups), "prefix_h60", "left").select(
+    w = Window.partitionBy("prefix_h60")
+    return keyed.select(
         id_col,
         "prefix_h60",
-        F.coalesce(F.col("_n"), F.lit(1)).cast("long").alias("n_same_prefix"),
-        F.when(
-            F.col("_keep_id").isNull() | (F.col("_keep_id") == F.col(id_col)),
-            1,
-        ).otherwise(0).cast("int").alias("keep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same_prefix"),
+        F.when(F.min(id_col).over(w) == F.col(id_col), 1)
+        .otherwise(0).cast("int").alias("keep"),
     )
