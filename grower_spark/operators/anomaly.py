@@ -204,11 +204,19 @@ def rate_fano(events: DataFrame, ts_col: str = "ts",
 
     Exactness: over the n observed buckets with counts c_i,
     ``fano_x100 = floor(100 * (n*sum(c^2) - sum(c)^2) / (n * sum(c)))``
-    — pure int64 arithmetic, identical on every engine (no float
-    variance, no ddof ambiguity; population variance over OBSERVED
-    buckets — empty buckets are not rows, the standard simplification,
-    documented).  Plan: one map-side bucket key + two model-sized
-    aggregations (type x buckets, then type).
+    — integer arithmetic end-to-end, identical on every engine (no
+    float variance, no ddof ambiguity; population variance over
+    OBSERVED buckets — empty buckets are not rows, the standard
+    simplification, documented).  The intermediates run in
+    DECIMAL(38,0) (r10 ADVICE): ``n_buckets * sumsq`` escapes int64
+    around 1e6 buckets x 1e6 events/bucket (sumsq ~1e18), which is a
+    plausible shape at 100 TB — DuckDB's SUM already widens to HUGEINT,
+    so the decimal widening keeps the engines identical instead of
+    tripping ANSI overflow.  The QUOTIENT still fits int64 by
+    construction (fano_x100 <= 100 * max bucket count), which is what
+    Spark's decimal ``div`` (BIGINT-valued) requires.  Plan: one
+    map-side bucket key + two model-sized aggregations (type x buckets,
+    then type).
     """
     if bucket_secs <= 0:
         raise ValueError(f"bucket_secs must be positive, got {bucket_secs}")
@@ -222,11 +230,26 @@ def rate_fano(events: DataFrame, ts_col: str = "ts",
         F.sum("_c").cast("long").alias("n_events"),
         F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sumsq"),
     )
+    return _fano_projection(agg, type_col)
+
+
+def _fano_projection(agg: DataFrame, type_col: str) -> DataFrame:
+    """Final Fano projection over ``(type_col, n_buckets, n_events,
+    _sumsq)`` aggregates — split out so the DECIMAL(38,0) overflow
+    contract is directly pytest-able on adversarial aggregate values
+    (1e6 buckets x 1e6 events/bucket) without materializing 1e12 rows."""
     return agg.selectExpr(
         type_col,
         "n_buckets",
         "n_events",
-        # integer div end-to-end: no float variance, no ulp drift
-        "CAST(((n_buckets * _sumsq - n_events * n_events) * 100)"
-        " div (n_buckets * n_events) AS BIGINT) AS fano_x100",
+        # integer div end-to-end (no float variance, no ulp drift);
+        # DECIMAL(38,0) intermediates so n_buckets*_sumsq cannot
+        # overflow int64 at extreme bucket counts x volumes
+        "CAST(((CAST(n_buckets AS DECIMAL(38,0))"
+        "       * CAST(_sumsq AS DECIMAL(38,0))"
+        "     - CAST(n_events AS DECIMAL(38,0))"
+        "       * CAST(n_events AS DECIMAL(38,0))) * 100)"
+        " div (CAST(n_buckets AS DECIMAL(38,0))"
+        "      * CAST(n_events AS DECIMAL(38,0))) AS BIGINT)"
+        " AS fano_x100",
     )

@@ -639,7 +639,7 @@ def density_vs_panel(
     vec_col: str = "embedding",
     pid_col: str = "pid",
     pvec_col: str = "pvec",
-    kernel: str = "auto",
+    kernel: str = "hof",
 ) -> DataFrame:
     """Embedding-density estimate against a FIXED reference panel, for
     density-based outlier filtering: per corpus vector, how many panel
@@ -670,15 +670,18 @@ def density_vs_panel(
     the join is a left join on a literal-true condition (a cross join
     that keeps the corpus side), not a row-destroying ``crossJoin``.
 
-    ``kernel`` (r10, VERDICT r9 item 7): ``"auto"`` (default) picks the
-    scoring kernel by measured cutover — the Catalyst HOF fold when
-    ``dim × panel_rows < DENSITY_NP_CUTOVER``, else the
-    :func:`density_vs_panel_np` BLAS twin (same rows; rounding is
-    np.round half-even vs the HOF's HALF_UP, divergent only on an exact
-    5e-5 cosine boundary — parity-pinned in pytest).  The peek at the
-    panel's shape is two tiny jobs on a model-sized frame (the np path
-    collects the whole panel anyway).  ``"hof"`` pins the zero-Python
-    oracle-exact path (the driver row's choice); ``"np"`` forces BLAS.
+    ``kernel`` (r10, VERDICT r9 item 7; default flipped to ``"hof"``
+    per r10 ADVICE): ``"hof"`` (default) is the zero-Python
+    oracle-exact path — deterministic HALF_UP rounding, no extra driver
+    jobs, the driver row's choice.  ``"auto"`` is OPT-IN: it picks by
+    measured cutover — HOF when ``dim × panel_rows <
+    DENSITY_NP_CUTOVER``, else the :func:`density_vs_panel_np` BLAS
+    twin — at the cost of two tiny driver jobs (panel first + count)
+    and a rounding-semantics switch (np.round half-even vs HOF
+    HALF_UP, divergent only on an exact 5e-5 cosine boundary —
+    parity-pinned in pytest) that can flip a boundary row purely
+    because the panel grew.  ``"np"`` forces BLAS (the 100 TB path for
+    big panels; callers own the rounding caveat).
 
     Output: ``(vec_id, n_close bigint, is_outlier int)``.
     """

@@ -206,7 +206,9 @@ def test_density_kernel_auto_dispatch(spark):
         (big_panel, "np", "MapInPandas"),
         (small_panel, "hof", "BroadcastNestedLoopJoin"),
     ):
-        routed = density_vs_panel(corpus, panel, tau=0.3)
+        # r11: auto is OPT-IN (default flipped to the oracle-exact hof
+        # per r10 advice), so the routing behavior needs the explicit arg
+        routed = density_vs_panel(corpus, panel, tau=0.3, kernel="auto")
         # the route itself, not just its output: np renders MapInPandas,
         # hof a broadcast NLJ
         phys = routed._jdf.queryExecution().sparkPlan().toString()

@@ -62,6 +62,37 @@ def test_prefix_dedup_adversarial_density(spark):
     assert out.where("keep = 1 AND doc_id >= %d" % n_groups).count() == 0
 
 
+def test_rate_fano_no_int64_overflow_at_extreme_scale(spark):
+    """r10 ADVICE: (n_buckets * sumsq - n_events^2) * 100 in pure int64
+    overflows at ~1e6 buckets x 1e6 events/bucket (sumsq ~1e18), which
+    ANSI mode turns into a runtime error.  Pin the DECIMAL(38,0)
+    rewrite on exactly that aggregate shape, against Python-int truth,
+    under ANSI mode."""
+    from grower_spark.operators.anomaly import _fano_projection
+
+    n_buckets, per_bucket = 1_000_000, 1_000_000
+    n_events = n_buckets * per_bucket
+    sumsq = n_buckets * per_bucket * per_bucket      # 1e18: fits int64
+    assert n_buckets * sumsq > 2**63                 # old expr overflowed
+    expected = ((n_buckets * sumsq - n_events * n_events) * 100) // (
+        n_buckets * n_events
+    )
+    agg = spark.createDataFrame(
+        [("click", n_buckets, n_events, sumsq),
+         ("view", 4, 10, 30)],                       # small sanity row
+        "event_type string, n_buckets long, n_events long, _sumsq long",
+    )
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = {r["event_type"]: r["fano_x100"]
+               for r in _fano_projection(agg, "event_type").collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+    assert out["click"] == expected
+    assert out["view"] == ((4 * 30 - 100) * 100) // 40
+
+
 def test_source_dedup_rates_plan_no_broadcast(spark):
     """source_dedup_rates shared the corpus-scaling broadcast; pin its
     window rewrite too (no broadcast, no join)."""
