@@ -181,6 +181,11 @@ BENCH_QUERIES = [
     # funnel replay, the wall is micro-batch + state machinery (~7 s
     # warm at sf0.1, documented honest cost)
     ("streaming_drift_gate", "noop"),
+    # r11: the composed corpus-build governance row — the whole
+    # tools/corpus_build.py pipeline (adaptive quality gate, repetition
+    # filter, keep-best exact+LSH dedup, packing) per invocation, so its
+    # wall is the sum of its stages (documented honest cost)
+    ("corpus_build_full", "collect"),
 ]
 
 
@@ -242,6 +247,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     total = 0.0
+    # Noise auto-rerun (r10 verdict item 6): a query whose max/min run
+    # spread exceeds RERUN_SPREAD gets a second batch of warm runs, and
+    # the median is taken over ALL runs — host-contention outliers stop
+    # producing phantom drift flags that burn a RESPONSES disposition.
+    rerun_spread = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_SPREAD",
+                                        "1.5"))
+    reran: list[str] = []
     for name, how in bench_queries:
         fn = QUERIES[name]
         for _ in range(n_warm):
@@ -251,13 +263,24 @@ def main() -> None:
             t0 = time.time()
             materialize(fn(spark, sf_dir), how)
             rs.append(round(time.time() - t0, 3))
+        if max(rs) / max(min(rs), 1e-9) > rerun_spread:
+            reran.append(name)
+            for _ in range(max(n_runs, 1)):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir), how)
+                rs.append(round(time.time() - t0, 3))
         runs[name] = rs
         timings[name] = sorted(rs)[len(rs) // 2]
         total += timings[name]
+    if not runs:
+        print(f"no bench queries matched SPARK_GRAFT_BENCH_ONLY={only}",
+              file=sys.stderr)
+        sys.exit(2)
     spreads = sorted(max(r) / max(min(r), 1e-9) for r in runs.values())
     noise = {
         "median_max_over_min": round(spreads[len(spreads) // 2], 2),
         "worst_max_over_min": round(spreads[-1], 2),
+        "reran_for_noise": reran,
     }
 
     # Ingest-throughput sanity figure vs the reference's 10k lines/s bar

@@ -1579,10 +1579,18 @@ NEARDUP_THRESHOLD = 0.30
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label.
+    """Embedding-cosine near-duplicate pairs, blocked by label — the
+    ORACLE VEHICLE, not the production plan (r10 verdict item 4:
+    ``embedding_neardup_lsh`` is the canonical near-dup row and leads
+    in the certification window).
 
-    Blocking keys turn the O(n^2) all-pairs into per-block joins — the same
-    shape as an LSH bucket join at 100TB (shuffle on the block key only)."""
+    Label blocking is O(sum block^2): sound only while every block is
+    bounded, which a trusted label column does NOT guarantee at 100 TB
+    (one dominant label = quadratic blowup).  It exists because a
+    label-equality join is what the DuckDB oracle can express exactly;
+    the LSH twin (bounded hyperplane buckets, same join shape,
+    measured recall contract) is the plan to run at scale.
+    tests/test_ann_recall.py pins the twins' pair-set relationship."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "label"
@@ -7382,45 +7390,241 @@ FROM cells LEFT JOIN baseline USING (bin)
 """
 
 
+CBF_KEEP_PERMILLE = 700
+CBF_MAX_TOP_WORD_BP = 4000
+
+
+def q_corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build (tools/corpus_build.py build_corpus) as
+    ONE certified composition — the r10-verdict ask: prove the stages
+    compose under a single oracle, not just individually.  Flags match
+    the production invocation: ``--keep-best`` (canonical = quality
+    argmax in both dedup stages) and ``--adaptive-quality-group source``
+    (per-source adaptive quality floor, top 700 permille by the fine
+    quality-majors/alpha-minors score).  Stages actually exercised, in
+    build order: adaptive quality gate -> repetition filter
+    (top_word_bp > 4000) -> normalize -> exact dedup (quality argmax)
+    -> MinHash-LSH pairs (md5, 16 perm / 4 bands, >= 2 shared) ->
+    connected components -> keep-best -> FFD packing (assignment only,
+    drops nothing).
+
+    Surface: the per-source GOVERNANCE rollup — input volume, each
+    stage's drop count, kept docs and kept token volume.  The oracle
+    re-derives the entire composed pipeline in SQL (adaptive-cutoff
+    histogram, repetition counts, normalize + md5-60 exact groups,
+    the full MinHash signature/band algebra, a recursive-CTE closure,
+    and the same quality-argmax keep decisions).
+
+    Scale notes: every stage is the already-audited operator (no new
+    plan shapes); the oracle ignores build_keep_drop's degenerate-
+    bucket cap (max_bucket_width=2000) — no sf0.01/sf0.1 bucket comes
+    near it (the cap exists for adversarial corpora).  The row
+    localCheckpoints its output then drops the build's stage caches so
+    repeated bench invocations don't accumulate cached blocks."""
+    from tools.corpus_build import build_corpus
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    _, drops, _ = build_corpus(
+        spark, docs,
+        keep_best=True,
+        adaptive_quality_group="source",
+        adaptive_keep_permille=CBF_KEEP_PERMILLE,
+        max_top_word_bp=CBF_MAX_TOP_WORD_BP,
+        num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
+        min_shared_bands=2,
+        collect_report=False,
+    )
+    base = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).alias("_nt"),
+    )
+    lab = base.join(drops, "doc_id", "left")
+    is_r = lambda r: (F.col("reason") == r).cast("int")  # noqa: E731
+    gov = lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        F.sum(is_r("quality")).cast("long").alias("n_drop_quality"),
+        F.sum(is_r("repetition")).cast("long").alias("n_drop_repetition"),
+        F.sum(is_r("exact")).cast("long").alias("n_drop_exact"),
+        F.sum(is_r("near-dup")).cast("long").alias("n_drop_near_dup"),
+        F.sum(F.col("reason").isNull().cast("int")).cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("reason").isNull(), F.col("_nt")).otherwise(0))
+        .cast("long").alias("kept_tokens"),
+    )
+    out = gov.localCheckpoint(eager=True)
+    spark.catalog.clearCache()  # release build_corpus/build_keep_drop caches
+    return out
+
+
+def oracle_corpus_build_full() -> str:
+    # the composed pipeline re-derived stage by stage; fragments shared
+    # with oracle_quality_adaptive (cutoff histogram),
+    # oracle_text_repetition (top-word counts), oracle_text_normalize,
+    # oracle_dedup_minhash_lsh (signature/band algebra) and
+    # oracle_dedup_keep_best (recursive closure + quality argmax)
+    from grower_spark.operators.dedup import MINHASH_PRIME, minhash_perm_params
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    params = minhash_perm_params(MINHASH_PERMS)
+    base_h = (
+        "list_transform(sh, s -> "
+        + _DUCK_MD5_60.format(x="s")
+        + " % 1073741824)"
+    )
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(bh, h -> (h * {a} + {b})"
+        f" % {MINHASH_PRIME})) AS sig{p}"
+        for p, (a, b) in enumerate(params)
+    )
+    band_exprs = ", ".join(
+        "'" + str(b) + "_' || "
+        + " || '_' || ".join(
+            f"CAST(sig{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    h60_norm = _DUCK_MD5_60.format(x="text_norm")
+    return f"""
+WITH RECURSIVE q0 AS (
+  SELECT doc_id, source, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+    {_duck_quality_score()} AS qs,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    greatest(length(text), 1) AS n_chars1
+  FROM documents WHERE text IS NOT NULL
+),
+fine AS (
+  SELECT *, qs * 1000 + least(
+      CAST(round(round(n_alpha / CAST(n_chars1 AS DOUBLE), 4) * 1000)
+           AS BIGINT), 999) AS fq
+  FROM q0
+),
+hist AS (SELECT source, fq, count(*) AS n FROM fine GROUP BY 1, 2),
+ranked AS (
+  SELECT source, fq, n,
+    sum(n) OVER (PARTITION BY source ORDER BY fq DESC) AS cum_top,
+    sum(n) OVER (PARTITION BY source) AS total
+  FROM hist
+),
+cuts AS (
+  SELECT source, max(fq) AS cutoff FROM ranked
+  WHERE cum_top * 1000 >= {CBF_KEEP_PERMILLE} * total GROUP BY 1
+),
+drop_q AS (
+  SELECT f.doc_id FROM fine f JOIN cuts c
+  ON f.source IS NOT DISTINCT FROM c.source
+  WHERE f.fq < c.cutoff
+),
+pool1 AS (
+  SELECT * FROM fine WHERE doc_id NOT IN (SELECT doc_id FROM drop_q)
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM pool1),
+wcnt AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS gram FROM words) GROUP BY 1, 2
+),
+rep AS (
+  SELECT doc_id, (max(c) * 10000) // sum(c) AS top_word_bp
+  FROM wcnt GROUP BY 1
+),
+drop_r AS (
+  SELECT doc_id FROM rep WHERE top_word_bp > {CBF_MAX_TOP_WORD_BP}
+),
+pool2 AS (
+  SELECT doc_id, source, text, n_tok, qs, {norm} AS text_norm
+  FROM pool1 WHERE doc_id NOT IN (SELECT doc_id FROM drop_r)
+),
+keyed AS (SELECT doc_id, qs, {h60_norm} AS h60, text_norm FROM pool2),
+exact_keep AS (
+  SELECT doc_id, h60, text_norm,
+    row_number() OVER (PARTITION BY h60
+                       ORDER BY qs DESC, doc_id) AS rn
+  FROM keyed
+),
+drop_e AS (SELECT doc_id FROM exact_keep WHERE rn > 1),
+s1 AS (SELECT doc_id, text_norm FROM exact_keep WHERE rn = 1),
+shing AS (SELECT doc_id, {_duck_shingles("text_norm")} AS sh FROM s1),
+based AS (SELECT doc_id, {base_h} AS bh FROM shing),
+sigs AS (SELECT doc_id, {sig_exprs} FROM based),
+buckets AS (SELECT doc_id, unnest([{band_exprs}]) AS bucket FROM sigs),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(n, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n
+),
+cl AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+near_keep AS (
+  SELECT cl.doc_id,
+    row_number() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY k.qs DESC, cl.doc_id) AS rn
+  FROM cl JOIN keyed k USING (doc_id)
+),
+drop_n AS (SELECT doc_id FROM near_keep WHERE rn > 1),
+all_drops AS (
+  SELECT doc_id, 'quality' AS reason FROM drop_q
+  UNION ALL SELECT doc_id, 'repetition' FROM drop_r
+  UNION ALL SELECT doc_id, 'exact' FROM drop_e
+  UNION ALL SELECT doc_id, 'near-dup' FROM drop_n
+)
+SELECT q.source,
+  CAST(count(*) AS BIGINT) AS n_input,
+  CAST(count(*) FILTER (WHERE d.reason = 'quality') AS BIGINT)
+    AS n_drop_quality,
+  CAST(count(*) FILTER (WHERE d.reason = 'repetition') AS BIGINT)
+    AS n_drop_repetition,
+  CAST(count(*) FILTER (WHERE d.reason = 'exact') AS BIGINT)
+    AS n_drop_exact,
+  CAST(count(*) FILTER (WHERE d.reason = 'near-dup') AS BIGINT)
+    AS n_drop_near_dup,
+  CAST(count(*) FILTER (WHERE d.reason IS NULL) AS BIGINT) AS n_kept,
+  CAST(COALESCE(sum(q.n_tok) FILTER (WHERE d.reason IS NULL), 0)
+       AS BIGINT) AS kept_tokens
+FROM q0 q LEFT JOIN all_drops d USING (doc_id)
+GROUP BY q.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r10; sections are 1-8 / 9-13 / 14-18 / 19-29 / 30-49 /
-# 50 — exactly 50, AST-checked for duplicate keys in tests):
+# Window layout (r11; sections are 1-8 / 9-12 / 13-21 / 22-33 / 34-50 —
+# exactly 50, AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
-#   9-13  : must-certify this round — streaming_session_funnel (NEW:
-#           the stateful streaming path under the driver's oracle),
-#           dedup_simhash_pairs (REWORKED: 56-bit combination-block
-#           keys — new result set), lsh_precision (REWORKED:
-#           pair-budget sizing — new sample), embedding_density
-#           (edge-contract fix + kernel dispatch, kernel pinned hof)
-#           and sample_exact_k (null-safe group join) — every
-#           changed/new row certifies in its change round.
-#   14-27 : the fourteen NEW r10 rows (Gopher quality rules, Misra-
-#           Gries heavy hitters with exact verified output, temporal-
-#           split user-leakage audit, per-language tokenizer fertility,
-#           near-dup cluster size histogram, leading-token template
-#           dedup, C4/FineWeb filter panel, per-source dedup-rate
-#           governance, power-of-two length histogram, per-source PII
-#           exposure, per-type Fano burstiness, behavioral-diversity
-#           histogram, per-type churn, and the streaming drift-gate
-#           replay — the second certified streaming path: windowed
-#           stateful aggregation, complementing the funnel's
-#           applyInPandasWithState) — debut certification.
-#   28-38 : staleness rotation — tpch_q12..q22, last driver-certified
-#           r6, the registry's oldest certifications.
-#   39-50 : staleness rotation — the head of the r6-certified block
-#           (events_window_agg … dedup_simhash).
-#   51+   : the rest of the r6 block and the r7 block (displaced by the
-#           r10 debuts; queued for the r11 window), then everything
-#           r8/r9-driver-certified (the r9 debuts, TPC-H q1-q11,
-#           keep_best and the multimodal/report rows, then the r7/r8
-#           remainder) — all covered every round by the committed
+#   9-12  : must-certify this round — corpus_build_full (NEW: the whole
+#           tools/corpus_build.py pipeline with --keep-best
+#           --adaptive-quality-group composed under one oracle),
+#           dedup_prefix and source_dedup_rates (the r10 verdict's
+#           broadcast scale-killer rewritten as window counts — new
+#           plans, same rows) and events_burstiness (DECIMAL(38,0)
+#           overflow-safe Fano intermediates) — every changed/new row
+#           certifies in its change round.
+#   13-21 : staleness rotation — the nine rows last driver-certified in
+#           r6 (salted_agg_users .. ann_lsh_multiprobe), the registry's
+#           oldest certifications.  embedding_neardup_lsh is here AND
+#           is now the canonical near-dup row (verdict item 4); the
+#           label-blocked embedding_neardup twin stays registered as
+#           the oracle vehicle, freshly certified r10.
+#   22-33 : staleness rotation — the twelve rows last certified r7.
+#   34-50 : staleness rotation — the head of the r8-certified block.
+#   51+   : the r8 remainder, then r9- and r10-certified rows — all
+#           covered every round by the committed
 #           CORRECTNESS_LOCAL_r{N}.json full-registry artifact.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 1-8: §2 core, keep certified every round ---
@@ -7432,28 +7636,76 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_error_rate": q_nginx_error_rate,
     "nginx_latency_percentiles": q_nginx_latency_percentiles,
     "syslog_extract": q_syslog_extract,
-    # --- 9-13: r10 must-certify (new / changed this round) ---
+    # --- 9-12: r11 must-certify (new/changed this round):
+    # corpus_build_full (NEW: the composed-pipeline governance row),
+    # dedup_prefix + source_dedup_rates (broadcast->window rewrite),
+    # events_burstiness (DECIMAL(38,0) overflow-safe Fano) ---
+    "corpus_build_full": q_corpus_build_full,
+    "dedup_prefix": q_dedup_prefix,
+    "source_dedup_rates": q_source_dedup_rates,
+    "events_burstiness": q_events_burstiness,
+    # --- 13-21: staleness rotation, the r6-certified remainder
+    # (oldest certifications in the registry) ---
+    "salted_agg_users": q_salted_agg_users,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "ann_cosine_topk_np": q_ann_cosine_topk_np,
+    "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    # --- 22-33: staleness rotation, the r7-certified block ---
+    "semdedup": q_semdedup,
+    "pii_redact": q_pii_redact,
+    "corpus_vocab": q_corpus_vocab,
+    "tokenize_ids": q_tokenize_ids,
+    "shard_shuffle": q_shard_shuffle,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "events_outliers": q_events_outliers,
+    "source_mix": q_source_mix,
+    "semantic_decontam": q_semantic_decontam,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "lm_tail_keep": q_lm_tail_keep,
+    # --- 34-50: staleness rotation, head of the r8-certified
+    # block (dedup_substring .. events_asof_join) ---
+    "dedup_substring": q_dedup_substring,
+    "events_transitions": q_events_transitions,
+    "events_winsorized": q_events_winsorized,
+    "events_robust_stats": q_events_robust_stats,
+    "events_cusum": q_events_cusum,
+    "bigram_lm_score_join": q_bigram_lm_score_join,
+    "events_session_funnel": q_events_session_funnel,
+    "source_overlap": q_source_overlap,
+    "embedding_kmeans": q_embedding_kmeans,
+    "doc_novelty": q_doc_novelty,
+    "doc_top_terms": q_doc_top_terms,
+    "events_top_paths": q_events_top_paths,
+    "kmeans_representatives": q_kmeans_representatives,
+    "events_funnel_timing": q_events_funnel_timing,
+    "events_dau_wau": q_events_dau_wau,
+    "ann_ivf": q_ann_ivf,
+    "events_asof_join": q_events_asof_join,
+    # --- 51+: r8 remainder, then the r9- and r10-certified rows
+    # (freshest last; all covered every round by the committed
+    # CORRECTNESS_LOCAL_r{N}.json full-registry artifact) ---
     "streaming_session_funnel": q_streaming_session_funnel,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "lsh_precision": q_lsh_precision,
     "embedding_density": q_embedding_density,
     "sample_exact_k": q_sample_exact_k,
-    # --- 14-22: NEW r10 rows (debut certification) ---
     "doc_gopher_rules": q_doc_gopher_rules,
     "token_heavy_hitters": q_token_heavy_hitters,
     "events_split_leakage": q_events_split_leakage,
     "lang_fertility": q_lang_fertility,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    "dedup_prefix": q_dedup_prefix,
     "doc_fineweb_filters": q_doc_fineweb_filters,
-    "source_dedup_rates": q_source_dedup_rates,
     "doc_length_histogram": q_doc_length_histogram,
     "source_pii_rates": q_source_pii_rates,
-    "events_burstiness": q_events_burstiness,
     "user_type_diversity": q_user_type_diversity,
     "events_churn": q_events_churn,
     "streaming_drift_gate": q_streaming_drift_gate,
-    # --- 14-24: staleness rotation, tpch_q12-q22 (last driver r6) ---
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
@@ -7465,7 +7717,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
-    # --- 25-44: staleness rotation, the r6-certified block ---
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
@@ -7478,25 +7729,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_neardup": q_embedding_neardup,
     "dedup_simhash": q_dedup_simhash,
-    "salted_agg_users": q_salted_agg_users,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "ann_cosine_topk_np": q_ann_cosine_topk_np,
-    "ann_lsh": q_ann_lsh,
-    # --- 50: staleness rotation tail (r6-certified) ---
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    # --- 51+: the r7 block displaced by the r10 debuts, then
-    # r8/r9-driver-certified rows rotated out (all covered by the
-    # full-registry CORRECTNESS_LOCAL artifact) ---
-    "semdedup": q_semdedup,
-    "pii_redact": q_pii_redact,
-    "corpus_vocab": q_corpus_vocab,
-    "tokenize_ids": q_tokenize_ids,
-    "shard_shuffle": q_shard_shuffle,
-    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_keep_best": q_dedup_keep_best,
     "nb_lang_score": q_nb_lang_score,
     "corpus_report": q_corpus_report,
@@ -7536,26 +7768,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
     "tpch_q11": q_tpch_q11,
-    "events_outliers": q_events_outliers,
-    "source_mix": q_source_mix,
-    "semantic_decontam": q_semantic_decontam,
-    "dedup_substring": q_dedup_substring,
-    "events_transitions": q_events_transitions,
-    "events_winsorized": q_events_winsorized,
-    "events_robust_stats": q_events_robust_stats,
-    "events_cusum": q_events_cusum,
-    "bigram_lm_score_join": q_bigram_lm_score_join,
-    "events_session_funnel": q_events_session_funnel,
-    "source_overlap": q_source_overlap,
-    "embedding_kmeans": q_embedding_kmeans,
-    "doc_novelty": q_doc_novelty,
-    "doc_top_terms": q_doc_top_terms,
-    "events_top_paths": q_events_top_paths,
-    "kmeans_representatives": q_kmeans_representatives,
-    "events_funnel_timing": q_events_funnel_timing,
-    "events_dau_wau": q_events_dau_wau,
-    "ann_ivf": q_ann_ivf,
-    "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "salted_join_events": q_salted_join_events,
     "text_lang_id": q_text_lang_id,
@@ -7578,9 +7790,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "multimodal_fused": q_multimodal_fused,
     "bigram_lm_perplexity": q_bigram_lm_perplexity,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "lm_tail_keep": q_lm_tail_keep,
 }
 
 ORACLES: dict[str, str] = {
@@ -7636,6 +7845,7 @@ ORACLES: dict[str, str] = {
     "doc_length_histogram": oracle_doc_length_histogram(),
     "source_pii_rates": oracle_source_pii_rates(),
     "events_burstiness": oracle_events_burstiness(),
+    "corpus_build_full": oracle_corpus_build_full(),
     "user_type_diversity": oracle_user_type_diversity(),
     "events_churn": oracle_events_churn(),
     "streaming_drift_gate": oracle_streaming_drift_gate(),

@@ -74,9 +74,18 @@ class HttpClickHouseClient:
 
     Satisfies the sink's client protocol: ``insert(table, rows,
     column_names)`` plus ``command(sql)`` for DDL.  One POST per insert
-    call; the sink's chunking already bounds statement size.  ``compress``
-    gzips the request body (``Content-Encoding: gzip``, decompressed
-    server-side — saves wire bytes on wide text rows).
+    call; the sink's chunking already bounds statement size.
+
+    ``compress`` picks the request-body ``Content-Encoding``: ``True`` or
+    ``"gzip"`` = stdlib gzip; ``"lz4"`` (r10 verdict item 5) = LZ4 *frame*
+    format via pyarrow's bundled codec (no ``lz4`` package in this env —
+    probed 2026-08-15; ClickHouse >= 22.10 accepts ``Content-Encoding:
+    lz4`` frame bodies on the HTTP interface, giving wire parity with the
+    reference's native-protocol LZ4, cmd/filelog/main.go:181-183).
+    Measured on a varied 10k-line nginx TSV body, 1.4 MB (SCALE.md r11):
+    lz4 compresses ~22x faster than gzip (2.4 ms vs 55 ms) at ~1.7x the
+    output size (4.0x vs 6.7x ratio) — the same CPU-vs-wire trade the
+    reference picked with native-protocol LZ4.  ``False`` = identity.
     """
 
     def __init__(
@@ -87,7 +96,7 @@ class HttpClickHouseClient:
         password: Optional[str] = None,
         settings: Optional[dict] = None,
         timeout: float = 30.0,
-        compress: bool = False,
+        compress: "bool | str" = False,
     ) -> None:
         self.url = url.rstrip("/")
         self.database = database
@@ -95,6 +104,16 @@ class HttpClickHouseClient:
         self.password = password
         self.settings = dict(settings or {})
         self.timeout = timeout
+        if compress is True:
+            compress = "gzip"
+        if compress not in (False, None, "gzip", "lz4"):
+            raise ValueError(
+                f"compress must be False, 'gzip' or 'lz4', got {compress!r}"
+            )
+        if compress == "lz4":
+            import pyarrow  # bundled lz4-frame codec; no lz4 pkg in env
+
+            self._lz4 = pyarrow.Codec("lz4")
         self.compress = compress
 
     def _post(self, query: str, body: bytes = b"") -> bytes:
@@ -108,8 +127,11 @@ class HttpClickHouseClient:
         if self.password is not None:
             headers["X-ClickHouse-Key"] = self.password
         if self.compress and body:
-            body = _gzip.compress(body)
-            headers["Content-Encoding"] = "gzip"
+            if self.compress == "lz4":
+                body = self._lz4.compress(body, asbytes=True)
+            else:
+                body = _gzip.compress(body)
+            headers["Content-Encoding"] = self.compress
         req = urllib.request.Request(url, data=body, headers=headers, method="POST")
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:

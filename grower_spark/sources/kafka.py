@@ -38,6 +38,13 @@ glob under /opt, `import PIL` / `import google.protobuf` /
 kafka-clients*.jar, pyspark/jars listing, :9092 connect refused,
 `import PIL`, `import google.protobuf`): all still absent.  Unchanged;
 same standing fallbacks.
+2026-08-15 r11: re-probed (filesystem-wide find for spark-sql-kafka* /
+kafka-clients*.jar, :9092 connect refused, kafka CLI on PATH,
+`import grpc` / `import PIL` / `import google.protobuf`): all still
+absent.  Unchanged; transformWithState e2e stays auto-skipped.  New
+this round: `import lz4` also absent, but pyarrow's bundled LZ4-frame
+codec covers the ClickHouse HTTP sink (sinks/clickhouse.py
+compress="lz4").
 """
 
 from __future__ import annotations

@@ -94,3 +94,40 @@ def test_np_scorer_recall_identical_to_hof(ann_data):
     np_i = _pairs(ivf_ann_topk(emb, q, k=K, n_cells=16, n_probe=2, dim=DIM,
                                scorer="np"))
     assert hof_i == np_i
+
+
+def test_embedding_neardup_twins_pair_relationship(spark):
+    """r10 verdict item 4: embedding_neardup_lsh is the canonical
+    near-dup row; the label-blocked embedding_neardup stays as the
+    oracle vehicle.  Pin the twins' relationship on the real fixture:
+    every LSH pair whose members share a label must appear in the
+    label-blocked pair set WITH the identical rounded similarity (the
+    label set is exhaustive within labels; LSH adds only cross-label
+    pairs and loses only cross-bucket ones)."""
+    from pyspark.sql import functions as F
+
+    from grower_spark.driver_queries import (
+        q_embedding_neardup,
+        q_embedding_neardup_lsh,
+    )
+    from grower_spark.io_tables import load_table
+    from tests.conftest import SF_SMALL
+
+    label_pairs = {
+        (r["id_a"], r["id_b"]): r["sim_r4"]
+        for r in q_embedding_neardup(spark, SF_SMALL).collect()
+    }
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "label"
+        ).collect()
+    }
+    lsh = q_embedding_neardup_lsh(spark, SF_SMALL).collect()
+    assert lsh, "LSH twin found no pairs on the fixture"
+    same_label = [r for r in lsh if labels[r["id_a"]] == labels[r["id_b"]]]
+    assert same_label, "fixture should yield same-label LSH pairs"
+    for r in same_label:
+        key = (r["id_a"], r["id_b"])
+        assert key in label_pairs, key
+        assert label_pairs[key] == r["sim_r4"], key

@@ -32,14 +32,24 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802  (stdlib naming)
         n = int(self.headers.get("Content-Length", 0))
         body = self.rfile.read(n)
-        if self.headers.get("Content-Encoding") == "gzip":
+        encoding = self.headers.get("Content-Encoding")
+        raw = body
+        if encoding == "gzip":
             body = gzip.decompress(body)
+        elif encoding == "lz4":
+            # LZ4 frames carry no content-size field (pyarrow does not
+            # set the FLG bit) and pyarrow's decompress needs the exact
+            # size — the TEST decodes raw bytes against its known
+            # expected body instead
+            body = b""
         q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
         _RECEIVED.append(
             {
                 "query": q.get("query", [""])[0],
                 "database": q.get("database", [""])[0],
                 "params": {k: v[0] for k, v in q.items()},
+                "encoding": encoding,
+                "body_raw": raw,
                 "body": body.decode("utf-8"),
                 "user": self.headers.get("X-ClickHouse-User"),
                 "key": self.headers.get("X-ClickHouse-Key"),
@@ -103,6 +113,33 @@ def test_insert_gzip_body(ch_server):
     c = HttpClickHouseClient(ch_server, compress=True)
     c.insert("t", [("x" * 100,)], column_names=["s"])
     assert _RECEIVED[0]["body"] == "x" * 100 + "\n"  # handler decompressed
+    assert _RECEIVED[0]["encoding"] == "gzip"
+
+
+def test_insert_lz4_body(ch_server):
+    """r10 verdict item 5: Content-Encoding: lz4 with an LZ4 FRAME body
+    (what ClickHouse's HTTP interface expects), produced by pyarrow's
+    bundled codec.  The wire bytes must start with the frame magic and
+    decompress to exactly the TabSeparated insert body."""
+    import pyarrow
+
+    c = HttpClickHouseClient(ch_server, compress="lz4")
+    c.insert("t", [("y" * 50, 7)], column_names=["s", "n"])
+    r = _RECEIVED[0]
+    assert r["encoding"] == "lz4"
+    assert r["body_raw"][:4] == b"\x04\x22\x4d\x18"  # LZ4 frame magic
+    expected = ("y" * 50 + "\t7\n").encode()
+    got = pyarrow.Codec("lz4").decompress(
+        r["body_raw"], decompressed_size=len(expected), asbytes=True
+    )
+    assert got == expected
+
+
+def test_compress_arg_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="compress"):
+        HttpClickHouseClient("http://h:1", compress="zstd")
 
 
 def test_command_ddl(ch_server):

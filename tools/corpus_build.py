@@ -70,8 +70,14 @@ def build_corpus(
     adaptive_quality_group: str | None = None,
     adaptive_keep_permille: int = 700,
     weighted_target_rows: int = 0,
+    collect_report: bool = True,
 ):
     """Returns (corpus_df, drops_df, report_dict).
+
+    With ``collect_report=False`` no driver-side jobs run (no input
+    count, no drop rollup) and ``report_dict`` is empty — for callers
+    that embed the build in a larger plan (the corpus_build_full driver
+    row) and derive their own accounting from ``drops_df``.
 
     corpus_df: kept docs with pack assignment columns.
     drops_df:  (doc_id, reason) — one row per dropped doc, first reason wins
@@ -99,7 +105,9 @@ def build_corpus(
     # corpus exceeds cache capacity; lineage recompute of a 100 TB scan
     # per stage is the thing to avoid either way.
     scored = quality_signals(docs, text_col).cache()
-    report: dict[str, int] = {"input": scored.count()}
+    report: dict[str, int] = (
+        {"input": scored.count()} if collect_report else {}
+    )
     # NULL-safe split: NULL text scores NULL on every check, which would
     # fail BOTH a `< min` and a `>= min` filter and silently vanish from
     # corpus AND drops — an unscorable doc is a quality drop, auditable
@@ -270,11 +278,12 @@ def build_corpus(
     # one aggregation over the drop union computes every per-stage count
     # (the union's branches all read the cached `scored`); kept is derived,
     # not a second pass over the corpus
-    for reason, n in all_drops.groupBy("reason").count().collect():
-        report[f"dropped_{reason.replace('-', '_')}"] = n
-    report["kept"] = report["input"] - sum(
-        v for k, v in report.items() if k.startswith("dropped_")
-    )
+    if collect_report:
+        for reason, n in all_drops.groupBy("reason").count().collect():
+            report[f"dropped_{reason.replace('-', '_')}"] = n
+        report["kept"] = report["input"] - sum(
+            v for k, v in report.items() if k.startswith("dropped_")
+        )
     return corpus, all_drops, report
 
 
