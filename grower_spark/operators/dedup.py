@@ -802,12 +802,24 @@ def _pair_intersections(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sharr")
     ).withColumn("sz", F.size("_sharr"))
     inv = arr.select("_id", "sz", F.explode("_sharr").alias("sh"))
-    postings = inv.groupBy("sh").agg(
+    return _posting_pair_counts(inv, "sh", max_shingle_df)
+
+
+def _posting_pair_counts(
+    inv: DataFrame, item_col: str, max_df: Optional[int]
+) -> DataFrame:
+    """Shared posting-list pair-emit tail: from an inverted-index frame
+    ``(_id, sz, item)`` build per-item posting lists (one shuffle keyed by
+    item), emit ordered pairs (i < j) out of each capped list, and count
+    per pair → ``(id_a, id_b, size_a, size_b, inter)``.  Factored out of
+    ``_pair_intersections`` so set-overlap operators over OTHER item kinds
+    (winnowing fingerprints, paragraphs, …) reuse the exact plan."""
+    postings = inv.groupBy(item_col).agg(
         F.array_sort(F.collect_list(F.struct("_id", "sz"))).alias("ds")
     )
     postings = postings.where(F.size("ds") >= 2)
-    if max_shingle_df is not None:
-        postings = postings.where(F.size("ds") <= max_shingle_df)
+    if max_df is not None:
+        postings = postings.where(F.size("ds") <= max_df)
     # ordered pairs (i < j) out of each posting list; the 2-arg transform
     # lambda legitimately receives (element, index) here
     tail_len = F.size(F.col("ds"))
@@ -1209,3 +1221,122 @@ def prefix_dedup(df: DataFrame, text_col: str = "text",
         F.when(F.min(id_col).over(w) == F.col(id_col), 1)
         .otherwise(0).cast("int").alias("keep"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003): hash every word k-gram, slide a window of ``window`` consecutive
+    k-gram hashes, select each window's MINIMUM hash (ties → leftmost
+    position), and emit the DISTINCT selected hash values per document as
+    ``(id, fp)``.
+
+    The winnowing guarantee: any shared token run of length
+    ``window + k - 1`` or more between two documents selects at least one
+    IDENTICAL fingerprint in both — position-robust local-match evidence
+    that whole-doc hashing misses entirely and bag-of-shingles Jaccard
+    dilutes (a long doc quoting a paragraph scores near zero Jaccard but
+    shares that paragraph's fingerprints exactly).  Density is ~2/(window+1)
+    of the k-gram stream, so the index is a tunable fraction of corpus
+    tokens.
+
+    Plan: one explode to ``(doc, pos, kgram-hash)`` rows, then ONE narrow
+    window pass over ``(doc_id ORDER BY pos)`` — a single doc-keyed
+    shuffle, no joins, nothing corpus×corpus.  Window starts are clamped
+    to full windows (``pos <= n_kgrams - window + 1``); a doc with fewer
+    than ``window`` k-grams still selects one fingerprint from its single
+    truncated window, and docs under ``k`` tokens emit nothing.  The
+    min-selection key is the fixed-width md5-hex prefix concatenated with
+    the zero-padded position, so lexicographic MIN == (hash, leftmost
+    position) — identical in Spark and any SQL oracle.  md5-based hashing
+    keeps the row oracle-checkable; swap ``xxhash_60`` for production.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    from pyspark.sql import Window as W
+
+    toks = _tokens(F.col(text_col))
+    n_kg = F.size(toks) - (k - 1)
+    kgrams = F.when(
+        n_kg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_kg),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.substring(
+                    F.md5(F.array_join(F.slice(toks, i, k), " ").cast("binary")),
+                    1,
+                    15,
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.lit(None))
+    rows = df.select(
+        F.col(id_col).alias("_id"), F.explode(kgrams).alias("kg")
+    ).select("_id", F.col("kg.pos").alias("pos"), F.col("kg.h").alias("h"))
+    sel_w = W.partitionBy("_id").orderBy("pos").rowsBetween(0, window - 1)
+    key = F.concat(F.col("h"), F.lpad(F.col("pos").cast("string"), 8, "0"))
+    sel = rows.select(
+        "_id",
+        "pos",
+        F.min(key).over(sel_w).alias("mk"),
+        F.count(F.lit(1)).over(W.partitionBy("_id")).alias("n_kg"),
+    ).where(F.col("pos") <= F.greatest(F.col("n_kg") - (window - 1), F.lit(1)))
+    return (
+        sel.select(
+            F.col("_id").alias(id_col),
+            F.conv(F.substring("mk", 1, 15), 16, 10).cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: Optional[int] = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by SHARED WINNOWING FINGERPRINTS —
+    the local-overlap dedup family member: catches partial/positional
+    duplication (shared paragraphs, templated bodies with moved blocks)
+    that exact hashing misses and that set-Jaccard under-scores, at an
+    index ~2/(window+1) the size of the full shingle table MinHash needs.
+
+    Plan: :func:`winnowing_fingerprints` (one doc-keyed window shuffle) →
+    per-doc fingerprint-set size via a partition count window (no join) →
+    the shared ``_posting_pair_counts`` inverted-index tail: posting lists
+    per fingerprint, ``max_fp_df`` cap (a fingerprint appearing in more
+    docs than the cap is boilerplate — pair-emit over it would be the
+    quadratic cliff, same stop-shingle reasoning as
+    ``ngram_jaccard_pairs``), ordered pair emit, per-pair count.
+
+    Output: ``(id_a, id_b, n_shared, n_a, n_b)`` for pairs sharing at
+    least ``min_shared`` fingerprints; ``n_a``/``n_b`` are the docs'
+    fingerprint-set sizes so callers can turn ``n_shared`` into a
+    containment-style score (``n_shared / least(n_a, n_b)``).
+    """
+    from pyspark.sql import Window as W
+
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window)
+    sized = fps.select(
+        F.col(id_col).alias("_id"),
+        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("sz"),
+        F.col("fp"),
+    )
+    counts = _posting_pair_counts(sized, "fp", max_fp_df)
+    return counts.select(
+        "id_a",
+        "id_b",
+        F.col("inter").alias("n_shared"),
+        F.col("size_a").alias("n_a"),
+        F.col("size_b").alias("n_b"),
+    ).where(F.col("n_shared") >= min_shared)

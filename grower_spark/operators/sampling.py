@@ -620,3 +620,107 @@ def time_split_leakage(df: DataFrame, ts_col: str = "ts",
          / F.greatest(F.col("n_train_users"), F.lit(1)))
         .cast("long").alias("leaked_bp"),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    target_rows: int,
+    key_col: str,
+    salt: str = "mixplan",
+    alpha_halves: int = 1,
+) -> DataFrame:
+    """Temperature-scaled data-mixing plan: the per-group sampling/repeat
+    schedule that rebalances group (domain/source/language) shares toward
+    ``n_s ** alpha`` with ``alpha = alpha_halves / 2`` — the mixture step
+    published for GPT-3/LLaMA-style pretraining corpora, where small
+    high-quality domains are up-weighted relative to their raw share.
+
+    ``alpha_halves`` is restricted to {1, 2} so the weight stays INTEGER-
+    exact on every engine: 2 → proportional (w = n), 1 → sqrt temperature
+    (w = isqrt(n), the floor square root with a Newton clamp so a
+    correctly-rounded float sqrt can never drift the integer result).
+    General ``alpha`` needs float ``pow`` whose rounding differs across
+    engines, so it is intentionally not offered here.
+
+    Per group: ``t_s = target_rows * w_s DIV W`` desired rows, split into
+    ``full_epochs = t_s DIV n_s`` whole passes over the group plus a
+    deterministic hash-permille partial epoch at
+    ``(1000 * (t_s mod n_s)) DIV n_s`` permille — so the plan covers BOTH
+    down-sampling (epochs 0, partial rate < 1000) and up-sampling
+    (epochs >= 1) without floats.
+
+    Scale: ONE corpus pass aggregating a bounded (group × permille-bucket)
+    histogram — at most ``groups * 1000`` rows leave the map side; every
+    join after it is model-sized × model-sized.  The corpus itself is
+    never joined or broadcast.  (Same bounded-histogram trick as
+    ``adaptive_quality_cut``.)
+
+    Output per group: ``(group, n_total, weight, target_rows,
+    full_epochs, partial_permille, n_kept_partial, planned_rows)`` where
+    ``planned_rows = full_epochs * n_total + n_kept_partial`` is the
+    exact materialized row count the schedule would produce.
+    """
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    if alpha_halves not in (1, 2):
+        raise ValueError(
+            "alpha_halves must be 1 (sqrt temperature) or 2 (proportional), "
+            f"got {alpha_halves}"
+        )
+    pm = hash_permille(F.col(key_col), salt)
+    hist = df.groupBy(F.col(group_col).alias("_g"), pm.alias("_pm")).agg(
+        F.count(F.lit(1)).alias("_n_pm")
+    )
+    counts = hist.groupBy("_g").agg(F.sum("_n_pm").cast("long").alias("n_total"))
+    if alpha_halves == 2:
+        wt = F.col("n_total")
+    else:
+        g = F.floor(F.sqrt(F.col("n_total").cast("double"))).cast("long")
+        wt = (
+            F.when(g * g > F.col("n_total"), g - 1)
+            .when((g + 1) * (g + 1) <= F.col("n_total"), g + 1)
+            .otherwise(g)
+        )
+    weighted = counts.select("_g", "n_total", wt.alias("weight"))
+    total = weighted.agg(F.sum("weight").cast("long").alias("_w_total"))
+    plan = (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "_g",
+            "n_total",
+            "weight",
+            F.expr(f"(CAST({target_rows} AS BIGINT) * weight) DIV _w_total").alias(
+                "target_rows"
+            ),
+        )
+        .select(
+            "*",
+            F.expr("target_rows DIV n_total").alias("full_epochs"),
+            F.expr("(1000 * (target_rows % n_total)) DIV n_total").alias(
+                "partial_permille"
+            ),
+        )
+    )
+    kept = (
+        hist.join(plan.select("_g", "partial_permille"), "_g")
+        .where(F.col("_pm") < F.col("partial_permille"))
+        .groupBy("_g")
+        .agg(F.sum("_n_pm").cast("long").alias("n_kept_partial"))
+    )
+    return (
+        plan.join(kept, "_g", "left")
+        .na.fill({"n_kept_partial": 0})
+        .select(
+            F.col("_g").alias(group_col),
+            "n_total",
+            "weight",
+            "target_rows",
+            "full_epochs",
+            "partial_permille",
+            F.col("n_kept_partial").cast("long").alias("n_kept_partial"),
+            (F.col("full_epochs") * F.col("n_total") + F.col("n_kept_partial"))
+            .cast("long")
+            .alias("planned_rows"),
+        )
+    )

@@ -65,6 +65,53 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    qlabel_col: str = "qlabel",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per query,
+    the k most-cosine-similar corpus vectors whose label DIFFERS from the
+    query's — the "confusable but wrong" examples an encoder fine-tune
+    wants as negatives (in-batch random negatives are too easy; the hard
+    ones near the decision boundary carry the gradient signal).
+
+    Same scale contract as :func:`cosine_topk`: the query panel is
+    bounded and broadcast, the corpus is scanned ONCE map-side
+    (crossJoin against the broadcast panel + per-pair label/self filter),
+    and only the per-query top-k window sees the scored stream — the
+    corpus is never shuffled on a data-dependent key.  NULL corpus labels
+    count as negatives (they cannot equal a query label; ``eqNullSafe``
+    keeps NULL-vs-NULL pairs OUT).  For production dims swap in the
+    BLAS kernel of :func:`cosine_topk_np` — the label filter composes the
+    same way; this HOF variant is the oracle-exact reference.
+
+    Output: ``(qid, vec_id, label, rank, sim_r4)``.
+    """
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        (F.col(id_col) != F.col(qid_col))
+        & ~F.col(label_col).eqNullSafe(F.col(qlabel_col))
+    )
+    scored = pairs.select(
+        qid_col,
+        id_col,
+        label_col,
+        F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim_r4"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, label_col, "rank", "sim_r4")
+    )
+
+
 def cosine_topk_np(
     corpus: DataFrame,
     queries: DataFrame,

@@ -103,3 +103,185 @@ def test_source_dedup_rates_plan_no_broadcast(spark):
     stats = plan_stats(q_source_dedup_rates(spark, SF_SMALL))
     assert stats["broadcasts"] == 0, stats
     assert stats["joins"] == 0, stats
+
+
+# --- r11 debuts: mixture_plan / hard_negative_topk / winnowing ---
+
+
+def _md5_permille(salt: str, key) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16) % 1000
+
+
+def test_mixture_plan_sqrt_temperature_exact_math(spark):
+    """Hand-checkable schedule: groups of 9 and 4 rows -> isqrt weights
+    3 and 2, W=5; target 10 -> t = 6 and 4.  Group a (n=9, t=6): 0 full
+    epochs + 666-permille partial; group b (n=4, t=4): exactly 1 full
+    epoch + 0 partial.  n_kept_partial must equal the brute-force count
+    of keys whose md5 permille clears the cutoff."""
+    from grower_spark.operators.sampling import mixture_plan
+
+    rows = [("a", i) for i in range(9)] + [("b", 100 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r["g"]: r for r in mixture_plan(df, "g", 10, "k").collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_total"], a["weight"], a["target_rows"]) == (9, 3, 6)
+    assert (a["full_epochs"], a["partial_permille"]) == (0, 666)
+    expected_a = sum(1 for i in range(9) if _md5_permille("mixplan", i) < 666)
+    assert a["n_kept_partial"] == expected_a
+    assert a["planned_rows"] == expected_a
+    assert (b["n_total"], b["weight"], b["target_rows"]) == (4, 2, 4)
+    assert (b["full_epochs"], b["partial_permille"]) == (1, 0)
+    assert (b["n_kept_partial"], b["planned_rows"]) == (0, 4)
+
+
+def test_mixture_plan_proportional_and_validation(spark):
+    """alpha_halves=2 keeps raw proportions; bad args raise."""
+    import pytest
+
+    from grower_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4)], "g string, k long"
+    )
+    out = {r["g"]: r for r in
+           mixture_plan(df, "g", 8, "k", alpha_halves=2).collect()}
+    assert out["a"]["weight"] == 3 and out["b"]["weight"] == 1
+    assert out["a"]["target_rows"] == 6 and out["b"]["target_rows"] == 2
+    with pytest.raises(ValueError):
+        mixture_plan(df, "g", 0, "k")
+    with pytest.raises(ValueError):
+        mixture_plan(df, "g", 10, "k", alpha_halves=3)
+
+
+def test_mixture_plan_isqrt_clamp_on_perfect_squares(spark):
+    """isqrt must be exact at the k^2 boundaries where a drifting float
+    sqrt would round across the integer."""
+    from grower_spark.operators.sampling import mixture_plan
+
+    sizes = {"s16": 16, "s15": 15, "s17": 17, "s1": 1}
+    rows = [(g, 1000 * j + i) for j, (g, n) in enumerate(sorted(sizes.items()))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r["g"]: r["weight"] for r in mixture_plan(df, "g", 5, "k").collect()}
+    assert out == {"s16": 4, "s15": 3, "s17": 4, "s1": 1}
+
+
+def test_mixture_plan_bounded_histogram_plan(spark):
+    """Scale pin: the corpus is aggregated ONCE into the (group, permille)
+    histogram — no corpus-side join or broadcast; every join in the plan
+    is between model-sized aggregates."""
+    from grower_spark.operators.sampling import mixture_plan
+    from tools.explain_all import plan_stats
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    stats = plan_stats(mixture_plan(df, "g", 1000, "k"))
+    # the corpus feeds exactly one aggregate (the (group, permille)
+    # histogram) before any join: the plan's four joins all take
+    # bounded inputs (counts x 1-row total, hist x plan, plan x kept)
+    assert stats["joins"] <= 4, stats
+    assert stats["regex_execs"] == 0, stats
+
+
+def test_hard_negative_topk_label_and_null_semantics(spark):
+    """No returned neighbor shares the query's label; NULL-label corpus
+    rows ARE negatives for labeled queries; NULL-vs-NULL is excluded."""
+    from grower_spark.operators.similarity import hard_negative_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "x"),
+            (2, [1.0, 0.1], "x"),    # same label as q1 -> excluded
+            (3, [0.9, 0.1], "y"),
+            (4, [0.8, 0.0], None),   # NULL label -> valid negative
+            (5, [0.0, 1.0], None),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0], "x"), (5, [0.0, 1.0], None)],
+        "qid long, qvec array<double>, qlabel string",
+    )
+    rows = hard_negative_topk(corpus, q, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    got1 = {r["vec_id"] for r in by_q[1]}
+    assert got1 == {3, 4, 5}  # not itself, not same-label 2
+    # q5 (NULL label): labeled rows are negatives, NULL-label row 4 is NOT
+    got5 = {r["vec_id"] for r in by_q[5]}
+    assert got5 == {1, 2, 3}
+    # ranks are contiguous from 1 and ordered by sim desc
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim_r4"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """The winnowing contract: two docs sharing a token run of length
+    window + k - 1 (= 6 here) share at least one fingerprint, however
+    different the surrounding text."""
+    from grower_spark.operators.dedup import winnowing_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = window+k-1
+    df = spark.createDataFrame(
+        [
+            (1, f"unrelated head words {run} completely different tail"),
+            (2, f"{run} zz yy xx ww vv uu tt"),
+            (3, "nothing in common with anything else at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_doc_edges(spark):
+    """< k tokens -> no fingerprints; >= k tokens but < window k-grams ->
+    exactly one fingerprint (the single truncated window's min)."""
+    from grower_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three"), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in winnowing_fingerprints(df, k=3, window=4)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 1 not in counts          # 2 tokens < k
+    assert counts[2] == 1           # 1 k-gram
+    assert counts[3] == 1           # 2 k-grams, still one (truncated) window
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(df, k=0)
+
+
+def test_winnowing_pairs_counts_and_threshold(spark):
+    """Identical docs share their whole fingerprint set; the min_shared
+    threshold drops weak single-fingerprint coincidences."""
+    from grower_spark.operators.dedup import winnowing_fingerprints, winnowing_pairs
+
+    text = " ".join(f"tok{i % 17}x{i % 5}" for i in range(40))
+    other = " ".join(f"zz{i}q{i % 3}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], "doc_id long, text string"
+    )
+    pairs = winnowing_pairs(df, min_shared=2).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    n1 = winnowing_fingerprints(df.where("doc_id = 1")).count()
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    assert p["n_shared"] == p["n_a"] == p["n_b"] == n1
