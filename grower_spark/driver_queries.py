@@ -7762,39 +7762,138 @@ WHERE n_shared >= {_WINNOW_MIN_SHARED}
 """
 
 
+def q_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture plan EXECUTED (operators/sampling.py::
+    mixture_materialize): every kept document with its 0-based epoch
+    index — up-sampled languages repeat, the over-represented one is
+    hash-permille cut — totalling exactly the plan's planned_rows.  The
+    schedule compiles to when-chain literals (one bounded model-sized
+    collect), so materialization is a PURE MAP-SIDE explode: no join, no
+    broadcast, zero shuffles."""
+    from grower_spark.operators.sampling import mixture_materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_materialize(
+        docs, "lang", _MIXTURE_TARGET_ROWS, key_col="doc_id", salt="mixplan"
+    ).select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+
+
+def oracle_mixture_materialize() -> str:
+    return f"""
+WITH h AS (
+  SELECT lang,
+    CAST(('0x' || substr(md5('mixplan|' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 1000 AS pm,
+    count(*) AS n_pm
+  FROM documents GROUP BY 1, 2
+),
+c AS (SELECT lang, CAST(sum(n_pm) AS BIGINT) AS n_total FROM h GROUP BY 1),
+g AS (SELECT lang, n_total,
+        CAST(floor(sqrt(CAST(n_total AS DOUBLE))) AS BIGINT) AS gg FROM c),
+w AS (SELECT lang, n_total,
+        CASE WHEN gg * gg > n_total THEN gg - 1
+             WHEN (gg + 1) * (gg + 1) <= n_total THEN gg + 1
+             ELSE gg END AS weight
+      FROM g),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM w),
+p AS (SELECT lang, n_total, weight,
+        ({_MIXTURE_TARGET_ROWS} * weight) // w_total AS target_rows
+      FROM w, t),
+q AS (SELECT lang, target_rows // n_total AS full_epochs,
+        (1000 * (target_rows % n_total)) // n_total AS partial_permille
+      FROM p),
+d AS (
+  SELECT doc_id, documents.lang, q.full_epochs
+    + (CASE WHEN CAST(('0x' || substr(md5('mixplan|'
+         || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+       < q.partial_permille THEN 1 ELSE 0 END) AS n_copies
+  FROM documents JOIN q USING (lang)
+)
+SELECT doc_id, lang, CAST(e AS INTEGER) AS epoch
+FROM d, LATERAL unnest(generate_series(0, n_copies - 1)) AS gs(e)
+WHERE n_copies >= 1
+"""
+
+
+_EDITDIST_MAX_PERMILLE = 50
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dups (operators/dedup.py::
+    edit_distance_pairs): MinHash-LSH candidates scored with exact
+    Levenshtein, kept when the distance is <= 50 per-mille of the longer
+    text — the character-level verdict that separates typo-level edits
+    from real revisions.  The quadratic metric only touches the banded
+    candidate set; integer permille arithmetic end to end."""
+    from grower_spark.operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs,
+        max_dist_permille=_EDITDIST_MAX_PERMILLE,
+        num_perm=MINHASH_PERMS,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        hash_fn="md5",
+    )
+
+
+def oracle_dedup_edit_distance() -> str:
+    base = oracle_dedup_minhash_lsh()
+    return f"""
+WITH mh AS ({base})
+SELECT p.id_a, p.id_b,
+  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+  CAST(length(a.text) AS BIGINT) AS len_a,
+  CAST(length(b.text) AS BIGINT) AS len_b,
+  1000 - (1000 * levenshtein(a.text, b.text))
+       // greatest(length(a.text), length(b.text), 1) AS sim_permille
+FROM mh p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+WHERE 1000 - (1000 * levenshtein(a.text, b.text))
+       // greatest(length(a.text), length(b.text), 1)
+      >= {1000 - _EDITDIST_MAX_PERMILLE}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registries (driver contract)
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r11; sections are 1-8 / 9-15 / 16-24 / 25-36 / 37-50 —
+# Window layout (r11; sections are 1-8 / 9-17 / 18-26 / 27-38 / 39-50 —
 # exactly 50, AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
-#   9-15  : must-certify this round — corpus_build_full (NEW: the whole
+#   9-17  : must-certify this round — corpus_build_full (NEW: the whole
 #           tools/corpus_build.py pipeline with --keep-best
 #           --adaptive-quality-group composed under one oracle),
 #           dedup_prefix and source_dedup_rates (the r10 verdict's
 #           broadcast scale-killer rewritten as window counts — new
 #           plans, same rows), events_burstiness (DECIMAL(38,0)
-#           overflow-safe Fano intermediates), and the three r11 debuts:
+#           overflow-safe Fano intermediates), and the five r11 debuts:
 #           source_mixture_plan (sqrt-temperature data mixing),
 #           ann_hard_negatives (contrastive hard-negative mining),
-#           dedup_winnowing (MOSS window-min fingerprint near-dup) —
-#           every changed/new row certifies in its change round.
-#   16-24 : staleness rotation — the nine rows last driver-certified in
+#           dedup_winnowing (MOSS window-min fingerprint near-dup),
+#           mixture_materialize (the mixing schedule EXECUTED, map-side
+#           epoch explode), dedup_edit_distance (Levenshtein-verified
+#           LSH candidates) — every changed/new row certifies in its
+#           change round.
+#   18-26 : staleness rotation — the nine rows last driver-certified in
 #           r6 (salted_agg_users .. ann_lsh_multiprobe), the registry's
 #           oldest certifications.  embedding_neardup_lsh is here AND
 #           is now the canonical near-dup row (verdict item 4); the
 #           label-blocked embedding_neardup twin stays registered as
 #           the oracle vehicle, freshly certified r10.
-#   25-36 : staleness rotation — the twelve rows last certified r7.
-#   37-50 : staleness rotation — the head of the r8-certified block
-#           (its last three rows — events_dau_wau, ann_ivf,
-#           events_asof_join — yielded their window slots to the r11
-#           debuts; they rotate back in r12).
+#   27-38 : staleness rotation — the twelve rows last certified r7.
+#   39-50 : staleness rotation — the head of the r8-certified block
+#           (its last five rows — events_dau_wau, ann_ivf,
+#           events_asof_join, kmeans_representatives,
+#           events_funnel_timing — yielded their window slots to the
+#           r11 debuts; they rotate back in r12).
 #   51+   : the r8 remainder, then r9- and r10-certified rows — all
 #           covered every round by the committed
 #           CORRECTNESS_LOCAL_r{N}.json full-registry artifact.
@@ -7808,12 +7907,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_error_rate": q_nginx_error_rate,
     "nginx_latency_percentiles": q_nginx_latency_percentiles,
     "syslog_extract": q_syslog_extract,
-    # --- 9-15: r11 must-certify (new/changed this round):
+    # --- 9-17: r11 must-certify (new/changed this round):
     # corpus_build_full (NEW: the composed-pipeline governance row),
     # dedup_prefix + source_dedup_rates (broadcast->window rewrite),
     # events_burstiness (DECIMAL(38,0) overflow-safe Fano), plus the
-    # three r11 debuts: source_mixture_plan / ann_hard_negatives /
-    # dedup_winnowing ---
+    # five r11 debuts: source_mixture_plan / ann_hard_negatives /
+    # dedup_winnowing / mixture_materialize / dedup_edit_distance ---
     "corpus_build_full": q_corpus_build_full,
     "dedup_prefix": q_dedup_prefix,
     "source_dedup_rates": q_source_dedup_rates,
@@ -7821,7 +7920,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mixture_plan": q_source_mixture_plan,
     "ann_hard_negatives": q_ann_hard_negatives,
     "dedup_winnowing": q_dedup_winnowing,
-    # --- 16-24: staleness rotation, the r6-certified remainder
+    "mixture_materialize": q_mixture_materialize,
+    "dedup_edit_distance": q_dedup_edit_distance,
+    # --- 18-26: staleness rotation, the r6-certified remainder
     # (oldest certifications in the registry) ---
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
@@ -7832,7 +7933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_np": q_ann_cosine_topk_np,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    # --- 25-36: staleness rotation, the r7-certified block ---
+    # --- 27-38: staleness rotation, the r7-certified block ---
     "semdedup": q_semdedup,
     "pii_redact": q_pii_redact,
     "corpus_vocab": q_corpus_vocab,
@@ -7845,9 +7946,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "lm_tail_keep": q_lm_tail_keep,
-    # --- 37-50: staleness rotation, head of the r8-certified
-    # block (dedup_substring .. events_funnel_timing; its tail three
-    # rotate back in r12 after yielding slots to the r11 debuts) ---
+    # --- 39-50: staleness rotation, head of the r8-certified
+    # block (dedup_substring .. doc_top_terms; its tail five rotate
+    # back in r12 after yielding slots to the r11 debuts) ---
     "dedup_substring": q_dedup_substring,
     "events_transitions": q_events_transitions,
     "events_winsorized": q_events_winsorized,
@@ -7860,12 +7961,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_novelty": q_doc_novelty,
     "doc_top_terms": q_doc_top_terms,
     "events_top_paths": q_events_top_paths,
-    "kmeans_representatives": q_kmeans_representatives,
-    "events_funnel_timing": q_events_funnel_timing,
-    # --- 51+: r8 remainder (head: the three rows displaced from the
+    # --- 51+: r8 remainder (head: the five rows displaced from the
     # window by the r11 debuts), then the r9- and r10-certified rows
     # (freshest last; all covered every round by the committed
     # CORRECTNESS_LOCAL_r{N}.json full-registry artifact) ---
+    "kmeans_representatives": q_kmeans_representatives,
+    "events_funnel_timing": q_events_funnel_timing,
     "events_dau_wau": q_events_dau_wau,
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -8028,6 +8129,8 @@ ORACLES: dict[str, str] = {
     "source_mixture_plan": oracle_source_mixture_plan(),
     "ann_hard_negatives": oracle_ann_hard_negatives(),
     "dedup_winnowing": oracle_dedup_winnowing(),
+    "mixture_materialize": oracle_mixture_materialize(),
+    "dedup_edit_distance": oracle_dedup_edit_distance(),
     "user_type_diversity": oracle_user_type_diversity(),
     "events_churn": oracle_events_churn(),
     "streaming_drift_gate": oracle_streaming_drift_gate(),

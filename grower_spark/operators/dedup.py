@@ -1229,6 +1229,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = 3,
     window: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
     2003): hash every word k-gram, slide a window of ``window`` consecutive
@@ -1251,28 +1252,35 @@ def winnowing_fingerprints(
     to full windows (``pos <= n_kgrams - window + 1``); a doc with fewer
     than ``window`` k-grams still selects one fingerprint from its single
     truncated window, and docs under ``k`` tokens emit nothing.  The
-    min-selection key is the fixed-width md5-hex prefix concatenated with
+    min-selection key is the fixed-width hash-hex prefix concatenated with
     the zero-padded position, so lexicographic MIN == (hash, leftmost
-    position) — identical in Spark and any SQL oracle.  md5-based hashing
-    keeps the row oracle-checkable; swap ``xxhash_60`` for production.
+    position) — identical in Spark and any SQL oracle.  ``hash_fn="md5"``
+    keeps the row oracle-checkable; ``"xxhash"`` is the production path
+    (JVM xxhash64, ~10× cheaper, same fixed-width-key construction).
     """
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    if hash_fn not in ("md5", "xxhash"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash', got {hash_fn!r}")
     from pyspark.sql import Window as W
 
     toks = _tokens(F.col(text_col))
     n_kg = F.size(toks) - (k - 1)
+    if hash_fn == "md5":
+        def _h(gram):
+            return F.substring(F.md5(gram.cast("binary")), 1, 15)
+    else:
+        def _h(gram):
+            # 60-bit xxhash rendered as fixed-width hex so lexicographic
+            # MIN stays numeric MIN (hex digits are ordinal-monotone)
+            return F.lpad(F.hex(F.pmod(F.xxhash64(gram), F.lit(1 << 60))), 15, "0")
     kgrams = F.when(
         n_kg >= 1,
         F.transform(
             F.sequence(F.lit(1), n_kg),
             lambda i: F.struct(
                 i.alias("pos"),
-                F.substring(
-                    F.md5(F.array_join(F.slice(toks, i, k), " ").cast("binary")),
-                    1,
-                    15,
-                ).alias("h"),
+                _h(F.array_join(F.slice(toks, i, k), " ")).alias("h"),
             ),
         ),
     ).otherwise(F.lit(None))
@@ -1304,6 +1312,7 @@ def winnowing_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_fp_df: Optional[int] = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs by SHARED WINNOWING FINGERPRINTS —
     the local-overlap dedup family member: catches partial/positional
@@ -1326,7 +1335,7 @@ def winnowing_pairs(
     """
     from pyspark.sql import Window as W
 
-    fps = winnowing_fingerprints(df, id_col, text_col, k, window)
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window, hash_fn)
     sized = fps.select(
         F.col(id_col).alias("_id"),
         F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("sz"),
@@ -1340,3 +1349,78 @@ def winnowing_pairs(
         F.col("size_a").alias("n_a"),
         F.col("size_b").alias("n_b"),
     ).where(F.col("n_shared") >= min_shared)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist_permille: int = 200,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+    max_bucket_width: Optional[int] = None,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicates: MinHash-LSH proposes the
+    candidate pairs, then each pair is scored with EXACT Levenshtein
+    distance — the character-level metric that catches small in-place
+    edits (typo fixes, number/date swaps, template fills) which
+    bag-of-shingles similarity rounds off, and that gives an
+    interpretable "how different" number reviewers can threshold.
+
+    Kept pairs satisfy ``dist <= max_dist_permille`` per-mille of the
+    LONGER text (``sim_permille = 1000 - (1000*dist) DIV max(len)`` >=
+    ``1000 - max_dist_permille``) — integer arithmetic end to end.
+
+    Scale: the quadratic metric only ever runs on the LSH candidate set
+    (banding + ``max_bucket_width`` bound it, same knobs as
+    :func:`minhash_lsh_pairs`); texts are joined back to the pair table
+    through a 2-column (id, text) projection, so the corpus-side shuffle
+    stays narrow and the pair side is candidate-bounded.  Levenshtein is
+    O(len_a * len_b) PER PAIR — at 100 TB keep ``max_dist_permille``
+    tight and texts bounded (chunk first), or swap the scorer for the
+    banded early-exit variant (Spark's 3-arg ``levenshtein`` with a
+    distance cap) when an absolute cap is acceptable; the 2-arg form here
+    matches the SQL oracle exactly.
+
+    Engine note: Spark's ``levenshtein`` counts UNICODE CODEPOINTS while
+    DuckDB's counts BYTES, so oracle parity holds on ASCII text only
+    (true of the driver fixtures — verified: ``length == strlen`` for
+    every row); on multilingual corpora the Spark semantics are the
+    correct ones and the oracle would need a byte-cast shim.
+
+    Output: ``(id_a, id_b, dist, len_a, len_b, sim_permille)``.
+    """
+    if not (0 <= max_dist_permille <= 1000):
+        raise ValueError(
+            f"max_dist_permille must be in [0, 1000], got {max_dist_permille}"
+        )
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_perm, bands, shingle_n, hash_fn,
+        max_bucket_width,
+    ).select("id_a", "id_b")
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+    joined = (
+        cand.join(texts, cand["id_a"] == texts["_tid"])
+        .select("id_a", "id_b", F.col("_txt").alias("_ta"))
+        .join(texts, F.col("id_b") == texts["_tid"])
+        .select("id_a", "id_b", "_ta", F.col("_txt").alias("_tb"))
+    )
+    dist = F.levenshtein("_ta", "_tb")
+    len_a = F.length("_ta")
+    len_b = F.length("_tb")
+    sim = F.lit(1000) - F.expr(
+        "(1000 * levenshtein(_ta, _tb)) DIV greatest(length(_ta), length(_tb), 1)"
+    )
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("dist"),
+            len_a.cast("long").alias("len_a"),
+            len_b.cast("long").alias("len_b"),
+            sim.cast("long").alias("sim_permille"),
+        )
+        .where(F.col("sim_permille") >= 1000 - max_dist_permille)
+    )

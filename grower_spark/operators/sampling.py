@@ -724,3 +724,43 @@ def mixture_plan(
             .alias("planned_rows"),
         )
     )
+
+
+def mixture_materialize(
+    df: DataFrame,
+    group_col: str,
+    target_rows: int,
+    key_col: str,
+    salt: str = "mixplan",
+    alpha_halves: int = 1,
+) -> DataFrame:
+    """Execute the :func:`mixture_plan` schedule: emit every kept row with
+    a 0-based ``epoch`` index — ``full_epochs`` whole copies of each group
+    plus the hash-permille partial epoch — so downstream shuffling/packing
+    sees the actual rebalanced stream (up-sampled groups repeat, the
+    over-represented group is cut), totalling exactly the plan's
+    ``planned_rows`` per group.
+
+    The schedule is fitted first (one bounded collect — one row per group,
+    model-sized by the same contract every mixture operator here shares)
+    and compiled into when-chain literals, so materialization is a PURE
+    MAP-SIDE explode: no join, no broadcast, zero shuffles — at 100 TB the
+    executors replicate/filter rows in place and the plan composes with
+    any downstream partitioning.  The epoch index deliberately rides along
+    so dedup-aware consumers can distinguish replicas.
+    """
+    plan_rows = mixture_plan(
+        df, group_col, target_rows, key_col, salt, alpha_halves
+    ).select(group_col, "full_epochs", "partial_permille").collect()
+    fe: Column = F.lit(0)
+    pp: Column = F.lit(0)
+    for r in plan_rows:
+        cond = F.col(group_col).eqNullSafe(F.lit(r[group_col]))
+        fe = F.when(cond, F.lit(int(r["full_epochs"]))).otherwise(fe)
+        pp = F.when(cond, F.lit(int(r["partial_permille"]))).otherwise(pp)
+    pm = hash_permille(F.col(key_col), salt)
+    n_copies = (fe + (pm < pp).cast("int")).cast("int")
+    epochs = F.when(
+        n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.lit(None))
+    return df.withColumn("epoch", F.explode(epochs))

@@ -237,13 +237,16 @@ def test_winnowing_guarantee_shared_run(spark):
         ],
         "doc_id long, text string",
     )
-    fps = winnowing_fingerprints(df, k=3, window=4)
-    by_doc = {}
-    for r in fps.collect():
-        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
-    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
-    assert not (by_doc[1] & by_doc[3])
-    assert not (by_doc[2] & by_doc[3])
+    for hash_fn in ("md5", "xxhash"):
+        fps = winnowing_fingerprints(df, k=3, window=4, hash_fn=hash_fn)
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2], (
+            f"shared run must share a fingerprint ({hash_fn})"
+        )
+        assert not (by_doc[1] & by_doc[3]), hash_fn
+        assert not (by_doc[2] & by_doc[3]), hash_fn
 
 
 def test_winnowing_short_doc_edges(spark):
@@ -285,3 +288,66 @@ def test_winnowing_pairs_counts_and_threshold(spark):
     n1 = winnowing_fingerprints(df.where("doc_id = 1")).count()
     assert (p["id_a"], p["id_b"]) == (1, 2)
     assert p["n_shared"] == p["n_a"] == p["n_b"] == n1
+
+
+def test_mixture_materialize_counts_and_plan_shape(spark):
+    """Materialized rows per group == the plan's planned_rows; epochs are
+    dense 0..n_copies-1; and the plan is map-side only (zero joins, zero
+    broadcasts, zero exchanges beyond the fit)."""
+    from grower_spark.operators.sampling import mixture_materialize, mixture_plan
+    from tools.explain_all import plan_stats
+
+    rows = [("a", i) for i in range(9)] + [("b", 100 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = mixture_materialize(df, "g", 10, "k")
+    got = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    plan = {r["g"]: r["planned_rows"]
+            for r in mixture_plan(df, "g", 10, "k").collect()}
+    assert got == {g: n for g, n in plan.items() if n > 0}
+    # group b: 1 full epoch + 0 partial -> every key exactly once, epoch 0
+    b_epochs = [r["epoch"] for r in out.where("g = 'b'").collect()]
+    assert b_epochs == [0, 0, 0, 0]
+    # upsampled shape: target 30 -> group b gets t=12 = 3 full epochs per key
+    up = mixture_materialize(df, "g", 30, "k")
+    b3 = up.where("g = 'b'").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    assert {r["n"] for r in b3.collect()} == {3}
+    stats = plan_stats(out)
+    assert stats["joins"] == 0 and stats["broadcasts"] == 0, stats
+    assert stats["shuffles"] == 0, stats
+
+
+def test_edit_distance_pairs_verdicts(spark):
+    """LSH proposes, Levenshtein disposes: a small in-place edit passes
+    the permille gate, a heavier rewrite of the same template is proposed
+    by banding but rejected by the exact metric."""
+    from grower_spark.operators.dedup import edit_distance_pairs
+
+    base = " ".join(f"token{i} word{i % 7}" for i in range(40))
+    small_edit = base.replace("token3 ", "token3x ")  # exactly one token
+    heavy = " ".join(
+        (f"token{i} word{i % 7}" if i % 3 else f"EDIT{i} word{i % 7}")
+        for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, small_edit), (3, heavy)], "doc_id long, text string"
+    )
+    loose = {
+        (r["id_a"], r["id_b"]): r
+        for r in edit_distance_pairs(df, max_dist_permille=500).collect()
+    }
+    assert (1, 2) in loose and loose[(1, 2)]["dist"] == 1
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, max_dist_permille=10).collect()
+    }
+    assert (1, 2) in tight
+    assert not any(3 in p for p in tight)
+    sp = loose[(1, 2)]["sim_permille"]
+    assert sp == 1000 - (1000 * 1) // max(len(base), len(small_edit))
+    import pytest
+
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, max_dist_permille=1001)

@@ -291,6 +291,17 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
     return results
 
 
+def _hard_negatives(corpus):
+    from grower_spark.operators.similarity import hard_negative_topk
+
+    q = corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    return hard_negative_topk(corpus, q, k=10)
+
+
 def _diversity(corpus):
     from grower_spark.operators.diversity import embedding_diversity
 
@@ -399,6 +410,20 @@ def _churn(ev):
     )
 
 
+def _winnowing(docs, cap):
+    from grower_spark.operators.dedup import winnowing_pairs
+
+    return winnowing_pairs(
+        docs, k=3, window=4, min_shared=2, max_fp_df=cap, hash_fn="xxhash"
+    )
+
+
+def _mixture(docs):
+    from grower_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(docs, "lang", 100_000, key_col="doc_id", salt="mixplan")
+
+
 def _gopher(docs):
     from grower_spark.operators.text import gopher_rules
 
@@ -458,6 +483,10 @@ def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
             c, k=8, n_iter=2
         ).where(F.col("dist_sq_q") >= 0),
         "ann_brute_np": lambda c, q: cosine_topk_np(c, q, k=10),
+        # r11 debut: the label filter rides the same broadcast-panel scan
+        # as brute force — wall should track ann_brute's slope (the HOF
+        # scorer's per-pair fold), shuffle stays the tiny top-k stream
+        "ann_hard_negatives": lambda c, q: _hard_negatives(c),
         "ann_lsh": lambda c, q: lsh_ann_topk(c, q, k=10, n_planes=8, dim=64),
         "ann_lsh_multiprobe": lambda c, q: lsh_ann_topk(
             c, q, k=10, n_planes=8, dim=64, n_probes=2
@@ -617,6 +646,16 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
         "token_heavy_hitters": lambda d: _heavy_hitters(d),
         "dedup_cluster_sizes": lambda d: _cluster_sizes(d, cap),
         "lang_fertility": lambda d: _fertility(d),
+        # r11 debuts: winnowing inherits the posting-list pair-emit
+        # family (expect the jaccard-base regime: shuffle tracks the
+        # fingerprint stream, pair emit bounded by the df cap; the
+        # fingerprint stream itself is ~2/(window+1) of the k-gram
+        # stream, so the constant should sit BELOW jaccard's).
+        # mixture_plan should be LINEAR-scan/flat-shuffle: the only
+        # corpus-wide shuffle is the bounded (group x permille)
+        # histogram.
+        "dedup_winnowing": lambda d: _winnowing(d, cap),
+        "mixture_plan": lambda d: _mixture(d),
     }
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
