@@ -752,6 +752,19 @@ def mixture_materialize(
     plan_rows = mixture_plan(
         df, group_col, target_rows, key_col, salt, alpha_halves
     ).select(group_col, "full_epochs", "partial_permille").collect()
+    n_copies = mixture_copy_counts(plan_rows, group_col, key_col, salt)
+    return df.withColumn("epoch", F.explode(mixture_epochs(n_copies)))
+
+
+def mixture_copy_counts(
+    plan_rows, group_col: str, key_col: str, salt: str = "mixplan"
+) -> Column:
+    """Compile collected :func:`mixture_plan` rows into a per-row
+    ``n_copies`` column: the group's ``full_epochs`` plus 1 when the
+    row's hash permille clears the group's partial cutoff.  When-chain
+    literals over the model-sized plan — pure map-side, shared by
+    :func:`mixture_materialize` and the corpus-build mixture stage (which
+    also needs the n_copies == 0 rows as auditable drops)."""
     fe: Column = F.lit(0)
     pp: Column = F.lit(0)
     for r in plan_rows:
@@ -759,8 +772,12 @@ def mixture_materialize(
         fe = F.when(cond, F.lit(int(r["full_epochs"]))).otherwise(fe)
         pp = F.when(cond, F.lit(int(r["partial_permille"]))).otherwise(pp)
     pm = hash_permille(F.col(key_col), salt)
-    n_copies = (fe + (pm < pp).cast("int")).cast("int")
-    epochs = F.when(
+    return (fe + (pm < pp).cast("int")).cast("int")
+
+
+def mixture_epochs(n_copies: Column) -> Column:
+    """0-based epoch array for a row's copy count (NULL — i.e. explode to
+    nothing — when the row is cut)."""
+    return F.when(
         n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)
     ).otherwise(F.lit(None))
-    return df.withColumn("epoch", F.explode(epochs))

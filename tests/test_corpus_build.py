@@ -424,3 +424,52 @@ def test_corpus_build_compact_layout(spark, tmp_path):
     assert audit["files_out"] == 1  # tiny table -> one target-sized file
     assert audit["rows"] == 2_000
     assert spark.read.parquet(os.path.join(out, "corpus")).count() == 2_000
+
+
+def test_corpus_build_mixture_stage(spark):
+    """Temperature-mixing stage: the cleaned pool is rebalanced toward
+    sqrt(n_lang) — the over-represented language is cut (auditable
+    mixture-cut drops), the small one repeats with epoch replicas, and
+    per-language materialized counts equal the schedule's planned_rows."""
+    from grower_spark.operators.sampling import mixture_plan
+
+    rows = [
+        *[(i, _distinct_doc(i), "big") for i in range(30)],
+        *[(1000 + i, _distinct_doc(1000 + i), "small") for i in range(5)],
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    corpus, drops, report = build_corpus(
+        spark, docs, mixture_group="lang", mixture_target_rows=40,
+    )
+    # plan over the same pool (all docs pass quality/dedup by fixture
+    # construction) with the build's salt
+    plan = {
+        r["lang"]: r
+        for r in mixture_plan(
+            docs, "lang", 40, key_col="doc_id", salt="corpus-mix"
+        ).collect()
+    }
+    assert plan["big"]["weight"] == 5 and plan["small"]["weight"] == 2
+    got = {
+        r["lang"]: r["n"]
+        for r in corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {
+        g: p["planned_rows"] for g, p in plan.items() if p["planned_rows"] > 0
+    }
+    # cuts are audited: big-language docs outside the partial epoch
+    cut = drops.where("reason = 'mixture-cut'").count()
+    assert cut == 35 - corpus.select("doc_id").distinct().count()
+    assert report["dropped_mixture_cut"] == cut
+    # small language upsamples: every kept small doc appears >= 2 times
+    # (2 full epochs + a 200-permille partial), with distinct unit ids
+    small_counts = [
+        r["n"]
+        for r in corpus.where("lang = 'small'")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert small_counts and all(n >= 2 for n in small_counts)
+    assert (
+        corpus.where("lang = 'small'").select("_mix_id").distinct().count()
+        == sum(small_counts)
+    )

@@ -70,6 +70,9 @@ def build_corpus(
     adaptive_quality_group: str | None = None,
     adaptive_keep_permille: int = 700,
     weighted_target_rows: int = 0,
+    mixture_group: str | None = None,
+    mixture_target_rows: int = 0,
+    mixture_alpha_halves: int = 1,
     collect_report: bool = True,
 ):
     """Returns (corpus_df, drops_df, report_dict).
@@ -250,20 +253,59 @@ def build_corpus(
         drops.append(sampled_out)
         pool = pool.where(u < sample_permille)
 
+    # 4b. optional temperature mixing (operators/sampling.py
+    #     mixture_plan/mixture_copy_counts): rebalance group shares
+    #     toward n^alpha AFTER dedup/sampling so replica counts are
+    #     computed over the cleaned pool.  The fitted schedule is a
+    #     model-sized collect compiled to when-chain literals; the
+    #     explode is pure map-side.  Down-sampled-out docs are auditable
+    #     drops ("mixture-cut"); up-sampled docs repeat with an epoch
+    #     index, and the unit identity downstream becomes (id, epoch) so
+    #     chunking/packing treat every replica as its own unit.
+    pack_src_id = id_col
+    if mixture_group and mixture_target_rows:
+        from grower_spark.operators.sampling import (
+            mixture_copy_counts,
+            mixture_epochs,
+            mixture_plan,
+        )
+
+        mix_salt = sample_salt + "-mix"
+        plan_rows = mixture_plan(
+            pool, mixture_group, mixture_target_rows, key_col=id_col,
+            salt=mix_salt, alpha_halves=mixture_alpha_halves,
+        ).select(mixture_group, "full_epochs", "partial_permille").collect()
+        n_copies = mixture_copy_counts(
+            plan_rows, mixture_group, id_col, salt=mix_salt
+        )
+        mix_cut = pool.where(n_copies < 1).select(
+            F.col(id_col), F.lit("mixture-cut").alias("reason")
+        )
+        drops.append(mix_cut)
+        pool = pool.withColumn(
+            "epoch", F.explode(mixture_epochs(n_copies))
+        ).withColumn(
+            "_mix_id",
+            F.concat(F.col(id_col).cast("string"), F.lit("#"),
+                     F.col("epoch").cast("string")),
+        )
+        pack_src_id = "_mix_id"
+
     # 5. optional chunking: long docs become context-window pieces first,
     #    so the packer bins units that actually fit the budget
     if chunk_tokens:
         from grower_spark.operators.chunking import chunk_documents
 
         units = chunk_documents(
-            pool, chunk_tokens, chunk_overlap, id_col=id_col, text_col=text_col
+            pool, chunk_tokens, chunk_overlap, id_col=pack_src_id,
+            text_col=text_col,
         )
         unit_id, unit_size = "chunk_id", "n_chunk_tokens"
     else:
         units = pool.withColumn(
             "_n_tok", F.size(F.split(F.col(text_col), " "))
         )
-        unit_id, unit_size = id_col, "_n_tok"
+        unit_id, unit_size = pack_src_id, "_n_tok"
 
     # 6. pack into token budgets (whitespace token count as the budget unit;
     #    swap in a real tokenizer count upstream when available)
@@ -399,6 +441,18 @@ def main() -> int:
                          "a weighted Poisson sample of ~this many rows, "
                          "inclusion proportional to n_chars (0 = off)")
     ap.add_argument("--sample-permille", type=int, default=1000)
+    ap.add_argument("--mixture-group", default=None,
+                    help="rebalance group shares toward n^alpha over this "
+                         "column (language/source) after dedup/sampling; "
+                         "up-samples via epoch replicas, down-samples via "
+                         "auditable mixture-cut drops")
+    ap.add_argument("--mixture-target-rows", type=int, default=0,
+                    help="total row budget the mixture schedule targets "
+                         "(0 = mixing off)")
+    ap.add_argument("--mixture-alpha-halves", type=int, default=1,
+                    choices=[1, 2],
+                    help="alpha in halves: 1 = sqrt temperature, "
+                         "2 = proportional")
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="split docs into windows of this many tokens (0 = off)")
     ap.add_argument("--chunk-overlap", type=int, default=0)
@@ -438,6 +492,9 @@ def main() -> int:
         adaptive_quality_group=args.adaptive_quality_group,
         adaptive_keep_permille=args.adaptive_keep_permille,
         weighted_target_rows=args.weighted_target_rows,
+        mixture_group=args.mixture_group,
+        mixture_target_rows=args.mixture_target_rows,
+        mixture_alpha_halves=args.mixture_alpha_halves,
     )
     report["layout"] = write_corpus_layout(
         spark, corpus, args.out, layout=args.layout,
