@@ -1407,20 +1407,16 @@ def edit_distance_pairs(
         .join(texts, F.col("id_b") == texts["_tid"])
         .select("id_a", "id_b", "_ta", F.col("_txt").alias("_tb"))
     )
-    dist = F.levenshtein("_ta", "_tb")
-    len_a = F.length("_ta")
-    len_b = F.length("_tb")
-    sim = F.lit(1000) - F.expr(
-        "(1000 * levenshtein(_ta, _tb)) DIV greatest(length(_ta), length(_tb), 1)"
+    # dist staged as a column so the O(len^2) kernel runs ONCE per pair
+    # (sim_permille derives from the column, not a second levenshtein)
+    staged = joined.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("_ta", "_tb").cast("long").alias("dist"),
+        F.length("_ta").cast("long").alias("len_a"),
+        F.length("_tb").cast("long").alias("len_b"),
     )
-    return (
-        joined.select(
-            "id_a",
-            "id_b",
-            dist.cast("long").alias("dist"),
-            len_a.cast("long").alias("len_a"),
-            len_b.cast("long").alias("len_b"),
-            sim.cast("long").alias("sim_permille"),
-        )
-        .where(F.col("sim_permille") >= 1000 - max_dist_permille)
-    )
+    sim = F.lit(1000) - F.expr("(1000 * dist) DIV greatest(len_a, len_b, 1)")
+    return staged.select(
+        "*", sim.cast("long").alias("sim_permille")
+    ).where(F.col("sim_permille") >= 1000 - max_dist_permille)
