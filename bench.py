@@ -186,6 +186,14 @@ BENCH_QUERIES = [
     # filter, keep-best exact+LSH dedup, packing) per invocation, so its
     # wall is the sum of its stages (documented honest cost)
     ("corpus_build_full", "collect"),
+    # r11 debuts: the mixture rows are model-sized / map-side explode;
+    # winnowing + edit-distance inherit the pair-emit family cost;
+    # hard negatives rides the brute-panel scan
+    ("source_mixture_plan", "collect"),
+    ("mixture_materialize", "noop"),
+    ("ann_hard_negatives", "collect"),
+    ("dedup_winnowing", "noop"),
+    ("dedup_edit_distance", "collect"),
 ]
 
 

@@ -702,14 +702,22 @@ def mixture_plan(
             ),
         )
     )
+    # null-safe joins: a NULL group is a real group (groupBy keeps it and
+    # the plan holds a NULL-group row); a bare equality join would
+    # null-reject it and silently report n_kept_partial = 0 for that
+    # group (the r9-advice NULL-group finding, same class)
+    cuts = plan.select(
+        F.col("_g").alias("_cg"), F.col("partial_permille").alias("_cpp")
+    )
     kept = (
-        hist.join(plan.select("_g", "partial_permille"), "_g")
-        .where(F.col("_pm") < F.col("partial_permille"))
+        hist.join(cuts, F.col("_g").eqNullSafe(F.col("_cg")))
+        .where(F.col("_pm") < F.col("_cpp"))
         .groupBy("_g")
         .agg(F.sum("_n_pm").cast("long").alias("n_kept_partial"))
+        .select(F.col("_g").alias("_kg"), "n_kept_partial")
     )
     return (
-        plan.join(kept, "_g", "left")
+        plan.join(kept, F.col("_g").eqNullSafe(F.col("_kg")), "left")
         .na.fill({"n_kept_partial": 0})
         .select(
             F.col("_g").alias(group_col),

@@ -351,3 +351,23 @@ def test_edit_distance_pairs_verdicts(spark):
 
     with pytest.raises(ValueError):
         edit_distance_pairs(df, max_dist_permille=1001)
+
+
+def test_mixture_plan_null_group_is_a_real_group(spark):
+    """A NULL group must get a full schedule INCLUDING its partial-epoch
+    kept count — a bare equality join would null-reject the histogram
+    rows and report n_kept_partial = 0 (the r9-advice NULL-group class).
+    Keys 0..8 under NULL: at 666 permille some must clear the cutoff."""
+    from grower_spark.operators.sampling import mixture_materialize, mixture_plan
+
+    rows = [(None, i) for i in range(9)] + [("b", 100 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r["g"]: r for r in mixture_plan(df, "g", 10, "k").collect()}
+    a = out[None]
+    assert (a["n_total"], a["weight"], a["partial_permille"]) == (9, 3, 666)
+    expected = sum(1 for i in range(9) if _md5_permille("mixplan", i) < 666)
+    assert expected > 0  # the fixture actually exercises the join
+    assert a["n_kept_partial"] == expected
+    # and the materializer agrees (its literal compile is eqNullSafe)
+    n_mat = mixture_materialize(df, "g", 10, "k").where("g IS NULL").count()
+    assert n_mat == a["planned_rows"] == expected
