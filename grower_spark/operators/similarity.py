@@ -88,9 +88,9 @@ def hard_negative_topk(
     and only the per-query top-k window sees the scored stream — the
     corpus is never shuffled on a data-dependent key.  NULL corpus labels
     count as negatives (they cannot equal a query label; ``eqNullSafe``
-    keeps NULL-vs-NULL pairs OUT).  For production dims swap in the
-    BLAS kernel of :func:`cosine_topk_np` — the label filter composes the
-    same way; this HOF variant is the oracle-exact reference.
+    keeps NULL-vs-NULL pairs OUT).  For production dims use the
+    row-parity-pinned BLAS twin :func:`hard_negative_topk_np`; this HOF
+    variant is the oracle-exact reference.
 
     Output: ``(qid, vec_id, label, rank, sim_r4)``.
     """
@@ -109,6 +109,117 @@ def hard_negative_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, label_col, "rank", "sim_r4")
+    )
+
+
+def hard_negative_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    qlabel_col: str = "qlabel",
+) -> DataFrame:
+    """BLAS twin of :func:`hard_negative_topk` — the production kernel at
+    real embedding widths, exactly as :func:`cosine_topk_np` is to
+    :func:`cosine_topk`: the bounded query panel (ids, L2-normalized
+    matrix, labels) ships to executors once, each Arrow batch of the
+    corpus is ONE matmul, the self/same-label mask is applied per query
+    column, and only per-batch top-k survivors leave Python before the
+    tiny global window.  Same output contract and null semantics as the
+    HOF version (NULL corpus labels are negatives for labeled queries;
+    NULL-vs-NULL excluded); row parity on the HOF twin is pinned in
+    pytest.
+
+    Output: ``(qid, vec_id, label, rank, sim_r4)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    label_type = corpus.schema[label_col].dataType  # preserve the contract
+    q_rows = queries.select(qid_col, qvec_col, qlabel_col).collect()
+    if not q_rows:
+        empty = T.StructType(
+            [
+                T.StructField(qid_col, T.LongType()),
+                T.StructField(id_col, T.LongType()),
+                T.StructField(label_col, label_type),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("sim_r4", T.DoubleType()),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], empty)
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qlabels = [r[2] for r in q_rows]
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qlabels))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("label", label_type),
+            T.StructField("sim_r4", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        qids_, qn, qls = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            labels = batch["label"].to_numpy(dtype=object)
+            cmat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = np.round(cmat @ qn.T, 4)  # round BEFORE selection
+            parts = []
+            for j, qid in enumerate(qids_):
+                ql = qls[j]
+                # eqNullSafe complement: drop only rows whose label IS
+                # the query label (both-NULL counts as equal)
+                if ql is None:
+                    same = np.array([lb is None for lb in labels])
+                else:
+                    same = np.array([lb == ql for lb in labels])
+                keep = (ids != qid) & ~same
+                s = sims[:, j]
+                order = np.lexsort((ids[keep], -s[keep]))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qid,
+                            "vec_id": ids[keep][order],
+                            "label": labels[keep][order],
+                            "sim_r4": s[keep][order],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(label_col).alias("label"),
+    )
+    scored = src.mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_r4"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("vec_id").alias(id_col),
+            F.col("label").alias(label_col),
+            "rank",
+            "sim_r4",
+        )
     )
 
 

@@ -371,3 +371,39 @@ def test_mixture_plan_null_group_is_a_real_group(spark):
     # and the materializer agrees (its literal compile is eqNullSafe)
     n_mat = mixture_materialize(df, "g", 10, "k").where("g IS NULL").count()
     assert n_mat == a["planned_rows"] == expected
+
+
+def test_hard_negative_topk_np_parity_and_nulls(spark):
+    """The BLAS twin must be ROW-IDENTICAL to the HOF reference on the
+    real embeddings fixture, and must reproduce the eqNullSafe label
+    semantics (NULL corpus label = negative for labeled queries;
+    NULL-vs-NULL excluded)."""
+    from tests.conftest import SF_SMALL
+    from grower_spark.operators.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_np,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    hof = sorted(map(tuple, hard_negative_topk(emb, q, k=10).collect()))
+    blas = sorted(map(tuple, hard_negative_topk_np(emb, q, k=10).collect()))
+    assert hof == blas and len(hof) == 80
+    # null semantics through the numpy mask
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], "x"), (2, [0.9, 0.1], None), (3, [0.8, 0.1], "y")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    qn = spark.createDataFrame(
+        [(10, [1.0, 0.0], "x"), (11, [1.0, 0.0], None)],
+        "qid long, qvec array<double>, qlabel string",
+    )
+    got = {}
+    for r in hard_negative_topk_np(corpus, qn, k=5).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert got[10] == {2, 3}   # same-label 1 excluded, NULL 2 kept
+    assert got[11] == {1, 3}   # NULL-vs-NULL 2 excluded

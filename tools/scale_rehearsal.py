@@ -291,15 +291,19 @@ def run_events_ops(spark, out_dir: str, factors: list[int], runs: int) -> dict:
     return results
 
 
-def _hard_negatives(corpus):
-    from grower_spark.operators.similarity import hard_negative_topk
+def _hard_negatives(corpus, np_kernel=False):
+    from grower_spark.operators.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_np,
+    )
 
     q = corpus.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
         F.col("label").alias("qlabel"),
     )
-    return hard_negative_topk(corpus, q, k=10)
+    fn = hard_negative_topk_np if np_kernel else hard_negative_topk
+    return fn(corpus, q, k=10)
 
 
 def _diversity(corpus):
@@ -486,7 +490,8 @@ def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
         # r11 debut: the label filter rides the same broadcast-panel scan
         # as brute force — wall should track ann_brute's slope (the HOF
         # scorer's per-pair fold), shuffle stays the tiny top-k stream
-        "ann_hard_negatives": lambda c, q: _hard_negatives(c),
+        "ann_hard_negatives": lambda c, q: _hard_negatives(c, np_kernel=False),
+        "ann_hard_negatives_np": lambda c, q: _hard_negatives(c, np_kernel=True),
         "ann_lsh": lambda c, q: lsh_ann_topk(c, q, k=10, n_planes=8, dim=64),
         "ann_lsh_multiprobe": lambda c, q: lsh_ann_topk(
             c, q, k=10, n_planes=8, dim=64, n_probes=2
