@@ -407,3 +407,35 @@ def test_hard_negative_topk_np_parity_and_nulls(spark):
         got.setdefault(r["qid"], set()).add(r["vec_id"])
     assert got[10] == {2, 3}   # same-label 1 excluded, NULL 2 kept
     assert got[11] == {1, 3}   # NULL-vs-NULL 2 excluded
+
+
+def test_winnowing_guarantee_randomized(spark):
+    """The winnowing guarantee over 30 seeded-random constructions: for
+    every (k, window) in a small grid, two docs built from DISJOINT
+    random vocabularies that share one random run of exactly
+    window + k - 1 tokens must share >= 1 fingerprint — wherever the run
+    lands in either doc.  One Spark job per (k, window), all cases in
+    one frame."""
+    import random
+
+    from grower_spark.operators.dedup import winnowing_fingerprints
+
+    rng = random.Random(4111)
+    for k, window in [(3, 4), (2, 5), (4, 2)]:
+        run_len = window + k - 1
+        rows = []
+        for case in range(10):
+            run = [f"r{case}s{j}" for j in range(run_len)]
+            a = [f"a{case}t{j}" for j in range(rng.randint(0, 25))]
+            b = [f"b{case}t{j}" for j in range(rng.randint(0, 25))]
+            ia = rng.randint(0, len(a))
+            ib = rng.randint(0, len(b))
+            rows.append((2 * case, " ".join(a[:ia] + run + a[ia:])))
+            rows.append((2 * case + 1, " ".join(b[:ib] + run + b[ib:])))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = {}
+        for r in winnowing_fingerprints(df, k=k, window=window).collect():
+            fps.setdefault(r["doc_id"], set()).add(r["fp"])
+        for case in range(10):
+            shared = fps.get(2 * case, set()) & fps.get(2 * case + 1, set())
+            assert shared, (k, window, case)
