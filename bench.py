@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     # filter, keep-best exact+LSH dedup, packing) per invocation, so its
     # wall is the sum of its stages (documented honest cost)
     ("corpus_build_full", "collect"),
+    ("corpus_build_mixture", "collect"),
     # r11 debuts: the mixture rows are model-sized / map-side explode;
     # winnowing + edit-distance inherit the pair-emit family cost;
     # hard negatives rides the brute-panel scan
@@ -266,25 +267,30 @@ def main() -> None:
         fn = QUERIES[name]
         for _ in range(n_warm):
             materialize(fn(spark, sf_dir), how)  # warmup, discarded
+        # spread is computed on UNROUNDED durations with the denominator
+        # floored at the timer's useful resolution (1 ms) — rounding first
+        # made any <0.5 ms run record 0.0 and the ratio astronomically
+        # large, so the noise rerun always fired for very fast queries and
+        # reran_for_noise misreported them (r11 advice item 3)
         rs = []
         for _ in range(max(n_runs, 1)):
             t0 = time.time()
             materialize(fn(spark, sf_dir), how)
-            rs.append(round(time.time() - t0, 3))
-        if max(rs) / max(min(rs), 1e-9) > rerun_spread:
+            rs.append(time.time() - t0)
+        if max(rs) / max(min(rs), 1e-3) > rerun_spread:
             reran.append(name)
             for _ in range(max(n_runs, 1)):
                 t0 = time.time()
                 materialize(fn(spark, sf_dir), how)
-                rs.append(round(time.time() - t0, 3))
-        runs[name] = rs
-        timings[name] = sorted(rs)[len(rs) // 2]
+                rs.append(time.time() - t0)
+        runs[name] = [round(r, 3) for r in rs]
+        timings[name] = round(sorted(rs)[len(rs) // 2], 3)
         total += timings[name]
     if not runs:
         print(f"no bench queries matched SPARK_GRAFT_BENCH_ONLY={only}",
               file=sys.stderr)
         sys.exit(2)
-    spreads = sorted(max(r) / max(min(r), 1e-9) for r in runs.values())
+    spreads = sorted(max(r) / max(min(r), 1e-3) for r in runs.values())
     noise = {
         "median_max_over_min": round(spreads[len(spreads) // 2], 2),
         "worst_max_over_min": round(spreads[-1], 2),

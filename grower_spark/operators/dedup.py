@@ -1361,6 +1361,7 @@ def edit_distance_pairs(
     shingle_n: int = 3,
     hash_fn: str = "md5",
     max_bucket_width: Optional[int] = None,
+    capped: bool = True,
 ) -> DataFrame:
     """Edit-distance-verified near-duplicates: MinHash-LSH proposes the
     candidate pairs, then each pair is scored with EXACT Levenshtein
@@ -1377,12 +1378,23 @@ def edit_distance_pairs(
     (banding + ``max_bucket_width`` bound it, same knobs as
     :func:`minhash_lsh_pairs`); texts are joined back to the pair table
     through a 2-column (id, text) projection, so the corpus-side shuffle
-    stays narrow and the pair side is candidate-bounded.  Levenshtein is
-    O(len_a * len_b) PER PAIR — at 100 TB keep ``max_dist_permille``
-    tight and texts bounded (chunk first), or swap the scorer for the
-    banded early-exit variant (Spark's 3-arg ``levenshtein`` with a
-    distance cap) when an absolute cap is acceptable; the 2-arg form here
-    matches the SQL oracle exactly.
+    stays narrow and the pair side is candidate-bounded.
+
+    ``capped=True`` (the production default, r11 verdict item 3) scores
+    with Spark's 3-arg distance-capped ``levenshtein``: the banded
+    O(len × cap) early-exit kernel, per-pair cap
+    ``thr = ((p+1) * max(len) - 1) DIV 1000`` — the LARGEST distance
+    that can still pass the permille gate, derived from
+    ``(1000*d) DIV maxlen <= p  ⇔  d <= ((p+1)*maxlen - 1) DIV 1000``.
+    Within the cap the kernel returns the EXACT distance and beyond it
+    ``-1`` (gate-failed either way), so the kept pair set AND every
+    reported ``dist`` are identical to the uncapped form — parity is
+    pinned in pytest and the same SQL oracle certifies both.  On long
+    near-identical texts the cap turns the O(len²) worst case into
+    O(len × p·len/1000).  ``capped=False`` keeps the plain 2-arg kernel
+    as the oracle-twin reference.  Still O(len²/5) per candidate pair at
+    p=200 — at 100 TB keep ``max_dist_permille`` tight and texts
+    bounded (chunk first).
 
     Engine note: Spark's ``levenshtein`` counts UNICODE CODEPOINTS while
     DuckDB's counts BYTES, so oracle parity holds on ASCII text only
@@ -1407,16 +1419,26 @@ def edit_distance_pairs(
         .join(texts, F.col("id_b") == texts["_tid"])
         .select("id_a", "id_b", "_ta", F.col("_txt").alias("_tb"))
     )
-    # dist staged as a column so the O(len^2) kernel runs ONCE per pair
+    # dist staged as a column so the kernel runs ONCE per pair
     # (sim_permille derives from the column, not a second levenshtein)
+    if capped:
+        dist = F.expr(
+            f"levenshtein(_ta, _tb, CAST("
+            f"({max_dist_permille + 1} * greatest(length(_ta), "
+            f"length(_tb), 1) - 1) DIV 1000 AS INT))"
+        )
+    else:
+        dist = F.levenshtein("_ta", "_tb")
     staged = joined.select(
         "id_a",
         "id_b",
-        F.levenshtein("_ta", "_tb").cast("long").alias("dist"),
+        dist.cast("long").alias("dist"),
         F.length("_ta").cast("long").alias("len_a"),
         F.length("_tb").cast("long").alias("len_b"),
     )
     sim = F.lit(1000) - F.expr("(1000 * dist) DIV greatest(len_a, len_b, 1)")
-    return staged.select(
-        "*", sim.cast("long").alias("sim_permille")
-    ).where(F.col("sim_permille") >= 1000 - max_dist_permille)
+    return (
+        staged.where(F.col("dist") >= 0)  # capped kernel marks over-cap -1
+        .select("*", sim.cast("long").alias("sim_permille"))
+        .where(F.col("sim_permille") >= 1000 - max_dist_permille)
+    )

@@ -173,7 +173,17 @@ def hard_negative_topk_np(
             if not len(batch):
                 continue
             ids = batch["vec_id"].to_numpy(dtype=np.int64)
-            labels = batch["label"].to_numpy(dtype=object)
+            # Arrow->pandas renders NULLs in NUMERIC label columns as
+            # NaN (or pd.NA), which fails both `is None` and `==` —
+            # normalize every missing value to None so the eqNullSafe
+            # complement below holds for non-string labels too (r11
+            # advice item 2)
+            lab_series = batch["label"]
+            labels = lab_series.to_numpy(dtype=object)
+            na = lab_series.isna().to_numpy()
+            if na.any():
+                labels = labels.copy()
+                labels[na] = None
             cmat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
             )

@@ -254,37 +254,35 @@ def build_corpus(
         pool = pool.where(u < sample_permille)
 
     # 4b. optional temperature mixing (operators/sampling.py
-    #     mixture_plan/mixture_copy_counts): rebalance group shares
-    #     toward n^alpha AFTER dedup/sampling so replica counts are
-    #     computed over the cleaned pool.  The fitted schedule is a
-    #     model-sized collect compiled to when-chain literals; the
-    #     explode is pure map-side.  Down-sampled-out docs are auditable
-    #     drops ("mixture-cut"); up-sampled docs repeat with an epoch
-    #     index, and the unit identity downstream becomes (id, epoch) so
-    #     chunking/packing treat every replica as its own unit.
+    #     mixture_assign_copies): rebalance group shares toward n^alpha
+    #     AFTER dedup/sampling so replica counts are computed over the
+    #     cleaned pool.  Model-sized groups compile to when-chain
+    #     literals (pure map-side explode); a high-cardinality group
+    #     auto-switches to the null-safe-join path instead of a
+    #     corpus-scale collect (r11 verdict item 2).  Down-sampled-out
+    #     docs are auditable drops ("mixture-cut"); up-sampled docs
+    #     repeat with an epoch index, and the unit identity downstream
+    #     becomes (id, epoch) so chunking/packing treat every replica as
+    #     its own unit.
     pack_src_id = id_col
     if mixture_group and mixture_target_rows:
         from grower_spark.operators.sampling import (
-            mixture_copy_counts,
+            mixture_assign_copies,
             mixture_epochs,
-            mixture_plan,
         )
 
         mix_salt = sample_salt + "-mix"
-        plan_rows = mixture_plan(
+        pool = mixture_assign_copies(
             pool, mixture_group, mixture_target_rows, key_col=id_col,
             salt=mix_salt, alpha_halves=mixture_alpha_halves,
-        ).select(mixture_group, "full_epochs", "partial_permille").collect()
-        n_copies = mixture_copy_counts(
-            plan_rows, mixture_group, id_col, salt=mix_salt
         )
-        mix_cut = pool.where(n_copies < 1).select(
+        mix_cut = pool.where(F.col("_n_copies") < 1).select(
             F.col(id_col), F.lit("mixture-cut").alias("reason")
         )
         drops.append(mix_cut)
         pool = pool.withColumn(
-            "epoch", F.explode(mixture_epochs(n_copies))
-        ).withColumn(
+            "epoch", F.explode(mixture_epochs(F.col("_n_copies")))
+        ).drop("_n_copies").withColumn(
             "_mix_id",
             F.concat(F.col(id_col).cast("string"), F.lit("#"),
                      F.col("epoch").cast("string")),
