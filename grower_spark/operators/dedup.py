@@ -1419,8 +1419,25 @@ def edit_distance_pairs(
         .join(texts, F.col("id_b") == texts["_tid"])
         .select("id_a", "id_b", "_ta", F.col("_txt").alias("_tb"))
     )
-    # dist staged as a column so the kernel runs ONCE per pair
-    # (sim_permille derives from the column, not a second levenshtein)
+    # Two measured plan defects fixed here (r12, /tmp/sr12 x10 corpus,
+    # 67k candidates of ~270 chars):
+    #
+    # 1. KERNEL PARALLELISM. AQE sizes shuffle partitions by BYTES, and
+    #    a candidate pair table is bytes-small but CPU-dense — at x10 it
+    #    coalesced to ONE partition and the whole Levenshtein pass ran
+    #    single-threaded (47 s where 32 threads take ~1.5 s).  An
+    #    explicit repartition(N) (fixed N: AQE honors it, unlike
+    #    repartition(col) which it re-coalesces) floors the kernel's
+    #    parallelism at the session's core count; candidates are bounded
+    #    by the LSH caps, so N ~ cores keeps partitions small.
+    # 2. ONCE-PER-PAIR EVALUATION. A bare select does NOT stage the
+    #    kernel: Catalyst collapses project into the pushed-down gate
+    #    filter and re-evaluates levenshtein per reference (measured 2×:
+    #    98 s vs 47 s single-evaluation).  The lazy localCheckpoint is a
+    #    real materialization barrier — every candidate is scored
+    #    exactly once and the gate reads the stored column.  The
+    #    checkpointed table is (5 narrow columns) × candidate-bounded
+    #    rows, the same size class the LSH stage already checkpoints.
     if capped:
         dist = F.expr(
             f"levenshtein(_ta, _tb, CAST("
@@ -1429,12 +1446,21 @@ def edit_distance_pairs(
         )
     else:
         dist = F.levenshtein("_ta", "_tb")
-    staged = joined.select(
-        "id_a",
-        "id_b",
-        dist.cast("long").alias("dist"),
-        F.length("_ta").cast("long").alias("len_a"),
-        F.length("_tb").cast("long").alias("len_b"),
+    sc = df.sparkSession.sparkContext
+    n_parts = max(
+        sc.defaultParallelism,
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    staged = (
+        joined.repartition(n_parts)
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("dist"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+        )
+        .localCheckpoint(eager=False)
     )
     sim = F.lit(1000) - F.expr("(1000 * dist) DIV greatest(len_a, len_b, 1)")
     return (

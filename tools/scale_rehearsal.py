@@ -428,6 +428,20 @@ def _mixture(docs):
     return mixture_plan(docs, "lang", 100_000, key_col="doc_id", salt="mixplan")
 
 
+def _edit_distance(docs, cap, capped):
+    # the Levenshtein kernel cannot be pruned under count(): the permille
+    # gate filters on the dist column, so every candidate pair pays the
+    # kernel — which is exactly what this leg measures (candidate_count ×
+    # len² for capped=False vs candidate_count × len × p·len/1000 for the
+    # banded early-exit production default)
+    from grower_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        docs, max_dist_permille=200, num_perm=16, bands=4,
+        hash_fn="xxhash", max_bucket_width=cap, capped=capped,
+    )
+
+
 def _gopher(docs):
     from grower_spark.operators.text import gopher_rules
 
@@ -662,6 +676,18 @@ def run_ops(spark, out_dir: str, factors: list[int], runs: int,
         "dedup_winnowing": lambda d: _winnowing(d, cap),
         "mixture_plan": lambda d: _mixture(d),
     }
+    # r12 opt-in legs (--ops edit_distance,edit_distance_uncapped): the
+    # only r11 debut without its own measured leg.  The new term over the
+    # inherited LSH candidate legs is the PER-PAIR Levenshtein cost:
+    # candidate_count × len_a × len_b uncapped, vs candidate_count ×
+    # len × (p·len/1000) for the banded capped kernel (the production
+    # default) — the rehearsal corpus's ~10%-dropout replicas are long
+    # near-identical texts, the early-exit's worst-favorable case.
+    # Opt-in because the uncapped counterfactual is expensive by design.
+    if only and "edit_distance" in only:
+        ops["edit_distance"] = lambda d: _edit_distance(d, cap, True)
+    if only and "edit_distance_uncapped" in only:
+        ops["edit_distance_uncapped"] = lambda d: _edit_distance(d, cap, False)
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
     results: dict = {}
