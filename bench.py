@@ -263,6 +263,25 @@ def main() -> None:
     rerun_spread = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_SPREAD",
                                         "1.5"))
     reran: list[str] = []
+    # Cross-round drift auto-rerun (r11 verdict item 5): a query whose
+    # median drifts >= 1.3x vs the FROZEN round-start pin while its code
+    # is untouched gets a second batch in the same invocation, so
+    # sub-gate creep (cluster_balanced_sample's 1.39x in r11, just under
+    # the 1.4x flag) is re-measured at the moment it appears instead of
+    # burning a next-round disposition.  The pin is bench_prev_round.json
+    # (round-stable); queries absent from it (debuts) are skipped.
+    drift_rerun = float(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_RERUN",
+                                       "1.3"))
+    pin: dict[str, float] = {}
+    if sf == "0.1":  # the pin holds sf0.1 medians; meaningless elsewhere
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_prev_round.json")) as f:
+                pin = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            pass
+    reran_drift: list[str] = []
     for name, how in bench_queries:
         fn = QUERIES[name]
         for _ in range(n_warm):
@@ -283,6 +302,15 @@ def main() -> None:
                 t0 = time.time()
                 materialize(fn(spark, sf_dir), how)
                 rs.append(time.time() - t0)
+        med = sorted(rs)[len(rs) // 2]
+        pq = pin.get(name)
+        if (pq and pq > 0
+                and max(med, pq) / max(min(med, pq), 1e-3) > drift_rerun):
+            reran_drift.append(name)
+            for _ in range(max(n_runs, 1)):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir), how)
+                rs.append(time.time() - t0)
         runs[name] = [round(r, 3) for r in rs]
         timings[name] = round(sorted(rs)[len(rs) // 2], 3)
         total += timings[name]
@@ -295,6 +323,7 @@ def main() -> None:
         "median_max_over_min": round(spreads[len(spreads) // 2], 2),
         "worst_max_over_min": round(spreads[-1], 2),
         "reran_for_noise": reran,
+        "reran_for_drift": reran_drift,
     }
 
     # Ingest-throughput sanity figure vs the reference's 10k lines/s bar
