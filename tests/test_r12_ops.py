@@ -193,6 +193,24 @@ def test_edit_distance_cap_boundary(spark):
         assert (1, 3) not in pairs, (capped, pairs)
 
 
+def test_edit_distance_kernel_parallelism_floor(spark):
+    """The r12 scale finding: AQE sizes shuffle partitions by BYTES, so
+    the bytes-small candidate pair table coalesced to ONE partition and
+    the CPU-dense Levenshtein pass ran single-threaded (63-69s at the
+    x10 rehearsal).  Pin the fix: the scored table keeps at least the
+    session's core count of partitions regardless of how small the
+    candidate set is."""
+    from tests.conftest import SF_SMALL
+    from grower_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    out = edit_distance_pairs(docs)
+    floor = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() >= floor
+
+
 # --- r11 verdict item 7: winnowing xxhash/md5 twin pair-set pin ---
 
 
