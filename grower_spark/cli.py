@@ -153,8 +153,10 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("ddl", help="print ClickHouse DDL for a config")
     d.add_argument("--config", required=True)
     d.add_argument("--apply-url", default=None, metavar="URL",
-                   help="also execute the DDL against a ClickHouse HTTP "
-                        "endpoint (e.g. http://host:8123)")
+                   help="also execute the DDL against a ClickHouse "
+                        "endpoint: http://host:8123 (HTTP interface) or "
+                        "native://host:9000 (native TCP protocol, "
+                        "sinks/chnative.py)")
     d.add_argument("--database", default="default")
     d.add_argument("--user", default=None)
     d.add_argument("--password", default=None)
@@ -543,12 +545,24 @@ def main(argv: list[str] | None = None) -> int:
         ddl = clickhouse_ddl(cfg.scheme.logs_table, columns)
         print(ddl)
         if args.apply_url:
-            from grower_spark.sinks.clickhouse import HttpClickHouseClient
+            if args.apply_url.startswith("native://"):
+                from grower_spark.sinks.chnative import NativeClickHouseClient
 
-            HttpClickHouseClient(
-                args.apply_url, database=args.database,
-                user=args.user, password=args.password,
-            ).command(ddl)
+                hostport = args.apply_url[len("native://"):]
+                host, _, port = hostport.partition(":")
+                client = NativeClickHouseClient(
+                    host, int(port or 9000), database=args.database,
+                    user=args.user or "default",
+                    password=args.password or "",
+                )
+            else:
+                from grower_spark.sinks.clickhouse import HttpClickHouseClient
+
+                client = HttpClickHouseClient(
+                    args.apply_url, database=args.database,
+                    user=args.user, password=args.password,
+                )
+            client.command(ddl)
             print(f"-- applied to {args.apply_url}", file=sys.stderr)
         return 0
 

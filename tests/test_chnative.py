@@ -1,0 +1,380 @@
+"""NativeClickHouseClient against an in-process fake native-TCP server:
+handshake + revision negotiation (modern and old servers), the INSERT
+flow (sample block -> typed data blocks -> empty terminator), column
+codec round-trips (fixed-width, String, Nullable, DateTime/Date),
+chunking, exception surfacing, ping/pong, and a Spark foreachPartition
+drive through ClickHouseSink — the same e2e pattern the HTTP client and
+kafkawire tests use (no real ClickHouse server exists in this env)."""
+
+from __future__ import annotations
+
+import datetime
+import socket
+import struct
+import threading
+
+import pytest
+
+from grower_spark.sinks.chnative import (
+    CLIENT_DATA,
+    CLIENT_HELLO,
+    CLIENT_PING,
+    CLIENT_QUERY,
+    REV_BLOCK_INFO,
+    REV_CLIENT_INFO,
+    REV_CLIENT_WRITE_INFO,
+    REV_QUOTA_KEY,
+    REV_SERVER_DISPLAY_NAME,
+    REV_SERVER_TIMEZONE,
+    REV_TEMPORARY_TABLES,
+    REV_TOTAL_ROWS_IN_PROGRESS,
+    REV_VERSION_PATCH,
+    SERVER_DATA,
+    SERVER_END_OF_STREAM,
+    SERVER_EXCEPTION,
+    SERVER_PONG,
+    SERVER_PROGRESS,
+    ClickHouseNativeError,
+    NativeClickHouseClient,
+    ProtocolError,
+    Reader,
+    decode_block,
+    encode_block,
+    write_string,
+    write_varint,
+)
+from grower_spark.sinks.clickhouse import ClickHouseSink
+
+# module-level so Spark's pickled closures can reach the port; the server
+# itself lives only in the driver process (same pattern as the HTTP test)
+_STATE: dict = {}
+
+
+class FakeNativeServer:
+    """Server side of the native protocol, enough for the client flows:
+    hello, query (DDL + insert), data blocks, ping, injected exceptions.
+
+    ``table_types`` maps insert-target column name -> ClickHouse type for
+    the sample block.  Every received command / insert block is recorded
+    for assertions."""
+
+    def __init__(self, revision: int = 54462,
+                 table_types: dict | None = None,
+                 fail_query_with: tuple | None = None) -> None:
+        self.revision = revision
+        self.table_types = dict(table_types or {})
+        self.fail_query_with = fail_query_with
+        self.commands: list[str] = []
+        self.inserts: list[list] = []  # one entry per non-empty block
+        self.hello: dict = {}
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(8)
+        self.port = self._sock.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    # -- lifecycle --------------------------------------------------------
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            ).start()
+
+    # -- wire helpers -----------------------------------------------------
+
+    def _negotiated(self) -> int:
+        return min(self.revision, self._client_revision)
+
+    def _send_hello(self, conn: socket.socket) -> None:
+        out = bytearray()
+        out += write_varint(0)  # ServerHello
+        out += write_string("FakeHouse")
+        out += write_varint(23)
+        out += write_varint(8)
+        out += write_varint(self.revision)
+        if self.revision >= REV_SERVER_TIMEZONE:
+            out += write_string("UTC")
+        if self.revision >= REV_SERVER_DISPLAY_NAME:
+            out += write_string("fake")
+        if self.revision >= REV_VERSION_PATCH:
+            out += write_varint(7)
+        conn.sendall(bytes(out))
+
+    def _send_exception(self, conn, code: int, name: str, msg: str) -> None:
+        conn.sendall(
+            write_varint(SERVER_EXCEPTION)
+            + struct.pack("<i", code)
+            + write_string(name)
+            + write_string(msg)
+            + write_string("fake stack")
+            + b"\x00"
+        )
+
+    def _send_data(self, conn, columns) -> None:
+        out = write_varint(SERVER_DATA)
+        if self._negotiated() >= REV_TEMPORARY_TABLES:
+            out += write_string("")
+        out += encode_block(columns, self._negotiated())
+        conn.sendall(out)
+
+    def _send_progress(self, conn) -> None:
+        rev = self._negotiated()
+        out = write_varint(SERVER_PROGRESS) + write_varint(1) + write_varint(10)
+        if rev >= REV_TOTAL_ROWS_IN_PROGRESS:
+            out += write_varint(0)
+        if rev >= REV_CLIENT_WRITE_INFO:
+            out += write_varint(1) + write_varint(10)
+        conn.sendall(out)
+
+    def _read_client_block(self, r: Reader) -> list:
+        if self._negotiated() >= REV_TEMPORARY_TABLES:
+            r.string()
+        return decode_block(r, self._negotiated())
+
+    # -- protocol ---------------------------------------------------------
+
+    def _handle(self, conn: socket.socket) -> None:
+        try:
+            r = Reader(conn)
+            code = r.varint()
+            assert code == CLIENT_HELLO, code
+            self.hello = {
+                "client_name": r.string(),
+                "major": r.varint(),
+                "minor": r.varint(),
+                "revision": r.varint(),
+                "database": r.string(),
+                "user": r.string(),
+                "password": r.string(),
+            }
+            self._client_revision = self.hello["revision"]
+            self._send_hello(conn)
+            while not self._stop.is_set():
+                code = r.varint()
+                if code == CLIENT_PING:
+                    conn.sendall(write_varint(SERVER_PONG))
+                    continue
+                assert code == CLIENT_QUERY, code
+                rev = self._negotiated()
+                r.string()  # query id
+                if rev >= REV_CLIENT_INFO:
+                    assert r.read(1)[0] == 1  # initial query kind
+                    r.string(); r.string(); r.string()  # user/qid/addr
+                    assert r.read(1)[0] == 1  # TCP interface
+                    r.string(); r.string(); r.string()  # os/host/name
+                    r.varint(); r.varint(); r.varint()  # version
+                    if rev >= REV_QUOTA_KEY:
+                        r.string()
+                    if rev >= REV_VERSION_PATCH:
+                        r.varint()
+                while r.string():  # settings until empty name
+                    if rev >= 54429:
+                        r.varint()  # flags
+                    r.string()      # value (strings serialization)
+                r.varint()  # stage
+                assert r.varint() == 0  # compression disabled
+                query = r.string()
+                assert r.varint() == CLIENT_DATA  # external-tables end
+                ext = self._read_client_block(r)
+                assert ext == [], ext
+                if self.fail_query_with is not None:
+                    self._send_exception(conn, *self.fail_query_with)
+                    continue
+                if query.upper().startswith("INSERT INTO"):
+                    cols = query[query.index("(") + 1:query.index(")")]
+                    names = [c.strip().strip("`") for c in cols.split(",")]
+                    sample = [(n, self.table_types[n], []) for n in names]
+                    self._send_data(conn, sample)
+                    while True:
+                        code = r.varint()
+                        assert code == CLIENT_DATA, code
+                        block = self._read_client_block(r)
+                        if not block or not block[0][2]:
+                            break
+                        self.inserts.append(block)
+                    self._send_progress(conn)
+                    conn.sendall(write_varint(SERVER_END_OF_STREAM))
+                else:
+                    self.commands.append(query)
+                    self._send_progress(conn)
+                    conn.sendall(write_varint(SERVER_END_OF_STREAM))
+        except OSError:
+            pass  # client went away; tests assert positively
+        except ProtocolError:
+            pass  # clean disconnect at a packet boundary
+        except Exception:  # noqa: BLE001 — surface fake-server bugs loudly
+            import traceback
+
+            traceback.print_exc()
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+
+@pytest.fixture()
+def native_server():
+    srv = FakeNativeServer(
+        table_types={
+            "msg": "String",
+            "n": "Int64",
+            "score": "Float64",
+            "ts": "DateTime",
+            "tag": "Nullable(String)",
+            "opt": "Nullable(Int64)",
+        }
+    )
+    _STATE["port"] = srv.port
+    yield srv
+    srv.close()
+
+
+def test_varint_roundtrip():
+    for n in (0, 1, 127, 128, 300, 1 << 14, (1 << 35) + 7, (1 << 63) - 1):
+        r = Reader(data=write_varint(n))
+        assert r.varint() == n
+
+
+def test_handshake_and_command(native_server):
+    c = NativeClickHouseClient("127.0.0.1", native_server.port,
+                               database="logs", user="u", password="p")
+    info = c.connect()
+    assert (info.name, info.timezone, info.display_name,
+            info.version_patch) == ("FakeHouse", "UTC", "fake", 7)
+    assert c.revision == 54429  # min(client 54429, server 54462)
+    c.command("CREATE TABLE t (x Int64) ENGINE = Memory")
+    assert native_server.commands == ["CREATE TABLE t (x Int64) ENGINE = Memory"]
+    assert native_server.hello["database"] == "logs"
+    assert native_server.hello["user"] == "u"
+    c.close()
+
+
+def test_insert_typed_roundtrip(native_server):
+    ts = datetime.datetime(2026, 8, 15, 12, 0, 0,
+                           tzinfo=datetime.timezone.utc)
+    rows = [
+        ("hello", 1, 0.5, ts, "a", 7),
+        ("wörld\tx", -2, -1.25, ts, None, None),
+    ]
+    cols = ["msg", "n", "score", "ts", "tag", "opt"]
+    with NativeClickHouseClient("127.0.0.1", native_server.port) as c:
+        c.insert("logs.t", rows, cols)
+    (block,) = native_server.inserts
+    got = {name: (t, vals) for name, t, vals in block}
+    assert got["msg"] == ("String", ["hello", "wörld\tx"])
+    assert got["n"] == ("Int64", [1, -2])
+    assert got["score"] == ("Float64", [0.5, -1.25])
+    assert got["ts"] == ("DateTime", [int(ts.timestamp())] * 2)
+    assert got["tag"] == ("Nullable(String)", ["a", None])
+    assert got["opt"] == ("Nullable(Int64)", [7, None])
+
+
+def test_insert_chunks_blocks(native_server):
+    rows = [(f"r{i}", i, float(i),
+             datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc),
+             None, None) for i in range(5)]
+    cols = ["msg", "n", "score", "ts", "tag", "opt"]
+    c = NativeClickHouseClient("127.0.0.1", native_server.port,
+                               insert_chunk_rows=2)
+    c.insert("t", rows, cols)
+    c.close()
+    sizes = [len(b[0][2]) for b in native_server.inserts]
+    assert sizes == [2, 2, 1]
+    assert [v for b in native_server.inserts for v in b[1][2]] == [0, 1, 2, 3, 4]
+
+
+def test_exception_surfaces():
+    srv = FakeNativeServer(fail_query_with=(60, "UNKNOWN_TABLE",
+                                            "Table default.t does not exist"))
+    try:
+        c = NativeClickHouseClient("127.0.0.1", srv.port)
+        with pytest.raises(ClickHouseNativeError) as ei:
+            c.command("SELECT 1")
+        assert ei.value.code == 60
+        assert "UNKNOWN_TABLE" in str(ei.value)
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_ping_pong(native_server):
+    c = NativeClickHouseClient("127.0.0.1", native_server.port)
+    assert c.ping() is True
+    c.close()
+
+
+def test_old_server_revision_negotiation():
+    """A pre-display-name server (rev 54060): hello carries only the
+    timezone, the negotiated revision drops to the server's, and the
+    insert flow still round-trips (BlockInfo still present: 54060 >=
+    51903)."""
+    srv = FakeNativeServer(revision=54060, table_types={"x": "UInt32"})
+    try:
+        c = NativeClickHouseClient("127.0.0.1", srv.port)
+        info = c.connect()
+        assert info.timezone == "UTC" and info.display_name == ""
+        assert c.revision == 54060
+        assert c.revision >= REV_BLOCK_INFO
+        c.insert("t", [(1,), (2,)], ["x"])
+        c.close()
+        (block,) = srv.inserts
+        assert block[0][:2] == ("x", "UInt32") and block[0][2] == [1, 2]
+    finally:
+        srv.close()
+
+
+def test_cli_ddl_apply_native(native_server, tmp_path, capsys):
+    """`ddl --apply-url native://host:port` prints the DDL and executes
+    it over the native TCP protocol (the http:// form stays on the HTTP
+    client — pinned in test_clickhouse_http.py)."""
+    import shutil
+
+    from grower_spark.cli import main
+
+    cfg = str(tmp_path / "cfg.yaml")
+    shutil.copy("tests/fixtures/sample_test.yaml", cfg)
+    rc = main(["ddl", "--config", cfg,
+               "--apply-url", f"native://127.0.0.1:{native_server.port}",
+               "--database", "logs"])
+    assert rc == 0
+    assert len(native_server.commands) == 1
+    assert native_server.commands[0].startswith("CREATE TABLE IF NOT EXISTS")
+    assert native_server.hello["database"] == "logs"
+    assert "CREATE TABLE" in capsys.readouterr().out
+
+
+def test_spark_foreach_partition_e2e(spark, native_server):
+    """The production shape: executor Python workers open native-TCP
+    connections to 127.0.0.1 and stream typed blocks through
+    ClickHouseSink — proving the client pickles (constructed per task
+    via client_factory) and the protocol survives multi-process use."""
+    df = spark.createDataFrame(
+        [(f"m{i}", i, i / 2.0) for i in range(20)],
+        "msg string, n long, score double",
+    ).repartition(4)
+    port = native_server.port
+    sink = ClickHouseSink(
+        table="logs.t",
+        columns=["msg", "n", "score"],
+        client_factory=lambda: NativeClickHouseClient("127.0.0.1", port),
+    )
+    sink.foreach_batch()(df)
+    flat = sorted(t for b in native_server.inserts
+                  for t in zip(*[vals for _, _, vals in b]))
+    assert flat == sorted((f"m{i}", i, i / 2.0) for i in range(20))
