@@ -226,6 +226,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="lines per spool file (reference buffer-size)")
     rx.add_argument("--flush-interval", type=float, default=0.25)
 
+    fg = sub.add_parser(
+        "filegrpc",
+        help="gRPC FileBufferService.CreateDataStreamer endpoint over "
+             "real h2c HTTP/2 (sources/grpch2.py, no grpc package), "
+             "spooling to .fbuf files the filebuf source reads — the "
+             "reference's filegrpc server (cmd/filegrpc)",
+    )
+    fg.add_argument("--spool-dir", required=True,
+                    help="directory the filebuf source reads")
+    fg.add_argument("--host", default="127.0.0.1")
+    fg.add_argument("--port", type=int, default=0,
+                    help="listener port (0 = ephemeral, printed on start)")
+    fg.add_argument("--buffer-size", type=int, default=1000,
+                    help="lines per spool file (reference buffer-size)")
+    fg.add_argument("--flush-interval", type=float, default=0.25)
+
     ly = sub.add_parser(
         "layout",
         help="rewrite a parquet table z-ordered on the given columns "
@@ -480,6 +496,29 @@ def main(argv: list[str] | None = None) -> int:
             balancer=args.balancer,
         )
         print(f"published {n} lines to {args.topic}")
+        return 0
+
+    if args.command == "filegrpc":
+        import signal
+        import threading
+
+        from grower_spark.sources.grpch2 import GrpcSpoolServer
+
+        srv = GrpcSpoolServer(
+            args.spool_dir,
+            host=args.host,
+            port=args.port,
+            flush_max_lines=args.buffer_size,
+            flush_interval=args.flush_interval,
+        ).start()
+        print(f"grpc-h2c: {args.host}:{srv.port}", flush=True)
+        done = threading.Event()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            signal.signal(sig, lambda *_: done.set())
+        done.wait()
+        srv.stop()
+        print(f"received={srv.n_received} streams={srv.n_streams} "
+              f"spool_files={srv.n_flushed_files}")
         return 0
 
     if args.command == "receiver":

@@ -1,20 +1,28 @@
 """gRPC stream source (reference S7: protobuf/filebuf, filegrpc/server.go).
 
-Deliberately deferred (SURVEY.md §2.1 S7): Spark has no native gRPC source,
-and a single gRPC endpoint feeding one executor is an anti-pattern at any
-real scale.  Faithful options, in preference order:
+Spark has no native gRPC source, and a single gRPC endpoint feeding one
+executor is an anti-pattern at any real scale — so the topology mirrors
+the reference's own: a receiver PROCESS terminates the stream and Spark
+consumes its spool.  Faithful options, in preference order:
 
-1. A tiny receiver process (outside Spark) appending length-prefixed
-   frames to spool files consumed by the custom ``filebuf`` Python
-   DataSource (``sources/filebuf.py``) — IMPLEMENTED, batch + streaming.
-   With ``SpoolReceiver(framing="grpc")`` the receiver accepts the exact
-   gRPC wire bytes (length-prefixed-message framing + proto3
-   ``Request{data}``, hand-decoded in ``sources/protowire.py``), so the
-   remaining gap vs the reference endpoint is the HTTP/2 transport alone.
-2. The reference's own KafkaLog topology with the broker as the buffer
+1. **The h2c gRPC endpoint** (``sources/grpch2.py``, r12): the exact
+   ``FileBufferService.CreateDataStreamer`` RPC
+   (`protobuf/filebuf/filebuf.proto:6-15`,
+   `internal/services/filegrpc/server.go:80-91`) over REAL HTTP/2
+   frames — RFC 7540 framing + an RFC 7541 HPACK subset implemented
+   in-repo (no ``grpc`` package in this env; dated probes in
+   RESPONSES.md) — spooling to the same ``.fbuf`` files the custom
+   ``filebuf`` Python DataSource reads, batch + streaming.
+   ``python -m grower_spark.cli filegrpc --spool-dir D`` runs it;
+   ``GrpcStreamClient`` is the producer twin.  Interop caveat: the
+   HPACK subset rejects Huffman-coded header literals loudly (in-repo
+   peers never send them; most third-party gRPC stacks do — see
+   ``sources/http2.py``).
+2. The bare-TCP receiver (``SpoolReceiver(framing="grpc")``): the gRPC
+   length-prefixed-message framing + proto3 ``Request{data}`` decode
+   (``sources/protowire.py``) without the HTTP/2 envelope.
+3. The reference's own KafkaLog topology with the broker as the buffer
    (``sources.kafka``).
-3. A DataSource wrapping a grpc client directly — the grpc package is not
-   in this container (that is what HTTP/2 would need).
 
 ``grpc_line_stream`` documents the contract and fails loudly; use
 ``spark.read/readStream.format("filebuf")`` against the receiver's spool.
@@ -27,7 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 def grpc_line_stream(spark: SparkSession, address: str) -> DataFrame:
     raise NotImplementedError(
-        "No native gRPC source. Route the FileBuf stream through files or "
-        "Kafka (sources.file / sources.kafka), or implement a Python "
-        "DataSource with the grpc package installed. See module docstring."
+        "No native gRPC Spark source. Run the h2c endpoint (cli filegrpc / "
+        "sources.grpch2.GrpcSpoolServer) or the bare-TCP receiver "
+        "(framing='grpc') and read its spool with "
+        "spark.read/readStream.format('filebuf'). See module docstring."
     )

@@ -1,0 +1,281 @@
+"""HTTP/2 frame layer + HPACK subset + the gRPC FileBuf transport.
+
+The HPACK decoder is validated against RFC 7541 Appendix C's
+non-Huffman test vectors (C.1 integers, C.2 literal forms, the full
+C.3 request sequence with dynamic-table state) — real spec bytes, not
+self-referential round-trips.  The transport tests then run the
+reference's CreateDataStreamer RPC shape end-to-end over localhost h2c:
+client-streaming Requests -> spool files -> the filebuf reader, with
+real flow control (>64 KiB to force WINDOW_UPDATE grants)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from grower_spark.sources.http2 import (
+    FLAG_END_HEADERS,
+    FRAME_HEADERS,
+    FrameReader,
+    HpackDecoder,
+    HpackEncoder,
+    HpackError,
+    STATIC_TABLE,
+    hpack_decode_int,
+    hpack_encode_int,
+    pack_frame,
+    unpack_frame_header,
+    unpack_settings,
+    pack_settings,
+)
+from grower_spark.sources.grpch2 import GrpcSpoolServer, GrpcStreamClient
+from grower_spark.sources.filebuf import read_frames
+
+
+# --------------------------------------------------------------------------
+# HPACK primitives vs RFC 7541 Appendix C
+# --------------------------------------------------------------------------
+
+
+def test_rfc7541_c1_integers():
+    # C.1.1: 10, 5-bit prefix
+    assert hpack_encode_int(10, 5) == bytes([0b01010])
+    assert hpack_decode_int(bytes([0b01010]), 0, 5) == (10, 1)
+    # C.1.2: 1337, 5-bit prefix -> 1f 9a 0a
+    assert hpack_encode_int(1337, 5) == bytes([0x1F, 0x9A, 0x0A])
+    assert hpack_decode_int(bytes([0x1F, 0x9A, 0x0A]), 0, 5) == (1337, 3)
+    # C.1.3: 42, 8-bit prefix
+    assert hpack_encode_int(42, 8) == bytes([0x2A])
+    assert hpack_decode_int(bytes([0x2A]), 0, 8) == (42, 1)
+
+
+def test_rfc7541_c2_literals():
+    # C.2.1 literal with incremental indexing, new name
+    block = bytes.fromhex(
+        "400a637573746f6d2d6b65790d637573746f6d2d686561646572"
+    )
+    d = HpackDecoder()
+    assert d.decode(block) == [("custom-key", "custom-header")]
+    assert list(d.table.entries) == [("custom-key", "custom-header")]
+    assert d.table.size == 55
+    # C.2.2 literal without indexing, indexed name (:path)
+    block = bytes.fromhex("040c2f73616d706c652f70617468")
+    d = HpackDecoder()
+    assert d.decode(block) == [(":path", "/sample/path")]
+    assert not d.table.entries
+    # C.2.3 literal never indexed
+    block = bytes.fromhex("100870617373776f726406736563726574")
+    d = HpackDecoder()
+    assert d.decode(block) == [("password", "secret")]
+    assert not d.table.entries
+    # C.2.4 indexed field (:method GET = static 2)
+    d = HpackDecoder()
+    assert d.decode(bytes([0x82])) == [(":method", "GET")]
+
+
+def test_rfc7541_c3_request_sequence():
+    """Three requests on one connection, raw literals — pins dynamic
+    table insertion order, indexed references to dynamic entries, and
+    eviction-free growth exactly as the RFC walks it."""
+    d = HpackDecoder()
+    r1 = bytes.fromhex(
+        "828684410f7777772e6578616d706c652e636f6d"
+    )
+    assert d.decode(r1) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"),
+    ]
+    assert list(d.table.entries) == [(":authority", "www.example.com")]
+    assert d.table.size == 57
+    r2 = bytes.fromhex("828684be58086e6f2d6361636865")
+    assert d.decode(r2) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"), ("cache-control", "no-cache"),
+    ]
+    assert list(d.table.entries) == [
+        ("cache-control", "no-cache"), (":authority", "www.example.com"),
+    ]
+    assert d.table.size == 110
+    r3 = bytes.fromhex(
+        "828785bf400a637573746f6d2d6b65790c637573746f6d2d76616c7565"
+    )
+    assert d.decode(r3) == [
+        (":method", "GET"), (":scheme", "https"), (":path", "/index.html"),
+        (":authority", "www.example.com"), ("custom-key", "custom-value"),
+    ]
+    assert list(d.table.entries) == [
+        ("custom-key", "custom-value"),
+        ("cache-control", "no-cache"),
+        (":authority", "www.example.com"),
+    ]
+    assert d.table.size == 164
+
+
+def test_huffman_flag_raises_loudly():
+    # a literal whose value string sets the H bit
+    block = bytes([0x04, 0x81, 0x63])
+    with pytest.raises(HpackError, match="Huffman"):
+        HpackDecoder().decode(block)
+
+
+def test_static_table_shape():
+    assert len(STATIC_TABLE) == 61
+    assert STATIC_TABLE[0] == (":authority", "")
+    assert STATIC_TABLE[1] == (":method", "GET")
+    assert STATIC_TABLE[60] == ("www-authenticate", "")
+
+
+def test_encoder_decoder_symmetry_with_dynamic_table():
+    enc = HpackEncoder()
+    dec = HpackDecoder()
+    h1 = [(":method", "POST"), (":path", "/x"), ("grpc-status", "0")]
+    assert dec.decode(enc.encode(h1)) == h1
+    # second block: the custom entries must now be INDEXED refs into
+    # both sides' dynamic tables and still decode identically
+    b2 = enc.encode(h1)
+    assert len(b2) < 10  # all three resolve to indexes now
+    assert dec.decode(b2) == h1
+
+
+def test_table_size_update_and_eviction():
+    d = HpackDecoder()
+    d.decode(bytes.fromhex("400a637573746f6d2d6b65790d637573746f6d2d686561646572"))
+    assert d.table.size == 55
+    # dynamic table size update to 0 evicts everything (001xxxxx)
+    assert d.decode(bytes([0x20])) == []
+    assert d.table.size == 0 and not d.table.entries
+
+
+def test_frame_header_roundtrip():
+    f = pack_frame(0x1, 0x5, 31, b"abc")
+    length, ftype, flags, sid = unpack_frame_header(f[:9])
+    assert (length, ftype, flags, sid) == (3, 0x1, 0x5, 31)
+    assert f[9:] == b"abc"
+    s = pack_settings({0x4: 1 << 20, 0x5: 16384})
+    _, t2, fl2, sid2 = unpack_frame_header(s[:9])
+    assert (t2, fl2, sid2) == (0x4, 0, 0)
+    assert unpack_settings(s[9:]) == {0x4: 1 << 20, 0x5: 16384}
+
+
+# --------------------------------------------------------------------------
+# gRPC FileBuf transport e2e
+# --------------------------------------------------------------------------
+
+
+def _spool_lines(spool_dir: str) -> list[str]:
+    out = []
+    if not os.path.isdir(spool_dir):  # created lazily on first flush
+        return out
+    for name in sorted(os.listdir(spool_dir)):
+        if name.endswith(".fbuf"):
+            out.extend(read_frames(os.path.join(spool_dir, name)))
+    return out
+
+
+def test_grpc_stream_e2e(tmp_path):
+    """The reference RPC shape end-to-end: client-streaming Requests over
+    real h2c frames -> decoded -> spooled -> filebuf frames, with the
+    SendAndClose(Response{}) reply (grpc-status 0 in trailers)."""
+    spool = str(tmp_path / "spool")
+    with GrpcSpoolServer(spool, flush_interval=0.05) as srv:
+        with GrpcStreamClient("127.0.0.1", srv.port) as c:
+            c.send([f"line {i}" for i in range(500)])
+            c.send(["tail"])
+            assert c.finish() == 0
+        deadline = time.time() + 5
+        while srv.n_received < 501 and time.time() < deadline:
+            time.sleep(0.02)
+        srv._flush()
+        assert srv.n_streams == 1
+        assert _spool_lines(spool) == [f"line {i}" for i in range(500)] + ["tail"]
+
+
+def test_grpc_flow_control_past_default_window(tmp_path):
+    """>64 KiB of messages: the client MUST stall on the 65535-byte
+    default windows until the server's WINDOW_UPDATE grants arrive — this
+    passes only if both sides actually implement flow control."""
+    spool = str(tmp_path / "spool")
+    big = "x" * 1000
+    n = 200  # ~200 KB >> 65535
+    with GrpcSpoolServer(spool, flush_interval=0.05) as srv:
+        with GrpcStreamClient("127.0.0.1", srv.port) as c:
+            c.send([f"{i}:{big}" for i in range(n)])
+            assert c.finish() == 0
+        deadline = time.time() + 5
+        while srv.n_received < n and time.time() < deadline:
+            time.sleep(0.02)
+        srv._flush()
+        lines = _spool_lines(spool)
+        assert len(lines) == n
+        assert lines[0].startswith("0:") and lines[-1].startswith(f"{n-1}:")
+
+
+def test_grpc_two_sequential_streams_one_spool(tmp_path):
+    spool = str(tmp_path / "spool")
+    with GrpcSpoolServer(spool, flush_interval=0.05) as srv:
+        for batch in (["a", "b"], ["c"]):
+            with GrpcStreamClient("127.0.0.1", srv.port) as c:
+                c.send(batch)
+                assert c.finish() == 0
+        deadline = time.time() + 5
+        while srv.n_received < 3 and time.time() < deadline:
+            time.sleep(0.02)
+        srv._flush()
+        assert sorted(_spool_lines(spool)) == ["a", "b", "c"]
+        assert srv.n_streams == 2
+
+
+def test_cli_filegrpc_e2e(tmp_path):
+    """`cli filegrpc` starts the endpoint, prints the bound port, spools
+    a client's stream, and reports counts on SIGTERM — the reference's
+    cmd/filegrpc daemon shape."""
+    import re
+    import signal
+    import subprocess
+    import sys
+
+    spool = str(tmp_path / "spool")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "grower_spark.cli", "filegrpc",
+         "--spool-dir", spool, "--port", "0", "--flush-interval", "0.05"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        m = re.search(r"grpc-h2c: [\d.]+:(\d+)", line)
+        assert m, line
+        port = int(m.group(1))
+        with GrpcStreamClient("127.0.0.1", port) as c:
+            c.send(["alpha", "beta"])
+            assert c.finish() == 0
+        deadline = time.time() + 5
+        while time.time() < deadline and sorted(_spool_lines(spool)) != ["alpha", "beta"]:
+            time.sleep(0.05)
+        assert sorted(_spool_lines(spool)) == ["alpha", "beta"]
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=10)
+    assert "received=2 streams=1" in out, out
+
+
+def test_grpc_spool_readable_by_filebuf_datasource(spark, tmp_path):
+    """The consumer contract: spark.read.format('filebuf') over the
+    h2c-spooled directory — the same reader the bare-TCP receiver path
+    certifies, proving the transport swap is invisible downstream."""
+    from grower_spark.sources.filebuf import FileBufDataSource
+
+    spool = str(tmp_path / "spool")
+    with GrpcSpoolServer(spool, flush_interval=0.05) as srv:
+        with GrpcStreamClient("127.0.0.1", srv.port) as c:
+            c.send([f"10.0.0.{i} GET /page{i}" for i in range(40)])
+            assert c.finish() == 0
+        deadline = time.time() + 5
+        while srv.n_received < 40 and time.time() < deadline:
+            time.sleep(0.02)
+        srv._flush()
+    spark.dataSource.register(FileBufDataSource)
+    df = spark.read.format("filebuf").load(spool)
+    rows = sorted(r["value"] for r in df.collect())
+    assert rows == sorted(f"10.0.0.{i} GET /page{i}" for i in range(40))
