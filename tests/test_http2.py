@@ -159,6 +159,41 @@ def test_frame_header_roundtrip():
     assert unpack_settings(s[9:]) == {0x4: 1 << 20, 0x5: 16384}
 
 
+def test_hpack_roundtrip_property():
+    """Randomized encoder->decoder symmetry: any header list (static
+    names, custom names, repeated entries, values that fill and evict
+    the dynamic table) must round-trip across a sequence of blocks on
+    one connection."""
+    import random
+
+    rng = random.Random(1207)
+    names = [n for n, _ in STATIC_TABLE[:20]] + [
+        f"x-custom-{i}" for i in range(10)
+    ]
+    enc, dec = HpackEncoder(max_table_size=512), HpackDecoder(max_table_size=512)
+    for _ in range(50):
+        headers = [
+            (rng.choice(names), "v" * rng.randint(0, 60))
+            for _ in range(rng.randint(1, 12))
+        ]
+        assert dec.decode(enc.encode(headers)) == headers
+        assert dec.table.size <= 512 and enc.table.size <= 512
+        assert list(dec.table.entries) == list(enc.table.entries)
+
+
+def test_hpack_int_roundtrip_property():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(300):
+        prefix = rng.randint(1, 8)
+        v = rng.choice([0, 1, rng.randint(0, 1 << 30), (1 << prefix) - 1,
+                        (1 << prefix) - 2])
+        data = hpack_encode_int(v, prefix)
+        got, pos = hpack_decode_int(data, 0, prefix)
+        assert (got, pos) == (v, len(data))
+
+
 # --------------------------------------------------------------------------
 # gRPC FileBuf transport e2e
 # --------------------------------------------------------------------------
@@ -225,6 +260,67 @@ def test_grpc_two_sequential_streams_one_spool(tmp_path):
         srv._flush()
         assert sorted(_spool_lines(spool)) == ["a", "b", "c"]
         assert srv.n_streams == 2
+
+
+def test_server_continuation_and_padded_frames(tmp_path):
+    """Hand-crafted frames exercising receive paths the in-repo client
+    never emits: a header block split across HEADERS+CONTINUATION, and a
+    PADDED DATA frame — both must land the line and complete the RPC."""
+    import socket as _socket
+    import struct as _struct
+
+    from grower_spark.sources.http2 import (
+        CONNECTION_PREFACE,
+        FLAG_END_STREAM,
+        FLAG_PADDED,
+        FRAME_CONTINUATION,
+        FRAME_DATA,
+        FRAME_SETTINGS,
+        FLAG_ACK,
+    )
+    from grower_spark.sources.grpch2 import GRPC_PATH
+    from grower_spark.sources.protowire import encode_grpc_message
+
+    spool = str(tmp_path / "spool")
+    with GrpcSpoolServer(spool, flush_interval=0.05) as srv:
+        sock = _socket.create_connection(("127.0.0.1", srv.port))
+        sock.sendall(CONNECTION_PREFACE)
+        sock.sendall(pack_settings({}))
+        reader = FrameReader(sock)
+        ftype, flags, _, payload = reader.read_frame()
+        assert ftype == FRAME_SETTINGS and not flags & FLAG_ACK
+        sock.sendall(pack_frame(FRAME_SETTINGS, FLAG_ACK, 0, b""))
+        # header block split mid-bytes across HEADERS + CONTINUATION
+        block = HpackEncoder().encode([
+            (":method", "POST"), (":scheme", "http"),
+            (":path", GRPC_PATH), ("content-type", "application/grpc"),
+        ])
+        cut = len(block) // 2
+        sock.sendall(pack_frame(FRAME_HEADERS, 0, 1, block[:cut]))
+        sock.sendall(
+            pack_frame(FRAME_CONTINUATION, FLAG_END_HEADERS, 1, block[cut:])
+        )
+        # PADDED DATA frame: pad-length byte + payload + 3 pad bytes
+        msg = encode_grpc_message("padded-line")
+        padded = bytes([3]) + msg + b"\x00\x00\x00"
+        sock.sendall(
+            pack_frame(FRAME_DATA, FLAG_PADDED | FLAG_END_STREAM, 1, padded)
+        )
+        # drain server frames until trailers carry grpc-status
+        dec = HpackDecoder()
+        status = None
+        while status is None:
+            ftype, flags, sid, payload = reader.read_frame()
+            if ftype == FRAME_HEADERS:
+                for n, v in dec.decode(payload):
+                    if n == "grpc-status":
+                        status = int(v)
+        assert status == 0
+        sock.close()
+        deadline = time.time() + 5
+        while time.time() < deadline and _spool_lines(spool) != ["padded-line"]:
+            time.sleep(0.02)
+        assert _spool_lines(spool) == ["padded-line"]
 
 
 def test_cli_filegrpc_e2e(tmp_path):
