@@ -191,16 +191,35 @@ _FIXED_FMT = {
 }
 
 
+def _fixed_string_n(t: str) -> Optional[int]:
+    if t.startswith("FixedString(") and t.endswith(")"):
+        return int(t[len("FixedString("):-1])
+    return None
+
+
 def _encode_value(t: str, v) -> bytes:
     if t == "String":
         return write_string("" if v is None else
                             (v if isinstance(v, (str, bytes)) else str(v)))
+    n = _fixed_string_n(t)
+    if n is not None:
+        b = (v or "").encode("utf-8") if not isinstance(v, bytes) else v
+        if len(b) > n:
+            b = b[:n]  # FixedString(N) stores exactly N bytes
+        return b.ljust(n, b"\x00")
     fmt = _FIXED_FMT.get(t)
     if fmt is None:
         raise ProtocolError(f"unsupported ClickHouse column type {t!r}")
     if v is None:
         v = 0  # Nullable writes a default under the null mask
     if t == "DateTime" and hasattr(v, "timestamp"):
+        if getattr(v, "tzinfo", None) is None:
+            # Spark collects session-tz-naive datetimes and this repo's
+            # sessions run UTC — a naive .timestamp() would silently
+            # apply the PROCESS timezone instead
+            import datetime as _dt
+
+            v = v.replace(tzinfo=_dt.timezone.utc)
         v = int(v.timestamp())
     if t == "Date" and hasattr(v, "toordinal"):
         v = v.toordinal() - 719163  # days since 1970-01-01
@@ -228,6 +247,12 @@ def decode_column(type_name: str, n_rows: int, r: Reader) -> list:
         return [None if m else v for m, v in zip(mask, vals)]
     if type_name == "String":
         return [r.string() for _ in range(n_rows)]
+    n = _fixed_string_n(type_name)
+    if n is not None:
+        return [
+            r.read(n).rstrip(b"\x00").decode("utf-8", errors="replace")
+            for _ in range(n_rows)
+        ]
     fmt = _FIXED_FMT.get(type_name)
     if fmt is None:
         raise ProtocolError(f"unsupported ClickHouse column type {type_name!r}")

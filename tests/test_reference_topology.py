@@ -1,0 +1,111 @@
+"""CAPSTONE: the reference's full filegrpc topology end-to-end on this
+stack — producer -> gRPC over real h2c HTTP/2 -> spool -> Spark parse
+pipeline -> ClickHouse NATIVE protocol -> (fake) server.
+
+Reference shape: `cmd/filegrpc` receives `CreateDataStreamer` streams
+and loads ClickHouse over the native protocol via clickhouse-buffer
+(`internal/services/filegrpc/server.go:38-56,80-91`).  Here every hop
+is the repo's own implementation: `GrpcStreamClient` ->
+`GrpcSpoolServer` (sources/grpch2.py, RFC 7540/7541 in-repo) ->
+`.fbuf` spool -> `filebuf` DataSource -> `LogPipeline` (template regex
++ grower cast semantics) -> `ClickHouseSink` chunked inserts through
+`NativeClickHouseClient` (sinks/chnative.py) -> typed native blocks
+decoded by the fake server.  One test, five subsystems, value-level
+assertions at the far end."""
+
+from __future__ import annotations
+
+import datetime
+import time
+
+from grower_spark.config import PipelineConfig
+from grower_spark.plans.pipeline import LogPipeline
+from grower_spark.sinks.chnative import NativeClickHouseClient
+from grower_spark.sinks.clickhouse import ClickHouseSink
+from grower_spark.sources.filebuf import FileBufDataSource
+from grower_spark.sources.grpch2 import GrpcSpoolServer, GrpcStreamClient
+
+from test_chnative import FakeNativeServer
+from test_template import SAMPLE_LINE
+
+N_LINES = 40
+
+
+def _config() -> PipelineConfig:
+    import os
+
+    from conftest import FIXTURES
+
+    cfg = PipelineConfig.from_yaml(os.path.join(FIXTURES, "sample_test.yaml"))
+    return PipelineConfig.from_dict(
+        {
+            "nginx": {
+                "log_format": cfg.nginx.log_format,
+                "log_time_format": cfg.nginx.log_time_format,
+            },
+            "scheme": {
+                "logs_table": "logs.access",
+                "columns": {
+                    c: c
+                    for c in ("remote_addr", "time_local", "status",
+                              "bytes_sent", "request_method")
+                },
+            },
+        }
+    )
+
+
+def test_filegrpc_to_clickhouse_native_topology(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    # hop 1+2: producer -> h2c gRPC endpoint -> spool
+    lines = [
+        SAMPLE_LINE.replace("114.119.133.192", f"10.9.8.{i}")
+        for i in range(N_LINES)
+    ]
+    with GrpcSpoolServer(spool, flush_interval=0.05) as srv:
+        with GrpcStreamClient("127.0.0.1", srv.port) as producer:
+            producer.send(lines)
+            assert producer.finish() == 0
+        deadline = time.time() + 5
+        while srv.n_received < N_LINES and time.time() < deadline:
+            time.sleep(0.02)
+        srv._flush()
+
+    # hop 3+4: filebuf DataSource -> parse pipeline
+    spark.dataSource.register(FileBufDataSource)
+    raw = spark.read.format("filebuf").load(spool)
+    parsed = LogPipeline(_config()).parse(raw)
+
+    # hop 5: ClickHouseSink -> native protocol -> fake server
+    ch = FakeNativeServer(table_types={
+        "remote_addr": "String",
+        "time_local": "DateTime",
+        "status": "UInt16",
+        "bytes_sent": "UInt64",
+        "request_method": "FixedString(3)",
+    })
+    try:
+        port = ch.port
+        sink = ClickHouseSink(
+            table="logs.access",
+            columns=["remote_addr", "time_local", "status", "bytes_sent",
+                     "request_method"],
+            client_factory=lambda: NativeClickHouseClient("127.0.0.1", port),
+        )
+        sink.foreach_batch()(parsed)
+        got = sorted(
+            t for b in ch.inserts for t in zip(*[vals for _, _, vals in b])
+        )
+    finally:
+        ch.close()
+
+    # value-level checks at the far end: the sample line's golden values
+    # (status 444, bytes 9, GET; time_local's golden UTC value is
+    # 2022-07-20 21:30:43 — same constant test_pipeline_golden pins)
+    epoch = int(datetime.datetime(
+        2022, 7, 20, 21, 30, 43, tzinfo=datetime.timezone.utc
+    ).timestamp())
+    expected = sorted(
+        (f"10.9.8.{i}", epoch, 444, 9, "GET") for i in range(N_LINES)
+    )
+    assert got == expected
