@@ -511,30 +511,56 @@ class NativeClickHouseClient:
 
     # -- public surface ----------------------------------------------------
 
+    def _reset_on_transport_error(self, exc: BaseException) -> None:
+        """A dead/half-dead socket must not poison retries: the sink's
+        retry loop calls back into the SAME client object, and without a
+        reset ``connect()`` would happily return the corpse.  Server
+        EXCEPTIONS (``ClickHouseNativeError``) keep the connection — the
+        protocol stays in sync after one — but any transport-level
+        failure closes it so the next attempt reconnects."""
+        if not isinstance(exc, ClickHouseNativeError):
+            self.close()
+
     def ping(self) -> bool:
-        self.connect()
-        self._send(write_varint(CLIENT_PING))
-        assert self._reader is not None
-        while True:
-            code, _ = self._read_packet(self._reader)
-            if code == SERVER_PONG:
-                return True
+        try:
+            self.connect()
+            self._send(write_varint(CLIENT_PING))
+            assert self._reader is not None
+            while True:
+                code, _ = self._read_packet(self._reader)
+                if code == SERVER_PONG:
+                    return True
+        except Exception as exc:
+            self._reset_on_transport_error(exc)
+            raise
 
     def command(self, sql: str) -> None:
         """Run a statement with no insert body (DDL, SET, ...)."""
-        self.connect()
-        self._write_query_packet(sql)
-        assert self._reader is not None
-        while True:
-            code, _ = self._read_packet(self._reader)
-            if code == SERVER_END_OF_STREAM:
-                return
+        try:
+            self.connect()
+            self._write_query_packet(sql)
+            assert self._reader is not None
+            while True:
+                code, _ = self._read_packet(self._reader)
+                if code == SERVER_END_OF_STREAM:
+                    return
+        except Exception as exc:
+            self._reset_on_transport_error(exc)
+            raise
 
     def insert(self, table: str, rows: Sequence[tuple],
                column_names: Sequence[str]) -> None:
         """Native insert: the server's sample block names the column
         types, so the wire layout is authoritative — no client-side type
         hints (same signature as the HTTP client)."""
+        try:
+            self._insert(table, rows, column_names)
+        except Exception as exc:
+            self._reset_on_transport_error(exc)
+            raise
+
+    def _insert(self, table: str, rows: Sequence[tuple],
+                column_names: Sequence[str]) -> None:
         self.connect()
         cols = ", ".join(f"`{c}`" for c in column_names)
         self._write_query_packet(

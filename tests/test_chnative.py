@@ -359,6 +359,46 @@ def test_cli_ddl_apply_native(native_server, tmp_path, capsys):
     assert "CREATE TABLE" in capsys.readouterr().out
 
 
+def test_transport_error_resets_connection(native_server):
+    """A dropped socket must not poison the sink's retry loop: the
+    failed attempt closes the client, the next insert reconnects and
+    succeeds on the same object (ClickHouseSink retries into the SAME
+    client_factory product)."""
+    c = NativeClickHouseClient("127.0.0.1", native_server.port)
+    c.insert("t", [("a", 1, 0.1,
+                    __import__("datetime").datetime(
+                        2026, 1, 1, tzinfo=__import__("datetime").timezone.utc),
+                    None, None)],
+             ["msg", "n", "score", "ts", "tag", "opt"])
+    c._sock.close()  # simulate the connection dying under us
+    with pytest.raises(Exception):
+        c.insert("t", [("b", 2, 0.2, None, None, None)],
+                 ["msg", "n", "score", "ts", "tag", "opt"])
+    assert c._sock is None  # transport error reset the client
+    c.insert("t", [("c", 3, 0.3, None, None, None)],
+             ["msg", "n", "score", "ts", "tag", "opt"])  # retry works
+    c.close()
+    flat = [v for b in native_server.inserts for v in b[0][2]]
+    assert flat == ["a", "c"]
+
+
+def test_server_exception_keeps_connection():
+    """Server-side EXCEPTIONS are protocol-synchronized — the client
+    must keep the connection and work on the next call."""
+    srv = FakeNativeServer(fail_query_with=(60, "UNKNOWN_TABLE", "nope"))
+    try:
+        c = NativeClickHouseClient("127.0.0.1", srv.port)
+        with pytest.raises(ClickHouseNativeError):
+            c.command("SELECT 1")
+        assert c._sock is not None  # still connected
+        srv.fail_query_with = None
+        c.command("SELECT 2")  # same connection, next query fine
+        assert srv.commands == ["SELECT 2"]
+        c.close()
+    finally:
+        srv.close()
+
+
 def test_spark_foreach_partition_e2e(spark, native_server):
     """The production shape: executor Python workers open native-TCP
     connections to 127.0.0.1 and stream typed blocks through
