@@ -354,8 +354,12 @@ class GrpcStreamClient:
     sends block until the peer grants window."""
 
     def __init__(self, host: str, port: int,
-                 authority: Optional[str] = None) -> None:
-        self._sock = socket.create_connection((host, port))
+                 authority: Optional[str] = None,
+                 timeout: float = 30.0) -> None:
+        # the timeout bounds EVERY blocking read, including flow-control
+        # waits in send() — a peer that never grants window surfaces as
+        # socket.timeout instead of a silent hang
+        self._sock = socket.create_connection((host, port), timeout=timeout)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._reader = FrameReader(self._sock)
         self._sock.sendall(CONNECTION_PREFACE)
