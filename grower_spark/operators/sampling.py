@@ -777,9 +777,17 @@ def mixture_assign_copies(
     pinned in pytest)."""
     plan = mixture_plan(df, group_col, target_rows, key_col, salt,
                         alpha_halves)
-    sched = plan.select(group_col, "full_epochs", "partial_permille")
+    # cache the fitted schedule BEFORE the dispatch probe: on the join
+    # path sched is evaluated twice (probe collect + the join onto df),
+    # and without the cache the second evaluation repeats the
+    # corpus-wide histogram aggregation inside mixture_plan.  The
+    # schedule is model-sized (one row per group), so the cache is tiny.
+    sched = plan.select(group_col, "full_epochs",
+                        "partial_permille").cache()
     probe = sched.limit(max_plan_groups + 1).collect()
     if len(probe) <= max_plan_groups:
+        # when-chain path: the probe rows were the only use — release
+        sched.unpersist(blocking=False)
         n_copies = mixture_copy_counts(
             probe, group_col, key_col, salt, max_plan_groups=max_plan_groups
         )

@@ -148,6 +148,11 @@ class Reader:
                 raise ProtocolError("connection closed mid-frame")
             self._buf += chunk
 
+    def pending(self) -> bool:
+        """True if already-buffered bytes remain (a packet may be waiting
+        even when the socket itself polls not-readable)."""
+        return len(self._buf) - self._pos > 0
+
     def read(self, n: int) -> bytes:
         self._fill(n)
         out = bytes(self._buf[self._pos:self._pos + n])
@@ -205,7 +210,17 @@ def _encode_value(t: str, v) -> bytes:
     if n is not None:
         b = (v or "").encode("utf-8") if not isinstance(v, bytes) else v
         if len(b) > n:
-            b = b[:n]  # FixedString(N) stores exactly N bytes
+            # A real server rejects oversize FixedString inserts ("Too
+            # large value for FixedString(N)") and the HTTP path would
+            # surface that error — silently truncating here would store
+            # corrupted data instead.  NB the caster's FixedString plan
+            # truncates to N CHARACTERS; multi-byte UTF-8 can still
+            # exceed N BYTES, which is exactly the case that must fail
+            # loudly rather than ship a mangled code point.
+            raise ProtocolError(
+                f"value of {len(b)} bytes too large for {t} "
+                f"(ClickHouse would reject this insert): {b[:32]!r}..."
+            )
         return b.ljust(n, b"\x00")
     fmt = _FIXED_FMT.get(t)
     if fmt is None:
@@ -586,6 +601,17 @@ class NativeClickHouseClient:
                 f"has {sorted(types)}"
             )
         for lo in range(0, len(rows), self.insert_chunk_rows):
+            # A server that raises mid-insert (quota, oversize value,
+            # read-only table) sends an Exception packet and stops
+            # reading; blindly sendall-ing every remaining chunk would
+            # then block until the socket timeout instead of surfacing
+            # the error.  A zero-timeout poll between chunks drains any
+            # pending packet first — _read_packet raises on Exception.
+            import select as _select
+
+            while (self._reader.pending()
+                   or _select.select([self._sock], [], [], 0)[0]):
+                self._read_packet(self._reader)
             chunk = rows[lo:lo + self.insert_chunk_rows]
             block = [
                 (c, types[c], [row[i] for row in chunk])

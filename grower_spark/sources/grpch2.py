@@ -251,6 +251,11 @@ class GrpcSpoolServer:
                         continue
                     self._open_stream(conn, decoder, streams, sid, block,
                                       flags)
+                    if flags & FLAG_END_STREAM:
+                        # a zero-message call (HEADERS carrying
+                        # END_STREAM) is legal gRPC — finish immediately
+                        # or the peer waits forever for its response
+                        self._finish_stream(conn, encoder, streams, sid)
                     continue
                 if ftype == 0x9:  # CONTINUATION
                     if header_frag is None or header_frag[0] != sid:
@@ -261,6 +266,8 @@ class GrpcSpoolServer:
                         header_frag = None
                         self._open_stream(conn, decoder, streams, sid0,
                                           bytes(block), hflags)
+                        if hflags & FLAG_END_STREAM:
+                            self._finish_stream(conn, encoder, streams, sid0)
                     continue
                 if ftype == FRAME_DATA:
                     st = streams.get(sid)

@@ -60,10 +60,17 @@ class FakeNativeServer:
 
     def __init__(self, revision: int = 54462,
                  table_types: dict | None = None,
-                 fail_query_with: tuple | None = None) -> None:
+                 fail_query_with: tuple | None = None,
+                 fail_insert_midstream: tuple | None = None) -> None:
         self.revision = revision
         self.table_types = dict(table_types or {})
         self.fail_query_with = fail_query_with
+        # when set: after sending the insert's sample block, immediately
+        # send this exception and STOP parsing the insert stream (drain
+        # and count raw bytes until EOF) — the shape of a server that
+        # raises mid-insert (quota, oversize value) and stops reading
+        self.fail_insert_midstream = fail_insert_midstream
+        self.drained_bytes = 0
         self.commands: list[str] = []
         self.inserts: list[list] = []  # one entry per non-empty block
         self.hello: dict = {}
@@ -200,6 +207,14 @@ class FakeNativeServer:
                     names = [c.strip().strip("`") for c in cols.split(",")]
                     sample = [(n, self.table_types[n], []) for n in names]
                     self._send_data(conn, sample)
+                    if self.fail_insert_midstream is not None:
+                        self._send_exception(conn,
+                                             *self.fail_insert_midstream)
+                        while True:  # stop PARSING; drain so no RST race
+                            chunk = conn.recv(65536)
+                            if not chunk:
+                                return
+                            self.drained_bytes += len(chunk)
                     while True:
                         code = r.varint()
                         assert code == CLIENT_DATA, code
@@ -418,3 +433,44 @@ def test_spark_foreach_partition_e2e(spark, native_server):
     flat = sorted(t for b in native_server.inserts
                   for t in zip(*[vals for _, _, vals in b]))
     assert flat == sorted((f"m{i}", i, i / 2.0) for i in range(20))
+
+
+def test_fixed_string_oversize_raises():
+    """r12 advice item 1: a real server rejects oversize FixedString
+    inserts; silently truncating would store corrupted data.  The byte
+    (not character) length is what counts — the caster truncates to N
+    CHARACTERS, so multi-byte UTF-8 is exactly the sneaky case."""
+    from grower_spark.sinks.chnative import _encode_value
+
+    assert _encode_value("FixedString(3)", "ab") == b"ab\x00"
+    assert _encode_value("FixedString(3)", b"abc") == b"abc"
+    with pytest.raises(ProtocolError, match="too large"):
+        _encode_value("FixedString(3)", "abcd")
+    with pytest.raises(ProtocolError, match="too large"):
+        _encode_value("FixedString(3)", "ééé")  # 3 chars, 6 UTF-8 bytes
+
+
+def test_midinsert_exception_surfaces_and_stops_sending():
+    """r12 advice item 3: a server that raises mid-insert and stops
+    reading must surface its Exception packet between chunk sends — not
+    leave the client pumping blocks into a dead stream until the socket
+    timeout.  The zero-timeout poll means the client stops EARLY: the
+    server drains well under half of the ~1.6 MB payload."""
+    srv = FakeNativeServer(
+        table_types={"msg": "String"},
+        fail_insert_midstream=(241, "MEMORY_LIMIT_EXCEEDED",
+                               "Memory limit (for query) exceeded"),
+    )
+    try:
+        rows = [("x" * 8192,) for _ in range(200)]
+        c = NativeClickHouseClient("127.0.0.1", srv.port,
+                                   insert_chunk_rows=20)
+        with pytest.raises(ClickHouseNativeError) as ei:
+            c.insert("t", rows, ["msg"])
+        assert ei.value.code == 241
+        c.close()
+        # the exception rides right behind the sample block, so the
+        # pre-chunk poll fires within the first chunk or two
+        assert srv.drained_bytes < 800_000, srv.drained_bytes
+    finally:
+        srv.close()

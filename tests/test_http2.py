@@ -16,7 +16,11 @@ import time
 import pytest
 
 from grower_spark.sources.http2 import (
+    CONNECTION_PREFACE,
+    FLAG_ACK,
     FLAG_END_HEADERS,
+    FLAG_END_STREAM,
+    FRAME_SETTINGS,
     FRAME_HEADERS,
     FrameReader,
     HpackDecoder,
@@ -375,3 +379,41 @@ def test_grpc_spool_readable_by_filebuf_datasource(spark, tmp_path):
     df = spark.read.format("filebuf").load(spool)
     rows = sorted(r["value"] for r in df.collect())
     assert rows == sorted(f"10.0.0.{i} GET /page{i}" for i in range(40))
+
+
+def test_grpc_zero_message_call_gets_response(tmp_path):
+    """r12 advice item 2: HEADERS carrying END_STREAM is a legal
+    zero-message gRPC call — the server must answer (headers + empty
+    Response + grpc-status trailers) instead of leaving the stream open
+    until the peer times out."""
+    import socket as _socket
+
+    from grower_spark.sources.grpch2 import GRPC_PATH
+
+    spool = str(tmp_path / "spool")
+    with GrpcSpoolServer(spool, flush_interval=0.05) as srv:
+        sock = _socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        sock.sendall(CONNECTION_PREFACE)
+        sock.sendall(pack_settings({}))
+        reader = FrameReader(sock)
+        ftype, flags, _, _ = reader.read_frame()
+        assert ftype == FRAME_SETTINGS and not flags & FLAG_ACK
+        sock.sendall(pack_frame(FRAME_SETTINGS, FLAG_ACK, 0, b""))
+        block = HpackEncoder().encode([
+            (":method", "POST"), (":scheme", "http"),
+            (":path", GRPC_PATH), ("content-type", "application/grpc"),
+        ])
+        sock.sendall(pack_frame(
+            FRAME_HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM, 1, block
+        ))
+        dec = HpackDecoder()
+        status = None
+        while status is None:  # socket timeout = the pre-fix hang
+            ftype, flags, sid, payload = reader.read_frame()
+            if ftype == FRAME_HEADERS:
+                for n, v in dec.decode(payload):
+                    if n == "grpc-status":
+                        status = int(v)
+        assert status == 0
+        sock.close()
+        assert srv.n_streams == 1 and srv.n_received == 0
