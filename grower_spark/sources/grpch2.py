@@ -22,10 +22,11 @@ subset) in gRPC's cleartext "prior knowledge" h2c mode:
   control (blocks on the peer's WINDOW_UPDATE grants), half-closes, and
   returns the trailer's ``grpc-status``.
 
-Interop caveat (inherited from the HPACK subset, stated there too):
-in-repo peers never Huffman-code header literals, so this pair
-interoperates fully; third-party gRPC stacks usually Huffman-code and
-would need the full Appendix B table on the decode side.
+Interop note (r13): the HPACK layer now decodes Huffman-coded header
+literals (full RFC 7541 Appendix B table, validated against the spec's
+Appendix C Huffman vectors), so headers from third-party gRPC stacks —
+which usually Huffman-code — parse.  This repo's own encoder still
+sends raw literals (H bit optional for senders, RFC 7541 §5.2).
 """
 
 from __future__ import annotations

@@ -117,11 +117,94 @@ def test_rfc7541_c3_request_sequence():
     assert d.table.size == 164
 
 
-def test_huffman_flag_raises_loudly():
-    # a literal whose value string sets the H bit
-    block = bytes([0x04, 0x81, 0x63])
-    with pytest.raises(HpackError, match="Huffman"):
-        HpackDecoder().decode(block)
+# --------------------------------------------------------------------------
+# RFC 7541 Appendix B Huffman code (r12 verdict item 4)
+# --------------------------------------------------------------------------
+
+# the spec's own Huffman-coded string literals from Appendix C.4 / C.6 —
+# real RFC bytes, covering a-z, A-Z (cookie + date vectors), 0-9 and
+# the common punctuation.  Transcription errors in the 257-symbol table
+# are exactly what these pin.
+_HUFFMAN_VECTORS = [
+    ("www.example.com", "f1e3c2e5f23a6ba0ab90f4ff"),          # C.4.1
+    ("no-cache", "a8eb10649cbf"),                              # C.4.2
+    ("custom-key", "25a849e95ba97d7f"),                        # C.4.3
+    ("custom-value", "25a849e95bb8e8b4bf"),                    # C.4.3
+    ("302", "6402"),                                           # C.6.1
+    ("private", "aec3771a4b"),                                 # C.6.1
+    ("Mon, 21 Oct 2013 20:13:21 GMT",
+     "d07abe941054d444a8200595040b8166e082a62d1bff"),          # C.6.1
+    ("https://www.example.com",
+     "9d29ad171863c78f0b97c8e9ae82ae43d3"),                    # C.6.1
+    ("307", "640eff"),                                         # C.6.2
+    ("Mon, 21 Oct 2013 20:13:22 GMT",
+     "d07abe941054d444a8200595040b8166e084a62d1bff"),          # C.6.3
+    ("gzip", "9bd9ab"),                                        # C.6.3
+    ("foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1",
+     "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270f"
+     "b5291f9587316065c003ed4ee5b1063d5007"),                  # C.6.3
+]
+
+
+def test_huffman_appendix_c_vectors_both_directions():
+    from grower_spark.sources.http2 import huffman_decode, huffman_encode
+
+    for text, hexcode in _HUFFMAN_VECTORS:
+        assert huffman_decode(bytes.fromhex(hexcode)) == text.encode()
+        assert huffman_encode(text.encode()).hex() == hexcode
+
+
+def test_huffman_table_structure():
+    """The table must be a COMPLETE canonical prefix code: Kraft sum
+    exactly 1, and codes sorted by length are consecutive (each code is
+    previous+1 left-justified).  Together with the Appendix C vectors
+    this pins the table to the RFC's: the structure admits exactly one
+    code per length assignment, and the vectors pin the symbol order."""
+    from fractions import Fraction
+
+    from grower_spark.sources.http2 import HUFFMAN_CODES
+
+    assert len(HUFFMAN_CODES) == 257
+    assert sum(Fraction(1, 2 ** bits) for _, bits in HUFFMAN_CODES) == 1
+    ordered = sorted(
+        (bits, code) for code, bits in HUFFMAN_CODES
+    )
+    prev_bits, prev_code = ordered[0]
+    assert prev_code == 0 and prev_bits == 5
+    for bits, code in ordered[1:]:
+        assert code == (prev_code + 1) << (bits - prev_bits), (bits, code)
+        prev_bits, prev_code = bits, code
+
+
+def test_huffman_roundtrip_all_bytes_and_padding_rules():
+    from grower_spark.sources.http2 import huffman_decode, huffman_encode
+
+    allb = bytes(range(256))
+    assert huffman_decode(huffman_encode(allb)) == allb
+    assert huffman_decode(b"") == b""
+    # RFC 7541 §5.2 error cases: padding > 7 bits; padding not EOS bits
+    with pytest.raises(HpackError, match="padding"):
+        huffman_decode(b"\xff\xff")  # 16 bits of EOS prefix = >7 pad
+    with pytest.raises(HpackError, match="padding"):
+        # '0' is code 0b00000 (5 bits); 3 zero pad bits are not EOS
+        huffman_decode(bytes([0b00000000]))
+
+
+def test_huffman_literal_decodes_in_header_block():
+    """The H=1 path through the real decoder: a header block whose name
+    and value are Huffman-coded (as third-party gRPC stacks send) —
+    this raised HpackError before r13."""
+    from grower_spark.sources.http2 import huffman_encode
+
+    def lit(b: bytes) -> bytes:
+        return hpack_encode_int(len(b), 7, 0x80) + b
+
+    name = huffman_encode(b"content-type")
+    value = huffman_encode(b"application/grpc")
+    block = bytes([0x00]) + lit(name) + lit(value)
+    assert HpackDecoder().decode(block) == [
+        ("content-type", "application/grpc")
+    ]
 
 
 def test_static_table_shape():
