@@ -9,6 +9,16 @@ the final plan, where codegen shows as `*(n)` prefixes.  This also means
 the reported shuffle/broadcast counts are AQE's *actual* runtime decisions,
 not the static guess.
 
+Barrier blind spot (r12 verdict item 5): queries that ``localCheckpoint``
+internally truncate their visible lineage, so the top-level plan of e.g.
+``dedup_edit_distance`` reads as a bare scan — 0 shuffles for the most
+expensive rows.  The audit therefore installs a probe on
+``DataFrame.localCheckpoint`` that reads each pre-barrier segment's plan
+at checkpoint time and accumulates its counters; rows report them as a
+``(pre-barrier ...)`` annotation.  Eager checkpoints are read after they
+execute (AQE-final numbers); lazy ones are read at declaration time
+(static Exchange counts — AQE may still coalesce at runtime).
+
 Usage: python tools/explain_all.py [sf_dir] [query ...]
 """
 
@@ -20,19 +30,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_COUNTER_KEYS = ("shuffles", "broadcasts", "joins", "codegen_stages",
+                 "regex_execs", "sorts")
 
-def plan_stats(df, execute: bool = True) -> dict:
-    """Summary counters for a DataFrame's physical plan.
+# accumulates counters from plan segments hidden behind localCheckpoint
+# barriers; reset per audited query by main()
+BARRIER_STATS: dict = {k: 0 for k in _COUNTER_KEYS}
+BARRIER_STATS["segments"] = 0
 
-    With ``execute=True`` (default) the query is run first so AQE's final
-    plan is inspected; codegen stage ids appear as ``*(n)`` there.  The
-    pre-execution string has zero codegen markers under AQE — counting it
-    would silently report 0 for every query (round-1 verdict bug).
-    """
-    qe = df._jdf.queryExecution()
-    if execute:
-        df.collect()
-    plan = qe.executedPlan().toString()
+
+def _stats_from_plan(plan: str) -> dict:
     # An executed AdaptiveSparkPlan prints "== Final Plan ==" AND
     # "== Initial Plan ==" sections; counting the whole string would
     # double-count every node.  Keep only the final section.
@@ -60,6 +67,63 @@ def plan_stats(df, execute: bool = True) -> dict:
     }
 
 
+def plan_stats(df, execute: bool = True) -> dict:
+    """Summary counters for a DataFrame's physical plan.
+
+    With ``execute=True`` (default) the query is run first so AQE's final
+    plan is inspected; codegen stage ids appear as ``*(n)`` there.  The
+    pre-execution string has zero codegen markers under AQE — counting it
+    would silently report 0 for every query (round-1 verdict bug).
+    """
+    qe = df._jdf.queryExecution()
+    if execute:
+        df.collect()
+    return _stats_from_plan(qe.executedPlan().toString())
+
+
+def install_barrier_probe() -> None:
+    """Patch ``DataFrame.localCheckpoint`` to accumulate each barrier
+    segment's plan counters into ``BARRIER_STATS`` before truncation
+    hides them.  Audit-process only — never imported by library code."""
+    # pyspark 4.x: the runtime class is pyspark.sql.classic.dataframe.
+    # DataFrame — patching the abstract pyspark.sql.DataFrame would
+    # never fire because classic overrides the method
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark: one concrete class
+        from pyspark.sql import DataFrame
+
+    if getattr(DataFrame.localCheckpoint, "_is_barrier_probe", False):
+        return
+    orig = DataFrame.localCheckpoint
+
+    def probed(self, eager: bool = True, *args, **kwargs):
+        res = orig(self, eager, *args, **kwargs)
+        try:
+            # for eager=True the checkpoint just executed, so this is the
+            # AQE-final plan; for eager=False it is the static plan (the
+            # segment runs later, after the audit's collect)
+            seg = _stats_from_plan(
+                self._jdf.queryExecution().executedPlan().toString()
+            )
+            for k in _COUNTER_KEYS:
+                BARRIER_STATS[k] += seg[k]
+            BARRIER_STATS["segments"] += 1
+        except Exception:  # noqa: BLE001 — the probe must never break a run
+            pass
+        return res
+
+    probed._is_barrier_probe = True  # type: ignore[attr-defined]
+    DataFrame.localCheckpoint = probed
+
+
+def reset_barrier_stats() -> dict:
+    prev = dict(BARRIER_STATS)
+    for k in BARRIER_STATS:
+        BARRIER_STATS[k] = 0
+    return prev
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -69,27 +133,43 @@ def main() -> None:
 
     spark = get_spark("explain-all", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
+    install_barrier_probe()
 
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        reset_barrier_stats()
         try:
+            # barriers fire both at query-construction time (eager
+            # checkpoints inside fn) and during plan_stats' collect
+            # (lazy ones) — both accumulate into BARRIER_STATS
             stats = plan_stats(fn(spark, sf_dir))
         except Exception as exc:
             print(f"{name:24s} ERROR {exc}")
             continue
+        bar = dict(BARRIER_STATS)
         smells = []
-        if stats["regex_execs"] > 1:
-            smells.append(f"regex x{stats['regex_execs']}")
-        if stats["codegen_stages"] == 0:
+        if stats["regex_execs"] + bar["regex_execs"] > 1:
+            smells.append(f"regex x{stats['regex_execs'] + bar['regex_execs']}")
+        if stats["codegen_stages"] == 0 and bar["codegen_stages"] == 0:
             smells.append("no codegen (interpreted?)")
         if not stats["is_final"]:
             smells.append("plan not final")
+        barrier_note = ""
+        if bar["segments"]:
+            barrier_note = (
+                f"  (pre-barrier: {bar['segments']} segments"
+                f" shuffles={bar['shuffles']}"
+                f" broadcasts={bar['broadcasts']}"
+                f" joins={bar['joins']}"
+                f" codegen={bar['codegen_stages']})"
+            )
         print(
             f"{name:24s} shuffles={stats['shuffles']:2d}"
             f" broadcasts={stats['broadcasts']}"
             f" codegen_stages={stats['codegen_stages']:2d}"
             f" sorts={stats['sorts']}"
+            + barrier_note
             + ("  ⚠ " + ", ".join(smells) if smells else "")
         )
     spark.stop()
