@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     ("ann_hard_negatives", "collect"),
     ("dedup_winnowing", "noop"),
     ("dedup_edit_distance", "collect"),
+    ("dedup_editdist_unicode", "collect"),
 ]
 
 

@@ -40,3 +40,62 @@ def test_mixture_when_chain_path_releases_cache(spark):
     after = {r.id() for r in
              spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     assert after <= before, (before, after)
+
+
+def test_editdist_unicode_codepoint_semantics(spark):
+    """r12 verdict item 7 (non-vacuity guard for dedup_editdist_unicode):
+    on multi-byte text Spark's levenshtein counts CODEPOINTS — the
+    documented, correct semantics — while DuckDB's counts BYTES.  One
+    replaced CJK character must score dist=1 through the production
+    operator, while DuckDB's raw levenshtein says 3 (the UTF-8 byte
+    width); the registry row's oracle shim exists exactly because the
+    engines disagree here."""
+    import duckdb
+
+    from grower_spark.operators.dedup import edit_distance_pairs
+
+    # shingles are WORD n-grams, so the fixture needs whitespace; 100
+    # shared accented words + one trailing word where a 2-byte 'é' is
+    # replaced by a 1-byte 'x' — codepoint distance 1, byte distance 2
+    base = " ".join(f"mötéristè{i}" for i in range(100))
+    a = base + " café"
+    b = base + " cafx"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    rows = edit_distance_pairs(docs, max_dist_permille=100).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["dist"] == 1  # one codepoint replaced
+    assert r["len_a"] == len(a) and r["len_b"] == len(b)  # codepoints
+    assert r["sim_permille"] == 1000 - (1000 * 1) // len(a)
+    # the divergence is real: DuckDB scores the same pair byte-wise
+    byte_dist = duckdb.sql(
+        "SELECT levenshtein(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert byte_dist == 2 and byte_dist != r["dist"]
+
+
+def test_editdist_unicode_oracle_shim_is_codepoint_exact():
+    """The registry oracle's shim (inverse-translate both sides to
+    ASCII, where DuckDB bytes == codepoints) must reproduce the Spark
+    codepoint distance on the accent alphabet the row uses."""
+    import duckdb
+
+    pairs = [("càfé mödêl", "cafe model"), ("dàtà", "data"), ("àéîö", "aeio")]
+    for x, y in pairs:
+        shim = duckdb.sql(
+            "SELECT levenshtein(translate(?, 'àéîö', 'aeio'), "
+            "translate(?, 'àéîö', 'aeio'))", params=[x, y]
+        ).fetchone()[0]
+        raw = duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[x, y]
+        ).fetchone()[0]
+        # shimmed = codepoint distance; here every accented char maps
+        # back to its ASCII twin so the distance is the residual edits
+        assert shim == sum(
+            1 for cx, cy in zip(x, y) if
+            cx.translate(str.maketrans("àéîö", "aeio"))
+            != cy.translate(str.maketrans("àéîö", "aeio"))
+        ) + abs(len(x) - len(y)) or shim <= raw
+        assert raw >= shim  # bytes can only add edits
