@@ -588,11 +588,20 @@ def main(argv: list[str] | None = None) -> int:
                 from grower_spark.sinks.chnative import NativeClickHouseClient
 
                 hostport = args.apply_url[len("native://"):]
+                # native://host:9000?compress=lz4 enables checksummed
+                # LZ4 frames (sinks/chnative.py compression layer)
+                hostport, _, qs = hostport.partition("?")
+                compression: "str | bool" = False
+                for kv in qs.split("&"):
+                    k, _, v = kv.partition("=")
+                    if k == "compress" and v:
+                        compression = v
                 host, _, port = hostport.partition(":")
                 client = NativeClickHouseClient(
                     host, int(port or 9000), database=args.database,
                     user=args.user or "default",
                     password=args.password or "",
+                    compression=compression,
                 )
             else:
                 from grower_spark.sinks.clickhouse import HttpClickHouseClient

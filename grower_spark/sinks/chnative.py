@@ -36,11 +36,20 @@ client needs no type hints — same `insert(table, rows, column_names)`
 signature as the HTTP client, so `ClickHouseSink` takes either via
 `client_factory`.
 
-Divergence, documented: native-protocol compression frames carry
-CityHash128 checksums; there is no cityhash implementation in this env,
-so this client always negotiates compression=disabled.  Compressed wire
-bodies remain available on the HTTP path (`compress="lz4"`, pyarrow
-frame codec, SCALE.md r11).
+Compression (r12 verdict item 8): `compression="lz4"` negotiates
+compression on the Query packet and moves every Data-block body (both
+directions) into checksummed compressed frames — [CityHash128 v1.0.2 of
+header+body (16B, two LE u64 low-first)][method u8][compressed_size u32
+LE, includes the 9 header bytes][data_size u32 LE][body].  Method 0x82 =
+LZ4 block format (pyarrow's `lz4_raw` codec — the parquet block codec,
+no `lz4` package in this env), 0x02 = NONE (checksummed, uncompressed).
+The checksum function lives in `cityhash102.py`; its epistemic caveat
+(no official vectors or live server in this env — validated by
+structure-sensitive property tests + round-trip/corruption tests) is
+documented there.  Packet headers, Query packets and non-Data packets
+stay uncompressed, matching the protocol.  Default remains
+compression=off; compressed HTTP bodies stay available on the HTTP path
+(`compress="lz4"`, pyarrow frame codec, SCALE.md r11).
 """
 
 from __future__ import annotations
@@ -87,8 +96,18 @@ CLIENT_REVISION = REV_SETTINGS_AS_STRINGS  # 54429, see module docstring
 
 QUERY_STAGE_COMPLETE = 2
 COMPRESSION_DISABLED = 0
+COMPRESSION_ENABLED = 1
 QUERY_KIND_INITIAL = 1
 INTERFACE_TCP = 1
+
+# compression-frame method bytes (CompressionMethodByte in the server)
+METHOD_NONE = 0x02
+METHOD_LZ4 = 0x82
+
+# uncompressed bytes per frame; ClickHouse's CompressedWriteBuffer
+# defaults to a 1 MiB working buffer, so blocks larger than this arrive
+# as multiple frames — the reader below handles both directions
+MAX_FRAME_DATA = 1 << 20
 
 
 class ClickHouseNativeError(RuntimeError):
@@ -180,6 +199,101 @@ class Reader:
 
     def fixed(self, fmt: str) -> tuple:
         return struct.unpack(fmt, self.read(struct.calcsize(fmt)))
+
+
+# --------------------------------------------------------------------------
+# compressed frames (native-protocol compression layer)
+# --------------------------------------------------------------------------
+
+
+def _lz4_raw():
+    # LZ4 *block* format (what native frames carry) via pyarrow's parquet
+    # codec; the HTTP path's `Codec("lz4")` is the *frame* format and is
+    # NOT wire-compatible here
+    import pyarrow
+
+    return pyarrow.Codec("lz4_raw")
+
+
+def compress_frame(data: bytes, method: int = METHOD_LZ4) -> bytes:
+    """One checksummed native-protocol frame: CityHash128-v1.0.2(header+
+    body) as two LE u64 (low first), then method/compressed_size/
+    data_size header, then the body.  compressed_size counts the 9
+    header bytes, matching the server's accounting."""
+    from .cityhash102 import cityhash128
+
+    if method == METHOD_LZ4:
+        body = _lz4_raw().compress(data, asbytes=True)
+    elif method == METHOD_NONE:
+        body = data
+    else:
+        raise ProtocolError(f"unsupported compression method {method:#x}")
+    header = struct.pack("<BII", method, len(body) + 9, len(data))
+    lo, hi = cityhash128(header + body)
+    return struct.pack("<QQ", lo, hi) + header + body
+
+
+def compress_stream(data: bytes, method: int = METHOD_LZ4) -> bytes:
+    """Frame a block body, splitting at MAX_FRAME_DATA like the server's
+    CompressedWriteBuffer does at its working-buffer size."""
+    if not data:
+        return compress_frame(b"", method)
+    return b"".join(
+        compress_frame(data[lo:lo + MAX_FRAME_DATA], method)
+        for lo in range(0, len(data), MAX_FRAME_DATA)
+    )
+
+
+def read_frame(r: Reader) -> bytes:
+    """Read + verify one frame; raises ProtocolError on checksum
+    mismatch (a mistranscribed hash or corrupt wire refuses the stream
+    rather than silently passing bad bytes)."""
+    from .cityhash102 import cityhash128
+
+    want = r.read(16)
+    header = r.read(9)
+    method, comp_size, data_size = struct.unpack("<BII", header)
+    if comp_size < 9:
+        raise ProtocolError(f"frame compressed_size {comp_size} < 9")
+    body = r.read(comp_size - 9)
+    lo, hi = cityhash128(header + body)
+    if struct.pack("<QQ", lo, hi) != want:
+        raise ProtocolError(
+            "compressed-frame checksum mismatch "
+            f"(method {method:#x}, {comp_size} bytes)"
+        )
+    if method == METHOD_LZ4:
+        out = _lz4_raw().decompress(body, data_size, asbytes=True)
+    elif method == METHOD_NONE:
+        out = body
+    else:
+        raise ProtocolError(f"unsupported compression method {method:#x}")
+    if len(out) != data_size:
+        raise ProtocolError(
+            f"frame decompressed to {len(out)} bytes, header says "
+            f"{data_size}"
+        )
+    return out
+
+
+class CompressedBlockReader(Reader):
+    """Reader over the decompressed byte-stream of consecutive frames.
+
+    Packet headers between blocks travel uncompressed, so each block is
+    read through a fresh instance and must END at a frame boundary —
+    `leftover()` lets the caller assert that (a non-zero leftover means
+    the stream desynced, which must fail loudly, not be carried over)."""
+
+    def __init__(self, base: Reader) -> None:
+        super().__init__(None, b"")
+        self._base = base
+
+    def _fill(self, n: int) -> None:
+        while len(self._buf) - self._pos < n:
+            self._buf += read_frame(self._base)
+
+    def leftover(self) -> int:
+        return len(self._buf) - self._pos
 
 
 # --------------------------------------------------------------------------
@@ -361,7 +475,23 @@ class NativeClickHouseClient:
         password: str = "",
         timeout: float = 30.0,
         insert_chunk_rows: int = 65536,
+        compression: "str | bool" = False,
     ) -> None:
+        if compression in (False, None, ""):
+            self._method: Optional[int] = None
+        elif compression == "lz4":
+            _lz4_raw()  # fail at construction, not first insert
+            self._method = METHOD_LZ4
+        elif compression == "none":
+            # checksummed frames without compression — the protocol's
+            # method 0x02, useful to isolate checksum behavior
+            self._method = METHOD_NONE
+        else:
+            raise ValueError(
+                f"compression must be False, 'lz4' or 'none', "
+                f"got {compression!r}"
+            )
+        self.compression = compression
         self.host = host
         self.port = port
         self.database = database
@@ -480,7 +610,10 @@ class NativeClickHouseClient:
                 out += write_varint(0)       # version patch
         out += write_string("")  # settings terminator (none sent)
         out += write_varint(QUERY_STAGE_COMPLETE)
-        out += write_varint(COMPRESSION_DISABLED)
+        out += write_varint(
+            COMPRESSION_ENABLED if self._method is not None
+            else COMPRESSION_DISABLED
+        )
         out += write_string(query)
         self._send(bytes(out))
         # terminate external tables with an empty Data block
@@ -493,7 +626,13 @@ class NativeClickHouseClient:
         out += write_varint(CLIENT_DATA)
         if self.revision >= REV_TEMPORARY_TABLES:
             out += write_string("")  # temporary table name
-        out += encode_block(columns, self.revision)
+        body = encode_block(columns, self.revision)
+        if self._method is not None:
+            # packet id + temp-table name stay plain; the block body is
+            # what the compressed layer carries
+            out += compress_stream(body, self._method)
+        else:
+            out += body
         self._send(bytes(out))
 
     def _read_packet(self, r: Reader) -> tuple[int, object]:
@@ -504,6 +643,19 @@ class NativeClickHouseClient:
                     SERVER_LOG, SERVER_PROFILE_EVENTS):
             if self.revision >= REV_TEMPORARY_TABLES:
                 r.string()  # temporary table name
+            # Log/ProfileEvents blocks ride UNCOMPRESSED even on
+            # compressed connections (the server writes them through its
+            # plain out buffer); only real data-bearing blocks compress
+            if (self._method is not None
+                    and code not in (SERVER_LOG, SERVER_PROFILE_EVENTS)):
+                cr = CompressedBlockReader(r)
+                block = decode_block(cr, self.revision)
+                if cr.leftover():
+                    raise ProtocolError(
+                        f"{cr.leftover()} decompressed bytes left over "
+                        "after block — frame/packet desync"
+                    )
+                return code, block
             return code, decode_block(r, self.revision)
         if code == SERVER_PROGRESS:
             r.varint()  # new rows

@@ -20,6 +20,12 @@ from grower_spark.sinks.chnative import (
     CLIENT_HELLO,
     CLIENT_PING,
     CLIENT_QUERY,
+    METHOD_LZ4,
+    METHOD_NONE,
+    CompressedBlockReader,
+    compress_frame,
+    compress_stream,
+    read_frame,
     REV_BLOCK_INFO,
     REV_CLIENT_INFO,
     REV_CLIENT_WRITE_INFO,
@@ -132,11 +138,12 @@ class FakeNativeServer:
             + b"\x00"
         )
 
-    def _send_data(self, conn, columns) -> None:
+    def _send_data(self, conn, columns, method=None) -> None:
         out = write_varint(SERVER_DATA)
         if self._negotiated() >= REV_TEMPORARY_TABLES:
             out += write_string("")
-        out += encode_block(columns, self._negotiated())
+        body = encode_block(columns, self._negotiated())
+        out += compress_stream(body, method) if method is not None else body
         conn.sendall(out)
 
     def _send_progress(self, conn) -> None:
@@ -148,9 +155,14 @@ class FakeNativeServer:
             out += write_varint(1) + write_varint(10)
         conn.sendall(out)
 
-    def _read_client_block(self, r: Reader) -> list:
+    def _read_client_block(self, r: Reader, compressed=False) -> list:
         if self._negotiated() >= REV_TEMPORARY_TABLES:
             r.string()
+        if compressed:
+            cr = CompressedBlockReader(r)
+            block = decode_block(cr, self._negotiated())
+            assert cr.leftover() == 0
+            return block
         return decode_block(r, self._negotiated())
 
     # -- protocol ---------------------------------------------------------
@@ -194,10 +206,11 @@ class FakeNativeServer:
                         r.varint()  # flags
                     r.string()      # value (strings serialization)
                 r.varint()  # stage
-                assert r.varint() == 0  # compression disabled
+                compressed = r.varint() == 1  # query-level compression
+                self.saw_compression = compressed
                 query = r.string()
                 assert r.varint() == CLIENT_DATA  # external-tables end
-                ext = self._read_client_block(r)
+                ext = self._read_client_block(r, compressed)
                 assert ext == [], ext
                 if self.fail_query_with is not None:
                     self._send_exception(conn, *self.fail_query_with)
@@ -206,7 +219,13 @@ class FakeNativeServer:
                     cols = query[query.index("(") + 1:query.index(")")]
                     names = [c.strip().strip("`") for c in cols.split(",")]
                     sample = [(n, self.table_types[n], []) for n in names]
-                    self._send_data(conn, sample)
+                    # the server mirrors the query's compression choice;
+                    # METHOD_LZ4 on the reply leg exercises the client's
+                    # read_frame/decompress path too
+                    self._send_data(
+                        conn, sample,
+                        method=METHOD_LZ4 if compressed else None,
+                    )
                     if self.fail_insert_midstream is not None:
                         self._send_exception(conn,
                                              *self.fail_insert_midstream)
@@ -218,7 +237,7 @@ class FakeNativeServer:
                     while True:
                         code = r.varint()
                         assert code == CLIENT_DATA, code
-                        block = self._read_client_block(r)
+                        block = self._read_client_block(r, compressed)
                         if not block or not block[0][2]:
                             break
                         self.inserts.append(block)
@@ -374,6 +393,24 @@ def test_cli_ddl_apply_native(native_server, tmp_path, capsys):
     assert "CREATE TABLE" in capsys.readouterr().out
 
 
+def test_cli_ddl_apply_native_compressed(native_server, tmp_path, capsys):
+    """`native://host:port?compress=lz4` negotiates compression and the
+    DDL round-trips through checksummed frames."""
+    import shutil
+
+    from grower_spark.cli import main
+
+    cfg = str(tmp_path / "cfg.yaml")
+    shutil.copy("tests/fixtures/sample_test.yaml", cfg)
+    rc = main(["ddl", "--config", cfg, "--apply-url",
+               f"native://127.0.0.1:{native_server.port}?compress=lz4"])
+    assert rc == 0
+    assert native_server.saw_compression is True
+    assert len(native_server.commands) == 1
+    assert native_server.commands[0].startswith("CREATE TABLE IF NOT EXISTS")
+    capsys.readouterr()
+
+
 def test_transport_error_resets_connection(native_server):
     """A dropped socket must not poison the sink's retry loop: the
     failed attempt closes the client, the next insert reconnects and
@@ -474,3 +511,111 @@ def test_midinsert_exception_surfaces_and_stops_sending():
         assert srv.drained_bytes < 800_000, srv.drained_bytes
     finally:
         srv.close()
+
+
+# -- native-frame compression (r12 verdict item 8) -------------------------
+
+
+def test_frame_layout_and_roundtrip():
+    """Golden frame layout: 16B CityHash128 (low64 LE || high64 LE) over
+    header+body, method byte, compressed_size INCLUDING the 9 header
+    bytes, data_size, body."""
+    from grower_spark.sinks.cityhash102 import cityhash128
+
+    data = b"hello native frames " * 40
+    frame = compress_frame(data, METHOD_NONE)
+    assert frame[16] == METHOD_NONE
+    comp_size, data_size = struct.unpack("<II", frame[17:25])
+    assert data_size == len(data)
+    assert comp_size == 9 + len(data)  # NONE: body == data
+    assert frame[25:] == data
+    lo, hi = cityhash128(frame[16:])
+    assert frame[:16] == struct.pack("<QQ", lo, hi)
+    assert read_frame(Reader(data=frame)) == data
+
+    lz = compress_frame(data, METHOD_LZ4)
+    assert lz[16] == METHOD_LZ4
+    assert len(lz) < len(frame)  # repetitive input actually compresses
+    assert read_frame(Reader(data=lz)) == data
+
+
+def test_frame_checksum_corruption_detected():
+    """Any flipped bit — in the checksum, the header, or the body —
+    must refuse the stream loudly (this is the property that makes a
+    hash mistranscription fail-safe rather than data-corrupting)."""
+    data = b"payload " * 100
+    frame = bytearray(compress_frame(data, METHOD_LZ4))
+    for pos in (0, 15, 16, 20, len(frame) - 1):
+        bad = bytearray(frame)
+        bad[pos] ^= 0x01
+        with pytest.raises(ProtocolError):
+            read_frame(Reader(data=bytes(bad)))
+
+
+def test_multi_frame_stream_reassembly():
+    """Block bodies larger than MAX_FRAME_DATA split across frames and
+    reassemble transparently; a fresh reader per block must consume
+    frames exactly (leftover() == 0)."""
+    import os as _os
+
+    from grower_spark.sinks import chnative as m
+
+    data = _os.urandom(100_000)  # incompressible: exercises lz4 expansion
+    old = m.MAX_FRAME_DATA
+    m.MAX_FRAME_DATA = 16384
+    try:
+        stream = compress_stream(data, METHOD_LZ4)
+    finally:
+        m.MAX_FRAME_DATA = old
+    cr = CompressedBlockReader(Reader(data=stream))
+    assert cr.read(len(data)) == data
+    assert cr.leftover() == 0
+
+
+@pytest.mark.parametrize("compression", ["lz4", "none"])
+def test_compressed_insert_roundtrip(compression):
+    """Full INSERT flow with compression negotiated on the Query packet:
+    the server's sample block arrives LZ4-framed, every client Data
+    block (typed payload + empty terminator) is verified+decompressed by
+    the fake server, and the decoded values match the originals exactly
+    — the r12 verdict item 8 done-criterion."""
+    srv = FakeNativeServer(
+        table_types={
+            "msg": "String",
+            "n": "Int64",
+            "tag": "Nullable(String)",
+        }
+    )
+    try:
+        rows = [(f"line-{i}" * 50, i, None if i % 3 else f"t{i}")
+                for i in range(500)]
+        c = NativeClickHouseClient("127.0.0.1", srv.port,
+                                   compression=compression,
+                                   insert_chunk_rows=200)
+        c.insert("logs", rows, ["msg", "n", "tag"])
+        c.close()
+        assert srv.saw_compression is True
+        got_msg = [v for blk in srv.inserts for v in blk[0][2]]
+        got_n = [v for blk in srv.inserts for v in blk[1][2]]
+        got_tag = [v for blk in srv.inserts for v in blk[2][2]]
+        assert got_msg == [r[0] for r in rows]
+        assert got_n == [r[1] for r in rows]
+        assert got_tag == [r[2] for r in rows]
+    finally:
+        srv.close()
+
+
+def test_uncompressed_client_still_negotiates_off(native_server):
+    """Default stays compression=disabled on the wire."""
+    c = NativeClickHouseClient("127.0.0.1", native_server.port)
+    c.insert("t", [("a", 1, 0.5, datetime.datetime(2024, 1, 1,
+                                                   tzinfo=datetime.timezone.utc),
+                    None, 7)],
+             ["msg", "n", "score", "ts", "tag", "opt"])
+    c.close()
+    assert native_server.saw_compression is False
+
+
+def test_compression_requires_known_codec():
+    with pytest.raises(ValueError, match="compression must be"):
+        NativeClickHouseClient(compression="zstd")
