@@ -715,6 +715,47 @@ class NativeClickHouseClient:
             self._reset_on_transport_error(exc)
             raise
 
+    def query(self, sql: str) -> tuple[list[str], list[str], list[tuple]]:
+        """Run a SELECT and return (column_names, column_types, rows).
+
+        The server streams the result as a header block (column
+        names/types, zero rows) followed by data blocks until
+        EndOfStream; Totals/Extremes/Progress/Log packets are consumed
+        and dropped.  Compression-aware via _read_packet.  Results
+        materialize in memory — this is the sink's admin/readback
+        surface (SELECT count() checks, small lookups), not a bulk
+        export path; exports belong in Spark readers."""
+        try:
+            self.connect()
+            self._write_query_packet(sql)
+            assert self._reader is not None
+            names: list[str] = []
+            types: list[str] = []
+            cols: list[list] = []
+            while True:
+                code, payload = self._read_packet(self._reader)
+                if code == SERVER_END_OF_STREAM:
+                    rows = list(zip(*cols)) if cols and cols[0] else []
+                    return names, types, rows
+                if code != SERVER_DATA or not payload:
+                    continue
+                block = payload  # type: ignore[assignment]
+                if not names:
+                    names = [n for n, _, _ in block]
+                    types = [t for _, t, _ in block]
+                elif [n for n, _, _ in block] != names:
+                    raise ProtocolError(
+                        "result blocks disagree on column names"
+                    )
+                if not cols:
+                    cols = [list(v) for _, _, v in block]
+                else:
+                    for acc, (_, _, v) in zip(cols, block):
+                        acc.extend(v)
+        except Exception as exc:
+            self._reset_on_transport_error(exc)
+            raise
+
     def insert(self, table: str, rows: Sequence[tuple],
                column_names: Sequence[str]) -> None:
         """Native insert: the server's sample block names the column

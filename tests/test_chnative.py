@@ -77,6 +77,9 @@ class FakeNativeServer:
         # raises mid-insert (quota, oversize value) and stops reading
         self.fail_insert_midstream = fail_insert_midstream
         self.drained_bytes = 0
+        # when set: SELECT queries answer with this [(name, type, values)]
+        # result, streamed as header block + per-row-group data blocks
+        self.select_result: list | None = None
         self.commands: list[str] = []
         self.inserts: list[list] = []  # one entry per non-empty block
         self.hello: dict = {}
@@ -241,6 +244,25 @@ class FakeNativeServer:
                         if not block or not block[0][2]:
                             break
                         self.inserts.append(block)
+                    self._send_progress(conn)
+                    conn.sendall(write_varint(SERVER_END_OF_STREAM))
+                elif (query.upper().startswith("SELECT")
+                        and self.select_result is not None):
+                    self.commands.append(query)
+                    method = METHOD_LZ4 if compressed else None
+                    res = self.select_result
+                    # header block: names/types, no rows
+                    self._send_data(conn, [(n, t, []) for n, t, _ in res],
+                                    method=method)
+                    # stream the rows as two blocks to exercise concat
+                    n_rows = len(res[0][2]) if res else 0
+                    half = max(1, n_rows // 2)
+                    for lo in range(0, n_rows, half):
+                        self._send_data(
+                            conn,
+                            [(n, t, v[lo:lo + half]) for n, t, v in res],
+                            method=method,
+                        )
                     self._send_progress(conn)
                     conn.sendall(write_varint(SERVER_END_OF_STREAM))
                 else:
@@ -619,3 +641,41 @@ def test_uncompressed_client_still_negotiates_off(native_server):
 def test_compression_requires_known_codec():
     with pytest.raises(ValueError, match="compression must be"):
         NativeClickHouseClient(compression="zstd")
+
+
+# -- SELECT surface ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("compression", [False, "lz4"])
+def test_select_roundtrip(compression):
+    """query(sql): header block + streamed data blocks concatenate into
+    (names, types, rows); works plain and through compressed frames."""
+    srv = FakeNativeServer()
+    srv.select_result = [
+        ("status", "UInt16", [200, 404, 500]),
+        ("cnt", "UInt64", [10, 5, 1]),
+        ("note", "Nullable(String)", ["ok", None, "err"]),
+    ]
+    try:
+        c = NativeClickHouseClient("127.0.0.1", srv.port,
+                                   compression=compression)
+        names, types, rows = c.query(
+            "SELECT status, cnt, note FROM logs")
+        c.close()
+        assert names == ["status", "cnt", "note"]
+        assert types == ["UInt16", "UInt64", "Nullable(String)"]
+        assert rows == [(200, 10, "ok"), (404, 5, None), (500, 1, "err")]
+    finally:
+        srv.close()
+
+
+def test_select_empty_result():
+    srv = FakeNativeServer()
+    srv.select_result = [("x", "Int64", [])]
+    try:
+        c = NativeClickHouseClient("127.0.0.1", srv.port)
+        names, types, rows = c.query("SELECT x FROM t WHERE 0")
+        c.close()
+        assert names == ["x"] and types == ["Int64"] and rows == []
+    finally:
+        srv.close()
