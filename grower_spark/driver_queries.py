@@ -6249,6 +6249,48 @@ FROM q GROUP BY 1
 """
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization
+    (operators/diversity.py:quantize_embeddings_int8): fit = model-sized
+    per-dim min/max (one tiny map-combinable shuffle, collected into
+    plan literals), encode = zero-shuffle codegen transform.  The flat
+    per-vector outputs (code moments, position-weighted checksum,
+    fixed-point reconstruction error) pin every individual code in the
+    certified hash without shipping arrays."""
+    from grower_spark.operators.diversity import quantize_embeddings_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(emb)
+
+
+def oracle_embedding_quantize_int8() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+), fit AS (
+  SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY 1
+), c AS (
+  SELECT q.vec_id, q.dim, q.xq, f.mn, f.mx,
+    CASE WHEN f.mx = f.mn THEN CAST(0 AS BIGINT)
+         ELSE ((q.xq - f.mn) * 254) // (f.mx - f.mn) END AS code
+  FROM q JOIN fit f USING (dim)
+), r AS (
+  SELECT *, mn + (code * (mx - mn)) // 254 AS recon FROM c
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(count(*) AS INT) AS n_dims,
+  CAST(sum(code) AS BIGINT) AS sum_code,
+  CAST(min(code) AS BIGINT) AS min_code,
+  CAST(max(code) AS BIGINT) AS max_code,
+  CAST(sum(code * dim) AS BIGINT) AS code_checksum,
+  CAST(sum(abs(xq - recon)) AS BIGINT) AS sum_abs_err_q
+FROM r GROUP BY 1
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-distribution drift between two snapshot views
     (operators/diff.py): the corpus_diff release fixtures (old drops ids
@@ -8085,7 +8127,7 @@ def oracle_dedup_editdist_unicode() -> str:
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r13; sections are 1-8 / 9-12 / 13-50 — exactly 50,
+# Window layout (r13; sections are 1-8 / 9-13 / 14-50 — exactly 50,
 # AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
@@ -8098,10 +8140,13 @@ def oracle_dedup_editdist_unicode() -> str:
 #           one cleaning-pipeline run per process via _cb_cleaned_pool;
 #           outputs unchanged, oracles untouched — r12 verdict item 6),
 #           mixture_materialize (mixture_assign_copies now caches the
-#           fitted schedule before the dispatch probe — r12 advice 4).
-#   13-50 : staleness rotation — the 38-row head of the stalest tail
+#           fitted schedule before the dispatch probe — r12 advice 4),
+#           embedding_quantize_int8 (DEBUT: scalar int8 quantization —
+#           model-sized per-dim fit + zero-shuffle encode, codes
+#           integer-exact across engines).
+#   14-50 : staleness rotation — the 37-row head of the stalest tail
 #           (the r9/r10-certified leftovers, stale-first:
-#           events_exact_stats .. tpch_q4), per the r12 commitment.
+#           events_exact_stats .. tpch_q3), per the r12 commitment.
 #   51+   : stalest-first — the r9/r10-certified remainder
 #           (tpch_q5 ..), then the rows last certified r11, then the
 #           rows displaced from the r12 window (r12-certified,
@@ -8123,8 +8168,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build_mixture": q_corpus_build_mixture,
     "corpus_build_full": q_corpus_build_full,
     "mixture_materialize": q_mixture_materialize,
-    # --- 13-50: staleness rotation — the 38-row head of the stalest
-    # (r9/r10-certified) tail, stale-first ---
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+    # --- 14-50: staleness rotation — the 37-row head of the stalest
+    # (r9/r10-certified) tail, stale-first (tpch_q4 displaced to 51+ by
+    # the embedding_quantize_int8 debut) ---
     "events_exact_stats": q_events_exact_stats,
     "events_sketches": q_events_sketches,
     "text_stats": q_text_stats,
@@ -8162,8 +8209,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
+    # --- 51+: stalest-first — tpch_q4 leads (displaced from the
+    # window by the embedding_quantize_int8 debut; r13-certified
+    # otherwise by the local artifact)
     "tpch_q4": q_tpch_q4,
-    # --- 51+: stalest-first — the r9/r10-certified remainder, then
+    # --- 51+ continued: stalest-first — the r9/r10-certified remainder, then
     # the r11-certified rows, then the rows displaced from the r12
     # window (freshest) — all covered every round by the committed
     # CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
@@ -8278,6 +8328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "embedding_quantize_int8": oracle_embedding_quantize_int8(),
     "nginx_parse_agg": oracle_nginx_parse_agg(),
     "nginx_parse_rows": oracle_nginx_parse_rows(),
     "nginx_deadletter": oracle_nginx_deadletter(),

@@ -99,3 +99,48 @@ def test_editdist_unicode_oracle_shim_is_codepoint_exact():
             != cy.translate(str.maketrans("àéîö", "aeio"))
         ) + abs(len(x) - len(y)) or shim <= raw
         assert raw >= shim  # bytes can only add edits
+
+
+def test_quantize_embeddings_int8_exact_codes(spark):
+    """Hand-computed fixture: codes are pure int64 affine arithmetic
+    ((xq-mn)*254 div (mx-mn)), constant dims code to 0, and the flat
+    outputs pin each code through the position-weighted checksum."""
+    from grower_spark.operators.diversity import quantize_embeddings_int8
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 5.0, -1.0]),
+            (2, [1.0, 5.0, 3.0]),
+            (3, [2.0, 5.0, 7.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in
+            quantize_embeddings_int8(emb).collect()}
+    # dim1: xq in {0,1000,2000} -> mn=0,mx=2000: codes 0,127,254
+    # dim2: constant -> code 0 for all
+    # dim3: xq in {-1000,3000,7000} -> mn=-1000,mx=7000:
+    #       (0)*254//8000=0, (4000*254)//8000=127, (8000*254)//8000=254
+    assert rows[1]["sum_code"] == 0 + 0 + 0
+    assert rows[2]["sum_code"] == 127 + 0 + 127
+    assert rows[3]["sum_code"] == 254 + 0 + 254
+    assert rows[2]["code_checksum"] == 127 * 1 + 0 * 2 + 127 * 3
+    assert rows[3]["min_code"] == 0 and rows[3]["max_code"] == 254
+    assert all(r["n_dims"] == 3 for r in rows.values())
+    # reconstruction: dim1 code 127 -> 0 + 127*2000//254 = 1000 exact;
+    # dim3 code 127 -> -1000 + 127*8000//254 = 3000 exact; constant dim
+    # reconstructs mn exactly -> zero total error on this grid
+    assert rows[2]["sum_abs_err_q"] == 0
+    assert rows[1]["sum_abs_err_q"] == 0
+
+
+def test_quantize_embeddings_int8_encode_is_zero_shuffle(spark):
+    """The encode half must not shuffle: after the model-sized fit
+    collect, the per-vector plan is scan -> project (no Exchange)."""
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.diversity import quantize_embeddings_int8
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = quantize_embeddings_int8(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -124,6 +124,53 @@ def reset_barrier_stats() -> dict:
     return prev
 
 
+# accumulates counters from bounded "model, not data" fit collects that
+# run at query-CONSTRUCTION time (tokenize_ids vocab, mixture schedule,
+# embedding_quantize_int8 per-dim min/max): those jobs finish before the
+# returned plan exists, so without this probe their shuffles are
+# invisible — the collect-side twin of the localCheckpoint blind spot
+FIT_STATS: dict = {k: 0 for k in _COUNTER_KEYS}
+FIT_STATS["collects"] = 0
+IN_CONSTRUCTION = {"flag": False}
+
+
+def install_fit_probe() -> None:
+    """Patch ``DataFrame.collect`` to accumulate plan counters for
+    collects that fire while a query function is being CONSTRUCTED
+    (IN_CONSTRUCTION set by main); the audit's own materializing collect
+    runs outside the flag and is never counted."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    if getattr(DataFrame.collect, "_is_fit_probe", False):
+        return
+    orig = DataFrame.collect
+
+    def probed(self, *args, **kwargs):
+        res = orig(self, *args, **kwargs)
+        if IN_CONSTRUCTION["flag"]:
+            try:
+                seg = _stats_from_plan(
+                    self._jdf.queryExecution().executedPlan().toString()
+                )
+                for k in _COUNTER_KEYS:
+                    FIT_STATS[k] += seg[k]
+                FIT_STATS["collects"] += 1
+            except Exception:  # noqa: BLE001 — never break a run
+                pass
+        return res
+
+    probed._is_fit_probe = True  # type: ignore[attr-defined]
+    DataFrame.collect = probed
+
+
+def reset_fit_stats() -> None:
+    for k in FIT_STATS:
+        FIT_STATS[k] = 0
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -134,16 +181,25 @@ def main() -> None:
     spark = get_spark("explain-all", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     install_barrier_probe()
+    install_fit_probe()
 
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
         reset_barrier_stats()
+        reset_fit_stats()
         try:
             # barriers fire both at query-construction time (eager
             # checkpoints inside fn) and during plan_stats' collect
-            # (lazy ones) — both accumulate into BARRIER_STATS
-            stats = plan_stats(fn(spark, sf_dir))
+            # (lazy ones) — both accumulate into BARRIER_STATS.  Fit
+            # collects only fire during construction, so the flag wraps
+            # fn() alone (plan_stats' collect stays uncounted).
+            IN_CONSTRUCTION["flag"] = True
+            try:
+                df = fn(spark, sf_dir)
+            finally:
+                IN_CONSTRUCTION["flag"] = False
+            stats = plan_stats(df)
         except Exception as exc:
             print(f"{name:24s} ERROR {exc}")
             continue
@@ -163,6 +219,13 @@ def main() -> None:
                 f" broadcasts={bar['broadcasts']}"
                 f" joins={bar['joins']}"
                 f" codegen={bar['codegen_stages']})"
+            )
+        if FIT_STATS["collects"]:
+            barrier_note += (
+                f"  (fit-collect: {FIT_STATS['collects']} jobs"
+                f" shuffles={FIT_STATS['shuffles']}"
+                f" broadcasts={FIT_STATS['broadcasts']}"
+                f" codegen={FIT_STATS['codegen_stages']})"
             )
         print(
             f"{name:24s} shuffles={stats['shuffles']:2d}"
