@@ -103,6 +103,7 @@ INTERFACE_TCP = 1
 # compression-frame method bytes (CompressionMethodByte in the server)
 METHOD_NONE = 0x02
 METHOD_LZ4 = 0x82
+METHOD_ZSTD = 0x90
 
 # uncompressed bytes per frame; ClickHouse's CompressedWriteBuffer
 # defaults to a 1 MiB working buffer, so blocks larger than this arrive
@@ -224,6 +225,10 @@ def compress_frame(data: bytes, method: int = METHOD_LZ4) -> bytes:
 
     if method == METHOD_LZ4:
         body = _lz4_raw().compress(data, asbytes=True)
+    elif method == METHOD_ZSTD:
+        import pyarrow
+
+        body = pyarrow.Codec("zstd").compress(data, asbytes=True)
     elif method == METHOD_NONE:
         body = data
     else:
@@ -264,6 +269,10 @@ def read_frame(r: Reader) -> bytes:
         )
     if method == METHOD_LZ4:
         out = _lz4_raw().decompress(body, data_size, asbytes=True)
+    elif method == METHOD_ZSTD:
+        import pyarrow
+
+        out = pyarrow.Codec("zstd").decompress(body, data_size, asbytes=True)
     elif method == METHOD_NONE:
         out = body
     else:
@@ -482,13 +491,18 @@ class NativeClickHouseClient:
         elif compression == "lz4":
             _lz4_raw()  # fail at construction, not first insert
             self._method = METHOD_LZ4
+        elif compression == "zstd":
+            import pyarrow
+
+            pyarrow.Codec("zstd")  # fail at construction
+            self._method = METHOD_ZSTD
         elif compression == "none":
             # checksummed frames without compression — the protocol's
             # method 0x02, useful to isolate checksum behavior
             self._method = METHOD_NONE
         else:
             raise ValueError(
-                f"compression must be False, 'lz4' or 'none', "
+                f"compression must be False, 'lz4', 'zstd' or 'none', "
                 f"got {compression!r}"
             )
         self.compression = compression

@@ -22,6 +22,7 @@ from grower_spark.sinks.chnative import (
     CLIENT_QUERY,
     METHOD_LZ4,
     METHOD_NONE,
+    METHOD_ZSTD,
     CompressedBlockReader,
     compress_frame,
     compress_stream,
@@ -560,6 +561,11 @@ def test_frame_layout_and_roundtrip():
     assert len(lz) < len(frame)  # repetitive input actually compresses
     assert read_frame(Reader(data=lz)) == data
 
+    zs = compress_frame(data, METHOD_ZSTD)
+    assert zs[16] == METHOD_ZSTD
+    assert len(zs) < len(frame)
+    assert read_frame(Reader(data=zs)) == data
+
 
 def test_frame_checksum_corruption_detected():
     """Any flipped bit — in the checksum, the header, or the body —
@@ -594,7 +600,7 @@ def test_multi_frame_stream_reassembly():
     assert cr.leftover() == 0
 
 
-@pytest.mark.parametrize("compression", ["lz4", "none"])
+@pytest.mark.parametrize("compression", ["lz4", "zstd", "none"])
 def test_compressed_insert_roundtrip(compression):
     """Full INSERT flow with compression negotiated on the Query packet:
     the server's sample block arrives LZ4-framed, every client Data
@@ -640,7 +646,7 @@ def test_uncompressed_client_still_negotiates_off(native_server):
 
 def test_compression_requires_known_codec():
     with pytest.raises(ValueError, match="compression must be"):
-        NativeClickHouseClient(compression="zstd")
+        NativeClickHouseClient(compression="snappy")
 
 
 # -- SELECT surface ---------------------------------------------------------

@@ -364,6 +364,12 @@ def _dim_stats(corpus):
     return embedding_dim_stats(corpus)
 
 
+def _quantize_int8(corpus):
+    from grower_spark.operators.diversity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(corpus)
+
+
 def _leakage(docs):
     from grower_spark.operators.decontam import benchmark_leakage
 
@@ -538,6 +544,11 @@ def run_ann_ops(spark, out_dir: str, factors: list[int], runs: int,
         # shuffle bounded by partitions × labels × dim (the partial agg)
         "embedding_diversity": lambda c, q: _diversity(c),
         "embedding_dim_stats": lambda c, q: _dim_stats(c),
+        # r13 debut: int8 quantization — each timed run includes the
+        # model-sized fit collect (one map-combinable per-dim agg) plus
+        # the zero-shuffle encode, so wall should be LINEAR in the
+        # corpus and shuffle ~flat (partitions × dim partials only)
+        "embedding_quantize_int8": lambda c, q: _quantize_int8(c),
     }
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
