@@ -205,9 +205,19 @@ def hpack_decode_int(data: bytes, pos: int, prefix_bits: int) -> tuple[int, int]
             raise HpackError("integer too long")
 
 
-def hpack_encode_string(s: "str | bytes") -> bytes:
-    """Raw (H=0) string literal; this repo never Huffman-codes."""
+def hpack_encode_string(s: "str | bytes", huffman: bool = False) -> bytes:
+    """String literal, raw (H=0, default) or Huffman-coded (H=1).
+
+    The H bit is sender-optional (RFC 7541 §5.2); this repo's peers
+    default to raw for inspectability, but ``huffman=True`` emits the
+    compact form third-party stacks send — and only when it actually
+    helps (the spec allows either, and a Huffman coding of random bytes
+    EXPANDS; real encoders make the same shorter-of-the-two choice)."""
     b = s.encode("utf-8") if isinstance(s, str) else s
+    if huffman:
+        enc = huffman_encode(b)
+        if len(enc) < len(b):
+            return hpack_encode_int(len(enc), 7, 0x80) + enc
     return hpack_encode_int(len(b), 7, 0x00) + b
 
 
@@ -517,10 +527,16 @@ class HpackDecoder:
 class HpackEncoder:
     """Symmetric encoder: indexed forms for exact static/dynamic matches,
     literal-with-incremental-indexing otherwise (so the peer's dynamic
-    table fills exactly like ours), raw (H=0) string literals always."""
+    table fills exactly like ours).  String literals default to raw
+    (H=0) for inspectability; ``huffman=True`` emits the compact H=1
+    form third-party stacks expect, falling back to raw per-string when
+    Huffman would not shrink it (the standard shorter-of-the-two
+    choice)."""
 
-    def __init__(self, max_table_size: int = 4096) -> None:
+    def __init__(self, max_table_size: int = 4096,
+                 huffman: bool = False) -> None:
         self.table = _DynamicTable(max_table_size)
+        self.huffman = huffman
 
     def encode(self, headers: Iterable[tuple[str, str]]) -> bytes:
         out = bytearray()
@@ -532,8 +548,8 @@ class HpackEncoder:
             name_idx = self._find_name(name) or 0
             out += hpack_encode_int(name_idx, 6, 0x40)
             if not name_idx:
-                out += hpack_encode_string(name)
-            out += hpack_encode_string(value)
+                out += hpack_encode_string(name, huffman=self.huffman)
+            out += hpack_encode_string(value, huffman=self.huffman)
             self.table.add(name, value)
         return bytes(out)
 

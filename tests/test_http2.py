@@ -500,3 +500,45 @@ def test_grpc_zero_message_call_gets_response(tmp_path):
         assert status == 0
         sock.close()
         assert srv.n_streams == 1 and srv.n_received == 0
+
+
+def test_hpack_encoder_huffman_mode_roundtrip_and_compact():
+    """huffman=True emits H=1 literals a fresh decoder reads back
+    exactly; compressible ASCII header values genuinely shrink, and
+    per-string fallback keeps Huffman-expanding strings raw (H=0)."""
+    from grower_spark.sources.http2 import (
+        HpackDecoder,
+        HpackEncoder,
+        hpack_encode_string,
+    )
+
+    headers = [
+        (":path", "/filebuf.FileBufferService/CreateDataStreamer"),
+        ("content-type", "application/grpc"),
+        ("x-custom-header", "www.example.com"),
+    ]
+    raw = HpackEncoder().encode(headers)
+    huf = HpackEncoder(huffman=True).encode(headers)
+    assert len(huf) < len(raw)
+    assert HpackDecoder().decode(huf) == headers
+    # dynamic tables stay in sync across huffman/raw mixes
+    enc, dec = HpackEncoder(huffman=True), HpackDecoder()
+    for _ in range(3):
+        assert dec.decode(enc.encode(headers)) == headers
+    # incompressible input: Huffman would expand, so the literal stays
+    # raw — H bit clear
+    noisy = bytes(range(128, 180)).decode("latin-1")
+    lit = hpack_encode_string(noisy.encode("latin-1"), huffman=True)
+    assert lit[0] & 0x80 == 0
+
+
+def test_hpack_encoder_huffman_matches_spec_bytes():
+    """Encode direction against RFC 7541 Appendix C: a Huffman-coded
+    literal of 'www.example.com' must be exactly the spec's C.4.1
+    bytes (length octet 0x8c = H-bit | 12, then the coded form)."""
+    from grower_spark.sources.http2 import hpack_encode_string
+
+    lit = hpack_encode_string("www.example.com", huffman=True)
+    assert lit == bytes([0x8C]) + bytes.fromhex("f1e3c2e5f23a6ba0ab90f4ff")
+    lit2 = hpack_encode_string("no-cache", huffman=True)
+    assert lit2 == bytes([0x86]) + bytes.fromhex("a8eb10649cbf")
