@@ -9,9 +9,11 @@ is the repo's own implementation: `GrpcStreamClient` ->
 `GrpcSpoolServer` (sources/grpch2.py, RFC 7540/7541 in-repo) ->
 `.fbuf` spool -> `filebuf` DataSource -> `LogPipeline` (template regex
 + grower cast semantics) -> `ClickHouseSink` chunked inserts through
-`NativeClickHouseClient` (sinks/chnative.py) -> typed native blocks
-decoded by the fake server.  One test, five subsystems, value-level
-assertions at the far end."""
+`NativeClickHouseClient` (sinks/chnative.py, compression="lz4" — the
+reference's exact clickhouse.CompressionLZ4 setting) -> CityHash128-
+checksummed LZ4 frames -> typed native blocks decoded by the fake
+server.  One test, five subsystems, value-level assertions at the far
+end."""
 
 from __future__ import annotations
 
@@ -90,7 +92,13 @@ def test_filegrpc_to_clickhouse_native_topology(spark, tmp_path):
             table="logs.access",
             columns=["remote_addr", "time_local", "status", "bytes_sent",
                      "request_method"],
-            client_factory=lambda: NativeClickHouseClient("127.0.0.1", port),
+            # the reference sets clickhouse.CompressionLZ4 on every
+            # native connection (cmd/filegrpc/server/main.go:140-142,
+            # cmd/filelog/main.go:181-183) — match its exact config, so
+            # the far-end assertions also certify the checksummed LZ4
+            # frame layer under the full topology
+            client_factory=lambda: NativeClickHouseClient(
+                "127.0.0.1", port, compression="lz4"),
         )
         sink.foreach_batch()(parsed)
         got = sorted(
