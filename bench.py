@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     ("dedup_winnowing", "noop"),
     ("dedup_edit_distance", "collect"),
     ("dedup_editdist_unicode", "collect"),
+    # r13 debut: fit collect + zero-shuffle encode, one flat row/vector
+    ("embedding_quantize_int8", "collect"),
 ]
 
 
