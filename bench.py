@@ -196,8 +196,10 @@ BENCH_QUERIES = [
     ("dedup_winnowing", "noop"),
     ("dedup_edit_distance", "collect"),
     ("dedup_editdist_unicode", "collect"),
-    # r13 debut: fit collect + zero-shuffle encode, one flat row/vector
+    # r13 debuts: fit collect + zero-shuffle encode, one flat row/vector;
+    # the int8 ANN rides the same broadcast-panel scan as the float rows
     ("embedding_quantize_int8", "collect"),
+    ("ann_int8_topk", "collect"),
 ]
 
 

@@ -6291,6 +6291,48 @@ FROM r GROUP BY 1
 """
 
 
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k similarity search over INT8-QUANTIZED embeddings
+    (operators/similarity.py::ann_int8_topk): the memory-tier scan — a
+    4x-smaller code corpus, centered integer-dot kernel, every score an
+    exact int64 so the driver hash certifies every rank.  Same plan
+    family as the float ANN rows: broadcast panel, one map-side corpus
+    scan, top-k window; never corpus x corpus."""
+    from grower_spark.operators.similarity import ann_int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_int8_topk(emb, n_queries=N_ANN_QUERIES, k=ANN_TOPK)
+
+
+def oracle_ann_int8_topk() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+), fit AS (
+  SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY 1
+), c AS (
+  SELECT q.vec_id, q.dim,
+    (CASE WHEN f.mx = f.mn THEN CAST(0 AS BIGINT)
+          ELSE ((q.xq - f.mn) * 254) // (f.mx - f.mn) END) - 127 AS cc
+  FROM q JOIN fit f USING (dim)
+), qs AS (
+  SELECT vec_id AS qid, dim, cc FROM c WHERE vec_id < {N_ANN_QUERIES}
+), dots AS (
+  SELECT qs.qid, c.vec_id, SUM(qs.cc * c.cc) AS dot
+  FROM qs JOIN c ON qs.dim = c.dim AND c.vec_id <> qs.qid
+  GROUP BY 1, 2
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+       AS INTEGER) AS rank,
+  CAST(dot AS BIGINT) AS dot
+FROM dots QUALIFY rank <= {ANN_TOPK}
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-distribution drift between two snapshot views
     (operators/diff.py): the corpus_diff release fixtures (old drops ids
@@ -8127,7 +8169,7 @@ def oracle_dedup_editdist_unicode() -> str:
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r13; sections are 1-8 / 9-13 / 14-50 — exactly 50,
+# Window layout (r13; sections are 1-8 / 9-14 / 15-50 — exactly 50,
 # AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
@@ -8143,10 +8185,11 @@ def oracle_dedup_editdist_unicode() -> str:
 #           fitted schedule before the dispatch probe — r12 advice 4),
 #           embedding_quantize_int8 (DEBUT: scalar int8 quantization —
 #           model-sized per-dim fit + zero-shuffle encode, codes
-#           integer-exact across engines).
-#   14-50 : staleness rotation — the 37-row head of the stalest tail
+#           integer-exact across engines), ann_int8_topk (DEBUT: top-k
+#           over the int8 codes, exact-int64 centered-dot kernel).
+#   15-50 : staleness rotation — the 36-row head of the stalest tail
 #           (the r9/r10-certified leftovers, stale-first:
-#           events_exact_stats .. tpch_q3), per the r12 commitment.
+#           events_exact_stats .. tpch_q2), per the r12 commitment.
 #   51+   : stalest-first — the r9/r10-certified remainder
 #           (tpch_q5 ..), then the rows last certified r11, then the
 #           rows displaced from the r12 window (r12-certified,
@@ -8169,7 +8212,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build_full": q_corpus_build_full,
     "mixture_materialize": q_mixture_materialize,
     "embedding_quantize_int8": q_embedding_quantize_int8,
-    # --- 14-50: staleness rotation — the 37-row head of the stalest
+    "ann_int8_topk": q_ann_int8_topk,
+    # --- 15-50: staleness rotation — the 37-row head of the stalest
     # (r9/r10-certified) tail, stale-first (tpch_q4 displaced to 51+ by
     # the embedding_quantize_int8 debut) ---
     "events_exact_stats": q_events_exact_stats,
@@ -8208,10 +8252,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_outliers": q_embedding_norm_outliers,
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
+    # --- 51+: stalest-first — tpch_q3/q4 lead (displaced from the
+    # window by the r13 debuts; r13-certified otherwise by the local
+    # artifact)
     "tpch_q3": q_tpch_q3,
-    # --- 51+: stalest-first — tpch_q4 leads (displaced from the
-    # window by the embedding_quantize_int8 debut; r13-certified
-    # otherwise by the local artifact)
     "tpch_q4": q_tpch_q4,
     # --- 51+ continued: stalest-first — the r9/r10-certified remainder, then
     # the r11-certified rows, then the rows displaced from the r12
@@ -8329,6 +8373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "embedding_quantize_int8": oracle_embedding_quantize_int8(),
+    "ann_int8_topk": oracle_ann_int8_topk(),
     "nginx_parse_agg": oracle_nginx_parse_agg(),
     "nginx_parse_rows": oracle_nginx_parse_rows(),
     "nginx_deadletter": oracle_nginx_deadletter(),

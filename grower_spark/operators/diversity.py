@@ -128,6 +128,53 @@ def embedding_dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
     )
 
 
+def quantized_codes(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 254,
+) -> DataFrame:
+    """The quantizer's core, exposed for downstream consumers (the
+    summary row and int8 ANN): fit the per-dim min/max (model-sized
+    collect into plan literals), then return the input rows with
+    ``_codes`` (array<long>, values 0..levels) plus the ``_mn``/``_mx``
+    literal arrays still attached for reconstruction.  The encode is
+    zero-shuffle; see quantize_embeddings_int8 for the full contract."""
+    clean = emb.where(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * _Q + F.lit(0.5)).cast("long"),
+    )
+    fit = (
+        clean.select(F.posexplode(xq).alias("pos", "xqd"))
+        .groupBy("pos")
+        .agg(F.min("xqd").alias("mn"), F.max("xqd").alias("mx"))
+        .collect()
+    )
+    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in fit}
+    mn_arr = F.array(*[
+        F.lit(int(by_pos[p][0])).cast("long") for p in sorted(by_pos)
+    ])
+    mx_arr = F.array(*[
+        F.lit(int(by_pos[p][1])).cast("long") for p in sorted(by_pos)
+    ])
+    lv = int(levels)
+    return (
+        clean.withColumn("_xq", xq)
+        .withColumn("_mn", mn_arr)
+        .withColumn("_mx", mx_arr)
+        .withColumn("_codes", F.expr(
+            f"transform(_xq, (x, i) -> CASE "
+            f"WHEN element_at(_mx, i+1) = element_at(_mn, i+1) "
+            f"THEN CAST(0 AS BIGINT) "
+            f"ELSE ((x - element_at(_mn, i+1)) * CAST({lv} AS BIGINT)) "
+            f"div (element_at(_mx, i+1) - element_at(_mn, i+1)) END)"
+        ))
+    )
+
+
 def quantize_embeddings_int8(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -161,44 +208,12 @@ def quantize_embeddings_int8(
     individual code without shipping arrays (the driver contract needs
     flat scalars).
     """
-    clean = emb.where(
-        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
-    )
-    xq = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * _Q + F.lit(0.5)).cast("long"),
-    )
-    fit = (
-        clean.select(F.posexplode(xq).alias("pos", "xqd"))
-        .groupBy("pos")
-        .agg(F.min("xqd").alias("mn"), F.max("xqd").alias("mx"))
-        .collect()
-    )
-    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in fit}
-    mn_arr = F.array(*[
-        F.lit(int(by_pos[p][0])).cast("long") for p in sorted(by_pos)
-    ])
-    mx_arr = F.array(*[
-        F.lit(int(by_pos[p][1])).cast("long") for p in sorted(by_pos)
-    ])
-    lv = int(levels)
-    coded = (
-        clean.withColumn("_xq", xq)
-        .withColumn("_mn", mn_arr)
-        .withColumn("_mx", mx_arr)
-        .withColumn("_codes", F.expr(
-            f"transform(_xq, (x, i) -> CASE "
-            f"WHEN element_at(_mx, i+1) = element_at(_mn, i+1) "
-            f"THEN CAST(0 AS BIGINT) "
-            f"ELSE ((x - element_at(_mn, i+1)) * CAST({lv} AS BIGINT)) "
-            f"div (element_at(_mx, i+1) - element_at(_mn, i+1)) END)"
-        ))
-        .withColumn("_recon", F.expr(
-            f"transform(_codes, (c, i) -> element_at(_mn, i+1) + "
-            f"(c * (element_at(_mx, i+1) - element_at(_mn, i+1))) "
-            f"div CAST({lv} AS BIGINT))"
-        ))
-    )
+    coded = quantized_codes(emb, vec_col=vec_col, id_col=id_col,
+                            levels=levels).withColumn("_recon", F.expr(
+        f"transform(_codes, (c, i) -> element_at(_mn, i+1) + "
+        f"(c * (element_at(_mx, i+1) - element_at(_mn, i+1))) "
+        f"div CAST({int(levels)} AS BIGINT))"
+    ))
     return coded.select(
         F.col(id_col).cast("long").alias(id_col),
         F.size("_codes").cast("int").alias("n_dims"),

@@ -970,3 +970,61 @@ def density_vs_panel_np(
         F.col(vec_col).alias("embedding"),
     )
     return src.mapInPandas(score, out_schema)
+
+
+def ann_int8_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 254,
+) -> DataFrame:
+    """Exact top-k over INT8-QUANTIZED vectors — the memory-tier
+    companion to cosine_topk: at 100 TB the float32 corpus does not fit
+    hot storage, so the scan runs over 4×-smaller offset-binary codes
+    (diversity.py::quantized_codes) and only the final rerank (not done
+    here) would touch floats.
+
+    Kernel: centered integer dot product sum_i (c_i - h)(q_i - h) with
+    h = levels/2 — the monotone stand-in for cosine on symmetric-range
+    codes (codes are an affine map of the values, so centering removes
+    the offset; per-dim scale differences are the documented
+    approximation vs true cosine — this operator's contract is the
+    QUANTIZED ranking, which is what a code-tier scan can compute).
+    Every score is an exact int64 (|c-h| <= 127, dim 64 -> |dot| <=
+    127*127*64 ~ 1.03e6), so both engines rank identically with the
+    (dot desc, vec_id) tiebreak and the driver hash certifies every
+    rank.  Same plan family as cosine_topk: bounded panel broadcast,
+    one map-side corpus scan, the only shuffle is the top-k window over
+    panel-filtered rows; never corpus × corpus.
+    """
+    from .diversity import quantized_codes
+
+    half = int(levels) // 2
+    codes = quantized_codes(emb, vec_col=vec_col, id_col=id_col,
+                            levels=levels).select(
+        F.col(id_col), F.col("_codes").alias("codes")
+    )
+    queries = codes.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("codes").alias("qcodes")
+    )
+    pairs = codes.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col("qid")
+    )
+    dot = F.expr(
+        f"aggregate(zip_with(codes, qcodes, "
+        f"(c, q) -> (c - {half}L) * (q - {half}L)), 0L, (a, v) -> a + v)"
+    )
+    scored = pairs.select("qid", id_col, dot.alias("dot"))
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("dot").cast("long").alias("dot"),
+        )
+    )
