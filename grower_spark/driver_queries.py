@@ -6270,6 +6270,8 @@ WITH q AS (
     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
       AS xq
   FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), fit AS (
   SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY 1
 ), c AS (
@@ -6311,6 +6313,8 @@ WITH q AS (
     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
       AS xq
   FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), fit AS (
   SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY 1
 ), c AS (
@@ -6318,11 +6322,17 @@ WITH q AS (
     (CASE WHEN f.mx = f.mn THEN CAST(0 AS BIGINT)
           ELSE ((q.xq - f.mn) * 254) // (f.mx - f.mn) END) - 127 AS cc
   FROM q JOIN fit f USING (dim)
+), fullv AS (
+  -- ragged vectors are excluded on both engines (see ann_int8_topk)
+  SELECT vec_id FROM c GROUP BY 1
+  HAVING count(*) = (SELECT count(*) FROM fit)
+), cf AS (
+  SELECT c.* FROM c JOIN fullv USING (vec_id)
 ), qs AS (
-  SELECT vec_id AS qid, dim, cc FROM c WHERE vec_id < {N_ANN_QUERIES}
+  SELECT vec_id AS qid, dim, cc FROM cf WHERE vec_id < {N_ANN_QUERIES}
 ), dots AS (
-  SELECT qs.qid, c.vec_id, SUM(qs.cc * c.cc) AS dot
-  FROM qs JOIN c ON qs.dim = c.dim AND c.vec_id <> qs.qid
+  SELECT qs.qid, cf.vec_id, SUM(qs.cc * cf.cc) AS dot
+  FROM qs JOIN cf ON qs.dim = cf.dim AND cf.vec_id <> qs.qid
   GROUP BY 1, 2
 )
 SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
@@ -8213,7 +8223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_materialize": q_mixture_materialize,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "ann_int8_topk": q_ann_int8_topk,
-    # --- 15-50: staleness rotation — the 37-row head of the stalest
+    # --- 15-50: staleness rotation — the 36-row head of the stalest
     # (r9/r10-certified) tail, stale-first (tpch_q4 displaced to 51+ by
     # the embedding_quantize_int8 debut) ---
     "events_exact_stats": q_events_exact_stats,

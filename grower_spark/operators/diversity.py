@@ -139,9 +139,17 @@ def quantized_codes(
     collect into plan literals), then return the input rows with
     ``_codes`` (array<long>, values 0..levels) plus the ``_mn``/``_mx``
     literal arrays still attached for reconstruction.  The encode is
-    zero-shuffle; see quantize_embeddings_int8 for the full contract."""
+    zero-shuffle; see quantize_embeddings_int8 for the full contract.
+
+    Malformed vectors are EXCLUDED, not half-processed: null/empty
+    arrays and arrays containing null elements drop out here (a null
+    element would null-poison Spark's aggregate() fold while SQL SUM
+    skips nulls — the engines must agree on the same row set, so the
+    contract is 'well-formed vectors only' on both sides)."""
     clean = emb.where(
         F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
+        & F.expr(f"!exists({vec_col}, x -> x is null)")
     )
     xq = F.transform(
         F.col(vec_col),

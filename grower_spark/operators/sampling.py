@@ -792,7 +792,17 @@ def mixture_assign_copies(
             probe, group_col, key_col, salt, max_plan_groups=max_plan_groups
         )
         return df.withColumn("_n_copies", n_copies)
-    p = sched.select(
+    # join path: swap the pinned cache for an eager localCheckpoint —
+    # checkpoint blocks are ContextCleaner-managed (released once the
+    # returned plan is GC'd), whereas the cache entry would stay pinned
+    # in executor storage for the session.  That matters exactly here:
+    # this path only triggers above max_plan_groups, so the schedule is
+    # one row per HIGH-CARDINALITY group (domain, url host, ...), not
+    # the model-sized common case, and repeated calls must not
+    # accumulate never-released InMemoryRelations.
+    ckpt = sched.localCheckpoint(eager=True)
+    sched.unpersist(blocking=False)
+    p = ckpt.select(
         F.col(group_col).alias("_mxg"),
         F.col("full_epochs").alias("_mxfe"),
         F.col("partial_permille").alias("_mxpp"),

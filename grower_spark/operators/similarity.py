@@ -1002,8 +1002,14 @@ def ann_int8_topk(
     from .diversity import quantized_codes
 
     half = int(levels) // 2
+    # ragged vectors would make zip_with null-pad (null-poisoning the
+    # dot) while a SQL join-on-dim computes a partial dot — the engines
+    # must agree on the row set, so only full-dimensionality vectors
+    # participate (the fit's _mn length IS the corpus dimensionality)
     codes = quantized_codes(emb, vec_col=vec_col, id_col=id_col,
-                            levels=levels).select(
+                            levels=levels).where(
+        F.size("_codes") == F.size("_mn")
+    ).select(
         F.col(id_col), F.col("_codes").alias("codes")
     )
     queries = codes.where(F.col(id_col) < n_queries).select(

@@ -774,11 +774,20 @@ class NativeClickHouseClient:
                column_names: Sequence[str]) -> None:
         """Native insert: the server's sample block names the column
         types, so the wire layout is authoritative — no client-side type
-        hints (same signature as the HTTP client)."""
+        hints (same signature as the HTTP client).
+
+        Error discipline differs from command()/query() here: a server
+        Exception that arrives MID-INSERT (after the Query packet,
+        before the empty terminator block) leaves the stream
+        protocol-desynced — the server stopped reading an insert body
+        this client never finished — so ANY failure inside an insert
+        closes the connection and the sink's retry reconnects cleanly.
+        The keep-connection-after-Exception invariant only holds at
+        clean packet boundaries (DDL, ping, SELECT)."""
         try:
             self._insert(table, rows, column_names)
-        except Exception as exc:
-            self._reset_on_transport_error(exc)
+        except Exception:
+            self.close()
             raise
 
     def _insert(self, table: str, rows: Sequence[tuple],

@@ -685,3 +685,30 @@ def test_select_empty_result():
         assert names == ["x"] and types == ["Int64"] and rows == []
     finally:
         srv.close()
+
+
+def test_midinsert_exception_closes_connection_and_retry_reconnects():
+    """A mid-insert server Exception leaves the stream desynced (the
+    server stopped reading an unfinished insert body), so insert() must
+    CLOSE the connection — the sink's retry loop then reconnects
+    cleanly instead of writing a new Query into a corrupted stream.
+    (command()/query() keep the connection: their exceptions arrive at
+    clean packet boundaries — pinned above.)"""
+    srv = FakeNativeServer(
+        table_types={"msg": "String"},
+        fail_insert_midstream=(241, "MEMORY_LIMIT_EXCEEDED", "boom"),
+    )
+    try:
+        c = NativeClickHouseClient("127.0.0.1", srv.port,
+                                   insert_chunk_rows=10)
+        rows = [(f"m{i}",) for i in range(100)]
+        with pytest.raises(ClickHouseNativeError):
+            c.insert("t", rows, ["msg"])
+        assert c._sock is None  # desynced stream was closed
+        srv.fail_insert_midstream = None
+        c.insert("t", rows, ["msg"])  # fresh connection, clean insert
+        got = [v for blk in srv.inserts for v in blk[0][2]]
+        assert got == [r[0] for r in rows]
+        c.close()
+    finally:
+        srv.close()

@@ -8,10 +8,13 @@ import pytest
 
 
 def test_mixture_join_path_reuses_cached_schedule(spark):
-    """r12 advice item 4: on the join path the fitted schedule is
-    evaluated twice (probe collect + join onto df).  The schedule must
-    be cached before the probe so the join reads an InMemoryRelation
-    instead of repeating the corpus-wide histogram aggregation."""
+    """r12 advice item 4 + r13 review: on the join path the fitted
+    schedule is evaluated twice (probe collect + join onto df).  It is
+    cached for the probe, then swapped for an eager localCheckpoint so
+    the join reads materialized blocks (LogicalRDD) WITHOUT leaving a
+    pinned InMemoryRelation behind — the join path is the
+    high-cardinality case, where a session-lifetime cache entry per
+    call would accumulate."""
     from grower_spark.operators.sampling import mixture_assign_copies
 
     df = spark.createDataFrame(
@@ -19,8 +22,10 @@ def test_mixture_join_path_reuses_cached_schedule(spark):
     )
     out = mixture_assign_copies(df, "g", 140, "k", max_plan_groups=0)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "InMemoryRelation" in plan, plan
-    # values unchanged by the cache (sum over a uniform 7-group frame)
+    # single-evaluation via checkpoint blocks, not a retained cache
+    assert "LogicalRDD" in plan, plan
+    assert "InMemoryRelation" not in plan, plan
+    # values unchanged (sum over a uniform 7-group frame)
     total = out.agg(F.sum("_n_copies")).collect()[0][0]
     assert total == 140
 
@@ -192,3 +197,36 @@ def test_ann_int8_topk_recall_floor_vs_float(spark):
     i8 = {(r["qid"], r["vec_id"])
           for r in ann_int8_topk(emb, n_queries=8, k=10).collect()}
     assert len(fl & i8) / len(fl) >= 0.5
+
+
+def test_quantize_excludes_malformed_vectors(spark):
+    """Contract hardening (r13 review): null arrays, empty arrays, and
+    arrays containing null elements are EXCLUDED — not half-processed —
+    on both engines (a null element null-poisons Spark's aggregate()
+    fold while SQL SUM skips nulls, so keeping them would make the
+    engines disagree on values; empty arrays would make them disagree
+    on the row set)."""
+    from grower_spark.operators.diversity import quantize_embeddings_int8
+    from grower_spark.operators.similarity import ann_int8_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0]),
+            (1, [2.0, 3.0]),
+            (2, None),            # null vector
+            (3, []),              # empty vector
+            (4, [1.0, None]),     # null element
+            (5, [1.0]),           # ragged (shorter than fit dims)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_embeddings_int8(emb)
+    kept = sorted(r["vec_id"] for r in q.collect())
+    # the summary keeps ragged vectors (n_dims is per-vector there);
+    # null/empty/null-element rows are gone
+    assert kept == [0, 1, 5]
+    # the ANN additionally drops ragged vectors (zip_with vs join-on-dim
+    # would diverge): only the two full-dimensionality vectors remain
+    ann = ann_int8_topk(emb, n_queries=1, k=5)
+    pairs = {(r["qid"], r["vec_id"]) for r in ann.collect()}
+    assert pairs == {(0, 1)}
