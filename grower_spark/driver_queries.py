@@ -6343,6 +6343,78 @@ FROM dots QUALIFY rank <= {ANN_TOPK}
 """
 
 
+ANN_RERANK_M = 40  # int8 shortlist width: m = 4k (similarity.py contract)
+
+
+def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier retrieval (operators/similarity.py::ann_int8_rerank):
+    the int8 code scan shortlists top-m=4k per query, a float cosine
+    rerank over only those Q x m rows returns the final top-k — the
+    recall tier the int8 scan's own contract names (r13 verdict
+    "What's missing" 2; recall@10 strictly above int8-only pinned in
+    tests/test_r14_ops.py).  The expensive pass stays the bounded
+    code-tier scan; floats are touched for shortlist rows only."""
+    from grower_spark.operators.similarity import ann_int8_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_int8_rerank(emb, n_queries=N_ANN_QUERIES, m=ANN_RERANK_M,
+                           k=ANN_TOPK)
+
+
+def oracle_ann_int8_rerank() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), fit AS (
+  SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY 1
+), c AS (
+  SELECT q.vec_id, q.dim,
+    (CASE WHEN f.mx = f.mn THEN CAST(0 AS BIGINT)
+          ELSE ((q.xq - f.mn) * 254) // (f.mx - f.mn) END) - 127 AS cc
+  FROM q JOIN fit f USING (dim)
+), fullv AS (
+  SELECT vec_id FROM c GROUP BY 1
+  HAVING count(*) = (SELECT count(*) FROM fit)
+), cf AS (
+  SELECT c.* FROM c JOIN fullv USING (vec_id)
+), qs AS (
+  SELECT vec_id AS qid, dim, cc FROM cf WHERE vec_id < {N_ANN_QUERIES}
+), dots AS (
+  SELECT qs.qid, cf.vec_id, SUM(qs.cc * cf.cc) AS dot
+  FROM qs JOIN cf ON qs.dim = cf.dim AND cf.vec_id <> qs.qid
+  GROUP BY 1, 2
+), shortlist AS (
+  SELECT qid, vec_id FROM dots
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+          <= {ANN_RERANK_M}
+), qv AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
+), rer AS (
+  SELECT s.qid, s.vec_id,
+    round(
+      list_dot_product(v.qvec, CAST(e.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(v.qvec, v.qvec))
+         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])))),
+      4) AS sim_r4
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN qv v ON v.qid = s.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_r4 DESC, vec_id)
+       AS INTEGER) AS rank,
+  sim_r4
+FROM rer QUALIFY rank <= {ANN_TOPK}
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-distribution drift between two snapshot views
     (operators/diff.py): the corpus_diff release fixtures (old drops ids
@@ -7520,6 +7592,13 @@ def _cb_cleaned_pool(spark: SparkSession, sf_dir: str):
             num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
             min_shared_bands=2,
             collect_report=False,
+            # checkpoint (not cache) the scored fan-out point: truncated
+            # lineage means no downstream build stage can re-derive the
+            # quality-signal regexes from the raw scan — at 100 TB a
+            # cache miss would re-run a full regex pass per stage (r13
+            # verdict item 4; the plan audit's regex x16 was this
+            # lineage re-inlined across every pre-barrier segment)
+            materialize="checkpoint",
         )
         kept = corpus.select("doc_id", "lang").localCheckpoint(eager=True)
         drops_ck = drops.localCheckpoint(eager=True)
@@ -8179,31 +8258,31 @@ def oracle_dedup_editdist_unicode() -> str:
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r13; sections are 1-8 / 9-14 / 15-50 — exactly 50,
+# Window layout (r14; sections are 1-8 / 9-14 / 15-50 — exactly 50,
 # AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
-#   9-12  : must-certify this round — dedup_editdist_unicode (DEBUT:
-#           the production operator over genuinely multi-byte text with
-#           a codepoint-cast oracle shim, certifying the documented
-#           Spark-codepoint semantics — r12 verdict item 7),
-#           corpus_build_mixture + corpus_build_full (both now share
-#           one cleaning-pipeline run per process via _cb_cleaned_pool;
-#           outputs unchanged, oracles untouched — r12 verdict item 6),
-#           mixture_materialize (mixture_assign_copies now caches the
-#           fitted schedule before the dispatch probe — r12 advice 4),
-#           embedding_quantize_int8 (DEBUT: scalar int8 quantization —
-#           model-sized per-dim fit + zero-shuffle encode, codes
-#           integer-exact across engines), ann_int8_topk (DEBUT: top-k
-#           over the int8 codes, exact-int64 centered-dot kernel).
+#   9-14  : must-certify this round — ann_int8_rerank (DEBUT: int8
+#           shortlist -> float cosine rerank, the recall tier over the
+#           r13 quantized scan — r13 verdict "What's missing" 2);
+#           ann_int8_topk + ann_hard_negatives (CHANGED: the top-k
+#           window family now runs a map-side partial top-k stage so
+#           the final per-query rank window reads partitions x k rows
+#           instead of the whole scored stream — r13 verdict item 2);
+#           corpus_build_mixture + corpus_build_full (CHANGED: the
+#           shared cleaned pool now CHECKPOINTS the scored fan-out
+#           point, so no downstream stage lineage can re-derive the
+#           quality-signal regexes from raw — r13 verdict item 4);
+#           embedding_quantize_int8 (CHANGED: empty-fit literal arrays
+#           now type-pinned array<long> — r13 advice item 1).
 #   15-50 : staleness rotation — the 36-row head of the stalest tail
-#           (the r9/r10-certified leftovers, stale-first:
-#           events_exact_stats .. tpch_q2), per the r12 commitment.
-#   51+   : stalest-first — the r9/r10-certified remainder
-#           (tpch_q5 ..), then the rows last certified r11, then the
-#           rows displaced from the r12 window (r12-certified,
-#           freshest) — all covered every round by the committed
+#           (tpch_q3/q4 lead, then the r10-certified remainder through
+#           dedup_winnowing), per the r13 commitment.
+#   51+   : stalest-first — the r10/r11-certified remainder
+#           (salted_agg_users ..), then the rows displaced from the
+#           r12 window, then the rows displaced from the r13 window
+#           (freshest) — all covered every round by the committed
 #           CORRECTNESS_LOCAL_r{N}.json full-registry artifact.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 1-8: §2 core, keep certified every round ---
@@ -8215,62 +8294,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_error_rate": q_nginx_error_rate,
     "nginx_latency_percentiles": q_nginx_latency_percentiles,
     "syslog_extract": q_syslog_extract,
-    # --- 9-12: r13 must-certify (new/changed this round, see the
+    # --- 9-14: r14 must-certify (new/changed this round, see the
     # layout comment above) ---
-    "dedup_editdist_unicode": q_dedup_editdist_unicode,
+    "ann_int8_rerank": q_ann_int8_rerank,
+    "ann_int8_topk": q_ann_int8_topk,
+    "ann_hard_negatives": q_ann_hard_negatives,
     "corpus_build_mixture": q_corpus_build_mixture,
     "corpus_build_full": q_corpus_build_full,
-    "mixture_materialize": q_mixture_materialize,
     "embedding_quantize_int8": q_embedding_quantize_int8,
-    "ann_int8_topk": q_ann_int8_topk,
     # --- 15-50: staleness rotation — the 36-row head of the stalest
-    # (r9/r10-certified) tail, stale-first (tpch_q4 displaced to 51+ by
-    # the embedding_quantize_int8 debut) ---
-    "events_exact_stats": q_events_exact_stats,
-    "events_sketches": q_events_sketches,
-    "text_stats": q_text_stats,
-    "doc_fingerprint": q_doc_fingerprint,
-    "embedding_neardup": q_embedding_neardup,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_keep_best": q_dedup_keep_best,
-    "nb_lang_score": q_nb_lang_score,
-    "corpus_report": q_corpus_report,
-    "multimodal_decode_meta": q_multimodal_decode_meta,
-    "multimodal_decode_mp4": q_multimodal_decode_mp4,
-    "cluster_split": q_cluster_split,
-    "doc_bm25": q_doc_bm25,
-    "cluster_balanced_sample": q_cluster_balanced_sample,
-    "nginx_session_funnel": q_nginx_session_funnel,
-    "corpus_token_budget": q_corpus_token_budget,
-    "events_hourly_baseline": q_events_hourly_baseline,
-    "nginx_top_clients": q_nginx_top_clients,
-    "nginx_ip_prefix": q_nginx_ip_prefix,
-    "events_lifecycle": q_events_lifecycle,
-    "events_value_deciles": q_events_value_deciles,
-    "doc_containment": q_doc_containment,
-    "corpus_diff": q_corpus_diff,
-    "sample_weighted": q_sample_weighted,
-    "quality_adaptive": q_quality_adaptive,
-    "embedding_diversity": q_embedding_diversity,
-    "term_affinity": q_term_affinity,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "corpus_drift": q_corpus_drift,
-    "benchmark_leakage": q_benchmark_leakage,
-    "lang_confusion": q_lang_confusion,
-    "events_gap_stats": q_events_gap_stats,
-    "doc_quality_outliers": q_doc_quality_outliers,
-    "embedding_norm_outliers": q_embedding_norm_outliers,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q2": q_tpch_q2,
-    # --- 51+: stalest-first — tpch_q3/q4 lead (displaced from the
-    # window by the r13 debuts; r13-certified otherwise by the local
-    # artifact)
+    # tail (tpch_q3/q4 lead, displaced from the r13 window by the r13
+    # debuts, then the r10-certified remainder stale-first) ---
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
-    # --- 51+ continued: stalest-first — the r9/r10-certified remainder, then
-    # the r11-certified rows, then the rows displaced from the r12
-    # window (freshest) — all covered every round by the committed
-    # CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -8304,8 +8340,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_dedup_rates": q_source_dedup_rates,
     "events_burstiness": q_events_burstiness,
     "source_mixture_plan": q_source_mixture_plan,
-    "ann_hard_negatives": q_ann_hard_negatives,
     "dedup_winnowing": q_dedup_winnowing,
+    # --- 51+: stalest-first — the r10/r11-certified remainder, then
+    # the rows displaced from the r12 window, then the rows displaced
+    # from the r13 window (freshest) — all covered every round by the
+    # committed CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -8379,11 +8418,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_window": q_events_sliding_window,
     "events_rollup": q_events_rollup,
     "events_topk_per_user": q_events_topk_per_user,
+    # --- displaced from the r13 window (r13-certified, freshest) ---
+    "dedup_editdist_unicode": q_dedup_editdist_unicode,
+    "mixture_materialize": q_mixture_materialize,
+    "events_exact_stats": q_events_exact_stats,
+    "events_sketches": q_events_sketches,
+    "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_neardup": q_embedding_neardup,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_keep_best": q_dedup_keep_best,
+    "nb_lang_score": q_nb_lang_score,
+    "corpus_report": q_corpus_report,
+    "multimodal_decode_meta": q_multimodal_decode_meta,
+    "multimodal_decode_mp4": q_multimodal_decode_mp4,
+    "cluster_split": q_cluster_split,
+    "doc_bm25": q_doc_bm25,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "nginx_session_funnel": q_nginx_session_funnel,
+    "corpus_token_budget": q_corpus_token_budget,
+    "events_hourly_baseline": q_events_hourly_baseline,
+    "nginx_top_clients": q_nginx_top_clients,
+    "nginx_ip_prefix": q_nginx_ip_prefix,
+    "events_lifecycle": q_events_lifecycle,
+    "events_value_deciles": q_events_value_deciles,
+    "doc_containment": q_doc_containment,
+    "corpus_diff": q_corpus_diff,
+    "sample_weighted": q_sample_weighted,
+    "quality_adaptive": q_quality_adaptive,
+    "embedding_diversity": q_embedding_diversity,
+    "term_affinity": q_term_affinity,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "corpus_drift": q_corpus_drift,
+    "benchmark_leakage": q_benchmark_leakage,
+    "lang_confusion": q_lang_confusion,
+    "events_gap_stats": q_events_gap_stats,
+    "doc_quality_outliers": q_doc_quality_outliers,
+    "embedding_norm_outliers": q_embedding_norm_outliers,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q2": q_tpch_q2,
 }
 
 ORACLES: dict[str, str] = {
     "embedding_quantize_int8": oracle_embedding_quantize_int8(),
     "ann_int8_topk": oracle_ann_int8_topk(),
+    "ann_int8_rerank": oracle_ann_int8_rerank(),
     "nginx_parse_agg": oracle_nginx_parse_agg(),
     "nginx_parse_rows": oracle_nginx_parse_rows(),
     "nginx_deadletter": oracle_nginx_deadletter(),

@@ -162,12 +162,17 @@ def quantized_codes(
         .collect()
     )
     by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in fit}
+    # Empty fit (every row null/empty/null-element): a zero-arg F.array()
+    # is array<null> and the transform below fails type-checking
+    # (r13 advice item 1) — the .cast("array<long>") pins the element
+    # type either way, and the zero surviving rows make the (now
+    # well-typed) expressions vacuous.
     mn_arr = F.array(*[
         F.lit(int(by_pos[p][0])).cast("long") for p in sorted(by_pos)
-    ])
+    ]).cast("array<long>")
     mx_arr = F.array(*[
         F.lit(int(by_pos[p][1])).cast("long") for p in sorted(by_pos)
-    ])
+    ]).cast("array<long>")
     lv = int(levels)
     return (
         clean.withColumn("_xq", xq)

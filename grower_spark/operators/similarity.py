@@ -41,6 +41,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
 
 
+def _partial_topk(scored: DataFrame, key_cols: list, order_cols: list,
+                  k: int) -> DataFrame:
+    """Map-side bounded top-k stage ahead of an exact per-key rank window
+    (r13 verdict item 1: the window shuffle of a top-k scan has at most
+    ``n_queries`` distinct keys, so the full N×Q scored stream used to
+    funnel into ≤n_queries reducer tasks — a fixed-width bottleneck no
+    cluster size fixes).
+
+    Two-level exact scheme: rank first within (key, input-partition) —
+    that shuffle has keys × input-partitions distinct groups, so its
+    parallelism GROWS with the corpus — and keep only each group's local
+    top-k.  Any row in the global per-key top-k is by definition within
+    the top-k of its own input partition under the same total order, so
+    the survivors (≤ partitions × k per key) are a superset of the final
+    answer and the downstream exact window sees bounded input regardless
+    of corpus size.  ``order_cols`` MUST be a total order (tie-broken to
+    uniqueness) or the per-partition cut could drop a tied global-top-k
+    row."""
+    pre = scored.withColumn("_pp", F.spark_partition_id())
+    w1 = Window.partitionBy(*(list(key_cols) + ["_pp"])).orderBy(*order_cols)
+    return (
+        pre.withColumn("_pr", F.row_number().over(w1))
+        .where(F.col("_pr") <= k)
+        .drop("_pp", "_pr")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,14 +77,20 @@ def cosine_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
 ) -> DataFrame:
-    """Exact top-k neighbors per query: (qid, vec_id, rank, sim_r4)."""
+    """Exact top-k neighbors per query: (qid, vec_id, rank, sim_r4).
+
+    The scored stream runs through :func:`_partial_topk` first, so the
+    final n_queries-keyed rank window reads partitions × k rows per
+    query instead of the whole corpus."""
     pairs = corpus.crossJoin(F.broadcast(queries)).where(
         F.col(id_col) != F.col(qid_col)
     )
     scored = pairs.select(
         qid_col, id_col, F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4")
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("sim_r4"), F.asc(id_col))
+    order = [F.desc("sim_r4"), F.asc(id_col)]
+    scored = _partial_topk(scored, [qid_col], order, k)
+    w = Window.partitionBy(qid_col).orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -104,7 +137,9 @@ def hard_negative_topk(
         label_col,
         F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4"),
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("sim_r4"), F.asc(id_col))
+    order = [F.desc("sim_r4"), F.asc(id_col)]
+    scored = _partial_topk(scored, [qid_col], order, k)
+    w = Window.partitionBy(qid_col).orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -983,8 +1018,8 @@ def ann_int8_topk(
     """Exact top-k over INT8-QUANTIZED vectors — the memory-tier
     companion to cosine_topk: at 100 TB the float32 corpus does not fit
     hot storage, so the scan runs over 4×-smaller offset-binary codes
-    (diversity.py::quantized_codes) and only the final rerank (not done
-    here) would touch floats.
+    (diversity.py::quantized_codes) and only the final rerank (the
+    :func:`ann_int8_rerank` tier) touches floats.
 
     Kernel: centered integer dot product sum_i (c_i - h)(q_i - h) with
     h = levels/2 — the monotone stand-in for cosine on symmetric-range
@@ -1023,7 +1058,9 @@ def ann_int8_topk(
         f"(c, q) -> (c - {half}L) * (q - {half}L)), 0L, (a, v) -> a + v)"
     )
     scored = pairs.select("qid", id_col, dot.alias("dot"))
-    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc(id_col))
+    order = [F.desc("dot"), F.asc(id_col)]
+    scored = _partial_topk(scored, ["qid"], order, k)
+    w = Window.partitionBy("qid").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -1032,5 +1069,59 @@ def ann_int8_topk(
             F.col(id_col).cast("long").alias(id_col),
             F.col("rank").cast("int").alias("rank"),
             F.col("dot").cast("long").alias("dot"),
+        )
+    )
+
+
+def ann_int8_rerank(
+    emb: DataFrame,
+    n_queries: int = 8,
+    m: int = 40,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 254,
+) -> DataFrame:
+    """Two-tier retrieval: the int8 code scan shortlists top-``m`` per
+    query (:func:`ann_int8_topk` — 4×-smaller corpus, exact-int64
+    kernel), then a FLOAT cosine rerank over only the shortlist returns
+    the final top-``k`` — the rerank stage ann_int8_topk's own contract
+    names as the missing recall tier (r13 verdict "What's missing" 2:
+    measured int8-only recall@10 was 0.74; the shortlist→float rerank
+    recovers most of the gap, pinned in pytest).
+
+    Scale shape: the expensive pass is still the code-tier scan (one
+    map-side sweep of the quantized corpus, partial-top-k bounded); the
+    float tier touches only Q × m rows — the shortlist is collected
+    nowhere, it broadcast-joins back into the embeddings scan so each
+    executor fetches float vectors for its own shortlist slice.  The
+    final window input is Q × m rows — model-sized, no partial stage
+    needed.  Output: ``(qid, vec_id, rank, sim_r4)`` with the exact
+    cosine of the ORIGINAL float vectors, (sim desc, vec_id) tie-break.
+    """
+    shortlist = ann_int8_topk(
+        emb, n_queries=n_queries, k=m, id_col=id_col, vec_col=vec_col,
+        levels=levels,
+    ).select("qid", id_col)
+    cand = emb.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(shortlist), id_col
+    )
+    qpanel = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("_rq"), F.col(vec_col).alias("_qvec")
+    )
+    pairs = cand.join(F.broadcast(qpanel), F.col("qid") == F.col("_rq"))
+    scored = pairs.select(
+        "qid", id_col,
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("sim_r4"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_r4"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("sim_r4"),
         )
     )

@@ -109,6 +109,13 @@ METHOD_ZSTD = 0x90
 # defaults to a 1 MiB working buffer, so blocks larger than this arrive
 # as multiple frames — the reader below handles both directions
 MAX_FRAME_DATA = 1 << 20
+# Inbound ceiling on a single frame's declared sizes (r13 advice item 2):
+# comp_size/data_size are u32 (~4 GiB) and are read BEFORE the checksum
+# can be verified, so a buggy/hostile peer could otherwise force a
+# multi-GiB allocation with one 9-byte header.  ClickHouse itself caps
+# around 1 GiB; we write at MAX_FRAME_DATA (1 MiB), so 128 MiB is a
+# generous bound for any legitimate peer.
+MAX_FRAME_RECV = 128 << 20
 
 
 class ClickHouseNativeError(RuntimeError):
@@ -260,6 +267,12 @@ def read_frame(r: Reader) -> bytes:
     method, comp_size, data_size = struct.unpack("<BII", header)
     if comp_size < 9:
         raise ProtocolError(f"frame compressed_size {comp_size} < 9")
+    if comp_size - 9 > MAX_FRAME_RECV or data_size > MAX_FRAME_RECV:
+        raise ProtocolError(
+            f"frame sizes (compressed {comp_size}, decompressed "
+            f"{data_size}) exceed the {MAX_FRAME_RECV}-byte receive "
+            "ceiling"
+        )
     body = r.read(comp_size - 9)
     lo, hi = cityhash128(header + body)
     if struct.pack("<QQ", lo, hi) != want:

@@ -74,6 +74,7 @@ def build_corpus(
     mixture_target_rows: int = 0,
     mixture_alpha_halves: int = 1,
     collect_report: bool = True,
+    materialize: str = "cache",
 ):
     """Returns (corpus_df, drops_df, report_dict).
 
@@ -102,12 +103,23 @@ def build_corpus(
 
     # 1a. per-row quality signals (map-side).  `scored` is the fan-out
     # point every later stage re-derives (repetition, decontamination,
-    # dedup, sampling, packing all branch from it) — cache it so the scan
-    # + signal computation runs once, not once per downstream action.  At
-    # cluster scale prefer a checkpoint/intermediate write if the scored
-    # corpus exceeds cache capacity; lineage recompute of a 100 TB scan
-    # per stage is the thing to avoid either way.
-    scored = quality_signals(docs, text_col).cache()
+    # dedup, sampling, packing all branch from it) — materialize it so
+    # the scan + signal computation runs once, not once per downstream
+    # action.  ``materialize="cache"`` keeps lineage (downstream still
+    # prunes/pushes into the scan, but a cache miss at 100 TB re-runs
+    # every regex pass per stage); ``"checkpoint"`` truncates lineage at
+    # the materialized blocks, so NO downstream stage can ever re-derive
+    # the signal regexes from raw — the scale-safe choice when the
+    # scored corpus exceeds cache capacity (r13 verdict item 4: the
+    # composed-build audit showed the signal regex re-inlined across
+    # every pre-barrier segment's lineage).
+    if materialize not in ("cache", "checkpoint"):
+        raise ValueError(
+            f"materialize must be cache|checkpoint, got {materialize!r}"
+        )
+    scored = quality_signals(docs, text_col)
+    scored = (scored.localCheckpoint(eager=True)
+              if materialize == "checkpoint" else scored.cache())
     report: dict[str, int] = (
         {"input": scored.count()} if collect_report else {}
     )
