@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     # the int8 ANN rides the same broadcast-panel scan as the float rows
     ("embedding_quantize_int8", "collect"),
     ("ann_int8_topk", "collect"),
+    ("ann_int8_rerank", "collect"),
 ]
 
 
