@@ -8263,22 +8263,30 @@ def oracle_dedup_editdist_unicode() -> str:
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
-#   9-14  : must-certify this round — ann_int8_rerank (DEBUT: int8
+#   9-17  : must-certify this round — ann_int8_rerank (DEBUT: int8
 #           shortlist -> float cosine rerank, the recall tier over the
 #           r13 quantized scan — r13 verdict "What's missing" 2);
-#           ann_int8_topk + ann_hard_negatives (CHANGED: the top-k
-#           window family now runs a map-side partial top-k stage so
-#           the final per-query rank window reads partitions x k rows
-#           instead of the whole scored stream — r13 verdict item 2);
+#           ann_int8_topk + ann_hard_negatives + doc_bm25 +
+#           cluster_balanced_sample + kmeans_representatives (CHANGED:
+#           the whole corpus-scale top-k window family now runs a
+#           map-side partial top-k stage so the final rank window
+#           reads shuffle-partitions x k rows instead of
+#           input-partitions x k — r13 verdict item 2;
+#           cluster_balanced_sample's min-cluster target additionally
+#           became a bounded-fit plan literal because a joined rank cut
+#           is opaque to group-limit pruning);
 #           corpus_build_mixture + corpus_build_full (CHANGED: the
 #           shared cleaned pool now CHECKPOINTS the scored fan-out
 #           point, so no downstream stage lineage can re-derive the
 #           quality-signal regexes from raw — r13 verdict item 4);
 #           embedding_quantize_int8 (CHANGED: empty-fit literal arrays
 #           now type-pinned array<long> — r13 advice item 1).
-#   15-50 : staleness rotation — the 36-row head of the stalest tail
+#   18-50 : staleness rotation — the 33-row head of the stalest tail
 #           (tpch_q3/q4 lead, then the r10-certified remainder through
-#           dedup_winnowing), per the r13 commitment.
+#           source_dedup_rates), per the r13 commitment;
+#           events_burstiness/source_mixture_plan/dedup_winnowing lead
+#           the r15 rotation instead (displaced by the three changed
+#           top-k rows, which outrank staleness).
 #   51+   : stalest-first — the r10/r11-certified remainder
 #           (salted_agg_users ..), then the rows displaced from the
 #           r12 window, then the rows displaced from the r13 window
@@ -8299,10 +8307,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_int8_rerank": q_ann_int8_rerank,
     "ann_int8_topk": q_ann_int8_topk,
     "ann_hard_negatives": q_ann_hard_negatives,
+    "doc_bm25": q_doc_bm25,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "kmeans_representatives": q_kmeans_representatives,
     "corpus_build_mixture": q_corpus_build_mixture,
     "corpus_build_full": q_corpus_build_full,
     "embedding_quantize_int8": q_embedding_quantize_int8,
-    # --- 15-50: staleness rotation — the 36-row head of the stalest
+    # --- 18-50: staleness rotation — the 33-row head of the stalest
     # tail (tpch_q3/q4 lead, displaced from the r13 window by the r13
     # debuts, then the r10-certified remainder stale-first) ---
     "tpch_q3": q_tpch_q3,
@@ -8338,13 +8349,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_perplexity": q_bigram_lm_perplexity,
     "dedup_prefix": q_dedup_prefix,
     "source_dedup_rates": q_source_dedup_rates,
+    # --- 51+: stalest-first — events_burstiness/source_mixture_plan/
+    # dedup_winnowing lead the r15 rotation (displaced from this
+    # round's window by the three changed top-k rows), then the
+    # r10/r11-certified remainder, then the rows displaced from the
+    # r12 window, then the rows displaced from the r13 window
+    # (freshest) — all covered every round by the committed
+    # CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
     "events_burstiness": q_events_burstiness,
     "source_mixture_plan": q_source_mixture_plan,
     "dedup_winnowing": q_dedup_winnowing,
-    # --- 51+: stalest-first — the r10/r11-certified remainder, then
-    # the rows displaced from the r12 window, then the rows displaced
-    # from the r13 window (freshest) — all covered every round by the
-    # committed CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
     "salted_agg_users": q_salted_agg_users,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -8380,7 +8394,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_top_paths": q_events_top_paths,
     # --- displaced from the r12 window (r12-certified, freshest) ---
     "dedup_edit_distance": q_dedup_edit_distance,
-    "kmeans_representatives": q_kmeans_representatives,
     "events_funnel_timing": q_events_funnel_timing,
     "events_dau_wau": q_events_dau_wau,
     "ann_ivf": q_ann_ivf,
@@ -8433,8 +8446,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "multimodal_decode_mp4": q_multimodal_decode_mp4,
     "cluster_split": q_cluster_split,
-    "doc_bm25": q_doc_bm25,
-    "cluster_balanced_sample": q_cluster_balanced_sample,
     "nginx_session_funnel": q_nginx_session_funnel,
     "corpus_token_budget": q_corpus_token_budget,
     "events_hourly_baseline": q_events_hourly_baseline,

@@ -119,23 +119,27 @@ def kmeans_representatives(emb: DataFrame, k: int = 8, n_iter: int = 2,
     the final centroid; ties to the lowest id) — the deterministic
     coreset / "show me each topic" sample that a random draw can't give.
 
-    Plan: the ``kmeans_quantized`` passes plus ONE cluster-keyed top-m
-    window.  The window has k partitions, so k should grow with the
-    corpus (k ~ sqrt(n) is the usual IVF sizing); per-partition work is
-    a sort of that cluster's members, the same grouped-top-k shape as
-    events_topk_per_user.
+    Plan: the ``kmeans_quantized`` passes plus the cluster-keyed top-m
+    rank, run through the two-level scheme shared with the ANN family
+    (similarity.py::_partial_topk, r14): a (cluster, input-partition)
+    pre-rank bounds the final exact window's input at
+    shuffle-partitions × m per cluster — the window has only k
+    partitions, so without the partial stage its reducer input grows
+    with the corpus's input splits no matter the cluster size.
 
     Output: ``(id_col, cluster int, dist_sq_q bigint, rank int)``.
     """
     from pyspark.sql import Window
 
+    from grower_spark.operators.similarity import _partial_topk
+
     if m <= 0:
         raise ValueError("m must be positive")
     assigned = kmeans_quantized(emb, k=k, n_iter=n_iter, id_col=id_col,
                                 vec_col=vec_col)
-    w = Window.partitionBy("cluster").orderBy(
-        F.asc("dist_sq_q"), F.asc(id_col)
-    )
+    order = [F.asc("dist_sq_q"), F.asc(id_col)]
+    assigned = _partial_topk(assigned, ["cluster"], order, m)
+    w = Window.partitionBy("cluster").orderBy(*order)
     return (
         assigned.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= m)

@@ -224,22 +224,40 @@ def cluster_balanced_sample(assigned: DataFrame, per_cluster: int = 0,
     """
     from pyspark.sql import Window
 
+    from grower_spark.operators.similarity import _partial_topk
+
     if per_cluster < 0:
         raise ValueError("per_cluster must be >= 0")
+    if per_cluster == 0:
+        # min-cluster target as a PLAN LITERAL via a bounded fit (k-row
+        # count rollup -> 1 row -> collect), not a joined column: a
+        # data-dependent rank cut is opaque to both Spark's
+        # WindowGroupLimit pruning and the partial top-k stage, so the
+        # old crossJoin form funneled the whole corpus into k reducer
+        # tasks (r14; same family as the ANN window fix)
+        row = (
+            assigned.groupBy(cluster_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.min("_n").alias("_target"))
+            .collect()
+        )
+        target = row[0]["_target"] if row else None
+        # empty input: any positive cut works — zero rows survive
+        per_cluster = int(target) if target is not None else 1
     h = md5_60(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(cluster_col).orderBy(h.asc(), F.col(id_col).asc())
-    ranked = assigned.select(
-        id_col, cluster_col,
-        F.row_number().over(w).cast("int").alias("pick_rank"),
+    order = [h.asc(), F.col(id_col).asc()]
+    pre = _partial_topk(
+        assigned.select(id_col, cluster_col), [cluster_col], order,
+        per_cluster,
     )
-    if per_cluster > 0:
-        return ranked.where(F.col("pick_rank") <= per_cluster)
-    sizes = assigned.groupBy(cluster_col).agg(
-        F.count(F.lit(1)).alias("_n")
-    ).agg(F.min("_n").alias("_target"))  # k rows -> 1 row
-    return ranked.crossJoin(F.broadcast(sizes)).where(
-        F.col("pick_rank") <= F.col("_target")
-    ).select(id_col, cluster_col, "pick_rank")
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        pre.select(
+            id_col, cluster_col,
+            F.row_number().over(w).cast("int").alias("pick_rank"),
+        )
+        .where(F.col("pick_rank") <= per_cluster)
+    )
 
 
 def select_within_token_budget(docs: DataFrame, budget_tokens: int,

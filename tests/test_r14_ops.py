@@ -145,6 +145,56 @@ def test_partial_topk_bounds_final_window_input(spark):
     assert big <= small  # corpus x10 does not grow the window input
 
 
+def test_grouped_topk_family_partitioning_invariance(spark):
+    """The r14 partial stage extended to the OTHER corpus-scale top-k
+    windows: kmeans_representatives (k cluster keys),
+    cluster_balanced_sample (min-target branch now a bounded-fit plan
+    literal — a joined rank cut was opaque to group-limit pruning), and
+    bm25_topk (|queries| keys).  Each must be layout-invariant and keep
+    its pre-change semantics."""
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.clustering import kmeans_representatives
+    from grower_spark.operators.sampling import cluster_balanced_sample
+    from grower_spark.operators.text import bm25_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = sorted(map(tuple, kmeans_representatives(
+        emb.repartition(1), k=3, n_iter=1, m=4).collect()))
+    b = sorted(map(tuple, kmeans_representatives(
+        emb.repartition(9), k=3, n_iter=1, m=4).collect()))
+    assert a == b and len(a) == 12
+
+    assigned = spark.createDataFrame(
+        [(i, i % 3) for i in range(40)] + [(100 + i, 7) for i in range(2)],
+        "vec_id long, cluster int",
+    )
+    out1 = sorted(map(tuple, cluster_balanced_sample(
+        assigned.repartition(1)).collect()))
+    out11 = sorted(map(tuple, cluster_balanced_sample(
+        assigned.repartition(11)).collect()))
+    assert out1 == out11
+    # strict balance: every cluster contributes exactly the smallest
+    # cluster's size (2), ranks dense
+    from collections import Counter
+    sizes = Counter(c for _, c, _ in out1)
+    assert set(sizes.values()) == {2} and len(sizes) == 4
+    # capped branch still bounded + invariant
+    cap = sorted(map(tuple, cluster_balanced_sample(
+        assigned.repartition(5), per_cluster=3).collect()))
+    assert Counter(c for _, c, _ in cap)[0] == 3
+    # empty input: zero rows, no exception (the bounded fit is empty)
+    empty = assigned.where(F.lit(False))
+    assert cluster_balanced_sample(empty).count() == 0
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    qs = [(0, "the data pipeline"), (1, "model training")]
+    r1 = sorted(map(tuple, bm25_topk(docs.repartition(1), qs, k=5)
+                    .collect()))
+    r9 = sorted(map(tuple, bm25_topk(docs.repartition(9), qs, k=5)
+                    .collect()))
+    assert r1 == r9 and r1
+
+
 def test_ann_int8_rerank_recall_beats_int8_only(spark):
     """The rerank tier's reason to exist: recall@10 vs the exact float
     ranking strictly above the int8-only scan's (0.74 measured at
