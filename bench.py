@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     ("embedding_quantize_int8", "collect"),
     ("ann_int8_topk", "collect"),
     ("ann_int8_rerank", "collect"),
+    ("ann_ivf_int8", "collect"),
 ]
 
 

@@ -6415,6 +6415,80 @@ FROM rer QUALIFY rank <= {ANN_TOPK}
 """
 
 
+def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × int8 composition (operators/similarity.py::ann_ivf_int8):
+    the coarse quantizer bounds WHICH rows are scored (n_probe cells per
+    query), the int8 codes bound WHAT is scanned (4×-smaller corpus,
+    exact-int64 kernel) — the two candidate-reduction axes of a 100 TB
+    retrieval tier certified COMPOSED, not just individually (the same
+    composition discipline as corpus_build_full)."""
+    from grower_spark.operators.similarity import ann_ivf_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_int8(emb, n_queries=N_ANN_QUERIES, k=ANN_TOPK,
+                        n_cells=IVF_CELLS, n_probe=IVF_PROBE, dim=EMB_DIM)
+
+
+def oracle_ann_ivf_int8() -> str:
+    from grower_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(IVF_CELLS, EMB_DIM)
+    ranked_terms = ", ".join(
+        f"{{'m': -list_dot_product(vec, CAST([{', '.join(repr(v) for v in cent)}] AS DOUBLE[])), "
+        f"'i': CAST({i} AS INTEGER)}}"
+        for i, cent in enumerate(cents)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), fit AS (
+  SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY 1
+), c AS (
+  SELECT q.vec_id, q.dim,
+    (CASE WHEN f.mx = f.mn THEN CAST(0 AS BIGINT)
+          ELSE ((q.xq - f.mn) * 254) // (f.mx - f.mn) END) - 127 AS cc
+  FROM q JOIN fit f USING (dim)
+), fullv AS (
+  SELECT vec_id FROM c GROUP BY 1
+  HAVING count(*) = (SELECT count(*) FROM fit)
+), cf AS (
+  SELECT c.* FROM c JOIN fullv USING (vec_id)
+), fv AS (
+  -- cell assignment runs on the FLOAT vectors of the code-tier row set
+  -- (index-build time, before floats go cold)
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec
+  FROM embeddings e JOIN fullv USING (vec_id)
+), rk AS (
+  SELECT vec_id,
+    list_transform(list_sort([{ranked_terms}]), s -> s.i) AS cells
+  FROM fv
+), cw AS (SELECT vec_id, cells[1] AS cell FROM rk),
+qp AS (
+  SELECT vec_id AS qid, unnest(list_slice(cells, 1, {IVF_PROBE})) AS cell
+  FROM rk WHERE vec_id < {N_ANN_QUERIES}
+), cand AS (
+  SELECT qp.qid, cw.vec_id
+  FROM cw JOIN qp ON cw.cell = qp.cell AND cw.vec_id <> qp.qid
+), dots AS (
+  SELECT cand.qid, cand.vec_id, SUM(qs.cc * cf.cc) AS dot
+  FROM cand
+  JOIN cf ON cf.vec_id = cand.vec_id
+  JOIN cf qs ON qs.vec_id = cand.qid AND qs.dim = cf.dim
+  GROUP BY 1, 2
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+       AS INTEGER) AS rank,
+  CAST(dot AS BIGINT) AS dot
+FROM dots QUALIFY rank <= {ANN_TOPK}
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-distribution drift between two snapshot views
     (operators/diff.py): the corpus_diff release fixtures (old drops ids
@@ -8263,9 +8337,12 @@ def oracle_dedup_editdist_unicode() -> str:
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
-#   9-17  : must-certify this round — ann_int8_rerank (DEBUT: int8
+#   9-18  : must-certify this round — ann_int8_rerank (DEBUT: int8
 #           shortlist -> float cosine rerank, the recall tier over the
 #           r13 quantized scan — r13 verdict "What's missing" 2);
+#           ann_ivf_int8 (DEBUT: the IVF cell restriction composed
+#           with the int8 code kernel — both candidate-reduction axes
+#           certified as ONE query);
 #           ann_int8_topk + ann_hard_negatives + doc_bm25 +
 #           cluster_balanced_sample + kmeans_representatives (CHANGED:
 #           the whole corpus-scale top-k window family now runs a
@@ -8281,12 +8358,13 @@ def oracle_dedup_editdist_unicode() -> str:
 #           quality-signal regexes from raw — r13 verdict item 4);
 #           embedding_quantize_int8 (CHANGED: empty-fit literal arrays
 #           now type-pinned array<long> — r13 advice item 1).
-#   18-50 : staleness rotation — the 33-row head of the stalest tail
+#   19-50 : staleness rotation — the 32-row head of the stalest tail
 #           (tpch_q3/q4 lead, then the r10-certified remainder through
-#           source_dedup_rates), per the r13 commitment;
-#           events_burstiness/source_mixture_plan/dedup_winnowing lead
-#           the r15 rotation instead (displaced by the three changed
-#           top-k rows, which outrank staleness).
+#           dedup_prefix), per the r13 commitment;
+#           source_dedup_rates/events_burstiness/source_mixture_plan/
+#           dedup_winnowing lead the r15 rotation instead (displaced
+#           by the changed top-k rows and the second debut, which
+#           outrank staleness).
 #   51+   : stalest-first — the r10/r11-certified remainder
 #           (salted_agg_users ..), then the rows displaced from the
 #           r12 window, then the rows displaced from the r13 window
@@ -8305,6 +8383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 9-14: r14 must-certify (new/changed this round, see the
     # layout comment above) ---
     "ann_int8_rerank": q_ann_int8_rerank,
+    "ann_ivf_int8": q_ann_ivf_int8,
     "ann_int8_topk": q_ann_int8_topk,
     "ann_hard_negatives": q_ann_hard_negatives,
     "doc_bm25": q_doc_bm25,
@@ -8313,7 +8392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build_mixture": q_corpus_build_mixture,
     "corpus_build_full": q_corpus_build_full,
     "embedding_quantize_int8": q_embedding_quantize_int8,
-    # --- 18-50: staleness rotation — the 33-row head of the stalest
+    # --- 19-50: staleness rotation — the 32-row head of the stalest
     # tail (tpch_q3/q4 lead, displaced from the r13 window by the r13
     # debuts, then the r10-certified remainder stale-first) ---
     "tpch_q3": q_tpch_q3,
@@ -8348,14 +8427,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_fused": q_multimodal_fused,
     "bigram_lm_perplexity": q_bigram_lm_perplexity,
     "dedup_prefix": q_dedup_prefix,
-    "source_dedup_rates": q_source_dedup_rates,
-    # --- 51+: stalest-first — events_burstiness/source_mixture_plan/
-    # dedup_winnowing lead the r15 rotation (displaced from this
-    # round's window by the three changed top-k rows), then the
+    # --- 51+: stalest-first — source_dedup_rates/events_burstiness/
+    # source_mixture_plan/dedup_winnowing lead the r15 rotation
+    # (displaced from this round's window by the changed top-k rows
+    # and the ann_ivf_int8 debut), then the
     # r10/r11-certified remainder, then the rows displaced from the
     # r12 window, then the rows displaced from the r13 window
     # (freshest) — all covered every round by the committed
     # CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
+    "source_dedup_rates": q_source_dedup_rates,
     "events_burstiness": q_events_burstiness,
     "source_mixture_plan": q_source_mixture_plan,
     "dedup_winnowing": q_dedup_winnowing,
@@ -8474,6 +8554,7 @@ ORACLES: dict[str, str] = {
     "embedding_quantize_int8": oracle_embedding_quantize_int8(),
     "ann_int8_topk": oracle_ann_int8_topk(),
     "ann_int8_rerank": oracle_ann_int8_rerank(),
+    "ann_ivf_int8": oracle_ann_ivf_int8(),
     "nginx_parse_agg": oracle_nginx_parse_agg(),
     "nginx_parse_rows": oracle_nginx_parse_rows(),
     "nginx_deadletter": oracle_nginx_deadletter(),

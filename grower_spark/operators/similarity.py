@@ -1073,6 +1073,81 @@ def ann_int8_topk(
     )
 
 
+def ann_ivf_int8(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 254,
+) -> DataFrame:
+    """IVF × int8: the two candidate-reduction axes composed — the
+    actual 100 TB retrieval architecture.  The coarse quantizer
+    (deterministic unit-norm cells, plan-time constants) bounds WHICH
+    rows are scored (each query probes ``n_probe`` cells instead of the
+    whole corpus); the int8 codes bound WHAT is scanned (4×-smaller
+    offset-binary codes, exact-int64 centered-dot kernel).  Cell
+    assignment happens at index-build time on the float vectors —
+    i.e. before the floats would be evicted to cold storage — so the
+    query path touches codes only.
+
+    Plan: one map-side pass computes codes + argmax cell per row; the
+    only corpus shuffle is the bounded cell-id join against the
+    broadcast (qid, probe-cell, qcodes) panel; scoring is the same
+    exact-int64 kernel as ann_int8_topk (both engines rank
+    identically), bounded by the partial-top-k stage before the final
+    rank window.  Ragged/malformed vectors are excluded exactly as in
+    the int8 family (the engines must agree on the row set).
+
+    Output: ``(qid, vec_id, rank, dot)`` — ranks within the probed-cell
+    candidate set (approximate by design; the recall/probe trade is the
+    IVF contract, the code-tier kernel is the int8 contract).
+    """
+    from .diversity import quantized_codes
+
+    cents = ivf_centroids(n_cells, dim)
+    half = int(levels) // 2
+    coded = quantized_codes(emb, vec_col=vec_col, id_col=id_col,
+                            levels=levels).where(
+        F.size("_codes") == F.size("_mn")
+    )
+    argmax_cell = F.expr(f"least({_cell_struct_sql(vec_col, cents)}).i")
+    c = coded.select(
+        F.col(id_col), F.col("_codes").alias("codes"),
+        argmax_cell.alias("_cell"),
+    )
+    q = coded.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("_codes").alias("qcodes"),
+        F.explode(
+            F.slice(_cell_ranking(vec_col, cents), 1, n_probe)
+        ).alias("_cell"),
+    )
+    cand = c.join(F.broadcast(q), "_cell").where(
+        F.col(id_col) != F.col("qid")
+    )
+    dot = F.expr(
+        f"aggregate(zip_with(codes, qcodes, "
+        f"(c, q) -> (c - {half}L) * (q - {half}L)), 0L, (a, v) -> a + v)"
+    )
+    scored = cand.select("qid", id_col, dot.alias("dot"))
+    order = [F.desc("dot"), F.asc(id_col)]
+    scored = _partial_topk(scored, ["qid"], order, k)
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("dot").cast("long").alias("dot"),
+        )
+    )
+
+
 def ann_int8_rerank(
     emb: DataFrame,
     n_queries: int = 8,

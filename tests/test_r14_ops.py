@@ -239,6 +239,57 @@ def test_ann_int8_rerank_shape_and_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_ivf_int8_composition(spark):
+    """IVF × int8 composed: every returned candidate must live in one of
+    its query's probed cells (the IVF contract), scores must equal the
+    exact int8 centered dot of that pair (the code-tier contract), and
+    the result is layout-invariant.  Against the full int8 scan the
+    probed subset keeps usable recall on the random panel."""
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.similarity import (
+        _cell_ranking,
+        ann_ivf_int8,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = ann_ivf_int8(emb, n_queries=4, k=10, n_cells=16, n_probe=2,
+                       dim=64)
+    rows = out.collect()
+    assert rows and all(r["rank"] <= 10 for r in rows)
+
+    # layout invariance
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, ann_ivf_int8(
+        emb.repartition(13), n_queries=4, k=10, n_cells=16, n_probe=2,
+        dim=64).collect()))
+    assert a == b
+
+    # membership: candidate's argmax cell ∈ query's probed cells
+    cents = ivf_centroids(16, 64)
+    cells = {
+        r["vec_id"]: r["cells"]
+        for r in emb.where(F.col("embedding").isNotNull()).select(
+            "vec_id", _cell_ranking("embedding", cents).alias("cells")
+        ).collect()
+    }
+    for r in rows:
+        probed = cells[r["qid"]][:2]
+        assert cells[r["vec_id"]][0] in probed, r
+
+    # recall vs the exhaustive int8 scan: probing 2/16 cells keeps a
+    # usable share of the true code-tier top-10 on random vectors
+    full = {(r["qid"], r["vec_id"])
+            for r in ann_int8_topk(emb, n_queries=4, k=10).collect()}
+    ivf = {(r["qid"], r["vec_id"]) for r in rows}
+    assert len(full & ivf) / len(full) >= 0.2
+
+    # plan: the panel rides a broadcast; never a cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_quantize_empty_fit_short_circuit(spark):
     """r13 advice item 1: an all-malformed corpus (every row null/empty/
     null-element) used to make the zero-arg F.array() literals NullType
@@ -251,9 +302,12 @@ def test_quantize_empty_fit_short_circuit(spark):
         [(0, None), (1, []), (2, [1.0, None])],
         "vec_id long, embedding array<double>",
     )
+    from grower_spark.operators.similarity import ann_ivf_int8
+
     assert quantize_embeddings_int8(emb).count() == 0
     assert ann_int8_topk(emb, n_queries=2, k=3).count() == 0
     assert ann_int8_rerank(emb, n_queries=2, m=6, k=3).count() == 0
+    assert ann_ivf_int8(emb, n_queries=2, k=3, dim=2).count() == 0
 
 
 def test_read_frame_rejects_oversize_declared_sizes():
