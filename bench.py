@@ -297,6 +297,12 @@ def main() -> None:
     bench_queries = [
         (n, h) for n, h in BENCH_QUERIES if not only or n in only
     ]
+    # Capture the host-contention baseline BEFORE the warm preamble
+    # below: the preamble's own Spark jobs raise loadavg, and the drift
+    # protocol uses loadavg_before to attribute or dismiss isolation
+    # runs — a self-contaminated baseline would make an idle host look
+    # contended (r14 review).
+    load_before = list(os.getloadavg())
     # Fixed JIT-warm preamble for subset runs (r13 verdict item 5): a
     # full run amortizes JVM/codegen tiering across 150+ queries, but an
     # isolated subset starts cold and its per-query warmups alone left
@@ -307,10 +313,10 @@ def main() -> None:
             QUERIES["nginx_parse_agg"](spark, sf_dir).collect()
     # Host-contention probe: this VM's CPU is shared and identical Spark
     # jobs vary 3-6x under load (rounds 3/5/6 each burned review time on
-    # phantom regressions).  Record load average around the run so a noisy
-    # snapshot is self-evident in the artifact, and compare the common-
-    # query sum against the committed snapshot to auto-flag drift >10%.
-    load_before = list(os.getloadavg())
+    # phantom regressions).  load_before (captured above, pre-preamble)
+    # plus the after-run reading make a noisy snapshot self-evident in
+    # the artifact; the common-query sum vs the committed snapshot
+    # auto-flags drift >10%.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     total = 0.0

@@ -8332,7 +8332,7 @@ def oracle_dedup_editdist_unicode() -> str:
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r14; sections are 1-8 / 9-14 / 15-50 — exactly 50,
+# Window layout (r14; sections are 1-8 / 9-18 / 19-50 — exactly 50,
 # AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
@@ -8380,7 +8380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_error_rate": q_nginx_error_rate,
     "nginx_latency_percentiles": q_nginx_latency_percentiles,
     "syslog_extract": q_syslog_extract,
-    # --- 9-14: r14 must-certify (new/changed this round, see the
+    # --- 9-18: r14 must-certify (new/changed this round, see the
     # layout comment above) ---
     "ann_int8_rerank": q_ann_int8_rerank,
     "ann_ivf_int8": q_ann_ivf_int8,

@@ -121,7 +121,7 @@ def kmeans_representatives(emb: DataFrame, k: int = 8, n_iter: int = 2,
 
     Plan: the ``kmeans_quantized`` passes plus the cluster-keyed top-m
     rank, run through the two-level scheme shared with the ANN family
-    (similarity.py::_partial_topk, r14): a (cluster, input-partition)
+    (similarity.py::partial_topk, r14): a (cluster, input-partition)
     pre-rank bounds the final exact window's input at
     shuffle-partitions × m per cluster — the window has only k
     partitions, so without the partial stage its reducer input grows
@@ -131,14 +131,14 @@ def kmeans_representatives(emb: DataFrame, k: int = 8, n_iter: int = 2,
     """
     from pyspark.sql import Window
 
-    from grower_spark.operators.similarity import _partial_topk
+    from grower_spark.operators.similarity import partial_topk
 
     if m <= 0:
         raise ValueError("m must be positive")
     assigned = kmeans_quantized(emb, k=k, n_iter=n_iter, id_col=id_col,
                                 vec_col=vec_col)
     order = [F.asc("dist_sq_q"), F.asc(id_col)]
-    assigned = _partial_topk(assigned, ["cluster"], order, m)
+    assigned = partial_topk(assigned, ["cluster"], order, m)
     w = Window.partitionBy("cluster").orderBy(*order)
     return (
         assigned.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -224,7 +224,7 @@ def cluster_balanced_sample(assigned: DataFrame, per_cluster: int = 0,
     """
     from pyspark.sql import Window
 
-    from grower_spark.operators.similarity import _partial_topk
+    from grower_spark.operators.similarity import partial_topk
 
     if per_cluster < 0:
         raise ValueError("per_cluster must be >= 0")
@@ -246,7 +246,7 @@ def cluster_balanced_sample(assigned: DataFrame, per_cluster: int = 0,
         per_cluster = int(target) if target is not None else 1
     h = md5_60(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
     order = [h.asc(), F.col(id_col).asc()]
-    pre = _partial_topk(
+    pre = partial_topk(
         assigned.select(id_col, cluster_col), [cluster_col], order,
         per_cluster,
     )

@@ -41,13 +41,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
 
 
-def _partial_topk(scored: DataFrame, key_cols: list, order_cols: list,
-                  k: int) -> DataFrame:
+def partial_topk(scored: DataFrame, key_cols: list, order_cols: list,
+                 k: int) -> DataFrame:
     """Map-side bounded top-k stage ahead of an exact per-key rank window
     (r13 verdict item 1: the window shuffle of a top-k scan has at most
     ``n_queries`` distinct keys, so the full N×Q scored stream used to
     funnel into ≤n_queries reducer tasks — a fixed-width bottleneck no
-    cluster size fixes).
+    cluster size fixes).  Public shared utility: the whole grouped-top-k
+    family uses it (this module, clustering.py, sampling.py, text.py).
 
     Two-level exact scheme: rank first within (key, input-partition) —
     that shuffle has keys × input-partitions distinct groups, so its
@@ -59,12 +60,55 @@ def _partial_topk(scored: DataFrame, key_cols: list, order_cols: list,
     of corpus size.  ``order_cols`` MUST be a total order (tie-broken to
     uniqueness) or the per-partition cut could drop a tied global-top-k
     row."""
+    for col in ("_pp", "_pr"):
+        if col in scored.columns:
+            # withColumn would silently overwrite and the trailing drop
+            # would swallow the caller's column — refuse instead
+            raise ValueError(
+                f"partial_topk: input already has a {col!r} column; "
+                "rename it before the bounded top-k stage"
+            )
     pre = scored.withColumn("_pp", F.spark_partition_id())
     w1 = Window.partitionBy(*(list(key_cols) + ["_pp"])).orderBy(*order_cols)
     return (
         pre.withColumn("_pr", F.row_number().over(w1))
         .where(F.col("_pr") <= k)
         .drop("_pp", "_pr")
+    )
+
+
+# legacy private alias (pre-r14-review name; external modules should use
+# the public name)
+_partial_topk = partial_topk
+
+
+def _centered_int8_dot(levels: int) -> Column:
+    """The shared code-tier kernel: exact-int64 centered dot
+    sum_i (c_i - h)(q_i - h), h = levels/2, over ``codes``/``qcodes``
+    array<long> columns.  ONE definition — ann_int8_topk and
+    ann_ivf_int8 (and through them the certified oracles' Spark side)
+    must stay on the identical expression."""
+    half = int(levels) // 2
+    return F.expr(
+        f"aggregate(zip_with(codes, qcodes, "
+        f"(c, q) -> (c - {half}L) * (q - {half}L)), 0L, (a, v) -> a + v)"
+    )
+
+
+def _int8_code_corpus(emb: DataFrame, id_col: str, vec_col: str,
+                      levels: int) -> DataFrame:
+    """Quantize + apply the int8 family's shared row-set contract: only
+    well-formed FULL-dimensionality vectors participate (ragged vectors
+    would make zip_with null-pad while a SQL join-on-dim computes a
+    partial dot — the engines must agree on the row set; the fit's
+    ``_mn`` length IS the corpus dimensionality).  Keeps the original
+    columns (callers may still need ``vec_col``, e.g. for IVF cell
+    assignment) plus ``_codes``."""
+    from .diversity import quantized_codes
+
+    return quantized_codes(emb, vec_col=vec_col, id_col=id_col,
+                           levels=levels).where(
+        F.size("_codes") == F.size("_mn")
     )
 
 
@@ -1034,17 +1078,7 @@ def ann_int8_topk(
     one map-side corpus scan, the only shuffle is the top-k window over
     panel-filtered rows; never corpus × corpus.
     """
-    from .diversity import quantized_codes
-
-    half = int(levels) // 2
-    # ragged vectors would make zip_with null-pad (null-poisoning the
-    # dot) while a SQL join-on-dim computes a partial dot — the engines
-    # must agree on the row set, so only full-dimensionality vectors
-    # participate (the fit's _mn length IS the corpus dimensionality)
-    codes = quantized_codes(emb, vec_col=vec_col, id_col=id_col,
-                            levels=levels).where(
-        F.size("_codes") == F.size("_mn")
-    ).select(
+    codes = _int8_code_corpus(emb, id_col, vec_col, levels).select(
         F.col(id_col), F.col("_codes").alias("codes")
     )
     queries = codes.where(F.col(id_col) < n_queries).select(
@@ -1053,11 +1087,8 @@ def ann_int8_topk(
     pairs = codes.crossJoin(F.broadcast(queries)).where(
         F.col(id_col) != F.col("qid")
     )
-    dot = F.expr(
-        f"aggregate(zip_with(codes, qcodes, "
-        f"(c, q) -> (c - {half}L) * (q - {half}L)), 0L, (a, v) -> a + v)"
-    )
-    scored = pairs.select("qid", id_col, dot.alias("dot"))
+    scored = pairs.select("qid", id_col,
+                          _centered_int8_dot(levels).alias("dot"))
     order = [F.desc("dot"), F.asc(id_col)]
     scored = _partial_topk(scored, ["qid"], order, k)
     w = Window.partitionBy("qid").orderBy(*order)
@@ -1106,14 +1137,8 @@ def ann_ivf_int8(
     candidate set (approximate by design; the recall/probe trade is the
     IVF contract, the code-tier kernel is the int8 contract).
     """
-    from .diversity import quantized_codes
-
     cents = ivf_centroids(n_cells, dim)
-    half = int(levels) // 2
-    coded = quantized_codes(emb, vec_col=vec_col, id_col=id_col,
-                            levels=levels).where(
-        F.size("_codes") == F.size("_mn")
-    )
+    coded = _int8_code_corpus(emb, id_col, vec_col, levels)
     argmax_cell = F.expr(f"least({_cell_struct_sql(vec_col, cents)}).i")
     c = coded.select(
         F.col(id_col), F.col("_codes").alias("codes"),
@@ -1128,11 +1153,8 @@ def ann_ivf_int8(
     cand = c.join(F.broadcast(q), "_cell").where(
         F.col(id_col) != F.col("qid")
     )
-    dot = F.expr(
-        f"aggregate(zip_with(codes, qcodes, "
-        f"(c, q) -> (c - {half}L) * (q - {half}L)), 0L, (a, v) -> a + v)"
-    )
-    scored = cand.select("qid", id_col, dot.alias("dot"))
+    scored = cand.select("qid", id_col,
+                         _centered_int8_dot(levels).alias("dot"))
     order = [F.desc("dot"), F.asc(id_col)]
     scored = _partial_topk(scored, ["qid"], order, k)
     w = Window.partitionBy("qid").orderBy(*order)

@@ -1002,10 +1002,10 @@ def bm25_topk(df: DataFrame, queries: list[tuple[int, str]], k: int = 10,
     # terms, and the rank window has only |queries| partitions — the
     # two-level scheme shared with the ANN family (r14) bounds the
     # final window's reducer input at shuffle-partitions x k
-    from grower_spark.operators.similarity import _partial_topk
+    from grower_spark.operators.similarity import partial_topk
 
     order = [F.desc("score_micro"), F.asc(id_col)]
-    scored = _partial_topk(scored, ["qid"], order, k)
+    scored = partial_topk(scored, ["qid"], order, k)
     w = Window.partitionBy("qid").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

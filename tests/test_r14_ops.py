@@ -120,7 +120,7 @@ def test_partial_topk_bounds_final_window_input(spark):
     is <= input-partitions x k per query — NOT proportional to corpus
     size.  Doubling the corpus at fixed partitioning must leave the
     bounded stream's size unchanged."""
-    from grower_spark.operators.similarity import _partial_topk
+    from grower_spark.operators.similarity import partial_topk
 
     def bounded_count(n_rows):
         rows = [(i, [float(i % 9) + 1.0, float((7 * i) % 11) + 1.0])
@@ -135,7 +135,7 @@ def test_partial_topk_bounds_final_window_input(spark):
             "qid", "vec_id",
             F.round(cosine(F.col("qvec"), F.col("embedding")), 4)
             .alias("sim_r4"))
-        pruned = _partial_topk(
+        pruned = partial_topk(
             scored, ["qid"], [F.desc("sim_r4"), F.asc("vec_id")], 10)
         return pruned.count()
 

@@ -108,18 +108,29 @@ def build_corpus(
     # action.  ``materialize="cache"`` keeps lineage (downstream still
     # prunes/pushes into the scan, but a cache miss at 100 TB re-runs
     # every regex pass per stage); ``"checkpoint"`` truncates lineage at
-    # the materialized blocks, so NO downstream stage can ever re-derive
-    # the signal regexes from raw — the scale-safe choice when the
-    # scored corpus exceeds cache capacity (r13 verdict item 4: the
-    # composed-build audit showed the signal regex re-inlined across
-    # every pre-barrier segment's lineage).
+    # the materialized blocks so NO downstream stage can re-derive the
+    # signal regexes from raw (r13 verdict item 4: the composed-build
+    # audit showed the signal regex re-inlined across every pre-barrier
+    # segment's lineage).  Checkpoint flavor matters at cluster scale:
+    # a RELIABLE checkpoint (used automatically when the session has a
+    # checkpoint dir) survives executor loss; localCheckpoint stores
+    # executor-local blocks that a lost/decommissioned executor takes
+    # with it AND, with lineage truncated, cannot be recomputed — fine
+    # for a single-JVM bench/driver process, wrong for a 1000-executor
+    # build, where the caller should setCheckpointDir (or write an
+    # intermediate table) first.
     if materialize not in ("cache", "checkpoint"):
         raise ValueError(
             f"materialize must be cache|checkpoint, got {materialize!r}"
         )
     scored = quality_signals(docs, text_col)
-    scored = (scored.localCheckpoint(eager=True)
-              if materialize == "checkpoint" else scored.cache())
+    if materialize == "checkpoint":
+        reliable = spark.sparkContext._jsc.sc().getCheckpointDir()
+        scored = (scored.checkpoint(eager=True)
+                  if reliable.isDefined()
+                  else scored.localCheckpoint(eager=True))
+    else:
+        scored = scored.cache()
     report: dict[str, int] = (
         {"input": scored.count()} if collect_report else {}
     )
