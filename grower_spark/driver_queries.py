@@ -6489,6 +6489,146 @@ FROM dots QUALIFY rank <= {ANN_TOPK}
 """
 
 
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted codes+cells index for this sf_dir (r14
+    verdict item 2: the index/query split).  First call per (sf_dir,
+    params) pays the one-time build; every later call — including the
+    bench's warm runs, which is the point — only reads it."""
+    from grower_spark.operators.ann_index import ensure_ann_index
+
+    return ensure_ann_index(spark, sf_dir, n_cells=IVF_CELLS)
+
+
+def q_ann_index_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat code-tier top-k over a PREBUILT persisted index
+    (operators/ann_index.py::ann_index_int8_topk): same certified
+    contract as ann_int8_topk, but the corpus fit-collect + encode ran
+    ONCE at index-build time and the query path reads stored codes,
+    encoding only the bounded query panel against the stored fit.  The
+    oracle re-derives codes from the embeddings table independently, so
+    a corrupt index OR a wrong query path both fail the hash — build
+    and query certified together."""
+    from grower_spark.operators.ann_index import ann_index_int8_topk
+
+    path = _ann_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_index_int8_topk(spark, path, q, k=ANN_TOPK)
+
+
+def oracle_ann_index_int8() -> str:
+    # Deliberately the one-shot scan's oracle: the persisted index is
+    # value-equivalent to re-deriving codes from the embeddings table
+    # (that IS the index contract), so the independent re-derivation
+    # certifies the stored codes and the query path in one hash.
+    return oracle_ann_int8_topk()
+
+
+def q_ann_ivf_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed three-stage production retrieval
+    (operators/ann_index.py::ann_index_ivf_rerank): IVF probe (stored
+    centroids, parquet-partition-pruned cells) → int8 shortlist
+    (exact-int64 kernel, top-m per query, partial-top-k bounded) →
+    float cosine rerank over only the Q×m shortlist — r14 verdict
+    "What's missing" 2: each stage was certified alone in r14, this row
+    certifies the composition, reading the PREBUILT index for stages
+    1-2.  Recall pinned ≥ the quantized-only ranks' in
+    tests/test_r15_ops.py."""
+    from grower_spark.operators.ann_index import ann_index_ivf_rerank
+
+    path = _ann_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_index_ivf_rerank(
+        spark, path, emb, q, m=ANN_RERANK_M, k=ANN_TOPK, n_probe=IVF_PROBE,
+    )
+
+
+def oracle_ann_ivf_int8_rerank() -> str:
+    # The three stages re-derived end to end in SQL: quantization CTEs +
+    # plan-constant centroid dots + probed-cell join (= the persisted
+    # index, independently re-derived), then the top-m shortlist under
+    # the int8 (dot desc, vec_id) order, then the float cosine rerank —
+    # the composition of oracle_ann_ivf_int8 and oracle_ann_int8_rerank.
+    from grower_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(IVF_CELLS, EMB_DIM)
+    ranked_terms = ", ".join(
+        f"{{'m': -list_dot_product(vec, CAST([{', '.join(repr(v) for v in cent)}] AS DOUBLE[])), "
+        f"'i': CAST({i} AS INTEGER)}}"
+        for i, cent in enumerate(cents)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), fit AS (
+  SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY 1
+), c AS (
+  SELECT q.vec_id, q.dim,
+    (CASE WHEN f.mx = f.mn THEN CAST(0 AS BIGINT)
+          ELSE ((q.xq - f.mn) * 254) // (f.mx - f.mn) END) - 127 AS cc
+  FROM q JOIN fit f USING (dim)
+), fullv AS (
+  SELECT vec_id FROM c GROUP BY 1
+  HAVING count(*) = (SELECT count(*) FROM fit)
+), cf AS (
+  SELECT c.* FROM c JOIN fullv USING (vec_id)
+), fv AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec
+  FROM embeddings e JOIN fullv USING (vec_id)
+), rk AS (
+  SELECT vec_id,
+    list_transform(list_sort([{ranked_terms}]), s -> s.i) AS cells
+  FROM fv
+), cw AS (SELECT vec_id, cells[1] AS cell FROM rk),
+qp AS (
+  SELECT vec_id AS qid, unnest(list_slice(cells, 1, {IVF_PROBE})) AS cell
+  FROM rk WHERE vec_id < {N_ANN_QUERIES}
+), cand AS (
+  SELECT qp.qid, cw.vec_id
+  FROM cw JOIN qp ON cw.cell = qp.cell AND cw.vec_id <> qp.qid
+), dots AS (
+  SELECT cand.qid, cand.vec_id, SUM(qs.cc * cf.cc) AS dot
+  FROM cand
+  JOIN cf ON cf.vec_id = cand.vec_id
+  JOIN cf qs ON qs.vec_id = cand.qid AND qs.dim = cf.dim
+  GROUP BY 1, 2
+), shortlist AS (
+  SELECT qid, vec_id FROM dots
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+          <= {ANN_RERANK_M}
+), qv AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
+), rer AS (
+  SELECT s.qid, s.vec_id,
+    round(
+      list_dot_product(v.qvec, CAST(e.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(v.qvec, v.qvec))
+         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])))),
+      4) AS sim_r4
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN qv v ON v.qid = s.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_r4 DESC, vec_id)
+       AS INTEGER) AS rank,
+  sim_r4
+FROM rer QUALIFY rank <= {ANN_TOPK}
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-distribution drift between two snapshot views
     (operators/diff.py): the corpus_diff release fixtures (old drops ids
@@ -8332,43 +8472,33 @@ def oracle_dedup_editdist_unicode() -> str:
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r14; sections are 1-8 / 9-18 / 19-50 — exactly 50,
+# Window layout (r15; sections are 1-8 / 9-11 / 12-50 — exactly 50,
 # AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
-#   9-18  : must-certify this round — ann_int8_rerank (DEBUT: int8
-#           shortlist -> float cosine rerank, the recall tier over the
-#           r13 quantized scan — r13 verdict "What's missing" 2);
-#           ann_ivf_int8 (DEBUT: the IVF cell restriction composed
-#           with the int8 code kernel — both candidate-reduction axes
-#           certified as ONE query);
-#           ann_int8_topk + ann_hard_negatives + doc_bm25 +
-#           cluster_balanced_sample + kmeans_representatives (CHANGED:
-#           the whole corpus-scale top-k window family now runs a
-#           map-side partial top-k stage so the final rank window
-#           reads shuffle-partitions x k rows instead of
-#           input-partitions x k — r13 verdict item 2;
-#           cluster_balanced_sample's min-cluster target additionally
-#           became a bounded-fit plan literal because a joined rank cut
-#           is opaque to group-limit pruning);
-#           corpus_build_mixture + corpus_build_full (CHANGED: the
-#           shared cleaned pool now CHECKPOINTS the scored fan-out
-#           point, so no downstream stage lineage can re-derive the
-#           quality-signal regexes from raw — r13 verdict item 4);
-#           embedding_quantize_int8 (CHANGED: empty-fit literal arrays
-#           now type-pinned array<long> — r13 advice item 1).
-#   19-50 : staleness rotation — the 32-row head of the stalest tail
-#           (tpch_q3/q4 lead, then the r10-certified remainder through
-#           dedup_prefix), per the r13 commitment;
-#           source_dedup_rates/events_burstiness/source_mixture_plan/
-#           dedup_winnowing lead the r15 rotation instead (displaced
-#           by the changed top-k rows and the second debut, which
-#           outrank staleness).
-#   51+   : stalest-first — the r10/r11-certified remainder
-#           (salted_agg_users ..), then the rows displaced from the
-#           r12 window, then the rows displaced from the r13 window
-#           (freshest) — all covered every round by the committed
+#   9-11  : must-certify this round — ann_index_int8 (DEBUT: flat
+#           code-tier top-k over a PREBUILT persisted codes+cells
+#           index — the index/query split of r14 verdict item 2; the
+#           fit-collect + corpus encode run once at build time, the
+#           query path reads stored codes);
+#           ann_ivf_int8_rerank (DEBUT: the composed three-stage
+#           retrieval — IVF probe over the persisted index's cell
+#           partitions -> int8 top-m shortlist -> float cosine rerank —
+#           r14 verdict item 3 / "What's missing" 2);
+#           cluster_balanced_sample (CHANGED: the per_cluster=0 branch
+#           now persists the pruned input across the bounded fit and
+#           the rank pass, so the corpus is scanned once, not twice —
+#           r14 verdict "What's wrong" 1 / item 4).
+#   12-50 : staleness rotation — the 39-row head of the stalest tail
+#           exactly as the r14 verdict ordered (source_dedup_rates /
+#           events_burstiness / source_mixture_plan / dedup_winnowing /
+#           salted_agg_users / dedup_exact lead), through
+#           events_funnel_timing.
+#   51+   : stalest-first — the rest of the r10/r11-certified
+#           remainder, then the rows displaced from the r12 window,
+#           then the r13 window's, then the r14 window's (freshest) —
+#           all covered every round by the committed
 #           CORRECTNESS_LOCAL_r{N}.json full-registry artifact.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 1-8: §2 core, keep certified every round ---
@@ -8380,61 +8510,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_error_rate": q_nginx_error_rate,
     "nginx_latency_percentiles": q_nginx_latency_percentiles,
     "syslog_extract": q_syslog_extract,
-    # --- 9-18: r14 must-certify (new/changed this round, see the
+    # --- 9-11: r15 must-certify (new/changed this round, see the
     # layout comment above) ---
-    "ann_int8_rerank": q_ann_int8_rerank,
-    "ann_ivf_int8": q_ann_ivf_int8,
-    "ann_int8_topk": q_ann_int8_topk,
-    "ann_hard_negatives": q_ann_hard_negatives,
-    "doc_bm25": q_doc_bm25,
+    "ann_index_int8": q_ann_index_int8,
+    "ann_ivf_int8_rerank": q_ann_ivf_int8_rerank,
     "cluster_balanced_sample": q_cluster_balanced_sample,
-    "kmeans_representatives": q_kmeans_representatives,
-    "corpus_build_mixture": q_corpus_build_mixture,
-    "corpus_build_full": q_corpus_build_full,
-    "embedding_quantize_int8": q_embedding_quantize_int8,
-    # --- 19-50: staleness rotation — the 32-row head of the stalest
-    # tail (tpch_q3/q4 lead, displaced from the r13 window by the r13
-    # debuts, then the r10-certified remainder stale-first) ---
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q11": q_tpch_q11,
-    "events_range_join": q_events_range_join,
-    "salted_join_events": q_salted_join_events,
-    "text_lang_id": q_text_lang_id,
-    "dedup_paragraphs": q_dedup_paragraphs,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "text_normalize": q_text_normalize,
-    "multimodal_pipeline": q_multimodal_pipeline,
-    "pack_documents": q_pack_documents,
-    "chunk_documents": q_chunk_documents,
-    "doc_rolling_hash61": q_doc_rolling_hash61,
-    "json_fields": q_json_fields,
-    "scalar_funcs": q_scalar_funcs,
-    "doc_decontaminate": q_doc_decontaminate,
-    "events_sample_stratified": q_events_sample_stratified,
-    "text_repetition": q_text_repetition,
-    "multimodal_decode_png": q_multimodal_decode_png,
-    "multimodal_decode_wav": q_multimodal_decode_wav,
-    "semantic_decontam_bcast": q_semantic_decontam_bcast,
-    "lm_perplexity": q_lm_perplexity,
-    "dsir_weights": q_dsir_weights,
-    "multimodal_fused": q_multimodal_fused,
-    "bigram_lm_perplexity": q_bigram_lm_perplexity,
-    "dedup_prefix": q_dedup_prefix,
-    # --- 51+: stalest-first — source_dedup_rates/events_burstiness/
-    # source_mixture_plan/dedup_winnowing lead the r15 rotation
-    # (displaced from this round's window by the changed top-k rows
-    # and the ann_ivf_int8 debut), then the
-    # r10/r11-certified remainder, then the rows displaced from the
-    # r12 window, then the rows displaced from the r13 window
-    # (freshest) — all covered every round by the committed
-    # CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
+    # --- 12-50: staleness rotation — the 39-row stalest head (the r15
+    # rotation the r14 verdict ordered: source_dedup_rates through
+    # events_funnel_timing) ---
     "source_dedup_rates": q_source_dedup_rates,
     "events_burstiness": q_events_burstiness,
     "source_mixture_plan": q_source_mixture_plan,
@@ -8472,9 +8555,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_novelty": q_doc_novelty,
     "doc_top_terms": q_doc_top_terms,
     "events_top_paths": q_events_top_paths,
-    # --- displaced from the r12 window (r12-certified, freshest) ---
     "dedup_edit_distance": q_dedup_edit_distance,
     "events_funnel_timing": q_events_funnel_timing,
+    # --- 51+: stalest-first — the remaining rows displaced from the
+    # r12 window, then the r13 window's, then the r14 window's
+    # (freshest) — all covered every round by the committed
+    # CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
     "events_dau_wau": q_events_dau_wau,
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -8511,7 +8597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_window": q_events_sliding_window,
     "events_rollup": q_events_rollup,
     "events_topk_per_user": q_events_topk_per_user,
-    # --- displaced from the r13 window (r13-certified, freshest) ---
+    # --- displaced from the r13 window (r13-certified) ---
     "dedup_editdist_unicode": q_dedup_editdist_unicode,
     "mixture_materialize": q_mixture_materialize,
     "events_exact_stats": q_events_exact_stats,
@@ -8548,6 +8634,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_outliers": q_embedding_norm_outliers,
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
+    # --- displaced from the r14 window (r14-certified, freshest) ---
+    "ann_int8_rerank": q_ann_int8_rerank,
+    "ann_ivf_int8": q_ann_ivf_int8,
+    "ann_int8_topk": q_ann_int8_topk,
+    "ann_hard_negatives": q_ann_hard_negatives,
+    "doc_bm25": q_doc_bm25,
+    "kmeans_representatives": q_kmeans_representatives,
+    "corpus_build_mixture": q_corpus_build_mixture,
+    "corpus_build_full": q_corpus_build_full,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
+    "events_range_join": q_events_range_join,
+    "salted_join_events": q_salted_join_events,
+    "text_lang_id": q_text_lang_id,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "text_normalize": q_text_normalize,
+    "multimodal_pipeline": q_multimodal_pipeline,
+    "pack_documents": q_pack_documents,
+    "chunk_documents": q_chunk_documents,
+    "doc_rolling_hash61": q_doc_rolling_hash61,
+    "json_fields": q_json_fields,
+    "scalar_funcs": q_scalar_funcs,
+    "doc_decontaminate": q_doc_decontaminate,
+    "events_sample_stratified": q_events_sample_stratified,
+    "text_repetition": q_text_repetition,
+    "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
+    "semantic_decontam_bcast": q_semantic_decontam_bcast,
+    "lm_perplexity": q_lm_perplexity,
+    "dsir_weights": q_dsir_weights,
+    "multimodal_fused": q_multimodal_fused,
+    "bigram_lm_perplexity": q_bigram_lm_perplexity,
+    "dedup_prefix": q_dedup_prefix,
 }
 
 ORACLES: dict[str, str] = {
@@ -8555,6 +8683,10 @@ ORACLES: dict[str, str] = {
     "ann_int8_topk": oracle_ann_int8_topk(),
     "ann_int8_rerank": oracle_ann_int8_rerank(),
     "ann_ivf_int8": oracle_ann_ivf_int8(),
+    # persisted-index twin of the flat code-tier scan: value-identical
+    # contract, independently re-derived (certifies build AND query)
+    "ann_index_int8": oracle_ann_index_int8(),
+    "ann_ivf_int8_rerank": oracle_ann_ivf_int8_rerank(),
     "nginx_parse_agg": oracle_nginx_parse_agg(),
     "nginx_parse_rows": oracle_nginx_parse_rows(),
     "nginx_deadletter": oracle_nginx_deadletter(),

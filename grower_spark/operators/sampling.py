@@ -216,9 +216,19 @@ def cluster_balanced_sample(assigned: DataFrame, per_cluster: int = 0,
     stable under reruns, unlike rand()-based sampling.
 
     Plan: one cluster-keyed window for the hash rank (k partitions, the
-    same grouped-top-n shape as kmeans_representatives) plus a
-    k-row-bounded count rollup broadcast back for the ``min`` target —
-    no collect, no second corpus pass.
+    same grouped-top-n shape as kmeans_representatives), with the
+    ``per_cluster=0`` min target fitted as a PLAN LITERAL first.
+
+    ``per_cluster=0`` contract (r14 verdict "What's wrong" 1): the fit
+    is an EAGER Spark job at DataFrame-construction time, and the
+    pruned ``(id, cluster)`` projection is ``persist()``ed across the
+    fit and the rank pass — the input lineage is scanned ONCE; the
+    rank plan reads the materialized blocks (MEMORY_AND_DISK: spilled,
+    not recomputed, under pressure), which also pins the fit and the
+    rank to the SAME snapshot of a non-deterministic/re-read input.
+    In a long-lived session free the blocks with
+    ``spark.catalog.clearCache()`` (or re-derive and ``unpersist()``)
+    after materializing the result.
 
     Output: ``(id_col, cluster_col, pick_rank int)`` — kept rows only.
     """
@@ -228,15 +238,20 @@ def cluster_balanced_sample(assigned: DataFrame, per_cluster: int = 0,
 
     if per_cluster < 0:
         raise ValueError("per_cluster must be >= 0")
+    pruned = assigned.select(id_col, cluster_col)
     if per_cluster == 0:
         # min-cluster target as a PLAN LITERAL via a bounded fit (k-row
         # count rollup -> 1 row -> collect), not a joined column: a
         # data-dependent rank cut is opaque to both Spark's
         # WindowGroupLimit pruning and the partial top-k stage, so the
         # old crossJoin form funneled the whole corpus into k reducer
-        # tasks (r14; same family as the ANN window fix)
+        # tasks (r14; same family as the ANN window fix).  The fit
+        # collect below is what materializes the persisted blocks.
+        from pyspark import StorageLevel
+
+        pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
         row = (
-            assigned.groupBy(cluster_col)
+            pruned.groupBy(cluster_col)
             .agg(F.count(F.lit(1)).alias("_n"))
             .agg(F.min("_n").alias("_target"))
             .collect()
@@ -246,10 +261,7 @@ def cluster_balanced_sample(assigned: DataFrame, per_cluster: int = 0,
         per_cluster = int(target) if target is not None else 1
     h = md5_60(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
     order = [h.asc(), F.col(id_col).asc()]
-    pre = partial_topk(
-        assigned.select(id_col, cluster_col), [cluster_col], order,
-        per_cluster,
-    )
+    pre = partial_topk(pruned, [cluster_col], order, per_cluster)
     w = Window.partitionBy(cluster_col).orderBy(*order)
     return (
         pre.select(

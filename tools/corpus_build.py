@@ -88,10 +88,18 @@ def build_corpus(
                (stages run in order: quality, repetition, contaminated,
                exact/near-dup, sampled-out).
 
-    The scored-corpus cache is left alive so the caller's materialization
-    of corpus/drops reuses it; call ``spark.catalog.clearCache()`` (or
-    ``.unpersist()`` the returned frames' lineage) when done in a
-    long-lived session.
+    Scored-corpus lifecycle (differs by ``materialize`` mode — r14
+    advice item 2): with ``"cache"`` the cache entry is left alive so
+    the caller's materialization of corpus/drops reuses it; call
+    ``spark.catalog.clearCache()`` (or ``.unpersist()`` the returned
+    frames' lineage) when done in a long-lived session.  With
+    ``"checkpoint"`` the materialized blocks are NOT cache entries and
+    ``clearCache()`` does not free them: a reliable checkpoint's files
+    live under the session's checkpoint dir until
+    ``cleanCheckpoints``/manual deletion, and a localCheckpoint's RDD
+    blocks are freed when the checkpointed RDD is garbage-collected
+    (drop all references to the returned frames) or when the session
+    stops.
     """
     from grower_spark.operators.decontam import contamination_hits
     from grower_spark.operators.packing import pack_documents
