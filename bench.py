@@ -202,6 +202,12 @@ BENCH_QUERIES = [
     ("ann_int8_topk", "collect"),
     ("ann_int8_rerank", "collect"),
     ("ann_ivf_int8", "collect"),
+    # r15 debuts: both read the PREBUILT persisted index — the first
+    # warmup run pays the one-time build (ensure_ann_index cache), the
+    # timed runs measure the query path only, which is exactly the
+    # operators' production contract (build once, query many)
+    ("ann_index_int8", "collect"),
+    ("ann_ivf_int8_rerank", "collect"),
 ]
 
 
@@ -495,7 +501,17 @@ def main() -> None:
         "host": host,
         "drift": drift,
         "subset_mode": bool(only),
-        "stat": f"median of {n_runs} warm runs ({n_warm} warmups discarded)",
+        # r14 verdict "What's wrong" 2: even with the JIT preamble, a
+        # subset process misses the C2 tiering a 160-query full run
+        # accumulates (~1.5x measured on untouched queries) — subset
+        # medians are only comparable to other numbers from the SAME
+        # process, never to full-run snapshots or pins.
+        "stat": (
+            f"median of {n_runs} warm runs ({n_warm} warmups discarded)"
+            + ("; subset mode: numbers are A/B-comparable WITHIN this "
+               "process only — not vs full-run snapshots/pins (C2 "
+               "tiering gap, r14)" if only else "")
+        ),
     }
     print(json.dumps(summary))
     # Provenance: the driver records only the printed tail; a committed

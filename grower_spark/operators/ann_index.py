@@ -68,17 +68,27 @@ def build_ann_index(
     vec_col: str = "embedding",
     centroids: Optional[list[list[float]]] = None,
     source: str = "",
+    files_per_cell: int = 1,
 ) -> dict:
     """One corpus pass → persisted codes+cells index at ``path``.
 
     Fit (bounded dim-row collect), encode (zero-shuffle), argmax cell
     (plan-literal centroid dots, map-side), then a ``partitionBy(cell)``
     parquet write — the only shuffle is the write's cell clustering,
-    which is what physically builds the inverted lists.  Ragged vectors
-    are excluded exactly as in the one-shot int8 family (the engines
-    must agree on the row set).  Returns the params dict (also written
-    to ``params.json``); ``dim`` is derived from the fit, and an empty
-    fit (all-malformed corpus) persists a valid zero-row index.
+    which is what physically builds the inverted lists.  The shuffle is
+    EXPLICIT (``repartition`` on cell + a deterministic file salt) so
+    each cell lands in ``files_per_cell`` output files instead of
+    input-partitions × n_cells fragments: the r15 ×300 rehearsal
+    measured the naive write's tiny-file fan-out making the index scan
+    SLOWER than a full float sweep — file-open overhead, not data.
+    Size ``files_per_cell`` ≈ per-cell bytes / 128 MiB at cluster scale
+    (it is the query-side scan parallelism per probed cell).
+
+    Ragged vectors are excluded exactly as in the one-shot int8 family
+    (the engines must agree on the row set).  Returns the params dict
+    (also written to ``params.json``); ``dim`` is derived from the fit,
+    and an empty fit (all-malformed corpus) persists a valid zero-row
+    index.
     """
     spark = emb.sparkSession
     by_pos = quantize_fit(emb, vec_col=vec_col, id_col=id_col)
@@ -86,6 +96,7 @@ def build_ann_index(
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     if len(cents) != n_cells:
         raise ValueError(f"expected {n_cells} centroids, got {len(cents)}")
+    fpc = max(1, int(files_per_cell))
 
     n_rows = 0
     if dim > 0:
@@ -97,6 +108,10 @@ def build_ann_index(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col("_codes").alias("codes"),
             argmax_cell.cast("int").alias("cell"),
+        )
+        codes = codes.repartition(
+            n_cells * fpc, F.col("cell"),
+            F.pmod(F.hash("vec_id"), F.lit(fpc)),
         )
         codes.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(path, "codes")
@@ -119,16 +134,40 @@ def build_ann_index(
     with open(tmp, "w") as f:
         json.dump(params, f)
     os.replace(tmp, os.path.join(path, "params.json"))
+    # an in-place rebuild must not serve the previous build's handles
+    _LOAD_CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(path)), None
+    )
     return params
 
 
-def load_ann_index(spark: SparkSession, path: str):
-    """Open a persisted index: ``(codes_df, by_pos fit dict, params)``.
+# (appId, abspath) -> (codes_df, by_pos, params).  Same memo contract as
+# io_tables._CACHE: a finished index dir is immutable (the params.json
+# rename is the completion marker), DataFrames are immutable plans, and
+# every uncached load pays a file listing + a meta collect + a JSON read
+# per QUERY CALL — measured ~0.5 s/call of pure fixed overhead in the
+# r15 rehearsal's ×1 leg.  build_ann_index invalidates its own path.
+_LOAD_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def clear_ann_index_cache() -> None:
+    """Drop every memoized index handle (all sessions)."""
+    _LOAD_CACHE.clear()
+
+
+def load_ann_index(spark: SparkSession, path: str, refresh: bool = False):
+    """Open a persisted index: ``(codes_df, by_pos fit dict, params)``,
+    memoized per (session, path) — pass ``refresh=True`` after
+    rebuilding an index in place within the same application.
 
     The fit load is a bounded dim-row read (the same "model, not data"
     size as the build's collect); the codes DataFrame is the lazy
     partitioned scan — cell filters prune at the parquet source.
     """
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    hit = None if refresh else _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit
     with open(os.path.join(path, "params.json")) as f:
         params = json.load(f)
     if params["n_rows"] == 0 or params["dim"] == 0:
@@ -148,6 +187,7 @@ def load_ann_index(spark: SparkSession, path: str):
             f"ann index at {path}: meta has {len(by_pos)} dims, "
             f"params.json says {params['dim']} — partial/corrupt write"
         )
+    _LOAD_CACHE[key] = (codes, by_pos, params)
     return codes, by_pos, params
 
 
