@@ -282,6 +282,42 @@ def test_index_empty_corpus_round_trip(spark, tmp_path):
     assert ann_index_ivf_rerank(spark, path, emb, q, m=6, k=3).count() == 0
 
 
+def test_trained_centroids_persist_through_index(spark, tmp_path):
+    """The production coarse quantizer (ivf_kmeans_centroids) is
+    persisted in params.json and drives the query path identically
+    after a reload — the build→query process boundary cannot silently
+    fall back to the deterministic grid."""
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.similarity import ivf_kmeans_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = ivf_kmeans_centroids(emb, n_cells=4, dim=64, sample_n=256,
+                                 iters=2)
+    path = str(tmp_path / "trained")
+    build_ann_index(emb, path, n_cells=4, centroids=cents)
+    _, _, params = load_ann_index(spark, path)
+    assert params["centroids"] == [[float(v) for v in c] for c in cents]
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = ann_index_ivf_rerank(spark, path, emb, q, m=10, k=5, n_probe=2)
+    rows = out.collect()
+    assert rows and all(r["rank"] <= 5 for r in rows)
+    # membership under the TRAINED quantizer, not the grid
+    from grower_spark.operators.similarity import _cell_ranking
+
+    codes, _, _ = load_ann_index(spark, path)
+    cell_of = {r["vec_id"]: r["cell"] for r in codes.collect()}
+    probed = {
+        r["qid"]: r["cells"][:2]
+        for r in emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"),
+            _cell_ranking("embedding", params["centroids"]).alias("cells"),
+        ).collect()
+    }
+    for r in rows:
+        assert cell_of[r["vec_id"]] in probed[r["qid"]], r
+
+
 def test_encode_with_fit_matches_quantized_codes(spark):
     """The r15 fit/encode split is a pure refactor of quantized_codes:
     encode_with_fit(quantize_fit(emb)) produces byte-identical codes."""
