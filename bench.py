@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     # operators' production contract (build once, query many)
     ("ann_index_int8", "collect"),
     ("ann_ivf_int8_rerank", "collect"),
+    ("ann_index_append", "collect"),
 ]
 
 

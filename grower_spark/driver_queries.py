@@ -6629,6 +6629,116 @@ FROM rer QUALIFY rank <= {ANN_TOPK}
 """
 
 
+def _ann_index_append_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache for the TWO-BATCH index: base build over
+    vec_id % 3 != 0 (fit frozen there), then append_ann_index of the
+    % 3 == 0 remainder encoded against that stored fit — the streaming
+    growth lifecycle as one reproducible on-disk state.  A crash
+    between build and append leaves params without the append record
+    and the whole sequence redoes from the overwrite build."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+
+    from grower_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+    )
+
+    sf_abs = _os.path.abspath(sf_dir)
+    key = f"{sf_abs}|cells={IVF_CELLS}|levels=254|split3|v1"
+    tag = "{}-{}".format(
+        _os.path.basename(sf_abs),
+        _hashlib.sha1(key.encode()).hexdigest()[:10],
+    )
+    base_dir = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), _os.pardir,
+        "ann_index",
+    )
+    path = _os.path.abspath(_os.path.join(base_dir, tag))
+    pj = _os.path.join(path, "params.json")
+    if _os.path.exists(pj):
+        try:
+            with open(pj) as f:
+                params = _json.load(f)
+            if params.get("source") == key and params.get("appends"):
+                return path
+        except (_json.JSONDecodeError, OSError):
+            pass
+    _os.makedirs(path, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ann_index(
+        emb.where(F.col("vec_id") % 3 != 0), path, n_cells=IVF_CELLS,
+        source=key,
+    )
+    append_ann_index(emb.where(F.col("vec_id") % 3 == 0), path)
+    return path
+
+
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over an index GROWN IN TWO BATCHES
+    (operators/ann_index.py::append_ann_index): base build over
+    vec_id % 3 != 0 freezes the fit; the remainder is appended later,
+    encoded against that STORED fit with out-of-range codes clamped to
+    int8 range — the streaming-corpus lifecycle (same
+    never-reprocess-old-rows discipline as the incremental MinHash
+    dedup state).  The oracle re-derives the fit over the BASE subset
+    only, so a refit-on-append (which would silently re-scale existing
+    codes) or a missing clamp both fail the hash.  Queries span both
+    batches (qids 0,3,6 land in the appended batch)."""
+    from grower_spark.operators.ann_index import ann_index_int8_topk
+
+    path = _ann_index_append_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_index_int8_topk(spark, path, q, k=ANN_TOPK)
+
+
+def oracle_ann_index_append() -> str:
+    # the one-shot int8 oracle with two deltas: the fit CTE is
+    # restricted to the BASE batch (vec_id % 3 <> 0) and codes clamp to
+    # [0, 254] (append saturation) — query codes clamp identically
+    # because the Spark side encodes the panel against the same stored
+    # fit through the same helper.
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), fit AS (
+  SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q
+  WHERE vec_id % 3 <> 0 GROUP BY 1
+), c AS (
+  SELECT q.vec_id, q.dim,
+    greatest(CAST(0 AS BIGINT), least(CAST(254 AS BIGINT),
+      CASE WHEN f.mx = f.mn THEN CAST(0 AS BIGINT)
+           ELSE ((q.xq - f.mn) * 254) // (f.mx - f.mn) END)) - 127 AS cc
+  FROM q JOIN fit f USING (dim)
+), fullv AS (
+  SELECT vec_id FROM c GROUP BY 1
+  HAVING count(*) = (SELECT count(*) FROM fit)
+), cf AS (
+  SELECT c.* FROM c JOIN fullv USING (vec_id)
+), qs AS (
+  SELECT vec_id AS qid, dim, cc FROM cf WHERE vec_id < {N_ANN_QUERIES}
+), dots AS (
+  SELECT qs.qid, cf.vec_id, SUM(qs.cc * cf.cc) AS dot
+  FROM qs JOIN cf ON qs.dim = cf.dim AND cf.vec_id <> qs.qid
+  GROUP BY 1, 2
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+       AS INTEGER) AS rank,
+  CAST(dot AS BIGINT) AS dot
+FROM dots QUALIFY rank <= {ANN_TOPK}
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-distribution drift between two snapshot views
     (operators/diff.py): the corpus_diff release fixtures (old drops ids
@@ -8477,7 +8587,7 @@ def oracle_dedup_editdist_unicode() -> str:
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
-#   9-11  : must-certify this round — ann_index_int8 (DEBUT: flat
+#   9-12  : must-certify this round — ann_index_int8 (DEBUT: flat
 #           code-tier top-k over a PREBUILT persisted codes+cells
 #           index — the index/query split of r14 verdict item 2; the
 #           fit-collect + corpus encode run once at build time, the
@@ -8486,15 +8596,22 @@ def oracle_dedup_editdist_unicode() -> str:
 #           retrieval — IVF probe over the persisted index's cell
 #           partitions -> int8 top-m shortlist -> float cosine rerank —
 #           r14 verdict item 3 / "What's missing" 2);
+#           ann_index_append (DEBUT: the index grown in TWO batches —
+#           base build freezes the fit, the appended batch encodes
+#           against it with int8-range clamping; the oracle's fit CTE
+#           is restricted to the base subset, so a refit-on-append or
+#           a missing clamp fails the hash);
 #           cluster_balanced_sample (CHANGED: the per_cluster=0 branch
 #           now persists the pruned input across the bounded fit and
 #           the rank pass, so the corpus is scanned once, not twice —
 #           r14 verdict "What's wrong" 1 / item 4).
-#   12-50 : staleness rotation — the 39-row head of the stalest tail
+#   13-50 : staleness rotation — the 38-row head of the stalest tail
 #           exactly as the r14 verdict ordered (source_dedup_rates /
 #           events_burstiness / source_mixture_plan / dedup_winnowing /
 #           salted_agg_users / dedup_exact lead), through
-#           events_funnel_timing.
+#           dedup_edit_distance; events_funnel_timing (the 39th stale
+#           row) yields its slot to the append debut and leads the
+#           51+ queue instead.
 #   51+   : stalest-first — the rest of the r10/r11-certified
 #           remainder, then the rows displaced from the r12 window,
 #           then the r13 window's, then the r14 window's (freshest) —
@@ -8514,10 +8631,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # layout comment above) ---
     "ann_index_int8": q_ann_index_int8,
     "ann_ivf_int8_rerank": q_ann_ivf_int8_rerank,
+    "ann_index_append": q_ann_index_append,
     "cluster_balanced_sample": q_cluster_balanced_sample,
-    # --- 12-50: staleness rotation — the 39-row stalest head (the r15
+    # --- 13-50: staleness rotation — the 38-row stalest head (the r15
     # rotation the r14 verdict ordered: source_dedup_rates through
-    # events_funnel_timing) ---
+    # dedup_edit_distance) ---
     "source_dedup_rates": q_source_dedup_rates,
     "events_burstiness": q_events_burstiness,
     "source_mixture_plan": q_source_mixture_plan,
@@ -8556,11 +8674,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_top_terms": q_doc_top_terms,
     "events_top_paths": q_events_top_paths,
     "dedup_edit_distance": q_dedup_edit_distance,
+    # --- 51+: stalest-first — events_funnel_timing (displaced from
+    # this window by the append debut), then the remaining rows
+    # displaced from the r12 window, then the r13 window's, then the
+    # r14 window's (freshest) — all covered every round by the
+    # committed CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
     "events_funnel_timing": q_events_funnel_timing,
-    # --- 51+: stalest-first — the remaining rows displaced from the
-    # r12 window, then the r13 window's, then the r14 window's
-    # (freshest) — all covered every round by the committed
-    # CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
     "events_dau_wau": q_events_dau_wau,
     "ann_ivf": q_ann_ivf,
     "events_asof_join": q_events_asof_join,
@@ -8687,6 +8806,7 @@ ORACLES: dict[str, str] = {
     # contract, independently re-derived (certifies build AND query)
     "ann_index_int8": oracle_ann_index_int8(),
     "ann_ivf_int8_rerank": oracle_ann_ivf_int8_rerank(),
+    "ann_index_append": oracle_ann_index_append(),
     "nginx_parse_agg": oracle_nginx_parse_agg(),
     "nginx_parse_rows": oracle_nginx_parse_rows(),
     "nginx_deadletter": oracle_nginx_deadletter(),

@@ -40,7 +40,13 @@ import json
 import os
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    Observation,
+    SparkSession,
+    Window,
+)
 import pyspark.sql.functions as F
 
 from grower_spark.operators.diversity import (
@@ -57,6 +63,21 @@ from grower_spark.operators.similarity import (
 )
 
 _CODES_SCHEMA = "vec_id long, codes array<long>, cell int"
+
+
+def _clamp_codes(levels: int) -> Column:
+    """Saturate ``_codes`` into ``[0, levels]`` — the int8-representable
+    range stored codes must live in.  A no-op for rows encoded under
+    their own corpus's fit (in-range by construction: build), the
+    documented saturation trade for rows encoded under a STORED fit
+    (append batches, query panels) whose values may exceed the original
+    min/max.  ONE definition on purpose: corpus codes and query codes
+    must saturate identically or the kernel compares different scales.
+    """
+    lv = int(levels)
+    return F.expr(
+        f"transform(_codes, c -> greatest(0L, least({lv}L, c)))"
+    )
 
 
 def build_ann_index(
@@ -106,17 +127,22 @@ def build_ann_index(
         argmax_cell = F.expr(f"least({_cell_struct_sql(vec_col, cents)}).i")
         codes = coded.select(
             F.col(id_col).cast("long").alias("vec_id"),
-            F.col("_codes").alias("codes"),
+            _clamp_codes(levels).alias("codes"),
             argmax_cell.cast("int").alias("cell"),
         )
         codes = codes.repartition(
             n_cells * fpc, F.col("cell"),
             F.pmod(F.hash("vec_id"), F.lit(fpc)),
         )
-        codes.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(path, "codes")
-        )
-        n_rows = spark.read.parquet(os.path.join(path, "codes")).count()
+        # row count via an Observation on the write itself — a post-write
+        # count() re-read is a second full pass over the index, which at
+        # 100 TB is real money for one metadata integer
+        obs = Observation("ann_index_build")
+        codes.observe(obs, F.count(F.lit(1)).alias("n")).write \
+            .mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(path, "codes")
+            )
+        n_rows = int(obs.get["n"])
     meta = spark.createDataFrame(
         [(p + 1, mn, mx) for p, (mn, mx) in sorted(by_pos.items())],
         "dim int, mn long, mx long",
@@ -207,7 +233,8 @@ def _query_codes(
         queries, by_pos, vec_col=qvec_col, id_col=qid_col, levels=levels,
     ).where(F.size("_codes") == dim)
     return coded.select(
-        F.col(qid_col), F.col("_codes").alias("qcodes"), F.col(qvec_col),
+        F.col(qid_col), _clamp_codes(levels).alias("qcodes"),
+        F.col(qvec_col),
     )
 
 
@@ -340,6 +367,92 @@ def ann_index_ivf_rerank(
             F.col("sim_r4"),
         )
     )
+
+
+def append_ann_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cell: int = 1,
+) -> dict:
+    """Append a new batch to an EXISTING index without refitting — the
+    streaming-growth half of the index lifecycle (same discipline as
+    the incremental MinHash dedup state: old rows are never reprocessed).
+
+    Why no refit: the original float corpus may already be cold or gone
+    — that is the index's whole premise — and a refit would silently
+    re-scale every EXISTING stored code (the affine map depends on the
+    global min/max), invalidating the old rows in place.  New rows are
+    therefore encoded against the STORED fit and assigned to cells by
+    the STORED centroids, so one query kernel ranks old and new rows on
+    the same scale.
+
+    Out-of-range values — new data beyond the original per-dim min/max
+    — CLAMP to ``[0, levels]``: stored codes must stay
+    int8-representable (the 4× memory contract), and clamping is the
+    standard scalar-quantizer saturation trade.  The clamped-value
+    count is measured on the write itself (Observation, no extra pass)
+    and accumulated in ``params.json`` (``appends`` history): a growing
+    clamp rate is the signal that the corpus distribution has drifted
+    past the fit and the index has earned a rebuild.
+
+    Appending to an empty-fit index refuses loudly (there is no scale
+    to encode against).  Batch-level atomicity matches the build: the
+    parquet append lands first, params.json is rewritten after — a
+    crash in between under-counts ``n_rows`` (harmless: it only gates
+    the empty-index fast path) but never corrupts codes.  Caller owns
+    id uniqueness across batches, exactly as in the incremental dedup
+    state.  Returns ``{"rows": appended, "clamped_values": n}``.
+    """
+    spark = new_emb.sparkSession
+    _, by_pos, params = load_ann_index(spark, path)
+    if params["dim"] == 0:
+        raise ValueError(
+            f"append_ann_index: index at {path} has an empty fit — "
+            "nothing to encode against; rebuild with build_ann_index"
+        )
+    levels = int(params["levels"])
+    n_cells = int(params["n_cells"])
+    cents = params["centroids"]
+    fpc = max(1, int(files_per_cell))
+    coded = encode_with_fit(
+        new_emb, by_pos, vec_col=vec_col, id_col=id_col, levels=levels,
+    ).where(F.size("_codes") == params["dim"])
+    argmax_cell = F.expr(f"least({_cell_struct_sql(vec_col, cents)}).i")
+    n_clamped = F.expr(
+        f"aggregate(_codes, 0L, (a, c) -> a + "
+        f"CASE WHEN c < 0L OR c > {levels}L THEN 1L ELSE 0L END)"
+    )
+    rows = coded.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _clamp_codes(levels).alias("codes"),
+        argmax_cell.cast("int").alias("cell"),
+        n_clamped.alias("_clamped"),
+    )
+    rows = rows.repartition(
+        n_cells * fpc, F.col("cell"), F.pmod(F.hash("vec_id"), F.lit(fpc)),
+    )
+    obs = Observation("ann_index_append")
+    rows.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("_clamped").alias("cl"),
+    ).drop("_clamped").write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    appended = int(obs.get["n"])
+    clamped = int(obs.get["cl"] or 0)
+    params["n_rows"] = int(params["n_rows"]) + appended
+    params.setdefault("appends", []).append(
+        {"rows": appended, "clamped_values": clamped}
+    )
+    tmp = os.path.join(path, "params.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, os.path.join(path, "params.json"))
+    _LOAD_CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(path)), None
+    )
+    return {"rows": appended, "clamped_values": clamped}
 
 
 def ensure_ann_index(
