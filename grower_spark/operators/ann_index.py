@@ -397,6 +397,12 @@ def append_ann_index(
     clamp rate is the signal that the corpus distribution has drifted
     past the fit and the index has earned a rebuild.
 
+    Each append adds ``files_per_cell`` files per touched cell, so the
+    per-cell file count grows with the number of batches — the periodic
+    rebuild the clamp-rate signal triggers is ALSO the re-compaction
+    pass (one event re-fits, re-encodes, and restores
+    one-``files_per_cell``-per-cell layout).
+
     Appending to an empty-fit index refuses loudly (there is no scale
     to encode against).  Batch-level atomicity matches the build: the
     parquet append lands first, params.json is rewritten after — a
