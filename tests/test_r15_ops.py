@@ -264,6 +264,23 @@ def test_index_build_once_query_reuses(spark, tmp_path):
     assert params["n_cells"] == 8
 
 
+def test_index_corrupt_params_rebuilds(spark, tmp_path):
+    """A truncated/garbage params.json (crash mid-build) must not be
+    served: ensure_ann_index rebuilds in place and the rebuilt index
+    queries correctly."""
+    base = str(tmp_path)
+    p1 = ensure_ann_index(spark, SF_DIR, base_dir=base)
+    with open(os.path.join(p1, "params.json"), "w") as f:
+        f.write('{"levels": 254, "n_ce')  # truncated write
+    p2 = ensure_ann_index(spark, SF_DIR, base_dir=base)
+    assert p2 == p1
+    _, _, params = load_ann_index(spark, p2, refresh=True)
+    assert params["n_cells"] == 16 and params["n_rows"] > 0
+    q = spark.createDataFrame([(999999, [0.1] * 64)],
+                              "qid long, qvec array<double>")
+    assert ann_index_int8_topk(spark, p2, q, k=3).count() == 3
+
+
 def test_index_empty_corpus_round_trip(spark, tmp_path):
     """An all-malformed corpus persists a valid ZERO-ROW index (params
     n_rows=0, empty fit) and both query operators return zero rows

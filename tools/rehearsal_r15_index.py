@@ -19,6 +19,10 @@ Claims measured, per corpus scale factor:
 4. ``query_rerank_sec`` — the composed three-stage retrieval over the
    prebuilt index, for reference (it does strictly more work than the
    flat pair: float rerank tier on top).
+5. ``append_sec`` — appending one base-sized batch to the leg's index:
+   the never-reprocess-old-rows contract, measured — the cost must
+   track the BATCH size across legs, flat in the index size (old rows
+   are untouched by design).
 
 Plus the scan-level decomposition that isolates exactly what the index
 amortizes (end-to-end medians at local scale carry ~2 s of constant
@@ -204,6 +208,22 @@ def main() -> int:
                 "amortized_per_call_sec": round(
                     _median(fits) + _median(escan) - _median(cscan), 2),
             }
+            # append leg: the never-reprocess-old-rows claim, measured —
+            # appending a fixed base-sized batch must cost the same
+            # against a x1 index as against a x300 index (work ∝ batch,
+            # not index; old rows are untouched by contract)
+            from grower_spark.operators.ann_index import append_ann_index
+
+            batch = spark.read.parquet(
+                os.path.join(SF_DIR, "embeddings.parquet")
+            ).select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+            t0 = time.time()
+            app = append_ann_index(batch, idx_path)
+            leg["append_batch_rows"] = app["rows"]
+            leg["append_sec"] = round(time.time() - t0, 2)
             out["legs"].append(leg)
             print(json.dumps(leg), file=sys.stderr)
     finally:
