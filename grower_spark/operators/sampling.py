@@ -224,8 +224,11 @@ def cluster_balanced_sample(assigned: DataFrame, per_cluster: int = 0,
     pruned ``(id, cluster)`` projection is ``persist()``ed across the
     fit and the rank pass — the input lineage is scanned ONCE; the
     rank plan reads the materialized blocks (MEMORY_AND_DISK: spilled,
-    not recomputed, under pressure), which also pins the fit and the
-    rank to the SAME snapshot of a non-deterministic/re-read input.
+    not recomputed, under pressure), which also gives a BEST-EFFORT
+    snapshot of a non-deterministic/re-read input: a lost executor's
+    blocks are recomputed from lineage, so under failure the fit and
+    the rank can still observe different reads — use a checkpoint
+    when true snapshot pinning of such an input is required.
     In a long-lived session free the blocks with
     ``spark.catalog.clearCache()`` (or re-derive and ``unpersist()``)
     after materializing the result.
