@@ -209,6 +209,14 @@ BENCH_QUERIES = [
     ("ann_index_int8", "collect"),
     ("ann_ivf_int8_rerank", "collect"),
     ("ann_index_append", "collect"),
+    # r16 debuts: the completed lifecycle — delete/rebuild/trained read
+    # their own prebuilt on-disk states (warmup pays the one-time
+    # build+mutations, timed runs measure serving), oov rides the
+    # shared full index with an external clamped query panel
+    ("ann_index_delete", "collect"),
+    ("ann_index_rebuild", "collect"),
+    ("ann_index_trained", "collect"),
+    ("ann_index_oov", "collect"),
 ]
 
 
