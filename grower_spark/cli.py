@@ -264,6 +264,38 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--output", required=True)
     cp.add_argument("--target-mb", type=int, default=256)
 
+    ai = sub.add_parser(
+        "ann-index",
+        help="persisted ANN index lifecycle: build / append / delete / "
+             "rebuild / status over an embeddings parquet",
+    )
+    ai.add_argument("action",
+                    choices=["build", "append", "delete", "rebuild",
+                             "status"])
+    ai.add_argument("--index", required=True, help="index directory")
+    ai.add_argument("--input", default=None,
+                    help="embeddings parquet (build/append/rebuild: the "
+                         "corpus or batch; delete: a parquet whose first "
+                         "column is the ids unless --ids is given)")
+    ai.add_argument("--ids", default=None,
+                    help="delete: comma-separated vec_ids instead of "
+                         "--input")
+    ai.add_argument("--id-col", default="vec_id")
+    ai.add_argument("--vec-col", default="embedding")
+    ai.add_argument("--n-cells", type=int, default=16)
+    ai.add_argument("--levels", type=int, default=254)
+    ai.add_argument("--files-per-cell", type=int, default=1,
+                    help="per-cell output file bound; size ≈ per-cell "
+                         "bytes / 128 MiB at cluster scale")
+    ai.add_argument("--train-cells", action="store_true",
+                    help="build/rebuild: train the coarse quantizer "
+                         "(spherical k-means on a bounded sample) instead "
+                         "of the deterministic grid")
+    ai.add_argument("--clamp-rate-threshold", type=float, default=0.01,
+                    help="status: clamp-rate rebuild trigger")
+    ai.add_argument("--deleted-frac-threshold", type=float, default=0.2,
+                    help="status: deleted-fraction rebuild trigger")
+
     rp = sub.add_parser(
         "report",
         help="corpus governance report: language confusion, per-source "
@@ -296,6 +328,82 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.output, target_mb=args.target_mb
         )
         print(json.dumps(audit))
+        return 0
+
+    if args.command == "ann-index":
+        import json
+
+        from grower_spark.operators import ann_index as ai_ops
+        from grower_spark.session import get_spark
+
+        # status is pure params.json reading — no Spark session needed
+        if args.action == "status":
+            import os
+
+            with open(os.path.join(args.index, "params.json")) as f:
+                params = json.load(f)
+            sig = ai_ops.should_rebuild(
+                params,
+                clamp_rate_threshold=args.clamp_rate_threshold,
+                deleted_frac_threshold=args.deleted_frac_threshold,
+            )
+            print(json.dumps({
+                "n_rows": params["n_rows"], "dim": params["dim"],
+                "n_cells": params["n_cells"], "levels": params["levels"],
+                "rebuilds": params.get("rebuilds", 0),
+                "appends": len(params.get("appends", []))
+                + params.get("appends_total", {}).get("batches", 0),
+                "deletes": params.get("deletes", {"batches": 0, "rows": 0}),
+                **sig,
+            }))
+            return 0
+
+        spark = get_spark("grower-spark-ann-index")
+        if args.action == "delete":
+            if args.ids is not None:
+                ids = [int(x) for x in args.ids.split(",") if x.strip()]
+            elif args.input is not None:
+                ids = spark.read.parquet(args.input)
+            else:
+                raise SystemExit("ann-index delete needs --ids or --input")
+            print(json.dumps(
+                ai_ops.delete_from_ann_index(spark, args.index, ids)))
+            return 0
+
+        if args.input is None:
+            raise SystemExit(f"ann-index {args.action} needs --input")
+        emb = spark.read.parquet(args.input)
+        if args.action == "append":
+            print(json.dumps(ai_ops.append_ann_index(
+                emb, args.index, id_col=args.id_col, vec_col=args.vec_col,
+                files_per_cell=args.files_per_cell,
+            )))
+            return 0
+        centroids = None
+        if args.train_cells:
+            from grower_spark.operators.similarity import (
+                ivf_kmeans_centroids,
+            )
+
+            dim = len(emb.select(args.vec_col).first()[0])
+            centroids = ivf_kmeans_centroids(
+                emb, n_cells=args.n_cells, dim=dim, vec_col=args.vec_col,
+            )
+        if args.action == "build":
+            params = ai_ops.build_ann_index(
+                emb, args.index, n_cells=args.n_cells, levels=args.levels,
+                id_col=args.id_col, vec_col=args.vec_col,
+                centroids=centroids, files_per_cell=args.files_per_cell,
+            )
+        else:  # rebuild (keeps stored n_cells/levels/centroids unless
+            # --train-cells supplies fresh ones)
+            params = ai_ops.rebuild_ann_index(
+                emb, args.index, id_col=args.id_col, vec_col=args.vec_col,
+                centroids=centroids, files_per_cell=args.files_per_cell,
+            )
+        print(json.dumps({k: params[k] for k in
+                          ("n_rows", "dim", "n_cells", "levels")
+                          } | {"rebuilds": params.get("rebuilds", 0)}))
         return 0
 
     if args.command == "report":

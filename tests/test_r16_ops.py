@@ -446,3 +446,58 @@ def test_stream_appends_match_batch_built_twin(spark, tmp_path):
                    ann_index_int8_topk(spark, batched, panel, k=14)
                    .collect()))
     assert a == b and len(a) == 14
+
+
+# ---------------------------------------------------------------------------
+# CLI lifecycle surface
+# ---------------------------------------------------------------------------
+
+def test_cli_ann_index_lifecycle(spark, tmp_path, capsys):
+    """The operational wrapper: build → append → delete → status (trigger
+    readable without a Spark session) → rebuild, end to end through
+    `python -m grower_spark.cli ann-index ...`."""
+    import json
+
+    from grower_spark.cli import main
+
+    corpus = tmp_path / "corpus"
+    _toy(spark, n=12).write.parquet(str(corpus))
+    batch = tmp_path / "batch"
+    spark.createDataFrame(
+        [(100, [1000.0, 3.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(str(batch))
+    idx = str(tmp_path / "idx")
+
+    assert main(["ann-index", "build", "--index", idx,
+                 "--input", str(corpus), "--n-cells", "4"]) == 0
+    built = json.loads(capsys.readouterr().out)
+    assert built["n_rows"] == 12 and built["n_cells"] == 4
+
+    assert main(["ann-index", "append", "--index", idx,
+                 "--input", str(batch)]) == 0
+    assert json.loads(capsys.readouterr().out) == {
+        "rows": 1, "clamped_values": 1}
+
+    assert main(["ann-index", "delete", "--index", idx,
+                 "--ids", "2,3,4"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"tombstoned": 3}
+
+    assert main(["ann-index", "status", "--index", idx,
+                 "--clamp-rate-threshold", "0.4",
+                 "--deleted-frac-threshold", "0.2"]) == 0
+    status = json.loads(capsys.readouterr().out)
+    assert status["n_rows"] == 13 and status["rebuild"] is True
+    assert status["deletes"] == {"batches": 1, "rows": 3}
+
+    full = tmp_path / "full"
+    _toy(spark, n=12).union(
+        spark.createDataFrame([(100, [1000.0, 3.0])],
+                              "vec_id long, embedding array<double>")
+    ).write.parquet(str(full))
+    assert main(["ann-index", "rebuild", "--index", idx,
+                 "--input", str(full)]) == 0
+    rebuilt = json.loads(capsys.readouterr().out)
+    assert rebuilt["n_rows"] == 10 and rebuilt["rebuilds"] == 1
+    assert main(["ann-index", "status", "--index", idx]) == 0
+    status = json.loads(capsys.readouterr().out)
+    assert status["rebuild"] is False and status["deletes"]["rows"] == 0
