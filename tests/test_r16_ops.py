@@ -501,3 +501,38 @@ def test_cli_ann_index_lifecycle(spark, tmp_path, capsys):
     assert main(["ann-index", "status", "--index", idx]) == 0
     status = json.loads(capsys.readouterr().out)
     assert status["rebuild"] is False and status["deletes"]["rows"] == 0
+
+
+def test_dedup_pass_retires_losers_from_index(spark, tmp_path):
+    """The production handoff (tools/dedup_corpus.py --retire-from-index):
+    a dedup pass's drop_list feeds delete_from_ann_index, so retired
+    near-duplicates stop serving retrieval immediately — keepers still
+    serve, losers are tombstoned until the next rebuild compacts them."""
+    from tools.dedup_corpus import build_keep_drop
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} with its own words")
+         for i in range(8)]
+        + [(100, "twin text that repeats verbatim in the corpus"),
+           (101, "twin text that repeats verbatim in the corpus")],
+        "doc_id long, text string",
+    )
+    # embeddings keyed by the SAME ids (the testdata contract:
+    # documents.doc_id == embeddings.vec_id)
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i) + 1.0]) for i in range(8)]
+        + [(100, [50.0, 51.0]), (101, [50.0, 51.0])],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx")
+    build_ann_index(emb, path, n_cells=4)
+    keep, drops = build_keep_drop(docs)
+    assert delete_from_ann_index(
+        spark, path, drops.select("doc_id")
+    ) == {"tombstoned": 1}  # 101 loses to 100 (lowest id wins)
+    q = spark.createDataFrame(
+        [(999, [50.0, 51.0])], "qid long, qvec array<double>"
+    )
+    rows = ann_index_int8_topk(spark, path, q, k=10).collect()
+    served = {r["vec_id"] for r in rows}
+    assert 100 in served and 101 not in served

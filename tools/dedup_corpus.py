@@ -433,6 +433,14 @@ def main() -> int:
                     help="stable state-partition name for --append (defaults "
                          "to a content-derived id; pass your ingest batch "
                          "name to make retries explicit)")
+    ap.add_argument("--retire-from-index", default=None,
+                    help="ANN index directory: tombstone this run's dropped "
+                         "doc ids there (delete_from_ann_index), so retired "
+                         "near-duplicates stop serving retrieval queries "
+                         "immediately — the dedup-pass -> index-lifecycle "
+                         "handoff (ids must be the index's vec_ids; "
+                         "idempotent, so re-running over an accumulated "
+                         "drop_list is harmless)")
     args = ap.parse_args()
     if (args.append or args.stream) and not args.state_dir:
         ap.error("--append/--stream require --state-dir")
@@ -458,6 +466,7 @@ def main() -> int:
         n_keep = spark.read.parquet(os.path.join(args.out, "keep_list")).count()
         n_drop = spark.read.parquet(os.path.join(args.out, "drop_list")).count()
         print(f"streamed keep={n_keep} dropped={n_drop}")
+        _retire(spark, args, os.path.join(args.out, "drop_list"))
         spark.stop()
         return 0
     docs = spark.read.parquet(args.input)
@@ -483,8 +492,24 @@ def main() -> int:
     n_in = docs.count()
     n_keep = keep.count()
     print(f"input={n_in} keep={n_keep} dropped={n_in - n_keep}")
+    _retire(spark, args, os.path.join(args.out, "drop_list"))
     spark.stop()
     return 0
+
+
+def _retire(spark, args, drop_list_path: str) -> None:
+    """--retire-from-index: tombstone the run's dropped ids in the given
+    ANN index (reads the just-written drop_list so every mode — batch,
+    append, stream — hands over the same artifact; deletes are
+    idempotent, so an accumulated drop_list re-retires harmlessly)."""
+    if not args.retire_from_index:
+        return
+    from grower_spark.operators.ann_index import delete_from_ann_index
+
+    dropped = spark.read.parquet(drop_list_path).select(args.id_col)
+    res = delete_from_ann_index(spark, args.retire_from_index, dropped)
+    print(f"retired-from-index={res['tombstoned']} "
+          f"(index {args.retire_from_index})")
 
 
 if __name__ == "__main__":
