@@ -379,27 +379,37 @@ def main(argv: list[str] | None = None) -> int:
                 files_per_cell=args.files_per_cell,
             )))
             return 0
-        centroids = None
-        if args.train_cells:
-            from grower_spark.operators.similarity import (
-                ivf_kmeans_centroids,
-            )
-
-            dim = len(emb.select(args.vec_col).first()[0])
-            centroids = ivf_kmeans_centroids(
-                emb, n_cells=args.n_cells, dim=dim, vec_col=args.vec_col,
-            )
         if args.action == "build":
+            centroids = None
+            if args.train_cells:
+                from grower_spark.operators.similarity import (
+                    ivf_kmeans_centroids,
+                )
+
+                row = emb.where(
+                    emb[args.vec_col].isNotNull()
+                ).select(args.vec_col).first()
+                if row is None:
+                    raise SystemExit(
+                        "ann-index build --train-cells: no non-null "
+                        f"vectors in {args.input} to train on"
+                    )
+                centroids = ivf_kmeans_centroids(
+                    emb, n_cells=args.n_cells, dim=len(row[0]),
+                    vec_col=args.vec_col,
+                )
             params = ai_ops.build_ann_index(
                 emb, args.index, n_cells=args.n_cells, levels=args.levels,
                 id_col=args.id_col, vec_col=args.vec_col,
                 centroids=centroids, files_per_cell=args.files_per_cell,
             )
-        else:  # rebuild (keeps stored n_cells/levels/centroids unless
-            # --train-cells supplies fresh ones)
+        else:  # rebuild: keeps the STORED n_cells/levels/centroids;
+            # --train-cells re-trains with the stored cell count on the
+            # surviving (post-tombstone) corpus inside the operator
             params = ai_ops.rebuild_ann_index(
                 emb, args.index, id_col=args.id_col, vec_col=args.vec_col,
-                centroids=centroids, files_per_cell=args.files_per_cell,
+                files_per_cell=args.files_per_cell,
+                train_cells=args.train_cells,
             )
         print(json.dumps({k: params[k] for k in
                           ("n_rows", "dim", "n_cells", "levels")

@@ -6741,13 +6741,18 @@ FROM dots QUALIFY rank <= {ANN_TOPK}
 
 def _ann_aux_index_dir(sf_dir: str, variant: str) -> tuple[str, str]:
     """(path, key) for a derived on-disk index state under the repo's
-    ann_index/ cache — pure path computation, no I/O, so the DuckDB
-    oracle generator can name the same path the query builder uses."""
+    ann_index/ cache.  The key folds the same stat-only content
+    fingerprint as ensure_ann_index (r15 ADVICE 2: a regenerated
+    sf_dir must get a fresh build, not a silently stale index) — the
+    stat is the only I/O."""
     import hashlib as _hashlib
     import os as _os
 
+    from grower_spark.operators.ann_index import _source_fingerprint
+
     sf_abs = _os.path.abspath(sf_dir)
-    key = f"{sf_abs}|cells={IVF_CELLS}|levels=254|{variant}|v1"
+    key = (f"{sf_abs}|cells={IVF_CELLS}|levels=254|{variant}"
+           f"|src={_source_fingerprint(sf_abs)}|v2")
     tag = "{}-{}".format(
         _os.path.basename(sf_abs),
         _hashlib.sha1(key.encode()).hexdigest()[:10],
@@ -6759,6 +6764,31 @@ def _ann_aux_index_dir(sf_dir: str, variant: str) -> tuple[str, str]:
     return _os.path.abspath(_os.path.join(base_dir, tag)), key
 
 
+def _ensure_aux_index(spark: SparkSession, sf_dir: str, variant: str,
+                      is_done, build) -> str:
+    """Shared build-once cache skeleton for the derived index states
+    (the same params.json-as-completion-marker contract as
+    ensure_ann_index): returns the path if ``is_done(params)`` holds
+    for a params.json whose source matches the key, else runs
+    ``build(path, key)`` from scratch."""
+    import json as _json
+    import os as _os
+
+    path, key = _ann_aux_index_dir(sf_dir, variant)
+    pj = _os.path.join(path, "params.json")
+    if _os.path.exists(pj):
+        try:
+            with open(pj) as f:
+                params = _json.load(f)
+            if params.get("source") == key and is_done(params):
+                return path
+        except (_json.JSONDecodeError, OSError):
+            pass
+    _os.makedirs(path, exist_ok=True)
+    build(path, key)
+    return path
+
+
 def _ann_index_delete_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once cache for the TOMBSTONED index: full build, then
     delete_from_ann_index of the vec_id % 7 == 1 subset (handed over as
@@ -6766,31 +6796,24 @@ def _ann_index_delete_path(spark: SparkSession, sf_dir: str) -> str:
     deleted rows are still in the parquet; only the tombstone anti-join
     keeps them out of results — which is exactly what the driver row
     certifies."""
-    import json as _json
-    import os as _os
-
     from grower_spark.operators.ann_index import (
         build_ann_index,
         delete_from_ann_index,
     )
 
-    path, key = _ann_aux_index_dir(sf_dir, "del7")
-    pj = _os.path.join(path, "params.json")
-    if _os.path.exists(pj):
-        try:
-            with open(pj) as f:
-                params = _json.load(f)
-            if params.get("source") == key and params.get("deletes"):
-                return path
-        except (_json.JSONDecodeError, OSError):
-            pass
-    _os.makedirs(path, exist_ok=True)
-    emb = load_table(spark, sf_dir, "embeddings")
-    build_ann_index(emb, path, n_cells=IVF_CELLS, source=key)
-    delete_from_ann_index(
-        spark, path, emb.where(F.col("vec_id") % 7 == 1).select("vec_id")
+    def build(path, key):
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ann_index(emb, path, n_cells=IVF_CELLS, source=key)
+        delete_from_ann_index(
+            spark, path,
+            emb.where(F.col("vec_id") % 7 == 1).select("vec_id"),
+        )
+
+    return _ensure_aux_index(
+        spark, sf_dir, "del7",
+        is_done=lambda p: bool(p.get("deletes")),
+        build=build,
     )
-    return path
 
 
 def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6865,9 +6888,6 @@ def _ann_index_rebuild_path(spark: SparkSession, sf_dir: str) -> str:
     content must equal a fresh build over (well-formed rows with
     vec_id % 5 <> 4), erasing both the append's clamped codes and the
     deleted rows."""
-    import json as _json
-    import os as _os
-
     from grower_spark.operators.ann_index import (
         append_ann_index,
         build_ann_index,
@@ -6875,30 +6895,24 @@ def _ann_index_rebuild_path(spark: SparkSession, sf_dir: str) -> str:
         rebuild_ann_index,
     )
 
-    path, key = _ann_aux_index_dir(sf_dir, "lifecycle35")
-    pj = _os.path.join(path, "params.json")
-    if _os.path.exists(pj):
-        try:
-            with open(pj) as f:
-                params = _json.load(f)
-            if (params.get("source") == key
-                    and params.get("rebuilds") == 1
-                    and not params.get("appends")):
-                return path
-        except (_json.JSONDecodeError, OSError):
-            pass
-    _os.makedirs(path, exist_ok=True)
-    emb = load_table(spark, sf_dir, "embeddings")
-    build_ann_index(
-        emb.where(F.col("vec_id") % 3 != 0), path, n_cells=IVF_CELLS,
-        source=key,
+    def build(path, key):
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ann_index(
+            emb.where(F.col("vec_id") % 3 != 0), path, n_cells=IVF_CELLS,
+            source=key,
+        )
+        append_ann_index(emb.where(F.col("vec_id") % 3 == 0), path)
+        delete_from_ann_index(
+            spark, path,
+            emb.where(F.col("vec_id") % 5 == 4).select("vec_id"),
+        )
+        rebuild_ann_index(emb, path)
+
+    return _ensure_aux_index(
+        spark, sf_dir, "lifecycle35",
+        is_done=lambda p: p.get("rebuilds") == 1 and not p.get("appends"),
+        build=build,
     )
-    append_ann_index(emb.where(F.col("vec_id") % 3 == 0), path)
-    delete_from_ann_index(
-        spark, path, emb.where(F.col("vec_id") % 5 == 4).select("vec_id")
-    )
-    rebuild_ann_index(emb, path)
-    return path
 
 
 def q_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6966,6 +6980,11 @@ FROM dots QUALIFY rank <= {ANN_TOPK}
 """
 
 
+# sf-independent symlink name under ann_index/ for the trained index the
+# oracle reads; repointed atomically by _ann_index_trained_path
+_TRAINED_ALIAS = "trained-current"
+
+
 def _ann_index_trained_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once cache for the TRAINED-QUANTIZER index: centroids come
     from ivf_kmeans_centroids (spherical k-means on a bounded corpus
@@ -6976,27 +6995,31 @@ def _ann_index_trained_path(spark: SparkSession, sf_dir: str) -> str:
     artifact (the one genuinely non-SQL-derivable model) and re-derives
     everything else — fit, codes, cells, probe, kernel, rerank — from
     the embeddings table."""
-    import json as _json
     import os as _os
 
     from grower_spark.operators.ann_index import build_ann_index
     from grower_spark.operators.similarity import ivf_kmeans_centroids
 
-    path, key = _ann_aux_index_dir(sf_dir, "trained")
-    pj = _os.path.join(path, "params.json")
-    if _os.path.exists(pj):
-        try:
-            with open(pj) as f:
-                params = _json.load(f)
-            if params.get("source") == key:
-                return path
-        except (_json.JSONDecodeError, OSError):
-            pass
-    _os.makedirs(path, exist_ok=True)
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_kmeans_centroids(emb, n_cells=IVF_CELLS, dim=EMB_DIM)
-    build_ann_index(emb, path, n_cells=IVF_CELLS, centroids=cents,
-                    source=key)
+    def build(path, key):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = ivf_kmeans_centroids(emb, n_cells=IVF_CELLS, dim=EMB_DIM)
+        build_ann_index(emb, path, n_cells=IVF_CELLS, centroids=cents,
+                        source=key)
+
+    path = _ensure_aux_index(
+        spark, sf_dir, "trained", is_done=lambda p: True, build=build,
+    )
+    # refresh the sf-independent alias the oracle reads (atomic swap):
+    # the oracle SQL is a static string, so it cannot embed the
+    # fingerprinted tag — the query side (which the harness always runs
+    # FIRST) points the alias at the index it certifies, making the row
+    # work at any sf_dir, not just the driver's sf0.01
+    alias = _os.path.join(_os.path.dirname(path), _TRAINED_ALIAS)
+    tmp = alias + ".tmp"
+    if _os.path.islink(tmp) or _os.path.exists(tmp):
+        _os.unlink(tmp)
+    _os.symlink(path, tmp)
+    _os.replace(tmp, alias)
     return path
 
 
@@ -7026,16 +7049,19 @@ def q_ann_index_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_ann_index_trained() -> str:
-    # The driver's correctness gate runs at sf=0.01 (the contract), so
-    # the centroid artifact path is pinned to that sf_dir's trained
-    # index; q_ann_index_trained (which runs FIRST) builds it there.
-    # Everything except the centroid VALUES is re-derived from the
-    # embeddings table; the ranking (ORDER BY d DESC, cell) mirrors the
-    # Spark side's least(struct(-dot, idx)) argmax and sort.
+    # The centroid artifact is read through the trained-current alias,
+    # which q_ann_index_trained (the harness always runs the query side
+    # FIRST) atomically points at the index it just certified — the
+    # static SQL string stays valid at any sf_dir.  Everything except
+    # the centroid VALUES is re-derived from the embeddings table; the
+    # ranking (ORDER BY d DESC, cell) mirrors the Spark side's
+    # least(struct(-dot, idx)) argmax and sort.
     import os as _os
 
-    path, _ = _ann_aux_index_dir("/root/testdata/sf0.01", "trained")
-    cent_glob = _os.path.join(path, "centroids", "*.parquet")
+    base = _ann_aux_index_dir("/root/testdata/sf0.01", "trained")[0]
+    cent_glob = _os.path.join(
+        _os.path.dirname(base), _TRAINED_ALIAS, "centroids", "*.parquet"
+    )
     return f"""
 WITH q AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

@@ -116,14 +116,19 @@ def _write_params(path: str, params: dict) -> None:
 
 @contextlib.contextmanager
 def _params_lock(path: str):
-    """Single-writer guard for read-modify-write params.json updates
-    (append/delete bookkeeping): two concurrent appends both land their
-    parquet codes safely (independent files), but an unguarded params
-    rewrite would lose one side's n_rows/clamp record and silently
-    under-count the rebuild signal.  O_EXCL lock file, held only for
-    the metadata rewrite — a second writer fails LOUDLY rather than
-    corrupting the signal.  A crash can orphan the lock; the error
-    message says which file to remove after checking no writer is live.
+    """Single-WRITER guard for index mutations (append / delete /
+    rebuild): held for the WHOLE mutation, not just the params.json
+    rewrite — two concurrent Spark jobs appending to the same parquet
+    directory share its ``_temporary`` staging dir, so one job's commit
+    can silently delete the other's in-flight task files; serializing
+    the mutation is the only safe contract, and a second writer fails
+    LOUDLY rather than corrupting codes or losing a counter update.
+    (The initial ``build_ann_index`` takes no lock: it is the
+    initializing event on a fresh path — running it concurrently with
+    anything else on the same path is caller error by contract, and
+    ``rebuild_ann_index`` wraps its internal build in this lock.)
+    O_EXCL lock file; a crash can orphan it; the error message says
+    which file to remove after checking no writer is live.
     """
     lock = os.path.join(path, "params.json.lock")
     try:
@@ -171,8 +176,20 @@ def _invalidate(spark: SparkSession, path: str) -> None:
         _LOAD_CACHE.pop(k, None)
 
 
-def _tombstones_dir(path: str) -> str:
+def _tombstones_root(path: str) -> str:
     return os.path.join(path, "tombstones")
+
+
+def _tombstones_dir(path: str, build_id: str) -> str:
+    """Tombstones are scoped to the BUILD that they retire rows from:
+    ``tombstones/build=<id>/``.  The params.json rename (which installs
+    a fresh build_id) therefore atomically orphans every previous
+    build's tombstones — a crash between a completed build/rebuild and
+    the tombstone-dir cleanup can never leave a fresh index silently
+    excluding live rows that happen to reuse retired ids (the stale
+    partition is simply never read).  The root rmtree after a build is
+    garbage collection, not correctness."""
+    return os.path.join(_tombstones_root(path), f"build={build_id}")
 
 
 def build_ann_index(
@@ -263,30 +280,37 @@ def build_ann_index(
         "n_rows": int(n_rows),
         "centroids": cfloat,
         "source": source,
+        # fresh identity per build: tombstones are scoped to it, so the
+        # params rename atomically orphans every previous build's
+        # exclusions (see _tombstones_dir) — random on purpose, this is
+        # process identity, not data
+        "build_id": os.urandom(8).hex(),
     }
     _write_params(path, params)
-    # stale tombstones from a previous incarnation of this path must not
-    # exclude rows of the fresh build — cleared LAST so a crash earlier
-    # in the build leaves the old exclusions intact (vacuous at worst,
-    # never a silent resurrection of deleted rows)
-    if os.path.isdir(_tombstones_dir(path)):
-        shutil.rmtree(_tombstones_dir(path))
+    # previous builds' tombstone partitions are unreadable as of the
+    # rename above (different build_id); removing them is pure GC, and
+    # a crash before this line costs bytes, not correctness
+    if os.path.isdir(_tombstones_root(path)):
+        shutil.rmtree(_tombstones_root(path))
     # an in-place rebuild must not serve the previous build's handles
     _invalidate(spark, path)
     return params
 
 
-# (id(session), appId, abspath) -> (codes_df, by_pos, params, tomb_df).
+# (id(session), appId, abspath) ->
+#   (params.json stat, (codes_df, by_pos, params, tomb_df)).
 # Same memo contract as io_tables._CACHE: a finished index dir is
 # immutable between mutating calls (build/append/delete/rebuild each
 # invalidate their path — the params.json rename is the completion
 # marker), DataFrames are immutable plans, and every uncached load pays
 # a file listing + a meta collect + a JSON read per QUERY CALL —
 # measured ~0.5 s/call of pure fixed overhead in the r15 rehearsal's
-# ×1 leg.  id(session) in the key (not just applicationId): handles are
-# bound to the session that created them, and a second session in the
-# same application must not receive the first session's (possibly
-# stopped) DataFrames.
+# ×1 leg.  Hits are revalidated against a params.json os.stat so
+# OTHER-process mutations surface at the next call (see _load_index).
+# id(session) in the key (not just applicationId): handles are bound to
+# the session that created them, and a second session in the same
+# application must not receive the first session's (possibly stopped)
+# DataFrames.
 _LOAD_CACHE: dict[tuple, tuple] = {}
 
 
@@ -295,14 +319,29 @@ def clear_ann_index_cache() -> None:
     _LOAD_CACHE.clear()
 
 
+def _params_stat(path: str) -> tuple:
+    st = os.stat(os.path.join(path, "params.json"))
+    return (st.st_mtime_ns, st.st_size)
+
+
 def _load_index(spark: SparkSession, path: str, refresh: bool = False):
     """Memoized full load: ``(codes_df, by_pos, params, tombstones_df)``
     where tombstones_df is None when the index has no deletions (the
-    no-delete query plan is byte-identical to pre-tombstone builds)."""
+    no-delete query plan is byte-identical to pre-tombstone builds).
+
+    Freshness is validated per hit with ONE os.stat of params.json
+    (every mutation rewrites it last): a long-lived reader in a
+    DIFFERENT process than the writer — the retrieval service whose
+    corpus a dedup pass is retiring rows from — picks up appends,
+    deletions, and rebuilds at its next query call, not never.  The
+    in-process `_invalidate` remains for same-process immediacy."""
     key = _cache_key(spark, path)
     hit = None if refresh else _LOAD_CACHE.get(key)
     if hit is not None:
-        return hit
+        if hit[0] == _params_stat(path):
+            return hit[1]
+        _LOAD_CACHE.pop(key, None)
+    stat = _params_stat(path)
     with open(os.path.join(path, "params.json")) as f:
         params = json.load(f)
     if params["n_rows"] == 0 or params["dim"] == 0:
@@ -323,12 +362,14 @@ def _load_index(spark: SparkSession, path: str, refresh: bool = False):
             f"params.json says {params['dim']} — partial/corrupt write"
         )
     tomb = None
-    if os.path.isdir(_tombstones_dir(path)):
-        tomb = spark.read.parquet(_tombstones_dir(path)).select(
+    tdir = _tombstones_dir(path, params.get("build_id", ""))
+    if os.path.isdir(tdir):
+        tomb = spark.read.parquet(tdir).select(
             F.col("vec_id").cast("long").alias("vec_id")
         ).distinct()
-    _LOAD_CACHE[key] = (codes, by_pos, params, tomb)
-    return codes, by_pos, params, tomb
+    loaded = (codes, by_pos, params, tomb)
+    _LOAD_CACHE[key] = (stat, loaded)
+    return loaded
 
 
 def load_ann_index(spark: SparkSession, path: str, refresh: bool = False):
@@ -589,18 +630,22 @@ def append_ann_index(
     rows = rows.repartition(
         n_cells * fpc, F.col("cell"), F.pmod(F.hash("vec_id"), F.lit(fpc)),
     )
-    obs = Observation("ann_index_append")
-    rows.observe(
-        obs, F.count(F.lit(1)).alias("n"), F.sum("_clamped").alias("cl"),
-    ).drop("_clamped").write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "codes")
-    )
-    appended = int(obs.get["n"])
-    clamped = int(obs.get["cl"] or 0)
-    # re-read under the lock: the pre-write load above only supplied the
-    # fit/centroids (immutable between rebuilds); the COUNTERS must fold
-    # into the latest committed state, not a stale snapshot
+    # the lock spans the parquet append AND the params rewrite: two
+    # concurrent appends share codes/_temporary staging (one commit can
+    # delete the other's in-flight files) — the mutation is
+    # single-writer end to end, not just its metadata
     with _params_lock(path):
+        obs = Observation("ann_index_append")
+        rows.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("_clamped").alias("cl"),
+        ).drop("_clamped").write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "codes")
+        )
+        appended = int(obs.get["n"])
+        clamped = int(obs.get["cl"] or 0)
+        # re-read under the lock: the pre-write load above only supplied
+        # the fit/centroids (immutable between rebuilds); the COUNTERS
+        # must fold into the latest committed state, not a stale snapshot
         with open(os.path.join(path, "params.json")) as f:
             params = json.load(f)
         params["n_rows"] = int(params["n_rows"]) + appended
@@ -636,10 +681,17 @@ def delete_from_ann_index(
     ``ids`` is a DataFrame whose FIRST column is the vec_id (any
     numeric type), or a plain iterable of ints.  Deleting an id that
     was never indexed is a harmless no-op (anti-join misses); deleting
-    the same id twice is idempotent (load dedupes).  A tombstoned id
-    appended again later stays dead until the next rebuild — the
+    the same id twice is idempotent IN ACCOUNTING too — the batch is
+    anti-joined against the already-stored tombstones before writing,
+    so a replayed or accumulated drop list (the --retire-from-index
+    stream case) adds zero rows, zero bytes, and zero deleted-fraction
+    signal.  An all-duplicate or empty batch is a full no-op: no file
+    lands, no batch is recorded, and an index that never saw a real
+    deletion keeps its tombstone-free query plan.  Tombstones are
+    scoped to the current build_id (see _tombstones_dir); a tombstoned
+    id appended again later stays dead until the next rebuild — the
     tombstone wins, matching the caller-owns-id-uniqueness contract.
-    Returns ``{"tombstoned": n}`` (this batch, post-dedup-within-batch).
+    Returns ``{"tombstoned": n}`` (NEW tombstones this call).
     """
     if isinstance(ids, DataFrame):
         first = ids.columns[0]
@@ -649,20 +701,26 @@ def delete_from_ann_index(
             [(int(i),) for i in ids], "vec_id long"
         )
     t = t.where(F.col("vec_id").isNotNull()).distinct()
-    obs = Observation("ann_index_delete")
-    t.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(1).write \
-        .mode("append").parquet(_tombstones_dir(path))
-    n = int(obs.get["n"])
     with _params_lock(path):
         with open(os.path.join(path, "params.json")) as f:
             params = json.load(f)
+        tdir = _tombstones_dir(path, params.get("build_id", ""))
+        if os.path.isdir(tdir):
+            existing = spark.read.parquet(tdir).select(
+                F.col("vec_id").cast("long").alias("vec_id")
+            )
+            t = t.join(existing, "vec_id", "left_anti")
+        # cache + count (not an Observation: the count gates the write,
+        # two separate actions) — tombstone batches are id-sized
+        staged = t.cache()
+        n = staged.count()
+        if n == 0:
+            staged.unpersist()
+            return {"tombstoned": 0}
+        staged.coalesce(1).write.mode("append").parquet(tdir)
+        staged.unpersist()
         d = params.setdefault("deletes", {"batches": 0, "rows": 0})
         d["batches"] += 1
-        # per-batch row count: an id retired in two different batches
-        # counts twice here (a distinct-across-batches count would need
-        # a full tombstone read per delete) — the signal feeds the
-        # deleted-fraction rebuild trigger, where over-counting only
-        # triggers compaction sooner
         d["rows"] += n
         _write_params(path, params)
     _invalidate(spark, path)
@@ -725,6 +783,7 @@ def rebuild_ann_index(
     vec_col: str = "embedding",
     centroids: Optional[list[list[float]]] = None,
     files_per_cell: int = 1,
+    train_cells: bool = False,
 ) -> dict:
     """The clamp-rate/deleted-fraction-triggered rebuild AND compaction
     in one event (r15 verdict "What's missing" 3): a fresh fit over the
@@ -738,40 +797,63 @@ def rebuild_ann_index(
     ``emb`` is the current float corpus (this is the one lifecycle step
     that NEEDS the floats again — the deliberate one-pass event the
     index amortizes everything else against).  Keeps the stored levels,
-    n_cells, centroids and source unless ``centroids`` overrides (e.g.
-    a freshly trained ``ivf_kmeans_centroids``); pin: rebuilding equals
-    a fresh ``build_ann_index`` over the same surviving rows
-    (tests/test_r16_ops.py), so every query-path certificate transfers.
+    n_cells, centroids and source unless ``centroids`` overrides, or
+    ``train_cells=True`` re-trains the coarse quantizer
+    (``ivf_kmeans_centroids`` with the STORED n_cells) on the surviving
+    corpus — post-anti-join, so retired rows skew neither the fit nor
+    the quantizer.  Pin: rebuilding equals a fresh ``build_ann_index``
+    over the same surviving rows (tests/test_r16_ops.py), so every
+    query-path certificate transfers.
 
-    Crash ordering inherits the build's: new codes land, params.json
-    renames, THEN tombstones clear — a crash in between leaves the
-    compacted index with vacuous tombstones, never resurrected rows.
-    Returns the new params dict (with a ``rebuilds`` counter).
+    The single-writer lock spans the whole event (a concurrent append
+    would race the codes overwrite).  Crash ordering inherits the
+    build's: new codes land, params.json renames with a fresh build_id
+    — which atomically orphans every old tombstone partition — then
+    the tombstone root is GC'd.  Returns the new params dict (with a
+    ``rebuilds`` counter).
     """
     spark = emb.sparkSession
-    with open(os.path.join(path, "params.json")) as f:
-        old = json.load(f)
-    if os.path.isdir(_tombstones_dir(path)):
-        tomb = spark.read.parquet(_tombstones_dir(path)).select(
-            F.col("vec_id").cast("long").alias("vec_id")
-        ).distinct()
-        # the anti-join executes during the build's fit/encode passes,
-        # while the tombstone files are still on disk (build clears
-        # them only after params.json lands)
-        emb = emb.join(
-            tomb.withColumnRenamed("vec_id", id_col), id_col, "left_anti"
-        )
-    params = build_ann_index(
-        emb, path,
-        n_cells=int(old["n_cells"]),
-        levels=int(old["levels"]),
-        id_col=id_col,
-        vec_col=vec_col,
-        centroids=centroids if centroids is not None else old["centroids"],
-        source=old.get("source", ""),
-        files_per_cell=files_per_cell,
-    )
     with _params_lock(path):
+        with open(os.path.join(path, "params.json")) as f:
+            old = json.load(f)
+        tdir = _tombstones_dir(path, old.get("build_id", ""))
+        if os.path.isdir(tdir):
+            tomb = spark.read.parquet(tdir).select(
+                F.col("vec_id").cast("long").alias("vec_id")
+            ).distinct()
+            # the anti-join executes during the build's fit/encode
+            # passes, while the tombstone files are still on disk
+            # (build GCs them only after params.json lands)
+            emb = emb.join(
+                tomb.withColumnRenamed("vec_id", id_col), id_col,
+                "left_anti",
+            )
+        if train_cells and centroids is None:
+            from grower_spark.operators.similarity import (
+                ivf_kmeans_centroids,
+            )
+
+            if int(old["dim"]) == 0:
+                raise ValueError(
+                    f"rebuild_ann_index(train_cells=True) at {path}: "
+                    "stored index has an empty fit (dim=0) — nothing "
+                    "to train on"
+                )
+            centroids = ivf_kmeans_centroids(
+                emb, n_cells=int(old["n_cells"]), dim=int(old["dim"]),
+                vec_col=vec_col,
+            )
+        build_ann_index(
+            emb, path,
+            n_cells=int(old["n_cells"]),
+            levels=int(old["levels"]),
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=(centroids if centroids is not None
+                       else old["centroids"]),
+            source=old.get("source", ""),
+            files_per_cell=files_per_cell,
+        )
         with open(os.path.join(path, "params.json")) as f:
             params = json.load(f)
         params["rebuilds"] = int(old.get("rebuilds", 0)) + 1

@@ -81,19 +81,116 @@ def test_delete_excludes_from_both_query_ops(spark, tmp_path):
 
 def test_delete_is_idempotent_and_tolerates_unknown_ids(spark, tmp_path):
     """Double-deleting an id and deleting a never-indexed id are both
-    harmless (load dedupes; the anti-join just misses)."""
+    harmless — idempotent IN ACCOUNTING too: the batch anti-joins the
+    stored tombstones first, so a replayed/accumulated drop list (the
+    --retire-from-index stream case) adds zero rows, zero bytes, and
+    zero deleted-fraction signal; an all-duplicate batch records no
+    batch at all."""
     corpus = _toy(spark, n=10)
     path = str(tmp_path / "idx")
     build_ann_index(corpus, path, n_cells=4)
-    delete_from_ann_index(spark, path, [2, 999999])
-    delete_from_ann_index(spark, path, [2])
+    assert delete_from_ann_index(spark, path, [2, 999999]) == {
+        "tombstoned": 2}
+    assert delete_from_ann_index(spark, path, [2]) == {"tombstoned": 0}
     q = spark.createDataFrame(
         [(777, [1.0, 2.0])], "qid long, qvec array<double>"
     )
     rows = ann_index_int8_topk(spark, path, q, k=20).collect()
     assert {r["vec_id"] for r in rows} == set(range(10)) - {2}
     _, _, params = load_ann_index(spark, path, refresh=True)
-    assert params["deletes"] == {"batches": 2, "rows": 3}
+    assert params["deletes"] == {"batches": 1, "rows": 2}
+
+
+def test_empty_delete_is_a_full_noop(spark, tmp_path):
+    """A zero-id delete (a dedup run with no drops) must not flip the
+    index onto the anti-join plan: no tombstone dir, no batch recorded,
+    and the query plan stays byte-identical to the never-deleted one."""
+    corpus = _toy(spark, n=6)
+    path = str(tmp_path / "idx")
+    build_ann_index(corpus, path, n_cells=4)
+    q = spark.createDataFrame(
+        [(9, [1.0, 2.0])], "qid long, qvec array<double>"
+    )
+    before = ann_index_int8_topk(spark, path, q, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert delete_from_ann_index(spark, path, []) == {"tombstoned": 0}
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    _, _, params = load_ann_index(spark, path, refresh=True)
+    assert "deletes" not in params
+    after = ann_index_int8_topk(spark, path, q, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join LeftAnti" not in after and before.count("Scan") == \
+        after.count("Scan")
+
+
+def test_cross_process_mutations_visible_without_invalidate(spark,
+                                                            tmp_path):
+    """The load memo revalidates against a params.json stat per hit, so
+    a mutation by ANOTHER process (whose _invalidate can't reach this
+    one) surfaces at the next query call — simulated by mutating the
+    index behind the cache's back."""
+    import grower_spark.operators.ann_index as ai
+
+    corpus = _toy(spark, n=6)
+    path = str(tmp_path / "idx")
+    build_ann_index(corpus, path, n_cells=4)
+    q = spark.createDataFrame(
+        [(9, [1.0, 2.0])], "qid long, qvec array<double>"
+    )
+    assert ann_index_int8_topk(spark, path, q, k=10).count() == 6
+    # mutate "from another process": run the delete, then restore this
+    # process's cache to its pre-delete entry (the other process's view)
+    stale = dict(ai._LOAD_CACHE)
+    delete_from_ann_index(spark, path, [0, 1])
+    ai._LOAD_CACHE.clear()
+    ai._LOAD_CACHE.update(stale)
+    rows = ann_index_int8_topk(spark, path, q, k=10).collect()
+    assert {r["vec_id"] for r in rows} == {2, 3, 4, 5}
+
+
+def test_stale_tombstones_from_previous_build_are_ignored(spark,
+                                                          tmp_path):
+    """The crash-window hazard the build-scoped tombstones remove: a
+    kill between a completed fresh build (params.json renamed) and the
+    tombstone-root GC leaves old tombstone files on disk — they must
+    NOT exclude live rows of the new build that reuse retired ids."""
+    corpus = _toy(spark, n=6)
+    path = str(tmp_path / "idx")
+    build_ann_index(corpus, path, n_cells=4)
+    delete_from_ann_index(spark, path, [3])
+    # preserve the old build's tombstones, rebuild the index fresh over
+    # a corpus that legitimately contains id 3, then simulate the crash
+    # by restoring the old tombstone dir
+    tomb = str(tmp_path / "saved_tombs")
+    shutil.copytree(os.path.join(path, "tombstones"), tomb)
+    build_ann_index(corpus, path, n_cells=4)
+    shutil.copytree(tomb, os.path.join(path, "tombstones"))
+    q = spark.createDataFrame(
+        [(9, [3.0, 4.0])], "qid long, qvec array<double>"
+    )
+    rows = ann_index_int8_topk(spark, path, q, k=10).collect()
+    assert 3 in {r["vec_id"] for r in rows}  # served, not ghost-excluded
+
+
+def test_rebuild_train_cells_uses_stored_cell_count(spark, tmp_path):
+    """rebuild(train_cells=True) re-trains the coarse quantizer with
+    the STORED n_cells on the surviving corpus — the CLI mismatch a
+    review caught (training with a default 16 against a 4-cell index
+    made every such rebuild fail validation)."""
+    corpus = _toy(spark, n=40, dim=4)
+    path = str(tmp_path / "idx")
+    p0 = build_ann_index(corpus, path, n_cells=4)
+    delete_from_ann_index(spark, path, [0, 1])
+    p1 = rebuild_ann_index(corpus, path, train_cells=True)
+    assert p1["n_cells"] == 4 and p1["n_rows"] == 38
+    assert len(p1["centroids"]) == 4
+    assert p1["centroids"] != p0["centroids"]  # trained, not the grid
+    q = spark.createDataFrame(
+        [(900, [5.0, 6.0, 7.0, 8.0])], "qid long, qvec array<double>"
+    )
+    assert ann_index_ivf_rerank(
+        spark, path, corpus, q, m=10, k=5, n_probe=2
+    ).count() == 5
 
 
 def test_delete_accepts_dataframe_ids(spark, tmp_path):
