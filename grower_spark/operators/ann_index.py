@@ -31,10 +31,13 @@ On-disk layout under ``<path>/``:
   truth, the parquet twin exists so an external SQL engine (the
   driver's DuckDB oracle) can read the trained coarse quantizer
   without a JSON shim.
-* ``tombstones/`` — parquet ``(vec_id long)``, present only after a
-  ``delete_from_ann_index``: retired rows whose codes still sit in
-  ``codes/`` but are anti-joined out of every query before the kernel.
-  The next ``rebuild_ann_index`` compacts them away for real.
+* ``tombstones/build=<id>/`` — parquet ``(vec_id long)``, present only
+  after a ``delete_from_ann_index``: retired rows whose codes still
+  sit in ``codes/`` but are anti-joined out of every query before the
+  kernel.  Scoped to the build_id in params.json, so a fresh
+  build/rebuild atomically orphans old exclusions the moment its
+  params rename lands.  The next ``rebuild_ann_index`` compacts the
+  retired rows away for real.
 
 Build is one corpus pass (fit collect + zero-shuffle encode + map-side
 argmax cell, then the partitioned write's cell shuffle); the query path
@@ -588,11 +591,11 @@ def append_ann_index(
     clamp rate is the signal that the corpus distribution has drifted
     past the fit and the index has earned a rebuild.
 
-    Each append adds ``files_per_cell`` files per touched cell, so the
-    per-cell file count grows with the number of batches — the periodic
-    rebuild the clamp-rate signal triggers is ALSO the re-compaction
-    pass (one event re-fits, re-encodes, and restores
-    one-``files_per_cell``-per-cell layout).
+    Each append adds up to ``files_per_cell`` files per touched cell,
+    so the per-cell file count grows with the number of batches — the
+    periodic rebuild the clamp-rate signal triggers is ALSO the
+    re-compaction pass (one event re-fits, re-encodes, and restores
+    the ≤``files_per_cell``-per-cell layout).
 
     Appending to an empty-fit index refuses loudly (there is no scale
     to encode against).  Batch-level atomicity matches the build: the
