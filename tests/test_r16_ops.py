@@ -633,3 +633,84 @@ def test_dedup_pass_retires_losers_from_index(spark, tmp_path):
     rows = ann_index_int8_topk(spark, path, q, k=10).collect()
     served = {r["vec_id"] for r in rows}
     assert 100 in served and 101 not in served
+
+
+def test_corpus_build_ann_index_stage(spark, tmp_path):
+    """--ann-index-out: the retrieval tier built in the SAME event as
+    the corpus — the index covers exactly the KEPT documents'
+    embeddings (dropped docs never enter the fit or the codes), and a
+    query over it serves only survivors."""
+    import json
+
+    from tools.corpus_build import main as cb_main
+
+    def doc(i):
+        # stopword-rich, quality-passing, and 3-gram-disjoint across
+        # docs (the test_corpus_build.py _distinct_doc recipe) so the
+        # default dedup/quality stages keep all real docs
+        w = [f"w{i}x{k}" for k in range(12)]
+        return (f"the {w[0]} and {w[1]} of {w[2]} is {w[3]} it {w[4]} "
+                f"that {w[5]} in {w[6]} you {w[7]} to {w[8]} a {w[9]} "
+                f"{w[10]} {w[11]}")
+
+    docs = spark.createDataFrame(
+        [(i, doc(i), "en", "srcA") for i in range(8)]
+        + [(100, "#### 1234 !!!!", "en", "srcA")],  # fails quality gate
+        ["doc_id", "text", "lang", "source"],
+    )
+    p_docs = str(tmp_path / "docs")
+    docs.write.parquet(p_docs)
+    p_emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i), float(20 - i)]) for i in list(range(8)) + [100]],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(p_emb)
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    rc = cb_main([p_docs, out,
+                  "--ann-embeddings", p_emb, "--ann-index-out", idx,
+                  "--ann-n-cells", "4"])
+    assert rc == 0
+    rep = json.load(open(os.path.join(out, "report.json")))
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(os.path.join(out, "corpus"))
+            .select("doc_id").collect()}
+    assert 100 not in kept and kept == set(range(8))
+    assert rep["ann_index"]["n_rows"] == len(kept)
+    q = spark.createDataFrame(
+        [(999, [50.0, 1.0])], "qid long, qvec array<double>"
+    )
+    rows = ann_index_int8_topk(spark, idx, q, k=20).collect()
+    assert {r["vec_id"] for r in rows} == kept  # dropped doc never indexed
+
+
+def test_oov_panel_actually_clamps(spark):
+    """The ann_index_oov driver row's premise, pinned: the 1.25×-scaled
+    panel pushes values past the stored per-dim min/max on real
+    testdata, so the row genuinely exercises the stored-fit clamp path
+    (if the data ever changed so nothing clamps, this fails before the
+    row silently stops testing saturation)."""
+    from grower_spark.io_tables import load_table
+    from grower_spark.operators.diversity import quantize_fit
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    by_pos = quantize_fit(emb)
+    panel = emb.where(F.col("vec_id") < 8).select(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(1.25)
+        ).alias("qvec")
+    )
+    mx = F.array(*[F.lit(by_pos[p][1]).cast("long")
+                   for p in sorted(by_pos)])
+    mn = F.array(*[F.lit(by_pos[p][0]).cast("long")
+                   for p in sorted(by_pos)])
+    total = panel.withColumn("_mx", mx).withColumn("_mn", mn).select(
+        F.expr(
+            "aggregate(zip_with(transform(qvec, x -> "
+            "CAST(floor(x * 1000 + 0.5) AS LONG)), "
+            "sequence(1, size(qvec)), (x, i) -> "
+            "CASE WHEN x > element_at(_mx, i) OR x < element_at(_mn, i) "
+            "THEN 1L ELSE 0L END), 0L, (a, v) -> a + v)"
+        ).alias("n")
+    ).agg(F.sum("n").alias("total")).collect()[0]["total"]
+    assert total and total > 0

@@ -437,7 +437,7 @@ def write_corpus_layout(spark, corpus, out_dir: str, layout: str = "plain",
         shutil.rmtree(staging, ignore_errors=True)
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("out")
@@ -501,7 +501,20 @@ def main() -> int:
     ap.add_argument("--compact-target-mb", type=int, default=0,
                     help="footer-measured compaction of the corpus write "
                          "to ~this file size (0 = off)")
-    args = ap.parse_args()
+    ap.add_argument("--ann-embeddings", default=None,
+                    help="embeddings parquet (vec_id, embedding) keyed by "
+                         "the corpus id column — enables --ann-index-out")
+    ap.add_argument("--ann-index-out", default=None,
+                    help="build a persisted ANN index (codes+cells "
+                         "inverted file) over the KEPT documents' "
+                         "embeddings as the final stage — the retrieval "
+                         "tier built in the same event as the corpus, "
+                         "while the floats are hot")
+    ap.add_argument("--ann-n-cells", type=int, default=16)
+    ap.add_argument("--ann-files-per-cell", type=int, default=1)
+    args = ap.parse_args(argv)
+    if args.ann_index_out and not args.ann_embeddings:
+        ap.error("--ann-index-out requires --ann-embeddings")
 
     from grower_spark.session import get_spark
 
@@ -547,6 +560,33 @@ def main() -> int:
         report["shards"] = {
             "n_shards": args.n_shards,
             "total_rows": manifest["total_rows"],
+        }
+    if args.ann_index_out:
+        # the retrieval tier built in the SAME event as the corpus: the
+        # kept documents' float embeddings are hot right now — this is
+        # the one-pass build the index amortizes every later query
+        # against (dropped docs never enter the fit or the codes, so no
+        # post-hoc tombstoning of filtered rows is ever needed)
+        import pyspark.sql.functions as F
+
+        from grower_spark.operators.ann_index import build_ann_index
+
+        written = spark.read.parquet(os.path.join(args.out, "corpus"))
+        kept_ids = written.select(
+            F.col(args.id_col).cast("long").alias("vec_id")
+        ).distinct()
+        emb = spark.read.parquet(args.ann_embeddings).select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        ).join(kept_ids, "vec_id")
+        params = build_ann_index(
+            emb, args.ann_index_out, n_cells=args.ann_n_cells,
+            files_per_cell=args.ann_files_per_cell,
+            source=f"corpus_build:{os.path.abspath(args.out)}",
+        )
+        report["ann_index"] = {
+            "path": os.path.abspath(args.ann_index_out),
+            "n_rows": params["n_rows"],
+            "n_cells": params["n_cells"],
         }
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f)
