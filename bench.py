@@ -217,6 +217,13 @@ BENCH_QUERIES = [
     ("ann_index_rebuild", "collect"),
     ("ann_index_trained", "collect"),
     ("ann_index_oov", "collect"),
+    # r17 debuts: serving cost of the compacted index (tombstone fold
+    # under the stored fit), the production trained+tombstones config,
+    # and an index grown by exactly-once epoch appends — warmup pays
+    # each one-time lifecycle, timed runs measure the query path
+    ("ann_index_compact", "collect"),
+    ("ann_index_trained_delete", "collect"),
+    ("ann_index_stream_append", "collect"),
 ]
 
 

@@ -267,11 +267,14 @@ def build_parser() -> argparse.ArgumentParser:
     ai = sub.add_parser(
         "ann-index",
         help="persisted ANN index lifecycle: build / append / delete / "
-             "rebuild / status over an embeddings parquet",
+             "compact / rebuild / status over an embeddings parquet "
+             "(compact folds tombstones under the stored fit — no "
+             "embeddings input needed; status's `action` field says "
+             "which repair the triggers have earned)",
     )
     ai.add_argument("action",
-                    choices=["build", "append", "delete", "rebuild",
-                             "status"])
+                    choices=["build", "append", "delete", "compact",
+                             "rebuild", "status"])
     ai.add_argument("--index", required=True, help="index directory")
     ai.add_argument("--input", default=None,
                     help="embeddings parquet (build/append/rebuild: the "
@@ -336,12 +339,11 @@ def main(argv: list[str] | None = None) -> int:
         from grower_spark.operators import ann_index as ai_ops
         from grower_spark.session import get_spark
 
-        # status is pure params.json reading — no Spark session needed
+        # status is pure metadata reading — no Spark session needed
         if args.action == "status":
-            import os
+            from grower_spark.operators.index_meta import get_index_meta
 
-            with open(os.path.join(args.index, "params.json")) as f:
-                params = json.load(f)
+            params = get_index_meta().read_params(args.index)
             sig = ai_ops.should_rebuild(
                 params,
                 clamp_rate_threshold=args.clamp_rate_threshold,
@@ -359,6 +361,18 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         spark = get_spark("grower-spark-ann-index")
+        if args.action == "compact":
+            # the float-free repair: needs ONLY the index (no --input) —
+            # the tombstone fold + layout re-compaction under the
+            # stored fit that status's action=="compact" points at
+            params = ai_ops.compact_ann_index(
+                spark, args.index, files_per_cell=args.files_per_cell,
+            )
+            print(json.dumps({
+                "n_rows": params["n_rows"],
+                "compactions": params.get("compactions", 0),
+            }))
+            return 0
         if args.action == "delete":
             if args.ids is not None:
                 ids = [int(x) for x in args.ids.split(",") if x.strip()]

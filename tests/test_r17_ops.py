@@ -539,6 +539,38 @@ def test_delete_refuses_non_integral_ids(spark, tmp_path):
     ) == {"tombstoned": 2}
 
 
+def test_cli_ann_index_compact(spark, tmp_path, capsys):
+    """The operational wrapper for the new repair: status's action field
+    points at compact (deletes-only, clamp parked), `ann-index compact`
+    runs it with no embeddings input, and a second status is clean."""
+    import json
+
+    from grower_spark.cli import main
+
+    corpus = tmp_path / "corpus"
+    _toy(spark, n=12).write.parquet(str(corpus))
+    idx = str(tmp_path / "idx")
+    assert main(["ann-index", "build", "--index", idx,
+                 "--input", str(corpus), "--n-cells", "4"]) == 0
+    capsys.readouterr()
+    assert main(["ann-index", "delete", "--index", idx,
+                 "--ids", "2,3,4"]) == 0
+    capsys.readouterr()
+    assert main(["ann-index", "status", "--index", idx,
+                 "--deleted-frac-threshold", "0.2"]) == 0
+    status = json.loads(capsys.readouterr().out)
+    assert status["rebuild"] is True and status["action"] == "compact"
+
+    assert main(["ann-index", "compact", "--index", idx]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == {"n_rows": 9, "compactions": 1}
+    assert main(["ann-index", "status", "--index", idx]) == 0
+    status = json.loads(capsys.readouterr().out)
+    assert status["action"] is None and status["deletes"]["rows"] == 0
+    rows = _topk(spark, idx, k=20)
+    assert {r[1] for r in rows} == set(range(12)) - {2, 3, 4}
+
+
 def test_delete_never_indexed_adds_zero_rebuild_signal(spark, tmp_path):
     """r16 verdict 'Next round' 4 Done criterion, stated directly:
     deleting a never-indexed id adds ZERO rebuild signal — deleted_frac
