@@ -6637,7 +6637,6 @@ def _ann_index_append_path(spark: SparkSession, sf_dir: str) -> str:
     between build and append leaves params without the append record
     and the whole sequence redoes from the overwrite build."""
     import hashlib as _hashlib
-    import json as _json
     import os as _os
 
     from grower_spark.operators.ann_index import (
@@ -6656,15 +6655,12 @@ def _ann_index_append_path(spark: SparkSession, sf_dir: str) -> str:
         "ann_index",
     )
     path = _os.path.abspath(_os.path.join(base_dir, tag))
-    pj = _os.path.join(path, "params.json")
-    if _os.path.exists(pj):
-        try:
-            with open(pj) as f:
-                params = _json.load(f)
-            if params.get("source") == key and params.get("appends"):
-                return path
-        except (_json.JSONDecodeError, OSError):
-            pass
+    from grower_spark.operators.index_meta import get_index_meta
+
+    params = get_index_meta().try_read_params(path)
+    if params is not None and params.get("source") == key \
+            and params.get("appends"):
+        return path
     _os.makedirs(path, exist_ok=True)
     emb = load_table(spark, sf_dir, "embeddings")
     build_ann_index(
@@ -6771,19 +6767,15 @@ def _ensure_aux_index(spark: SparkSession, sf_dir: str, variant: str,
     ensure_ann_index): returns the path if ``is_done(params)`` holds
     for a params.json whose source matches the key, else runs
     ``build(path, key)`` from scratch."""
-    import json as _json
     import os as _os
 
+    from grower_spark.operators.index_meta import get_index_meta
+
     path, key = _ann_aux_index_dir(sf_dir, variant)
-    pj = _os.path.join(path, "params.json")
-    if _os.path.exists(pj):
-        try:
-            with open(pj) as f:
-                params = _json.load(f)
-            if params.get("source") == key and is_done(params):
-                return path
-        except (_json.JSONDecodeError, OSError):
-            pass
+    params = get_index_meta().try_read_params(path)  # None = partial/absent
+    if params is not None and params.get("source") == key \
+            and is_done(params):
+        return path
     _os.makedirs(path, exist_ok=True)
     build(path, key)
     return path

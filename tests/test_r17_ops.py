@@ -521,6 +521,96 @@ def test_lifecycle_runs_through_the_metadata_seam(spark, tmp_path):
     assert get_index_meta() is prev
 
 
+class FakeObjectStoreMeta(PosixIndexMeta):
+    """A NON-POSIX backend double: params live in an in-memory
+    versioned KV (never on disk), commits are conditional-put CAS on a
+    generation number, the writer lock is a lease dict, and the
+    freshness token is the generation — i.e. exactly the object-store
+    contract the index_meta docstring documents, with zero use of
+    O_EXCL / rename / stat.  Running the full lifecycle through it
+    proves the lifecycle code has no hidden POSIX-metadata dependency
+    left (the parquet data tier still uses the filesystem, which is
+    what Spark's committers abstract on a real object store)."""
+
+    def __init__(self):
+        self.kv = {}      # path -> (generation, params-json-str)
+        self.leases = set()
+
+    def read_params(self, path):
+        import json as _json
+
+        if path not in self.kv:
+            raise FileNotFoundError(path)
+        return _json.loads(self.kv[path][1])
+
+    def write_params(self, path, params):
+        import json as _json
+
+        gen = self.kv.get(path, (0, None))[0]
+        # conditional PUT: the single-writer lease makes the CAS
+        # trivially succeed; a lost lease would surface here
+        self.kv[path] = (gen + 1, _json.dumps(params))
+
+    def mutation_lock(self, path):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _lease():
+            if path in self.leases:
+                raise RuntimeError(
+                    f"ann index at {path}: lease held — single-writer")
+            self.leases.add(path)
+            try:
+                yield
+            finally:
+                self.leases.discard(path)
+
+        return _lease()
+
+    def freshness_token(self, path):
+        if path not in self.kv:
+            raise FileNotFoundError(path)
+        return ("gen", self.kv[path][0])
+
+    def publish_file(self, src, dest):
+        shutil.copyfile(src, dest)  # object PUT (data tier)
+
+
+def test_lifecycle_on_a_non_posix_metadata_backend(spark, tmp_path):
+    """The portability proof behind the seam: the ENTIRE lifecycle —
+    build → query → epoch append → delete → compact → rebuild → query —
+    runs against a backend with object-store semantics (in-memory CAS
+    params, lease lock, generation freshness token) and never touches
+    params.json / O_EXCL / rename / stat.  End state matches the
+    POSIX-backend twin row-for-row."""
+    fake = FakeObjectStoreMeta()
+    prev = set_index_meta(fake)
+    try:
+        path = str(tmp_path / "idx")
+        build_ann_index(_toy(spark, n=14), path, n_cells=4)
+        assert not os.path.exists(os.path.join(path, "params.json"))
+        append_ann_index(
+            spark.createDataFrame([(100, [200.0, 1.0])],
+                                  "vec_id long, embedding array<double>"),
+            path, epoch=("s3-ck", 0),
+        )
+        assert append_ann_index(
+            spark.createDataFrame([(100, [200.0, 1.0])],
+                                  "vec_id long, embedding array<double>"),
+            path, epoch=("s3-ck", 0),
+        )["skipped_epoch"]
+        delete_from_ann_index(spark, path, [2, 5])
+        compact_ann_index(spark, path)
+        rebuild_ann_index(_toy(spark, n=14), path)
+        got = _topk(spark, path)
+    finally:
+        set_index_meta(prev)
+    # POSIX twin of the same final state (rebuild over the full corpus)
+    twin = str(tmp_path / "twin")
+    build_ann_index(_toy(spark, n=14), twin, n_cells=4)
+    assert got == _topk(spark, twin)
+
+
 def test_delete_refuses_non_integral_ids(spark, tmp_path):
     """r16 ADVICE 2: a drop list with hash/string doc ids used to cast
     every id to NULL and silently retire NOTHING while exiting
