@@ -127,6 +127,16 @@ def _clamp_codes(levels: int) -> Column:
 # on every uncached load — the rebuild trigger only needs the totals).
 APPENDS_KEEP = 16
 
+# how many distinct epoch KEYS (checkpoint locations) params.json
+# tracks for exactly-once appends; the oldest key is evicted past the
+# cap (same unbounded-metadata discipline as APPENDS_KEEP — a key per
+# retired checkpoint would otherwise accumulate forever).  Eviction
+# only weakens the replay guard for a checkpoint that (a) crashed with
+# an uncommitted batch AND (b) saw EPOCH_KEYS_KEEP other checkpoints
+# append before its restart — at that point its replayed batch lands
+# at-least-once, the documented pre-r17 semantics, never corrupt.
+EPOCH_KEYS_KEEP = 16
+
 
 def _write_params(path: str, params: dict) -> None:
     """Atomic committed-params replace via the metadata backend — its
@@ -789,7 +799,11 @@ def append_ann_index(
         )
         _fold_appends(params)
         if epoch is not None:
-            params.setdefault("stream_epochs", {})[ekey_hash] = eid
+            se = params.setdefault("stream_epochs", {})
+            se.pop(ekey_hash, None)  # re-insert = most-recent position
+            se[ekey_hash] = eid
+            while len(se) > EPOCH_KEYS_KEEP:
+                se.pop(next(iter(se)))  # evict the least-recent key
         _write_params(path, params)
     _invalidate(spark, path)
     return {"rows": appended, "clamped_values": clamped}

@@ -231,6 +231,38 @@ def test_epoch_append_replay_skips(spark, tmp_path):
     assert len(params["appends"]) == 1 and params["n_rows"] == 11
 
 
+def test_epoch_key_map_is_bounded_lru(spark, tmp_path):
+    """stream_epochs is capped at EPOCH_KEYS_KEEP distinct checkpoint
+    keys, least-recently-appended evicted — the same bounded-metadata
+    discipline as the appends history (one key per retired checkpoint
+    would otherwise accumulate in params.json forever).  A live key
+    keeps its exactly-once guard; re-appending under it refreshes its
+    recency."""
+    from grower_spark.operators.ann_index import EPOCH_KEYS_KEEP
+
+    path = str(tmp_path / "idx")
+    build_ann_index(_toy(spark, n=10), path, n_cells=4)
+    b = spark.createDataFrame(_B0, "vec_id long, embedding array<double>")
+    append_ann_index(b, path, epoch=("first-ck", 0))
+    for i in range(EPOCH_KEYS_KEEP):
+        append_ann_index(
+            spark.createDataFrame(
+                [(200 + i, [1.0 * i, 2.0])],
+                "vec_id long, embedding array<double>"),
+            path, epoch=(f"other-ck-{i}", 0),
+        )
+    _, _, params = load_ann_index(spark, path, refresh=True)
+    se = params["stream_epochs"]
+    assert len(se) == EPOCH_KEYS_KEEP
+    import hashlib
+
+    first = hashlib.sha1(b"first-ck").hexdigest()[:12]
+    assert first not in se  # oldest evicted
+    # evicted key degrades to at-least-once: the replay appends again
+    r = append_ann_index(b, path, epoch=("first-ck", 0))
+    assert r["rows"] == 1 and "skipped_epoch" not in r
+
+
 def test_epoch_append_crash_before_params_commit_converges(spark, tmp_path,
                                                            monkeypatch):
     """The r16 'Next round' 3 Done criterion: kill between the codes
