@@ -1413,17 +1413,36 @@ def _run_funnel_replay(spark: SparkSession, base: str, replay: str,
     )
     _REPLAY_SEQ[0] += 1
     name = f"ssf_replay_{_REPLAY_SEQ[0]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
+    # state partitions sized by the replay's input bytes, not the core
+    # count (session.stream_state_partitions): the state-store commit is
+    # per-partition-per-batch fixed cost, and this replay's state is
+    # kilobytes.  The conf is scoped to the stream (state partition
+    # count is pinned into the checkpoint at first batch) and restored
+    # for the batch queries around it.
+    from grower_spark.session import stream_state_partitions
+
+    rbytes = sum(
+        os.path.getsize(os.path.join(replay, f)) for f in os.listdir(replay)
     )
-    q.awaitTermination(600)
-    if q.exception() is not None:
-        raise q.exception()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_state_partitions(spark, rbytes)),
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .where(F.col("user_id") != sentinel_uid)
@@ -8650,17 +8669,33 @@ def q_streaming_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _REPLAY_SEQ[0] += 1
     name = f"sdg_replay_{_REPLAY_SEQ[0]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
+    # same scale-adaptive state sizing as the funnel replay: partitions
+    # from input bytes, conf scoped to the stream and restored after
+    from grower_spark.session import stream_state_partitions
+
+    rbytes = sum(
+        os.path.getsize(p)
+        for p in glob(os.path.join(replay, "*", "*.parquet"))
     )
-    q.awaitTermination(600)
-    if q.exception() is not None:
-        raise q.exception()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_state_partitions(spark, rbytes)),
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .where(F.unix_micros("win_start") <= hi)  # drop the sentinel window
