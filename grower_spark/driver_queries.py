@@ -5163,14 +5163,15 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float64 sum + correctly-rounded sqrt is bit-identical to the
     # _cosine fold the oracle mirrors, so hoisting preserves hash equality
     items = [(vec, math.sqrt(sum(x * x for x in vec))) for vec in bench]
-    bench_arr = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(x) for x in vec]).alias("v"),
-                F.lit(norm).alias("n"),
-            )
-            for vec, norm in items
-        ]
+    # two list-literal lit() calls + a zip_with, not BENCH_N × (dim + 1)
+    # per-element F.lit Columns: the old loop paid ~1.3k py4j round-trips
+    # of plan construction per call.  F.lit(list) carries the exact
+    # float64 values (no text round-trip), so the plan-time constants —
+    # and the hash — are unchanged.
+    vecs_arr = F.lit([vec for vec, _ in items]).cast("array<array<double>>")
+    norms_arr = F.lit([n for _, n in items]).cast("array<double>")
+    bench_arr = F.zip_with(
+        vecs_arr, norms_arr, lambda v, n: F.struct(v.alias("v"), n.alias("n"))
     )
     corpus = emb.where(F.col("vec_id") >= _SEMDECON_BENCH_N)
     # row norm computed ONCE as a named column (non-cheap multi-use expr:

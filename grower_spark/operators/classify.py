@@ -139,7 +139,11 @@ def fit_nb_classifier(
 
 
 def _long_array(values: list[int]) -> Column:
-    return F.array(*[F.lit(int(v)).cast("long") for v in values])
+    # one literal-list lit() call, not len(values) py4j round-trips: the
+    # model literals below are vocab × classes entries and the per-element
+    # Column path made PLAN CONSTRUCTION the dominant per-call cost of
+    # nb_score (~1 s at vocab=128 before the driver ever ran a task)
+    return F.lit([int(v) for v in values]).cast("array<long>")
 
 
 def nb_score(
@@ -167,12 +171,14 @@ def nb_score(
     """
     classes = model["classes"]
     cost_map = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in model["vocab"]]),
-        F.array(*[_long_array(model["cost"][t]) for t in model["vocab"]]),
+        F.lit(list(model["vocab"])).cast("array<string>"),
+        F.lit(
+            [[int(v) for v in model["cost"][t]] for t in model["vocab"]]
+        ).cast("array<array<long>>"),
     )
     oov_arr = _long_array(model["oov_nll_micro"])
     prior_arr = _long_array(model["prior_nll_micro"])
-    classes_arr = F.array(*[F.lit(c) for c in classes])
+    classes_arr = F.lit(list(classes)).cast("array<string>")
 
     toks = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
     scores = F.aggregate(

@@ -31,7 +31,7 @@ corpus × corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 _Q = 1_000  # milli quantization: keeps n*S2 inside int64 at ~1e6 rows/group
@@ -172,6 +172,18 @@ def quantize_fit(
     return {r["pos"]: (int(r["mn"]), int(r["mx"])) for r in fit}
 
 
+def _lit_long_array(vals) -> Column:
+    """A literal ``array<long>`` Column from one SQL parse instead of
+    per-element ``F.lit`` Columns — O(1) py4j round-trips instead of
+    O(len).  Empty stays on the F.array() path (zero-arg SQL ``array()``
+    types as array<null> too; the cast pins it either way)."""
+    if not vals:
+        return F.array().cast("array<long>")
+    return F.expr(
+        "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+    ).cast("array<long>")
+
+
 def encode_with_fit(
     emb: DataFrame,
     by_pos: dict[int, tuple[int, int]],
@@ -194,12 +206,15 @@ def encode_with_fit(
     # (r13 advice item 1) — the .cast("array<long>") pins the element
     # type either way, and the zero surviving rows make the (now
     # well-typed) expressions vacuous.
-    mn_arr = F.array(*[
-        F.lit(int(by_pos[p][0])).cast("long") for p in sorted(by_pos)
-    ]).cast("array<long>")
-    mx_arr = F.array(*[
-        F.lit(int(by_pos[p][1])).cast("long") for p in sorted(by_pos)
-    ]).cast("array<long>")
+    #
+    # Built as ONE sql-parsed literal per array, not F.array(*[F.lit..]):
+    # the per-element Column path costs 2·dim driver->JVM round-trips per
+    # call (~0.5-2 s of pure plan construction at dim=64, paid on EVERY
+    # query-panel encode), the string parse costs one (guide §1.2 step 2:
+    # per-call driver work is part of the operator's cost).  The parsed
+    # expression tree (CAST(array(..L) AS ARRAY<BIGINT>)) is the same.
+    mn_arr = _lit_long_array([by_pos[p][0] for p in sorted(by_pos)])
+    mx_arr = _lit_long_array([by_pos[p][1] for p in sorted(by_pos)])
     lv = int(levels)
     # try_element_at, not element_at: with a STORED fit (the persisted
     # ANN index) a query vector can be LONGER than the fit dimensionality

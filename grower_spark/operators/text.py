@@ -33,10 +33,21 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def _lit_strs(vals) -> Column:
+    """Literal array<string> in ONE py4j call (F.lit on a list), not a
+    per-element F.lit loop — vocab-sized model literals made driver-side
+    plan construction a visible per-call cost (see encode_with_fit)."""
+    return F.lit(list(vals)).cast("array<string>")
+
+
+def _lit_longs(vals) -> Column:
+    return F.lit([int(v) for v in vals]).cast("array<long>")
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds integer token statistics columns (whitespace tokenization)."""
     toks = _tokens(F.col(text_col))
-    stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop = _lit_strs(STOPWORDS_EN)
     return (
         df.withColumn("n_chars", F.length(text_col))
         .withColumn("n_tokens", F.size(toks))
@@ -67,7 +78,7 @@ def language_id(df: DataFrame, text_col: str = "text",
     langs = sorted(profiles)
     def _in_profile(words: list[str]):
         # factory (PySpark passes the array index to 2-arg lambdas)
-        prof = F.array(*[F.lit(w) for w in words])
+        prof = _lit_strs(words)
         return lambda t: F.array_contains(prof, t)
 
     for lang in langs:
@@ -439,8 +450,7 @@ def tokenize_to_ids(df: DataFrame, vocab: list[tuple[str, int]],
     as a comma-joined string so the driver contract stays flat-scalar.
     """
     vmap = F.map_from_arrays(
-        F.array(*[F.lit(t) for t, _ in vocab]),
-        F.array(*[F.lit(i).cast("long") for _, i in vocab]),
+        _lit_strs(t for t, _ in vocab), _lit_longs(i for _, i in vocab)
     )
     # NULL text encodes to an empty sequence (not size(NULL) = -1), matching
     # the join variant's contract
@@ -555,8 +565,8 @@ def lm_score(df: DataFrame, model: dict, id_col: str = "doc_id",
     ``xent_micro = nll_micro_sum div n_tokens`` (0 for empty/NULL text).
     """
     nll_map = F.map_from_arrays(
-        F.array(*[F.lit(t) for t, _ in model["vocab"]]),
-        F.array(*[F.lit(c).cast("long") for _, c in model["vocab"]]),
+        _lit_strs(t for t, _ in model["vocab"]),
+        _lit_longs(c for _, c in model["vocab"]),
     )
     oov = F.lit(int(model["oov_nll_micro"])).cast("long")
     toks = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
@@ -601,8 +611,8 @@ def importance_weights(df: DataFrame, target_model: dict, raw_model: dict,
     """
     def terms(model: dict):
         m = F.map_from_arrays(
-            F.array(*[F.lit(t) for t, _ in model["vocab"]]),
-            F.array(*[F.lit(c).cast("long") for _, c in model["vocab"]]),
+            _lit_strs(t for t, _ in model["vocab"]),
+            _lit_longs(c for _, c in model["vocab"]),
         )
         oov = F.lit(int(model["oov_nll_micro"])).cast("long")
         toks = F.coalesce(
@@ -660,9 +670,7 @@ def fit_bigram_lm(df: DataFrame, id_col: str = "doc_id",
         "token"
     ).collect()
     vocab = [r["token"] for r in top]
-    ident = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in vocab]), F.array(*[F.lit(t) for t in vocab])
-    )
+    ident = F.map_from_arrays(_lit_strs(vocab), _lit_strs(vocab))
     toks = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
     mapped = F.transform(
         toks, lambda t: F.coalesce(F.element_at(ident, t), F.lit(LM_UNK))
@@ -733,8 +741,8 @@ def bigram_lm_score(df: DataFrame, model: dict, id_col: str = "doc_id",
         for c in range(v1)
     ]
     idx_map = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in vocab]),
-        F.array(*[F.lit(i).cast("int") for i in range(1, v1)]),
+        _lit_strs(vocab),
+        F.lit(list(range(1, v1))).cast("array<int>"),
     )
     # ONE F.expr for the (V+1)² cost array: building it from 16k+ F.lit()
     # calls costs seconds of driver-side py4j round-trips before the job
@@ -1136,7 +1144,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         "_gl", F.split(F.col(text_col), "\n")
     )
     toks, lines = F.col("_gt"), F.col("_gl")
-    stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop = _lit_strs(STOPWORDS_EN)
     n_words = F.greatest(F.size(toks), F.lit(0))
     nw1 = F.greatest(n_words, F.lit(1))
     sum_len = F.aggregate(

@@ -80,7 +80,7 @@ def zorder_key(
             if v is not None and (not uniq or v > uniq[-1]):
                 uniq.append(float(v))
         if uniq:
-            arr = F.array(*[F.lit(v) for v in uniq])
+            arr = F.lit(uniq).cast("array<double>")  # one py4j call
             v = F.col(name).cast("double")
             rank = F.coalesce(
                 F.aggregate(
