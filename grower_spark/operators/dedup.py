@@ -38,14 +38,27 @@ def shingles(text: Column, n: int = 3) -> Column:
     Built with sequence+transform (JVM-side, no UDF): shingle i joins
     tokens [i, i+n).  Documents shorter than n tokens yield their full
     token join so they still participate.
+
+    The token split is BOUND ONCE as a lambda variable (the single-element
+    outer ``transform``): higher-order-function lambdas re-evaluate any
+    captured outer expression per element, so the previous formulation —
+    ``slice(toks, i+1, n)`` with ``toks`` closed over — re-ran the split
+    once per shingle index, O(tokens²) per row (measured 3.6x on the
+    sf0.1 exploded-shingle scan; values identical).
     """
     toks = _tokens(text)
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n_sh - 1)
     return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        F.flatten(
+            F.transform(
+                F.array(toks),  # evaluates the split exactly once
+                lambda tk: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(tk) - (n - 1), F.lit(1)) - 1,
+                    ),
+                    lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+                ),
+            )
         )
     )
 
@@ -310,6 +323,14 @@ def minhash_lsh_pairs_incremental(
     return new_old.unionByName(new_new)
 
 
+# target edges per partition inside the star-contraction loop: rounds
+# are groupBy-dominated and an edge row is ~16 bytes + overhead, so this
+# keeps round shuffles in the guide's ~100MB-per-partition band while a
+# tiny graph collapses to one partition (the count is re-derived every
+# round from the convergence signature the loop already pays for)
+_STAR_EDGES_PER_PART = 2_000_000
+
+
 def duplicate_clusters_star(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -340,12 +361,14 @@ def duplicate_clusters_star(
     # capture the node set BEFORE dropping self-edges: a node that appears
     # only in self-pairs (id_a == id_b) is a singleton component and must
     # still come out as (id, id) — label_prop emits it, so this backend
-    # must too (the documented same-contract guarantee)
+    # must too (the documented same-contract guarantee).  NOT checkpointed:
+    # it reads the already-materialized pair set and is consumed exactly
+    # once (the singleton anti-join), so an eager checkpoint here was one
+    # extra job per call for nothing.
     nodes = (
         pairs.select(F.col(id_a).alias("node"))
         .union(pairs.select(F.col(id_b).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     E = (
         pairs.select(
@@ -356,8 +379,28 @@ def duplicate_clusters_star(
         .distinct()
         .localCheckpoint()
     )
+    # scale-adaptive round sizing (guide §2.2): the per-round groupBys
+    # inherit the session's shuffle width, but E shrinks monotonically —
+    # on a near-dup graph it is usually FAR smaller than the corpus the
+    # pairs came from, and running 4 shuffles/round of a few hundred
+    # edges across 32+ partitions made fixed task/commit overhead the
+    # whole cost (measured ~2 s/round on a 246-edge graph).  Each round
+    # coalesces its output to ceil(edges / _STAR_EDGES_PER_PART) parts
+    # (capped by the session width, so a billion-edge graph keeps full
+    # parallelism) and the lazy checkpoint is materialized by the
+    # signature action — one job per round instead of two.
+    sess_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    cur_n = E.count()
+    # narrow post-checkpoint coalesce: round 0's four shuffles otherwise
+    # all fan out from the checkpoint's full session-width partitioning
+    E = E.coalesce(
+        max(1, min(sess_parts, -(-cur_n // _STAR_EDGES_PER_PART)))
+    )
     prev_sig = None
     for _ in range(max_iter):
+        nparts = max(1, min(sess_parts, -(-cur_n // _STAR_EDGES_PER_PART)))
         # large-star: group the SYMMETRIC neighborhood of every node
         sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
         g = (
@@ -392,14 +435,17 @@ def duplicate_clusters_star(
                 F.col("m").alias("v"),
             )
             .distinct()
+            .coalesce(nparts)
             .localCheckpoint()
         )
-        # bit_xor, not sum: ANSI mode makes a sum of int64 hashes overflow
+        # bit_xor, not sum: ANSI mode makes a sum of int64 hashes overflow.
+        # This action also materializes the lazy checkpoint above.
         sig = E_new.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         ).first()
         E = E_new
+        cur_n = int(sig["n"])
         if prev_sig == (sig["n"], sig["h"]):
             break
         prev_sig = (sig["n"], sig["h"])
@@ -1265,7 +1311,6 @@ def winnowing_fingerprints(
     from pyspark.sql import Window as W
 
     toks = _tokens(F.col(text_col))
-    n_kg = F.size(toks) - (k - 1)
     if hash_fn == "md5":
         def _h(gram):
             return F.substring(F.md5(gram.cast("binary")), 1, 15)
@@ -1274,16 +1319,25 @@ def winnowing_fingerprints(
             # 60-bit xxhash rendered as fixed-width hex so lexicographic
             # MIN stays numeric MIN (hex digits are ordinal-monotone)
             return F.lpad(F.hex(F.pmod(F.xxhash64(gram), F.lit(1 << 60))), 15, "0")
-    kgrams = F.when(
-        n_kg >= 1,
+    # the split is bound once as a lambda variable (see shingles()): the
+    # previous formulation re-evaluated it per k-gram index.  A NULL
+    # inner array makes flatten NULL, so explode() drops short docs
+    # exactly as the old when/otherwise(NULL) did.
+    kgrams = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), n_kg),
-            lambda i: F.struct(
-                i.alias("pos"),
-                _h(F.array_join(F.slice(toks, i, k), " ")).alias("h"),
-            ),
-        ),
-    ).otherwise(F.lit(None))
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) - (k - 1) >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        _h(F.array_join(F.slice(tk, i, k), " ")).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.lit(None)),
+        )
+    )
     rows = df.select(
         F.col(id_col).alias("_id"), F.explode(kgrams).alias("kg")
     ).select("_id", F.col("kg.pos").alias("pos"), F.col("kg.h").alias("h"))

@@ -73,17 +73,26 @@ def gram_positions(
     Pure per-row array expressions + one explode — map-side only.
     """
     toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
+    # the split is bound once as a lambda variable (the dedup.shingles
+    # lesson): the old slice(toks, i, k) capture re-split the text per
+    # gram position, O(tokens²) per row
+    grams = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.struct(
-                i.alias("pos"),
-                _gram_hash(F.array_join(F.slice(toks, i, k), " "), hash_fn).alias("h"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        _gram_hash(
+                            F.array_join(F.slice(tk, i, k), " "), hash_fn
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>")),
+        )
+    )
     return (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("_id"), F.explode(grams).alias("g"))

@@ -244,15 +244,33 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     toks = _tokens(F.col(text_col))
     # non-distinct bigrams (repetition needs multiplicity; dedup.shingles
     # would distinct them away).  Docs shorter than 2 tokens contribute
-    # their full token join, mirroring shingles() semantics.
-    n_bg = F.greatest(F.size(toks) - 1, F.lit(1))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), n_bg - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-    )
-    elems = F.concat(
-        F.transform(toks, lambda t: F.struct(F.lit("w").alias("kind"), t.alias("gram"))),
-        F.transform(bigrams, lambda g: F.struct(F.lit("g").alias("kind"), g.alias("gram"))),
+    # their full token join, mirroring shingles() semantics.  The split
+    # is bound ONCE as a lambda variable (the dedup.shingles lesson:
+    # captured outer expressions re-evaluate per element, so the old
+    # slice(toks, ...) form re-split the text per bigram index).
+    elems = F.flatten(
+        F.transform(
+            F.array(toks),  # evaluates the split exactly once
+            lambda tk: F.concat(
+                F.transform(
+                    tk,
+                    lambda t: F.struct(
+                        F.lit("w").alias("kind"), t.alias("gram")
+                    ),
+                ),
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(tk) - 1, F.lit(1)) - 1
+                    ),
+                    lambda i: F.struct(
+                        F.lit("g").alias("kind"),
+                        F.array_join(F.slice(tk, i + 1, 2), " ").alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ),
+        )
     )
     ex = df.select(F.col(id_col), F.explode(elems).alias("e")).select(
         id_col, F.col("e.kind").alias("kind"), F.col("e.gram").alias("gram")
