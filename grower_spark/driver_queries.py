@@ -1535,27 +1535,30 @@ FROM documents
 """
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
+def _dot(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    n1 = F.sqrt(
+
+
+def _norm(a):
+    """sqrt of the same left-to-right squared fold _cosine used — kept
+    as its own helper so the pair joins below can compute each side's
+    norm ONCE per row instead of once per pair (bit-identical: same
+    fold, same sqrt, same division order downstream)."""
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    n2 = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (n1 * n2)
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 N_ANN_QUERIES = 8
@@ -1611,14 +1614,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured recall contract) is the plan to run at scale.
     tests/test_ann_recall.py pins the twins' pair-set relationship."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms hoisted to the join SIDES: per-row instead of per-pair (the
+    # O(block²) pair stream paid two extra 64-element folds each; the
+    # float result is bit-identical — same fold, same division order)
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "label"
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"),
+        "label", _norm(F.col("embedding")).alias("_na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "label"
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"),
+        "label", _norm(F.col("embedding")).alias("_nb"),
     )
     pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
-    sim = _cosine(F.col("vec_a"), F.col("vec_b"))
+    sim = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("label", "id_a", "id_b", F.round(sim, 4).alias("sim_r4"))
         .where(F.col("sim_r4") >= NEARDUP_THRESHOLD)
@@ -1653,10 +1661,11 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "_bkt", _bucket_expr("embedding", planes)
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "_bkt")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "_bkt")
+    # same per-side norm hoist as q_embedding_neardup (bit-identical)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "_bkt", _norm(F.col("embedding")).alias("_na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "_bkt", _norm(F.col("embedding")).alias("_nb"))
     pairs = a.join(b, "_bkt").where(F.col("id_a") < F.col("id_b"))
-    sim = _cosine(F.col("vec_a"), F.col("vec_b"))
+    sim = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select(
             F.col("_bkt").alias("bucket"), "id_a", "id_b", F.round(sim, 4).alias("sim_r4")
@@ -3523,8 +3532,10 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grower_spark.operators.multimodal import decode_images, synthesize_media
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    media = synthesize_media(docs, "png")
-    return decode_images(media, decoder="png").select(
+    # fused synth+decode: one Python pass, payload never crosses the JVM
+    # boundary (rows identical; the chained form paid a second
+    # mapInPandas stage)
+    return decode_images(docs, decoder="png", synth_kind="png").select(
         "doc_id", "width", "height", "n_channels", "mean_luma", "decoder"
     )
 
@@ -3562,10 +3573,13 @@ def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grower_spark.operators.multimodal import decode_images, synthesize_media
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    media = synthesize_media(
-        docs.where(F.col("doc_id") % 2 == 0), "jpeg"
-    ).unionByName(synthesize_media(docs.where(F.col("doc_id") % 2 == 1), "gif"))
-    return decode_images(media, decoder="magic").select(
+    # fused synth+decode with a per-row kind (even ids JPEG, odd GIF) —
+    # replaces the two-branch union + second mapInPandas stage, rows
+    # identical
+    return decode_images(
+        docs, decoder="magic",
+        synth_kind=lambda i: "jpeg" if i % 2 == 0 else "gif",
+    ).select(
         "doc_id", "width", "height", "n_channels", "mean_luma", "decoder"
     )
 
@@ -3592,8 +3606,7 @@ def q_multimodal_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grower_spark.operators.multimodal import synthesize_media, video_meta
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    media = synthesize_media(docs, "mp4")
-    return video_meta(media, decoder="mp4").select(
+    return video_meta(docs, decoder="mp4", synth_kind="mp4").select(
         "doc_id", "duration_ms", "width", "height", "n_tracks", "decoder"
     )
 
@@ -3621,8 +3634,7 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grower_spark.operators.multimodal import decode_audio, synthesize_media
 
     docs = _cpu_spread(spark, load_table(spark, sf_dir, "documents"))
-    media = synthesize_media(docs, "wav")
-    return decode_audio(media, decoder="wav").select(
+    return decode_audio(docs, decoder="wav", synth_kind="wav").select(
         "doc_id", "sample_rate", "n_channels", "n_frames", "duration_ms",
         "rms_milli", "decoder"
     )

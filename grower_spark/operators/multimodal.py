@@ -408,18 +408,43 @@ def multimodal_features(df: DataFrame, id_col: str = "doc_id",
 
 def decode_images(df: DataFrame, id_col: str = "doc_id",
                   bin_col: str = "media_bytes",
-                  decoder: str = "auto") -> DataFrame:
+                  decoder: str = "auto",
+                  synth_kind=None) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, bytes) partitions.
 
     Only the two needed columns enter the Python worker (column pruning by
     explicit select), and output rows stay 1:1 with input — the shape a
     real resize/feature-extract kernel would use.  ``decoder`` pins the
     kernel (see ``_decode_batch``); oracle-checked callers pass ``"stub"``.
+
+    ``synth_kind`` (a ``synthesize_media`` kind, or a callable
+    ``doc_id -> kind``) fuses synthesis and decode into ONE Python pass:
+    only ids enter the worker and the payload bytes never cross the JVM
+    boundary — the chained synthesize->decode composition paid a second
+    mapInPandas stage (~0.3-0.5 s fixed at sf0.1) to ship bytes out of
+    Python and straight back in.  Decoded rows are identical.
     """
     if decoder not in ("auto", "stub", "png", "magic", "pil"):
         raise ValueError(
             f"unknown decoder {decoder!r} (want auto|stub|png|magic|pil)"
         )
+    if synth_kind is not None:
+        make = _synth_maker(synth_kind)
+        src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                yield _decode_batch(
+                    pd.DataFrame({
+                        "doc_id": batch["doc_id"].values,
+                        "media_bytes": [
+                            make(int(i)) for i in batch["doc_id"]
+                        ],
+                    }),
+                    decoder,
+                )
+
+        return src.mapInPandas(run, DECODED_SCHEMA)
     src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -482,7 +507,8 @@ def _audio_stub_one(b: bytes):
 
 def decode_audio(df: DataFrame, id_col: str = "doc_id",
                  bin_col: str = "media_bytes",
-                 decoder: str = "auto") -> DataFrame:
+                 decoder: str = "auto",
+                 synth_kind=None) -> DataFrame:
     """Audio feature extraction over opaque bytes: Arrow-batched
     mapInPandas, same plumbing contract as the image path.  ``"wav"``
     pins the real stdlib PCM kernel, ``"stub"`` the deterministic fake;
@@ -491,12 +517,23 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id",
     counterpart to the PNG kernel."""
     if decoder not in ("auto", "wav", "stub"):
         raise ValueError(f"unknown decoder {decoder!r} (want auto|wav|stub)")
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
+    if synth_kind is not None:  # fused synth+decode (see decode_images)
+        make = _synth_maker(synth_kind)
+        src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    else:
+        make = None
+        src = df.select(
+            F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes")
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for doc_id, payload in zip(batch["doc_id"], batch["media_bytes"]):
+            payloads = (
+                [make(int(i)) for i in batch["doc_id"]]
+                if make is not None else batch["media_bytes"]
+            )
+            for doc_id, payload in zip(batch["doc_id"], payloads):
                 b = bytes(payload)
                 if decoder == "wav":
                     rec = _wav_one(b)  # pinned: strict errors
@@ -592,7 +629,8 @@ def _video_stub_one(b: bytes):
 
 def video_meta(df: DataFrame, id_col: str = "doc_id",
                bin_col: str = "media_bytes",
-               decoder: str = "auto") -> DataFrame:
+               decoder: str = "auto",
+               synth_kind=None) -> DataFrame:
     """Video container metadata over opaque bytes (mapInPandas): real
     MP4 box parsing when the payload is ISO-BMFF, deterministic stub
     otherwise — completing the image/audio/video honest-kernel family.
@@ -600,12 +638,23 @@ def video_meta(df: DataFrame, id_col: str = "doc_id",
     byte-stride plumbing stand-in."""
     if decoder not in ("auto", "mp4", "stub"):
         raise ValueError(f"unknown decoder {decoder!r} (want auto|mp4|stub)")
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes"))
+    if synth_kind is not None:  # fused synth+decode (see decode_images)
+        make = _synth_maker(synth_kind)
+        src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    else:
+        make = None
+        src = df.select(
+            F.col(id_col).alias("doc_id"), F.col(bin_col).alias("media_bytes")
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for doc_id, payload in zip(batch["doc_id"], batch["media_bytes"]):
+            payloads = (
+                [make(int(i)) for i in batch["doc_id"]]
+                if make is not None else batch["media_bytes"]
+            )
+            for doc_id, payload in zip(batch["doc_id"], payloads):
                 b = bytes(payload)
                 if decoder == "mp4":
                     rec = _mp4_meta_one(b)  # pinned: strict errors
@@ -710,25 +759,32 @@ def synth_wav_bytes(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _synth_maker(kind):
+    """Resolve a synthesis kind — a maker name, or a callable mapping
+    doc_id -> maker name (per-row format mixes) — to ``id -> bytes``."""
+    if callable(kind):
+        return lambda i: _MAKERS[kind(i)](i)
+    if kind not in _MAKERS:
+        raise ValueError(
+            f"unknown media kind {kind!r} (want png|wav|jpeg|gif|mp4)"
+        )
+    return _MAKERS[kind]
+
+
 def synthesize_media(df: DataFrame, kind: str,
                      id_col: str = "doc_id") -> DataFrame:
     """Attach synthesized media bytes (``media_bytes``) derived from the id
     column — the binary-column fixture for driver rows and tests that
     exercise the real decode kernels.  Pure map-side (mapInPandas, no
     shuffle); at corpus scale the same shape holds for any
-    column-to-binary render kernel."""
-    makers = {
-        "png": synth_png_bytes,
-        "wav": synth_wav_bytes,
-        "jpeg": synth_jpeg_bytes,
-        "gif": synth_gif_bytes,
-        "mp4": synth_mp4_bytes,
-    }
-    if kind not in makers:
-        raise ValueError(
-            f"unknown media kind {kind!r} (want png|wav|jpeg|gif|mp4)"
-        )
-    make = makers[kind]
+    column-to-binary render kernel.
+
+    When the bytes exist only to be decoded right away, pass
+    ``synth_kind`` to the decode operator instead: synthesis and decode
+    then run in ONE Python pass and the payload never round-trips
+    JVM -> Python -> JVM -> Python (each extra chained mapInPandas stage
+    measured ~0.3-0.5 s of fixed cost at sf0.1)."""
+    make = _synth_maker(kind)
     src = df.select(F.col(id_col).cast("long").alias("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -796,3 +852,14 @@ def synth_mp4_bytes(doc_id: int) -> bytes:
                + struct.pack(">II", w << 16, h << 16))
     trak = box(b"trak", tkhd)
     return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", mvhd + trak)
+
+
+# maker registry for synthesize_media / the decode operators' fused
+# synth_kind path (defined after the makers themselves)
+_MAKERS = {
+    "png": synth_png_bytes,
+    "wav": synth_wav_bytes,
+    "jpeg": synth_jpeg_bytes,
+    "gif": synth_gif_bytes,
+    "mp4": synth_mp4_bytes,
+}
