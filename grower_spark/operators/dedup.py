@@ -789,16 +789,21 @@ def simhash_banded_pairs(
             ),
         )
     )
-    pairs = (
+    # a pair sharing k bands appears k times, so a dedupe is required —
+    # but the exact hamming filter commutes with it (hamming is a pure
+    # function of the pair) and is massively selective, so filter FIRST:
+    # the emit fan-out (measured 2.7M candidate rows at sf0.1) is cut to
+    # the near-dup survivors map-side, BEFORE the dedupe's exchange, and
+    # the wide signature columns never cross the shuffle at all
+    # (guide §2.1: shuffle fewer bytes — 2.6 s -> ~0.4 s of the query).
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
         postings.select(F.explode(pair_arr).alias("p"))
         .select("p.*")
-        # a pair sharing k bands appears k times: dedupe before the filter
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select(
-        "id_a", "id_b", hamming.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
