@@ -45,22 +45,25 @@ def _quantize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _assign(q: DataFrame, cents: list[list[int]], id_col: str) -> DataFrame:
-    terms = F.array(*[
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("_xq"),
-                    F.expr("array(" + ",".join(f"{int(v)}L" for v in c) + ")"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            F.lit(ci).cast("int").alias("i"),
-        )
+    # The argmin tree is rendered as ONE SQL string and parsed in a single
+    # py4j call: the previous per-centroid Column construction (one
+    # F.expr parse + two Python lambdas + struct/array per centroid) cost
+    # ~0.6-1.0 s of driver round-trips per assign pass at k=8·dim=64,
+    # dominating the 2000-row execution itself (guide §1.2 driver-side
+    # work; same fix family as the r17 literal-construction commit).
+    # The parsed tree — zip_with/aggregate fold, 0L accumulator,
+    # named_struct('d', …, 'i', CAST(ci AS INT)), array_min tie order —
+    # is node-for-node the tree the Column API built; output and plan
+    # are unchanged.
+    terms = ",".join(
+        "named_struct('d', aggregate(zip_with(`_xq`, array("
+        + ",".join(f"{int(v)}L" for v in c)
+        + "), (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x), "
+        f"'i', CAST({ci} AS INT))"
         for ci, c in enumerate(cents)
-    ])
-    best = F.array_min(terms)
+    )
+    best = F.expr(f"array_min(array({terms}))")
     return q.select(
         id_col, "_xq",
         best.getField("i").alias("cluster"),
