@@ -45,7 +45,9 @@ import pyspark.sql.functions as F
 from grower_spark.operators.similarity import (
     _cell_struct_sql,
     cosine,
+    dot_fold,
     ivf_centroids,
+    l2_norm,
 )
 
 
@@ -146,12 +148,17 @@ def semdedup(
         )
         return out.withColumnRenamed("vec_id", id_col)
 
-    # HOF / oracle path: cell-keyed self-join, i > j pairs only
+    # HOF / oracle path: cell-keyed self-join, i > j pairs only.  Norms
+    # are hoisted to the join SIDES — one fold per row instead of two per
+    # pair in the O(cell²) stream; bit-identical floats (same fold, same
+    # ``dot / (norm_a * norm_b)`` division order as ``cosine``).
     a = assigned.select(
-        F.col("cell"), F.col("_id").alias("_ida"), F.col("_vec").alias("_veca")
+        F.col("cell"), F.col("_id").alias("_ida"), F.col("_vec").alias("_veca"),
+        l2_norm(F.col("_vec")).alias("_na"),
     )
     b = assigned.select(
-        F.col("cell"), F.col("_id").alias("_idb"), F.col("_vec").alias("_vecb")
+        F.col("cell"), F.col("_id").alias("_idb"), F.col("_vec").alias("_vecb"),
+        l2_norm(F.col("_vec")).alias("_nb"),
     )
     if max_cell_width is not None:
         widths = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_w"))
@@ -162,7 +169,11 @@ def semdedup(
     sims = pairs.select(
         "_ida",
         "_idb",
-        F.round(cosine(F.col("_veca"), F.col("_vecb")), 4).alias("sim_r4"),
+        F.round(
+            dot_fold(F.col("_veca"), F.col("_vecb"))
+            / (F.col("_na") * F.col("_nb")),
+            4,
+        ).alias("sim_r4"),
     ).where(F.col("sim_r4") >= threshold)
     # best lower-id witness per dropped vector: max (sim, -id) struct
     best = sims.groupBy("_ida").agg(

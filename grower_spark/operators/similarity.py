@@ -25,20 +25,34 @@ from pyspark.sql import types as T
 from grower_spark.functions.hashing import md5_60_py
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Exact cosine via sequential double accumulation (left-to-right fold,
-    IEEE-identical to the DuckDB oracle's list_dot_product on DOUBLE[])."""
-    dot = F.aggregate(
+def dot_fold(a: Column, b: Column) -> Column:
+    """Exact dot product via sequential double accumulation (left-to-right
+    fold, IEEE-identical to the DuckDB oracle's list_dot_product)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sq = lambda v: F.aggregate(  # noqa: E731
-        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+
+def l2_norm(v: Column) -> Column:
+    """Exact L2 norm with the same fold as :func:`cosine`'s denominator —
+    exposed so pair joins can hoist the per-row norms to the join sides
+    (per-row instead of per-pair; bit-identical floats when the division
+    order ``dot / (norm_a * norm_b)`` is kept)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
-    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine via sequential double accumulation (left-to-right fold,
+    IEEE-identical to the DuckDB oracle's list_dot_product on DOUBLE[])."""
+    return dot_fold(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def partial_topk(scored: DataFrame, key_cols: list, order_cols: list,
