@@ -140,11 +140,18 @@ def cosine_topk(
     The scored stream runs through :func:`_partial_topk` first, so the
     final n_queries-keyed rank window reads partitions × k rows per
     query instead of the whole corpus."""
-    pairs = corpus.crossJoin(F.broadcast(queries)).where(
-        F.col(id_col) != F.col(qid_col)
+    # norms hoisted to the join sides: one fold per corpus row / per
+    # panel row instead of two folds per (row × query) pair; floats are
+    # bit-identical (same fold, same dot / (norm_q * norm_c) division
+    # order as ``cosine``)
+    pairs = corpus.withColumn("_nrm_c", l2_norm(F.col(vec_col))).crossJoin(
+        F.broadcast(queries.withColumn("_nrm_q", l2_norm(F.col(qvec_col))))
+    ).where(F.col(id_col) != F.col(qid_col))
+    sim = dot_fold(F.col(qvec_col), F.col(vec_col)) / (
+        F.col("_nrm_q") * F.col("_nrm_c")
     )
     scored = pairs.select(
-        qid_col, id_col, F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4")
+        qid_col, id_col, F.round(sim, 4).alias("sim_r4")
     )
     order = [F.desc("sim_r4"), F.asc(id_col)]
     scored = _partial_topk(scored, [qid_col], order, k)
@@ -185,15 +192,21 @@ def hard_negative_topk(
 
     Output: ``(qid, vec_id, label, rank, sim_r4)``.
     """
-    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+    # same per-side norm hoist as cosine_topk (bit-identical floats)
+    pairs = corpus.withColumn("_nrm_c", l2_norm(F.col(vec_col))).crossJoin(
+        F.broadcast(queries.withColumn("_nrm_q", l2_norm(F.col(qvec_col))))
+    ).where(
         (F.col(id_col) != F.col(qid_col))
         & ~F.col(label_col).eqNullSafe(F.col(qlabel_col))
+    )
+    sim = dot_fold(F.col(qvec_col), F.col(vec_col)) / (
+        F.col("_nrm_q") * F.col("_nrm_c")
     )
     scored = pairs.select(
         qid_col,
         id_col,
         label_col,
-        F.round(cosine(F.col(qvec_col), F.col(vec_col)), 4).alias("sim_r4"),
+        F.round(sim, 4).alias("sim_r4"),
     )
     order = [F.desc("sim_r4"), F.asc(id_col)]
     scored = _partial_topk(scored, [qid_col], order, k)
@@ -958,10 +971,18 @@ def density_vs_panel(
         return density_vs_panel_np(
             corpus, panel, tau, min_close, id_col, vec_col, pid_col, pvec_col
         )
-    pairs = corpus.join(F.broadcast(panel), F.lit(True), "left")
+    # per-side norm hoist (bit-identical floats; an empty panel still
+    # yields NULL pvec rows whose sim is NULL, coalesced to 0 as before)
+    pairs = corpus.withColumn("_nrm_v", l2_norm(F.col(vec_col))).join(
+        F.broadcast(panel.withColumn("_nrm_p", l2_norm(F.col(pvec_col)))),
+        F.lit(True), "left",
+    )
+    sim = dot_fold(F.col(vec_col), F.col(pvec_col)) / (
+        F.col("_nrm_v") * F.col("_nrm_p")
+    )
     close = F.coalesce(
         (
-            (F.round(cosine(F.col(vec_col), F.col(pvec_col)), 4) >= tau)
+            (F.round(sim, 4) >= tau)
             & (F.col(id_col) != F.col(pid_col))
         ).cast("long"),
         F.lit(0).cast("long"),
