@@ -47,3 +47,67 @@ class TestStreamStatePartitions:
         before = spark.conf.get("spark.sql.shuffle.partitions")
         QUERIES["streaming_drift_gate"](spark, sf).count()
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+class TestSimhashFilterBeforeDedupe:
+    """The banded simhash pair plan filters on exact hamming BEFORE the
+    cross-band dedupe (the filter commutes with it and cuts the
+    dropDuplicates exchange from the full candidate fan-out to the
+    near-dup survivors).  Pin: the emitted pair set still equals the
+    naive all-pairs hamming filter — the pigeonhole recall guarantee
+    survived the reorder — and no pair appears twice."""
+
+    def test_equals_all_pairs_hamming(self, spark):
+        import pyspark.sql.functions as F
+
+        from grower_spark.operators.dedup import simhash, simhash_banded_pairs
+
+        rows = [(i, f"tok{i % 7} alpha beta gamma delta tok{i % 3}")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = simhash_banded_pairs(
+            df, bits=32, bands=8, max_hamming=6, combo=2
+        ).select("id_a", "id_b", "hamming")
+        h = simhash(df, "text", 32, "md5").select("doc_id", "simhash")
+        a = h.selectExpr("doc_id id_a", "simhash sa")
+        b = h.selectExpr("doc_id id_b", "simhash sb")
+        naive = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+            )
+            .where(F.col("hamming") <= 6)
+        )
+        g = sorted(map(tuple, got.collect()))
+        n = sorted(map(tuple, naive.collect()))
+        assert g == n
+        assert len(g) == len({(x, y) for x, y, _ in g})
+
+
+class TestHoistedNormsBitIdentical:
+    """The pair-join kernels hoist the two L2 norms to the join sides;
+    the division order dot / (norm_a * norm_b) is kept, so the floats
+    must be BIT-identical to the composed cosine() — not just close."""
+
+    def test_dot_over_norms_equals_cosine(self, spark):
+        import pyspark.sql.functions as F
+
+        from grower_spark.operators.similarity import (
+            cosine, dot_fold, l2_norm,
+        )
+
+        rows = [(i, [((i * 37 + j * 11) % 97) / 19.0 - 2.5
+                     for j in range(16)]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        a = df.selectExpr("vec_id ia", "v va").withColumn(
+            "na", l2_norm(F.col("va")))
+        b = df.selectExpr("vec_id ib", "v vb").withColumn(
+            "nb", l2_norm(F.col("vb")))
+        pairs = a.join(b, F.col("ia") < F.col("ib"))
+        out = pairs.select(
+            (dot_fold(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("hoisted"),
+            cosine(F.col("va"), F.col("vb")).alias("composed"),
+        ).collect()
+        assert all(r["hoisted"] == r["composed"] for r in out)  # bitwise
