@@ -8620,15 +8620,27 @@ def q_streaming_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = lo + ((hi - lo) * DRIFT_GATE_BASELINE_PERMILLE) // 1000
 
     # offline fit: the first half's bin shares (same bin arithmetic as
-    # the operator: least(floor(score/100), 9))
+    # the operator: least(floor(score/100), 9)).  The reference total is
+    # the SUM of the histogram counts (identical integer to the previous
+    # separate ref.count() pass, same division), computed by a window
+    # over the <=10 histogram rows — one events scan instead of two.
+    # The baseline is then localCheckpoint-ed (10 rows): a batch side
+    # joined into a stream is re-executed per micro-batch, so without
+    # the materialization every replay batch re-ran the events scan +
+    # groupBy just to rebuild this model-sized table (guide §2.4/§5).
     bin_col = F.least(F.floor(F.col("score") / 100).cast("long"), F.lit(9))
     ref = ev.where(us < mid).select(bin_col.alias("bin"))
     ref_hist = ref.groupBy("bin").agg(F.count(F.lit(1)).alias("_n"))
-    total_ref = ref.count()  # bounded: one scalar
     baseline = ref_hist.select(
         "bin",
-        (F.col("_n") / F.lit(float(max(total_ref, 1)))).alias("share_old"),
-    )
+        (
+            F.col("_n")
+            / F.greatest(
+                F.sum("_n").over(Window.partitionBy()).cast("double"),
+                F.lit(1.0),
+            )
+        ).alias("share_old"),
+    ).localCheckpoint()
 
     base = "/tmp/grower_driftgate_{}_{}".format(
         spark.sparkContext.applicationId.replace("-", "_"),

@@ -111,3 +111,61 @@ class TestHoistedNormsBitIdentical:
             cosine(F.col("va"), F.col("vb")).alias("composed"),
         ).collect()
         assert all(r["hoisted"] == r["composed"] for r in out)  # bitwise
+
+
+class TestDriftGateBaselineFused:
+    """The drift-gate baseline derives its share divisor from a window
+    sum over the histogram (one events scan) instead of a separate
+    ref.count() pass, and is localCheckpoint-ed before entering the
+    stream (a batch side of a stream-batch join re-executes per
+    micro-batch).  Pin: the window-sum share is BIT-identical to the
+    count-based share, and the materialized baseline's plan carries no
+    scan lineage for the micro-batches to re-run."""
+
+    def test_window_sum_share_bit_equals_count_share(self, spark):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        rows = [(i % 7,) for i in range(997)]
+        ref = spark.createDataFrame(rows, "bin long")
+        hist = ref.groupBy("bin").agg(F.count(F.lit(1)).alias("_n"))
+        total = ref.count()
+        old = {
+            r["bin"]: r["share_old"]
+            for r in hist.select(
+                "bin",
+                (F.col("_n") / F.lit(float(max(total, 1)))).alias(
+                    "share_old"),
+            ).collect()
+        }
+        new = {
+            r["bin"]: r["share_old"]
+            for r in hist.select(
+                "bin",
+                (
+                    F.col("_n")
+                    / F.greatest(
+                        F.sum("_n").over(Window.partitionBy())
+                        .cast("double"),
+                        F.lit(1.0),
+                    )
+                ).alias("share_old"),
+            ).collect()
+        }
+        assert old == new  # bitwise: same float division operands
+
+    def test_baseline_is_materialized_before_the_stream(self, spark):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame([(1,), (2,)], "bin long")
+        hist = df.groupBy("bin").agg(F.count(F.lit(1)).alias("_n"))
+        baseline = hist.select(
+            "bin",
+            (F.col("_n")
+             / F.sum("_n").over(Window.partitionBy()).cast("double")
+             ).alias("share_old"),
+        ).localCheckpoint()
+        plan = baseline._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan
+        assert "HashAggregate" not in plan
