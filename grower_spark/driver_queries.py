@@ -1339,6 +1339,22 @@ def q_streaming_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- stage: time-sliced line files + sentinel -----------------------
     _synth_lines(spark, sf_dir)  # registers the events_src view
+    base = "/tmp/grower_replay_{}_{}".format(
+        spark.sparkContext.applicationId.replace("-", "_"),
+        os.path.basename(os.path.abspath(sf_dir)),
+    )
+    replay, staging = os.path.join(base, "replay"), os.path.join(base, "stage")
+    # the staged replay is a pure function of sf_dir (deterministic synth
+    # + deterministic slicing), so within a session it is built once and
+    # re-streamed on every call (the bench runs this row 7x); the
+    # checkpoint below is always fresh, so each call replays fully.  The
+    # time-bounds scan below is STAGING-ONLY input (slice boundaries +
+    # sentinel timestamp), so it lives behind this early return — it used
+    # to run unconditionally, charging every replay run one needless
+    # full-table agg (guide §1.2: don't compute things you throw away).
+    if len(glob(os.path.join(replay, "*.log"))) == n_slices + 1:
+        return _run_funnel_replay(spark, base, replay, gap_s, wm_s,
+                                  sentinel_uid)
     # the shared template renders only `value`; slicing needs the event
     # time, so re-render with ts carried alongside
     head, tail = SYNTH_LINES_SPARK_SQL.rsplit("FROM", 1)
@@ -1354,18 +1370,6 @@ def q_streaming_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_slices - 1),
     )
 
-    base = "/tmp/grower_replay_{}_{}".format(
-        spark.sparkContext.applicationId.replace("-", "_"),
-        os.path.basename(os.path.abspath(sf_dir)),
-    )
-    replay, staging = os.path.join(base, "replay"), os.path.join(base, "stage")
-    # the staged replay is a pure function of sf_dir (deterministic synth
-    # + deterministic slicing), so within a session it is built once and
-    # re-streamed on every call (the bench runs this row 7x); the
-    # checkpoint below is always fresh, so each call replays fully
-    if len(glob(os.path.join(replay, "*.log"))) == n_slices + 1:
-        return _run_funnel_replay(spark, base, replay, gap_s, wm_s,
-                                  sentinel_uid)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(replay)
     for i in range(n_slices):

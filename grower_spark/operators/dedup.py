@@ -408,6 +408,11 @@ def duplicate_clusters_star(
             .agg(F.collect_set("v").alias("ns"))
             .withColumn("m", F.array_min(F.concat(F.col("ns"), F.array(F.col("u")))))
         )
+        # note: this .distinct() is physically FREE — its only consumer
+        # is the small-star collect_set, which ignores duplicates, so
+        # Catalyst's RemoveRedundantAggregates elides the aggregate and
+        # its exchange (plan-verified r17: the round plan is 3 exchanges
+        # with or without it); kept for logical clarity
         ls = (
             g.select(
                 F.explode(
